@@ -1,0 +1,95 @@
+"""Table loading for the driver testdata + the engine's own tables.
+
+The driver testdata (TESTDATA.md) is a TPC-H-ish star schema plus ``events``
+(stream-shaped), ``documents`` (text corpus) and ``embeddings`` (vectors).
+``load_tables`` reads each parquet and registers a temp view under its bare
+name so both the DataFrame API and ``spark.sql`` paths work.
+
+The engine's own store (the reference's ``obs`` table → SURVEY §1.3/§2.1 S2/S4)
+is partitioned parquet: ``write_observations`` appends with a date partition
+so a 100 TB history is partition-pruned by time predicates, and
+``read_observations`` scans it back. Reference: the single append-only SQLite
+table at /root/reference/schema:1-9 and the INSERT sink at
+/root/reference/ssidentity.c:97-111.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Testdata columns stored as parquet TIMESTAMP(NANOS): Spark reads them as
+# LongType under spark.sql.legacy.parquet.nanosAsLong; we convert to real
+# timestamps (nanos→micros truncation == duckdb's µs precision).
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ssidentity_spark.session import tune
+
+    tune(spark)  # idempotent; ensures nanosAsLong + UTC on driver-owned sessions
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer `div`: bigint→double division would round at ~256 ns
+            # granularity for 2024-epoch nanos and corrupt the µs digit
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Read the testdata tables and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# --- the engine's observation store (reference `obs` table, Spark-native) ---
+
+
+def write_observations(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Append-only partitioned store for parsed observations.
+
+    Replaces the reference's one-INSERT-per-packet SQLite sink
+    (ssidentity.c:97-111) with bulk parquet commits partitioned by
+    observation date — at 100 TB the date partition is what makes
+    time-bounded analytics (active hours, arrivals) scan-prunable.
+    """
+    (
+        df.withColumn("obs_date", F.to_date("ts"))
+        .write.mode(mode)
+        .partitionBy("obs_date")
+        .parquet(path)
+    )
+
+
+def read_observations(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    df.createOrReplaceTempView("observations")
+    return df

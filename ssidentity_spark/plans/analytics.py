@@ -1,0 +1,665 @@
+"""Event-stream analytics — the reference's declared correlation surface
+re-expressed over the driver `events` table (user_id ~ device MAC,
+event_type ~ SSID, ts ~ capture time, value ~ RSSI-like measure).
+
+Each query cites the SURVEY.md §2 row(s) it embodies; the equivalent
+observation-schema library functions live in ssidentity_spark/operators/.
+Reference impetus: /root/reference/README.md:15-19 (interests, active hours,
+habitual movements, arrival tracking) and ssidentity.c:23-37 (TODO analytics).
+
+Scale notes: every query here is a single shuffle on its natural grouping key
+(plus a window shuffle where ranking is required). Nothing collects to the
+driver; nothing is quadratic; all window frames are bounded. At 100 TB the
+grouping keys (user_id, event_type, hour) are low-skew and AQE handles any
+residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ssidentity_spark.io import load_table
+from ssidentity_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY §7 phase 0): scan → filter → project → groupBy →
+# countDistinct → window-rank → orderBy → limit  (S4, D7, A1/A8, W1, O1/O2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_hourly_top_types",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(hour(ts) AS INTEGER) AS hr,
+             event_type,
+             count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY hr
+               ORDER BY n_users DESC, n_events DESC, event_type) AS INTEGER) AS rnk
+      FROM hourly
+    )
+    SELECT hr, event_type, n_users, n_events, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    survey="A1,A8,W1,O1,O2",
+    bench=True,
+)
+def flagship_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.hour("ts").alias("hr"), "event_type"
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("hr").orderBy(
+        F.desc("n_users"), F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hr", "event_type", "n_users", "n_events", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — interests profile ("which SSIDs a device probes for", README.md:18)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_user_interests",
+    oracle="""
+    SELECT user_id,
+           count(DISTINCT event_type) AS n_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    survey="A1",
+)
+def a1_user_interests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_csv"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — active hours / habitual movements (README.md:17)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_active_hours",
+    oracle="""
+    SELECT user_id, CAST(hour(ts) AS INTEGER) AS hr,
+           CAST(isodow(ts) AS INTEGER) AS dow, count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+    survey="A2",
+)
+def a2_active_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id",
+        F.hour("ts").alias("hr"),
+        # weekday(): Mon=0 → +1 == ISO dow, matches duckdb isodow
+        (F.weekday("ts") + F.lit(1)).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "a2_habitual_hour",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, hr AS top_hr, n
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, hr) AS rn FROM h)
+    WHERE rn = 1
+    """,
+    survey="A2,W1",
+)
+def a2_habitual_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy("user_id", F.hour("ts").alias("hr")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("hr"))
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("hr").alias("top_hr"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — network tree (AP → known clients, ssidentity.c:36): relational
+# bipartite grouping, not a graph engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a3_network_tree",
+    oracle="""
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users_csv,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_obs
+    FROM events GROUP BY event_type
+    """,
+    survey="A3",
+)
+def a3_network_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("user_id")).cast("array<string>"), ","
+        ).alias("users_csv"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/O5 — dedup by key (ssidentity.c:26) and distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a4_distinct_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    survey="A4,O5",
+)
+def a4_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+@register(
+    "a4_mac_key_rollup",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           array_to_string(list_sort(list(DISTINCT strftime(ts, '%Y-%m-%d %H:%M:%S'))), ',')
+             AS ts_csv
+    FROM events
+    WHERE event_type = 'signup'
+    GROUP BY user_id
+    """,
+    survey="A4",
+)
+def a4_mac_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference TODO 'MAC as primary key, timestamps as CSV'
+    (ssidentity.c:26), over events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(
+                F.sort_array(F.collect_set(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))),
+                ",",
+            ).alias("ts_csv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A8 — signal stats & distinct counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a6_value_stats",
+    oracle="""
+    SELECT event_type,
+           round(min(value), 2) AS v_min,
+           round(max(value), 2) AS v_max,
+           round(avg(value), 4) AS v_avg,
+           round(stddev_samp(value), 4) AS v_std,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    survey="A6,A8",
+)
+def a6_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 2).alias("v_min"),
+        F.round(F.max("value"), 2).alias("v_max"),
+        F.round(F.avg("value"), 4).alias("v_avg"),
+        F.round(F.stddev_samp("value"), 4).alias("v_std"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "a8_approx_distinct_users",
+    oracle=None,  # HLL sketch differs between engines by design → rows-only
+    survey="A8",
+)
+def a8_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for device
+    rosters, where exact countDistinct would shuffle every key."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — rollup / cube hierarchies
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a9_rollup_type_hour",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           CAST(coalesce(hr, -1) AS INTEGER) AS hr,
+           count(*) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS v_sum
+    FROM (SELECT event_type, hour(ts) AS hr, value FROM events)
+    GROUP BY ROLLUP (event_type, hr)
+    """,
+    survey="A9",
+)
+def a9_rollup_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    return (
+        ev.rollup("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v_sum"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("hr", F.lit(-1)).alias("hr"),
+            "n",
+            "v_sum",
+        )
+    )
+
+
+@register(
+    "a9_cube_type_dow",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           CAST(coalesce(dow, -1) AS INTEGER) AS dow,
+           count(*) AS n
+    FROM (SELECT event_type, isodow(ts) AS dow FROM events)
+    GROUP BY CUBE (event_type, dow)
+    """,
+    survey="A9",
+)
+def a9_cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10/O1/O2 — heavy hitters & global sort/limit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a10_heavy_hitters",
+    oracle="""
+    SELECT user_id, event_type, n FROM (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ) ORDER BY n DESC, user_id, event_type LIMIT 10
+    """,
+    survey="A10,O1,O2",
+)
+def a10_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id", "event_type")
+        .limit(10)
+    )
+
+
+@register(
+    "o1_global_sort_top",
+    oracle="""
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events ORDER BY value DESC, event_id LIMIT 20
+    """,
+    survey="O1,O2",
+)
+def o1_global_sort_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("value"), "event_id")
+        .limit(20)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3/O4 — set operations (devices seen at both locations, README.md:15-19)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o4_intersect_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    survey="O4",
+)
+def o4_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "o4_except_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    survey="O4",
+)
+def o4_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.subtract(b)
+
+
+@register(
+    "o3_union_split",
+    oracle="""
+    SELECT user_id, event_type, src FROM (
+      SELECT user_id, event_type, 'early' AS src FROM events WHERE hour(ts) < 12
+      UNION ALL
+      SELECT user_id, event_type, 'late' AS src FROM events WHERE hour(ts) >= 12
+    )
+    """,
+    survey="O3",
+)
+def o3_union_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of per-'sensor' slices back into one relation (README.md:12-13
+    fan-in of per-sensor DBs → unionByName)."""
+    ev = load_table(spark, sf_dir, "events")
+    early = ev.filter(F.hour("ts") < 12).select(
+        "user_id", "event_type", F.lit("early").alias("src")
+    )
+    late = ev.filter(F.hour("ts") >= 12).select(
+        "user_id", "event_type", F.lit("late").alias("src")
+    )
+    return early.unionByName(late)
+
+
+# ---------------------------------------------------------------------------
+# W2 — lag/lead analytics (arrival gaps, movement transitions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w2_event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           round(avg(gap_us) / 1000000.0, 3) AS avg_gap_s,
+           CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_s
+    FROM g GROUP BY user_id
+    """,
+    survey="W2",
+)
+def w2_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "gap_us", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    )
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.sum("gap_us") / F.count("gap_us") / 1000000.0, 3).alias("avg_gap_s"),
+        (F.max("gap_us") / 1000000).cast("long").alias("max_gap_s"),
+    )
+
+
+@register(
+    "w2_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE prev IS NOT NULL AND prev <> event_type) AS BIGINT)
+             AS n_transitions
+    FROM t GROUP BY user_id
+    """,
+    survey="W2",
+)
+def w2_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movement detection: 'sensor changed since last sighting' analog
+    (README.md:17 habitual movements)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.withColumn("prev", F.lag("event_type").over(w))
+    return t.groupBy("user_id").agg(
+        F.sum(
+            (F.col("prev").isNotNull() & (F.col("prev") != F.col("event_type"))).cast(
+                "long"
+            )
+        ).alias("n_transitions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — frame-spec aggregates (rolling smoothing over rows and time ranges)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w3_rolling_avg_rows",
+    oracle="""
+    SELECT event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+    FROM events
+    """,
+    survey="W3",
+)
+def w3_rolling_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select("event_id", F.round(F.avg("value").over(w), 4).alias("roll_avg"))
+
+
+@register(
+    "w3_rolling_count_10min",
+    oracle="""
+    SELECT event_id,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_10min
+    FROM events
+    """,
+    survey="W3",
+)
+def w3_rolling_count_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select("event_id", F.count(F.lit(1)).over(w).alias("n_10min"))
+
+
+# ---------------------------------------------------------------------------
+# W4 — sessionization (visit detection, README.md:16-17): gap > 30 min opens
+# a new session. Standard cumulative-sum-of-gap-flags idiom.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w4_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, session_id, count(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           round(avg(n_events), 4) AS avg_events_per_session,
+           max(n_events) AS max_session_events
+    FROM per_sess GROUP BY user_id
+    """,
+    survey="W4",
+)
+def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — range/interval join (visit-window correlation, README.md:17):
+# signup → purchase conversion within 30 minutes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j4_range_join_funnel",
+    oracle="""
+    SELECT s.user_id AS user_id, count(*) AS n_conversions
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts
+     AND epoch_us(p.ts) - epoch_us(s.ts) <= 1800000000
+    GROUP BY 1
+    """,
+    survey="J4",
+    bench=True,
+)
+def j4_range_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = s.join(
+        p,
+        (s.user_id == p.p_user)
+        & (p.p_ts >= s.s_ts)
+        & (F.unix_micros("p_ts") - F.unix_micros("s_ts") <= 1_800_000_000),
+    )
+    return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_conversions"))
+
+
+# ---------------------------------------------------------------------------
+# J5 — as-of join ("latest known state of MAC at time t", README.md:19).
+# No native as-of in Spark → cumulative-max-over-union idiom: one window
+# pass, no join at all, scales linearly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j5_asof_last_login",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'login' OR event_type = 'signup'
+                      THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS asof_us
+      FROM events
+    )
+    SELECT event_id, user_id, asof_us
+    FROM tagged WHERE event_type = 'error'
+    """,
+    survey="J5",
+)
+def j5_asof_last_login(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = ev.withColumn(
+        "asof_us",
+        F.max(
+            F.when(
+                F.col("event_type").isin("login", "signup"), F.unix_micros("ts")
+            )
+        ).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "asof_us"
+    )

@@ -1,0 +1,421 @@
+"""Deduplication operator family over ``documents`` / ``embeddings``
+(BASELINE.json north star; SURVEY §2 EXT rows; reference impetus
+ssidentity.c:26 "use MAC as primary key" = dedup-by-key).
+
+Five dedup strategies, each with a DuckDB oracle twin:
+
+- exact       — md5-hash groupBy, keep-first semantics (one shuffle on hash).
+- MinHash LSH — 3-word shingles → k=8 md5-derived minhashes → 4 bands of 2 →
+                candidate pairs join on band key. The band join bounds the
+                candidate set, so at 100 TB the cost is O(docs × k) + the
+                (tiny) bucket join — never O(docs²).
+- SimHash     — 32-bit signature from token hashes; near-dup pairs found by
+                banding the signature into 4 byte chunks (pigeonhole: any
+                pair within Hamming distance 3 shares at least one intact
+                chunk) and verifying bit_count(xor) ≤ 3 on candidates only.
+- n-gram Jaccard — exact verification on a bounded candidate set (shared
+                shingle join over a doc subset).
+- embedding cosine — near-dup by cosine over banded candidates (threshold).
+
+Hash functions are md5-based so the two engines agree bit-for-bit; min over
+fixed-length lowercase-hex strings is min over the underlying integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssidentity_spark.io import load_table
+from ssidentity_spark.registry import register
+
+N_MINHASH = 8  # k independent min-hashes
+BAND_ROWS = 2  # rows per LSH band → 4 bands
+HEX_LEN = 12  # 48-bit hash prefix (fits comfortably in BIGINT if needed)
+
+
+def _words_col():
+    return F.split(F.lower(F.col("text")), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy, keep lowest doc_id per identical text
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS BOOLEAN) AS keep,
+           count(*) OVER (PARTITION BY md5(text)) AS n_copies
+    FROM documents
+    """,
+    survey="EXT-dedup",
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    w = Window.partitionBy(h)
+    return d.select(
+        "doc_id",
+        h.alias("content_hash"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sql_shingles() -> str:
+    """DuckDB CTE producing (doc_id, shingle) distinct 3-word shingles."""
+    return """
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM toks WHERE len(w) >= 3
+    )"""
+
+
+def _minhash_agg_sql() -> str:
+    cols = ", ".join(
+        f"min(substr(md5('{j}:' || shingle), 1, {HEX_LEN})) AS mh{j}"
+        for j in range(N_MINHASH)
+    )
+    return f"SELECT doc_id, {cols} FROM shingles GROUP BY doc_id"
+
+
+def _spark_shingles(d: DataFrame) -> DataFrame:
+    w = _words_col()
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    return (
+        d.filter(F.size(w) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def _spark_minhash(sh: DataFrame) -> DataFrame:
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, HEX_LEN)
+        ).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_minhash_sql_shingles()}
+    {_minhash_agg_sql()}
+    """,
+    survey="EXT-dedup",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return _spark_minhash(_spark_shingles(d))
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_minhash_sql_shingles()}, sigs AS (
+      {_minhash_agg_sql()}
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|' ||
+                 CASE b WHEN 0 THEN mh0 || mh1
+                        WHEN 1 THEN mh2 || mh3
+                        WHEN 2 THEN mh4 || mh5
+                        ELSE mh6 || mh7 END) AS band_key
+      FROM sigs, unnest(generate_series(0, 3)) AS t(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id
+    """,
+    survey="EXT-dedup",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = _spark_minhash(_spark_shingles(d))
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}|"), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                )
+            ).alias("band_key"),
+        )
+        for b in range(N_MINHASH // BAND_ROWS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
+    ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 32-bit signature; weighted bit votes from md5-derived token hashes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ), tok_cnt AS (
+      SELECT doc_id, tok, count(*) AS cnt,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks GROUP BY 1, 2
+    ), votes AS (
+      SELECT doc_id, b,
+             sum(cnt * (2 * ((h >> b) & 1) - 1)) AS vote
+      FROM tok_cnt, unnest(generate_series(0, 31)) AS t(b)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    survey="EXT-dedup",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_words_col()).alias("tok"))
+    tok_cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tok_cnt = tok_cnt.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    votes = (
+        tok_cnt.select(
+            "doc_id", "cnt", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+        )
+        .withColumn("vote", F.col("cnt") * (2 * F.expr("shiftright(h, b) & 1") - 1))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ), tok_cnt AS (
+      SELECT doc_id, tok, count(*) AS cnt,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks GROUP BY 1, 2
+    ), votes AS (
+      SELECT doc_id, b, sum(cnt * (2 * ((h >> b) & 1) - 1)) AS vote
+      FROM tok_cnt, unnest(generate_series(0, 31)) AS t(b)
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS chunk_val
+      FROM sig, unnest(generate_series(0, 3)) AS t(c)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    survey="EXT-dedup",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_simhash(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+    ).withColumn("chunk_val", F.expr("shiftright(simhash, c * 8) & 255"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard over a bounded candidate set (shared-shingle join on
+# a deterministic doc subset — the verification stage of a dedup pipeline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_jaccard_topk",
+    oracle="""
+    WITH sub AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+    ), toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM sub
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM toks WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) /
+                 (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+    survey="EXT-dedup",
+)
+def dedup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    sh = _spark_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (threshold pairs over a deterministic subset)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(generate_series(1, len(a.v)),
+                          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.5
+    """,
+    survey="EXT-dedup,U5",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = em.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.5)
+    )

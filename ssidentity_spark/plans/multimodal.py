@@ -1,0 +1,84 @@
+"""Multimodal-column plumbing (BASELINE.json north star): image/audio/video
+as opaque ``binary`` payloads with typed metadata, processed by Arrow-batched
+``mapInPandas`` pipelines.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(ssidentity_spark.operators.multimodal: real libraries raise
+NotImplementedError; a deterministic fake decoder stands in). What IS real
+and tested: the binary column schema, the Arrow batch path, the mapInPandas
+signature/batching, and the partition strategy — i.e. everything Spark-side
+that a real codec would plug into.
+
+The driver testdata has no binary columns, so payloads are derived
+deterministically from ``documents.text`` (utf-8 bytes): good enough to
+exercise byte-level plumbing end-to-end with an oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssidentity_spark.io import load_table
+from ssidentity_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Binary payload + typed metadata, pure Column expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           upper(substr(hex(encode(text)), 1, 16)) AS payload_pfx_hex,
+           md5(text) AS payload_md5,
+           CASE WHEN octet_length(encode(text)) < 200 THEN 'thumb'
+                WHEN octet_length(encode(text)) < 400 THEN 'small'
+                ELSE 'large' END AS size_class
+    FROM documents
+    """,
+    survey="EXT-multimodal",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    n_bytes = F.octet_length(payload).cast("long")
+    return d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.upper(F.substring(F.hex(payload), 1, 16)).alias("payload_pfx_hex"),
+        F.md5("text").alias("payload_md5"),
+        F.when(n_bytes < 200, "thumb")
+        .when(n_bytes < 400, "small")
+        .otherwise("large")
+        .alias("size_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas feature extraction over binary payloads (the Arrow batch path
+# a real image decoder would use). Deterministic fake decode: "dims" come
+# from the first payload bytes — oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_decoded_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS fake_width,
+           CAST(ascii(substr(text, 2, 1)) AS INTEGER) AS fake_height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 251 AS BIGINT) AS checksum_mod
+    FROM documents
+    """,
+    survey="EXT-multimodal,U1",
+)
+def mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ssidentity_spark.operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return extract_features(with_payload)

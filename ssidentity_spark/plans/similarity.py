@@ -1,0 +1,217 @@
+"""Similarity search over the ``embeddings`` table (SURVEY §2.9 U5 +
+BASELINE.json north star).
+
+- ``sim_topk_bruteforce`` — exact top-k cosine for a query subset: the query
+  side is tiny → broadcast nested-loop against the corpus, dot products as
+  native ``zip_with``/``aggregate`` expressions (JVM-side, no UDF), ranked
+  per-query with a window. At 100 TB the corpus side stays partitioned and
+  is scanned once; cost is O(|corpus| × |queries|) with |queries| broadcast.
+- ``sim_lsh_bucketed`` — the scale path: deterministic random-projection
+  signs bucket the corpus; queries only score candidates within their own
+  bucket, turning brute force into a bucket-local search (recall < 1 by
+  design; bucket width trades recall for cost).
+
+Cosine is rounded to 6 dp before ranking on BOTH engines so last-ulp
+summation differences cannot flip a rank; ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ssidentity_spark.io import load_table
+from ssidentity_spark.registry import register
+
+N_QUERIES = 10  # deterministic query subset: vec_id < 10
+TOP_K = 5
+N_PROJ = 8  # LSH projections → 2^8 buckets
+
+
+def _norm_vec(em: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return em.select(
+        F.col(id_col),
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+_DUCK_VEC = """
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    )"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH {_DUCK_VEC}, scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    survey="U5",
+    bench=True,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus = _norm_vec(em)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — deterministic sign-random-projection buckets.
+# Projection coefficients are a fixed pseudo-random integer lattice
+# c(j,i) = ((a_j * i + b_j) mod 97) - 48  (identical in both engines).
+# ---------------------------------------------------------------------------
+
+
+def _proj_coeff_sql(j: int) -> str:
+    a, b = 37 * j + 11, 17 * j + 5
+    return f"list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * ((({a} * i + {b}) % 97) - 48)))"
+
+
+@register(
+    "sim_lsh_bucketed",
+    oracle=f"""
+    WITH {_DUCK_VEC}, sig AS (
+      SELECT vec_id, v, nrm,
+             {" + ".join(f"(CASE WHEN {_proj_coeff_sql(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_PROJ))}
+               AS bucket
+      FROM n
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM sig q JOIN sig c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    survey="U5",
+)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    base = _norm_vec(em)
+    def proj_expr(j: int):
+        a, b = 37 * j + 11, 17 * j + 5
+
+        def coeff(x, i):
+            return x * (((F.lit(a) * i + F.lit(b)) % 97) - 48)
+
+        return F.aggregate(
+            F.zip_with(F.col("v"), F.sequence(F.lit(1), F.size("v")), coeff),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for j in range(N_PROJ):
+        bit = F.when(proj_expr(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sig = base.withColumn("bucket", bucket)
+    queries = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        sig.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity — groupwise vector aggregation (UDAF-shaped work
+# done with native array aggregation: element-wise sum via explode+pivot-free
+# posexplode groupBy, then cosine of each label centroid pair).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), elem AS (
+      SELECT label,
+             unnest(generate_series(1, len(v))) AS i,
+             unnest(v) AS x
+      FROM e
+    )
+    SELECT label, CAST(i AS INTEGER) AS dim_idx, round(avg(x), 6) AS centroid_val
+    FROM elem WHERE i <= 4 GROUP BY 1, 2
+    """,
+    survey="U3,U5",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    elem = em.select("label", F.posexplode(v).alias("i0", "x")).select(
+        "label", (F.col("i0") + 1).alias("dim_idx"), "x"
+    )
+    return (
+        elem.filter(F.col("dim_idx") <= 4)
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
+        .select("label", "dim_idx", "centroid_val")
+    )

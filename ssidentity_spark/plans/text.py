@@ -1,0 +1,276 @@
+"""Text-analysis operators over the ``documents`` corpus (SURVEY §2.9 U6 +
+BASELINE.json north star): token statistics, quality scoring, language-ID
+heuristic, fingerprinting, n-gram profiles.
+
+All of these are pure Column expressions (JVM-side, codegen) — no Python in
+the hot path. At 100 TB the corpus queries are narrow scans with one shuffle
+on the grouping key; regexes are applied per-row and pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ssidentity_spark.io import load_table
+from ssidentity_spark.registry import register
+
+# "BPE-ish" token pattern: word pieces or single non-space symbols.
+_TOKEN_RE = r"\w+|[^\w\s]"
+# A small stopword list present in the corpus vocabulary.
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+def _words(col: str = "text"):
+    return F.split(F.lower(F.col(col)), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# U6 — token counting (whitespace words + regex tokens)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_words,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS INTEGER)
+             AS n_unique_words
+    FROM documents
+    """,
+    survey="U6",
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words()).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.array_distinct(_words())).alias("n_unique_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U6 — quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\\s+') AS w,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_words,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           round(CAST(len(list_filter(w, x -> list_contains({list(_STOPWORDS)}, x)))
+                      AS DOUBLE) / len(w), 6) AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / len(w), 6) AS avg_word_len,
+           CAST(len(w) BETWEEN 5 AND 1000
+                AND (CAST(len(list_filter(w, x -> list_contains({list(_STOPWORDS)}, x)))
+                     AS DOUBLE) / len(w)) BETWEEN 0.01 AND 0.6
+                AS BOOLEAN) AS passes_quality
+    FROM t
+    """,
+    survey="U6",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    # element-wise filter (not array_intersect: that is set-based and would
+    # under-count repeated stopwords)
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+    stop_ratio = F.round(n_stop.cast("double") / F.size(w), 6)
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(n_chars.cast("double") / F.size(w), 6).alias("avg_word_len"),
+        (
+            F.size(w).between(5, 1000)
+            & (stop_ratio >= 0.01)
+            & (stop_ratio <= 0.6)
+        ).alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U6 — language ID (marker-word scoring; deterministic argmax).
+# Real deployments plug in per-language marker lists / char n-gram profiles;
+# the scoring+argmax machinery is what the engine provides.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "row", "column"),
+    "de": ("stream", "batch", "window"),
+    "fr": ("join", "merge", "sort"),
+    "zh": ("spark", "query", "table"),
+}
+
+
+def _marker_count_sql(words_expr: str, markers: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter({words_expr}, x -> list_contains({lst}, x)))"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang AS lang_true,
+             string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang_true,
+             {_marker_count_sql('w', _LANG_MARKERS['en'])} AS s_en,
+             {_marker_count_sql('w', _LANG_MARKERS['es'])} AS s_es,
+             {_marker_count_sql('w', _LANG_MARKERS['de'])} AS s_de,
+             {_marker_count_sql('w', _LANG_MARKERS['fr'])} AS s_fr,
+             {_marker_count_sql('w', _LANG_MARKERS['zh'])} AS s_zh
+      FROM t
+    )
+    SELECT doc_id, lang_true,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+    FROM scored
+    """,
+    survey="U6",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    def marker_score(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(v) for v in markers])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
+    s = {k: scores[k] for k in ("en", "es", "de", "fr", "zh")}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# U6 — document fingerprinting (normalized md5 + min-shingle "rolling hash")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+             string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           CASE WHEN len(w) >= 4 THEN
+             list_min(list_transform(generate_series(1, len(w) - 3),
+               i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])))
+           ELSE md5(norm) END AS fp_minshingle
+    FROM t
+    """,
+    survey="U6",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    w = _words()
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 4),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+                F.element_at(w, i + 4),
+            )
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.when(F.size(w) >= 4, F.array_min(shingle_hashes))
+        .otherwise(F.md5(norm))
+        .alias("fp_minshingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U4/U6 — n-gram profile per language (explode → count → rank): the
+# "UDTF" surface expressed with built-in explode/transform.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_profile",
+    oracle="""
+    WITH t AS (
+      SELECT lang, string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ), bg AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(2, len(w)),
+                                   i -> w[i-1] || ' ' || w[i])) AS bigram
+      FROM t WHERE len(w) >= 2
+    ), cnt AS (
+      SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2
+    )
+    SELECT lang, bigram, n, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, bigram) AS rnk
+      FROM cnt
+    ) WHERE rnk <= 5
+    """,
+    survey="U4,U6",
+)
+def text_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    bigrams = F.transform(
+        F.sequence(F.lit(2), F.size(w)),
+        lambda i: F.concat_ws(" ", F.element_at(w, i - 1), F.element_at(w, i)),
+    )
+    bg = (
+        d.filter(F.size(w) >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        bg.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "bigram", "n", "rnk")
+    )
