@@ -1,0 +1,57 @@
+"""Headline benchmark — one JSON line for the driver.
+
+Runs the bench-tagged queries from the registry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full
+evaluation through the noop sink (no driver-side collect), and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ssidentity_spark.registry import bench_queries  # noqa: E402
+from ssidentity_spark.session import cpu_count, get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("ssidentity-bench", cores=cpu_count())
+    specs = bench_queries()
+
+    # warm the JVM + parquet footers once with the cheapest plan
+    next(iter(specs.values())).fn(spark, sf_dir).limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-queries wall time (noop sink, local)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
