@@ -1,0 +1,185 @@
+"""The declared analytics surface of the reference, as reusable DataFrame
+operators over the canonical ``observations`` schema (SURVEY §2.4-§2.7).
+
+Impetus citations: /root/reference/README.md:15-19 ("Things that can be
+correlated": triangulated living areas, habitual movements / active hours,
+interests, tracking/arrival alerts, geolocation of associated SSIDs) and the
+TODO analytics at /root/reference/ssidentity.c:23-37 (MAC-as-key dedup,
+network tree, distance filtering).
+
+Everything here is built-in DataFrame API: one shuffle per grouping/window
+key, broadcast for small dims, no collect, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interests(obs: DataFrame) -> DataFrame:
+    """A1: per-device probed-SSID profile (README.md:18)."""
+    return obs.groupBy("mac").agg(
+        F.sort_array(F.collect_set("ssid")).alias("ssids"),
+        F.countDistinct("ssid").alias("n_ssids"),
+        F.count(F.lit(1)).alias("n_probes"),
+    )
+
+
+def active_hours(obs: DataFrame) -> DataFrame:
+    """A2: per-device hour×dow activity histogram (README.md:17)."""
+    return obs.groupBy(
+        "mac", F.hour("ts").alias("hr"), (F.weekday("ts") + 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def habitual_hour(obs: DataFrame) -> DataFrame:
+    """A2/W1: each device's modal activity hour."""
+    h = obs.groupBy("mac", F.hour("ts").alias("hr")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("mac").orderBy(F.desc("n"), F.asc("hr"))
+    return h.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+
+def network_tree(obs: DataFrame) -> DataFrame:
+    """A3: AP(SSID) → known clients (ssidentity.c:36)."""
+    return obs.groupBy("ssid").agg(
+        F.sort_array(F.collect_set("mac")).alias("clients"),
+        F.countDistinct("mac").alias("n_clients"),
+        F.count(F.lit(1)).alias("n_probes"),
+    )
+
+
+def mac_key_rollup(obs: DataFrame) -> DataFrame:
+    """A4: 'MAC as primary key, timestamps as CSV' (ssidentity.c:26)."""
+    return obs.groupBy("mac").agg(
+        F.array_join(F.sort_array(F.collect_list("ts_str")), ",").alias("ts_csv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def dedup_observations(obs: DataFrame) -> DataFrame:
+    """A4/T6: drop repeated (mac, ssid, ts) captures — radio frames repeat
+    (rows 3-4 of observations.db are byte-identical)."""
+    return obs.dropDuplicates(["mac", "ssid", "ts"])
+
+
+def signal_stats(obs: DataFrame) -> DataFrame:
+    """A6: RSSI/distance distributions per (mac, ssid)."""
+    return obs.groupBy("mac", "ssid").agg(
+        F.min("rssi").alias("rssi_min"),
+        F.max("rssi").alias("rssi_max"),
+        F.round(F.avg("rssi"), 4).alias("rssi_avg"),
+        F.round(F.stddev_samp("rssi"), 4).alias("rssi_std"),
+        F.round(F.avg("dist"), 4).alias("dist_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def distance_filter(obs: DataFrame, max_m: float) -> DataFrame:
+    """P11: settings-driven distance filter (ssidentity.c:31)."""
+    return obs.filter(F.col("dist") <= max_m)
+
+
+def watchlist_hits(obs: DataFrame, watchlist: DataFrame) -> DataFrame:
+    """J3/J6: tracking — observations of watchlisted devices (README.md:19).
+    Watchlist is tiny → broadcast semi join; no shuffle of obs."""
+    return obs.join(F.broadcast(watchlist.select("mac")), "mac", "left_semi")
+
+
+def unknown_devices(obs: DataFrame, watchlist: DataFrame) -> DataFrame:
+    """J3 anti: devices NOT on the watchlist."""
+    return obs.join(F.broadcast(watchlist.select("mac")), "mac", "left_anti")
+
+
+def ssid_locations(obs: DataFrame, ssid_geo: DataFrame) -> DataFrame:
+    """J1: geolocate probed SSIDs via wardriving lookup (README.md:16).
+    Left join keeps unmatched SSIDs (10 of 30 in fixtures)."""
+    return obs.join(F.broadcast(ssid_geo), "ssid", "left")
+
+
+def co_occurrence(obs: DataFrame, window: str = "30 seconds") -> DataFrame:
+    """J2: companion devices — MAC pairs seen by the same sensor in the same
+    time bucket (README.md:15-19 correlation network). Self-join on
+    (sensor, bucket): both sides share one shuffle partitioning."""
+    b = obs.select(
+        "mac", "sensor_id", F.window("ts", window).alias("w")
+    ).dropDuplicates(["mac", "sensor_id", "w"])
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.sensor_id") == F.col("c.sensor_id"))
+            & (F.col("a.w") == F.col("c.w"))
+            & (F.col("a.mac") < F.col("c.mac")),
+        )
+        .groupBy(F.col("a.mac").alias("mac_a"), F.col("c.mac").alias("mac_b"))
+        .agg(F.count(F.lit(1)).alias("n_cowindows"))
+    )
+
+
+def sessionize(obs: DataFrame, gap: str = "15 minutes") -> DataFrame:
+    """W4: gap-based visit sessions per device (README.md:16-17)."""
+    gap_s = {"15 minutes": 900, "30 minutes": 1800}.get(gap, 900)
+    w = Window.partitionBy("mac").orderBy("ts")
+    gap_col = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    flagged = obs.withColumn(
+        "new_sess", F.when(gap_col.isNull() | (gap_col > gap_s), 1).otherwise(0)
+    )
+    with_id = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_id.groupBy("mac", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sort_array(F.collect_set("sensor_id")).alias("sensors"),
+    )
+
+
+def arrivals(obs: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """W2: batch arrival detection — first sighting after an absence gap
+    (README.md:19). The streaming twin is streaming/alerts.py (T7)."""
+    gap_s = 1800 if gap == "30 minutes" else 900
+    w = Window.partitionBy("mac").orderBy("ts")
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    return (
+        obs.withColumn(
+            "is_arrival",
+            prev.isNull() | ((F.unix_timestamp("ts") - prev) > gap_s),
+        )
+        .filter(F.col("is_arrival"))
+        .select("mac", "ts", "sensor_id", "rssi", "dist")
+    )
+
+
+def asof_last_seen(obs: DataFrame, probes: DataFrame) -> DataFrame:
+    """J5: as-of join — for each probe time, the device's latest prior
+    observation. Union + cumulative last_value idiom (no native as-of)."""
+    left = probes.select(
+        "mac", F.col("ts").alias("ts"), F.lit(1).alias("is_probe")
+    )
+    right = obs.select(
+        "mac", "ts", F.lit(0).alias("is_probe")
+    ).withColumn("obs_ts", F.col("ts"))
+    unioned = left.unionByName(right, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("mac")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("asof_ts", F.last("obs_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("mac", "ts", "asof_ts")
+    )
+
+
+def top_ssids(obs: DataFrame, k: int = 10) -> DataFrame:
+    """A10/O2: most-probed SSIDs by distinct device count."""
+    return (
+        obs.groupBy("ssid")
+        .agg(F.countDistinct("mac").alias("n_devices"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n_devices"), F.desc("n"), "ssid")
+        .limit(k)
+    )
