@@ -88,8 +88,11 @@ def observations_pdf(n_rows: int = 10_000) -> pd.DataFrame:
                 fspl(rssi, freq),
             )
         )
-    golden_ts = dt.datetime(2016, 7, 21, 11, 41, 0)
-    for ts_str, mac, ssid, rssi, freq, dist in GOLDEN_ROWS:
+    # distinct capture seconds within the 11:41 minute (ts_str pins to the
+    # minute); rows 3-4 stay fully identical — the genuine duplicate pair
+    golden_secs = (1, 5, 30, 30)
+    for sec, (ts_str, mac, ssid, rssi, freq, dist) in zip(golden_secs, GOLDEN_ROWS):
+        golden_ts = dt.datetime(2016, 7, 21, 11, 41, sec)
         rows.append((golden_ts, ts_str, "s1", mac, ssid, rssi, freq, dist))
     return pd.DataFrame(
         rows,

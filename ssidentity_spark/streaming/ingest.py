@@ -1,0 +1,178 @@
+"""Streaming ingest + windowed analytics (SURVEY §2.8 T1-T6, T8-T9).
+
+The reference's main loop — blocking recvfrom → parseRaw → console print →
+one autocommit SQLite INSERT per packet (/root/reference/ssidentity.c:81-114)
+— becomes: file-source replay (or any streaming source) → the SAME parse
+expressions as batch (ssidentity_spark.parse) → watermarked event-time
+operators → bulk parquet commits per micro-batch. The per-packet-INSERT
+bottleneck (BASELINE.md) disappears by construction.
+
+Scale notes: ingest is narrow (no shuffle) until an aggregation; windowed
+aggs shuffle on (key, window) with state bounded by the watermark; sinks are
+checkpointed for exactly-once parquet output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ssidentity_spark.parse import parse_observations
+from ssidentity_spark.schemas import OBSERVATIONS_SCHEMA, RAW_FRAMES_SCHEMA
+
+
+def read_frame_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """T1 source: file-stream over a drop directory of raw-frame parquet.
+
+    Multi-sensor fan-in (README.md:12-13, ssidentity.c:30): every sensor
+    ships files into the same tree; rows carry sensor_id. Live capture
+    stays outside Spark (the reference delegates radio setup to airmon-ng
+    too, ssidentity.c:20).
+    """
+    return (
+        spark.readStream.schema(RAW_FRAMES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+
+def read_observation_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """T1 source over already-parsed observation parquet (replay path)."""
+    return spark.readStream.schema(OBSERVATIONS_SCHEMA).parquet(source_dir)
+
+
+def ingest_stream(
+    frames: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    *,
+    watermark: str = "10 minutes",
+    dedup: bool = True,
+) -> StreamingQuery:
+    """T1+T2+T6+S2: parse → watermark → streaming dedup → append parquet.
+
+    Streaming dedup replaces the reference's repeated byte-identical rows
+    (observations.db rows 3-4): state is bounded by the watermark
+    (dropDuplicatesWithinWatermark, T6/T8).
+    """
+    obs = parse_observations(frames).withWatermark("ts", watermark)
+    if dedup:
+        obs = obs.dropDuplicatesWithinWatermark(["mac", "ssid", "ts"])
+    return (
+        obs.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def devices_per_window(
+    obs_stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T3 (tumbling) / T4 (sliding): distinct-device volume per window.
+
+    approx_count_distinct keeps state sketch-sized — the 100 TB-friendly
+    choice; exact countDistinct in streaming would buffer every key.
+    """
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        obs_stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"))
+        .agg(
+            F.approx_count_distinct("mac").alias("n_devices"),
+            F.count(F.lit(1)).alias("n_probes"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_devices", "n_probes")
+    )
+
+
+def visits_session_window(
+    obs_stream: DataFrame, *, gap: str = "15 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """T5: visit detection via native session windows (README.md:16-17)."""
+    return (
+        obs_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "mac")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.approx_count_distinct("sensor_id").alias("n_sensors"),
+        )
+        .select(
+            "mac",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_probes",
+            "n_sensors",
+        )
+    )
+
+
+def watchlist_hits_stream(obs_stream: DataFrame, watchlist: DataFrame) -> DataFrame:
+    """J6: stream-static join — the static watchlist broadcasts into every
+    micro-batch (README.md:19 tracking)."""
+    return obs_stream.join(F.broadcast(watchlist), "mac", "inner")
+
+
+def cross_sensor_correlation(
+    a: DataFrame, b: DataFrame, *, tolerance_s: int = 30, watermark: str = "2 minutes"
+) -> DataFrame:
+    """T7-adjacent J7: stream-stream self-correlation — the same device seen
+    by two sensors within ``tolerance_s`` (arrival correlation across the
+    fleet, README.md:16). Both sides watermarked so join state is bounded."""
+    left = (
+        a.select(
+            F.col("mac").alias("l_mac"),
+            F.col("ts").alias("l_ts"),
+            F.col("sensor_id").alias("l_sensor"),
+        ).withWatermark("l_ts", watermark)
+    )
+    right = (
+        b.select(
+            F.col("mac").alias("r_mac"),
+            F.col("ts").alias("r_ts"),
+            F.col("sensor_id").alias("r_sensor"),
+        ).withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_mac") == F.col("r_mac"))
+        & (F.col("l_sensor") < F.col("r_sensor"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+    )
+    return left.join(right, cond).select(
+        F.col("l_mac").alias("mac"), "l_sensor", "r_sensor", "l_ts", "r_ts"
+    )
+
+
+def write_console(df: DataFrame, **options) -> StreamingQuery:
+    """S3: the reference's console sink (ssidentity.c:89-95)."""
+    return df.writeStream.format("console").outputMode("append").start(**options)
+
+
+def write_alert_table(
+    df: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """T9: alert sink via foreachBatch → parquet alerts table + bounded
+    console echo per micro-batch."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        batch.write.mode("append").parquet(out_path)
+        batch.limit(20).show(truncate=False)
+        batch.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,175 @@
+"""Observation-library operators (operators/analytics.py) cross-checked
+against DuckDB over the same fixture parquet — the local analog of the
+driver's oracle gate, applied to the reference-shaped schema."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from ssidentity_spark.operators import analytics as ops
+
+
+@pytest.fixture(scope="module")
+def obs_parquet(spark, observations, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("obs") / "observations.parquet")
+    observations.coalesce(1).write.mode("overwrite").parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def duck(obs_parquet):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW observations AS SELECT * FROM read_parquet('{obs_parquet}/*.parquet')"
+    )
+    return con
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _drows(con, sql):
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_interests(observations, duck):
+    got = _rows(
+        ops.interests(observations).select(
+            "mac", F.array_join("ssids", ",").alias("s"), "n_ssids", "n_probes"
+        )
+    )
+    want = _drows(
+        duck,
+        """SELECT mac, array_to_string(list_sort(list(DISTINCT ssid)), ','),
+                  count(DISTINCT ssid), count(*)
+           FROM observations GROUP BY mac""",
+    )
+    assert got == want
+
+
+def test_active_hours(observations, duck):
+    got = _rows(ops.active_hours(observations))
+    want = _drows(
+        duck,
+        """SELECT mac, CAST(hour(ts) AS INTEGER), CAST(isodow(ts) AS INTEGER), count(*)
+           FROM observations GROUP BY 1,2,3""",
+    )
+    assert got == want
+
+
+def test_network_tree(observations, duck):
+    got = _rows(
+        ops.network_tree(observations).select(
+            "ssid", F.array_join("clients", ",").alias("c"), "n_clients", "n_probes"
+        )
+    )
+    want = _drows(
+        duck,
+        """SELECT ssid, array_to_string(list_sort(list(DISTINCT mac)), ','),
+                  count(DISTINCT mac), count(*)
+           FROM observations GROUP BY ssid""",
+    )
+    assert got == want
+
+
+def test_dedup_drops_golden_duplicate(observations):
+    """Rows 3-4 of the golden sample are identical → dedup removes one."""
+    before = observations.filter(
+        (F.col("mac") == "D42C0F2F56BB") & (F.col("rssi") == -84)
+    ).count()
+    after = (
+        ops.dedup_observations(observations)
+        .filter((F.col("mac") == "D42C0F2F56BB") & (F.col("rssi") == -84))
+        .count()
+    )
+    assert before == 2 and after == 1
+
+
+def test_signal_stats(observations, duck):
+    got = _rows(ops.signal_stats(observations))
+    want = _drows(
+        duck,
+        """SELECT mac, ssid, min(rssi), max(rssi), round(avg(rssi), 4),
+                  round(stddev_samp(rssi), 4), round(avg(dist), 4), count(*)
+           FROM observations GROUP BY 1,2""",
+    )
+    assert got == want
+
+
+def test_distance_filter(observations, duck):
+    got = ops.distance_filter(observations, 100.0).count()
+    want = duck.execute(
+        "SELECT count(*) FROM observations WHERE dist <= 100.0"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_watchlist_semi_anti(spark, observations):
+    from ssidentity_spark.fixtures import watchlist_df
+
+    macs = [r.mac for r in observations.select("mac").distinct().limit(10).collect()]
+    watch = watchlist_df(spark, macs)
+    hits = ops.watchlist_hits(observations, watch)
+    misses = ops.unknown_devices(observations, watch)
+    assert hits.count() + misses.count() == observations.count()
+    assert set(r.mac for r in hits.select("mac").distinct().collect()) <= set(macs[:5])
+
+
+def test_ssid_locations_left_join(spark, observations):
+    from ssidentity_spark.fixtures import ssid_geo_df
+
+    joined = ops.ssid_locations(observations, ssid_geo_df(spark))
+    assert joined.count() == observations.count()  # left join keeps all
+    assert joined.filter(F.col("lat").isNull()).count() > 0  # unmatched SSIDs
+
+
+def test_sessionize_counts(observations, duck):
+    got = ops.sessionize(observations, gap="15 minutes").count()
+    want = duck.execute(
+        """WITH g AS (
+             SELECT mac, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 900
+                              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS f
+             FROM observations WINDOW w AS (PARTITION BY mac ORDER BY ts)
+           ) SELECT sum(f) FROM g"""
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_arrivals_subset_of_observations(observations):
+    arr = ops.arrivals(observations, gap="30 minutes")
+    assert 0 < arr.count() <= observations.count()
+    # every device's chronologically first observation is an arrival
+    firsts = observations.groupBy("mac").agg(F.min("ts").alias("ts"))
+    assert (
+        arr.join(firsts, ["mac", "ts"], "left_semi").count()
+        == firsts.count()
+    )
+
+
+def test_co_occurrence_symmetric_bound(observations):
+    co = ops.co_occurrence(observations, window="30 seconds")
+    rows = co.collect()
+    assert all(r.mac_a < r.mac_b for r in rows)
+
+
+def test_asof_last_seen(spark, observations):
+    probes = observations.select("mac", "ts").limit(50)
+    asof = ops.asof_last_seen(observations, probes)
+    rows = asof.collect()
+    assert len(rows) == 50
+    assert all(r.asof_ts is None or r.asof_ts <= r.ts for r in rows)
+
+
+def test_top_ssids(observations, duck):
+    got = _rows(ops.top_ssids(observations, k=5))
+    want = _drows(
+        duck,
+        """SELECT ssid, count(DISTINCT mac) AS d, count(*) AS n
+           FROM observations GROUP BY ssid
+           ORDER BY d DESC, n DESC, ssid LIMIT 5""",
+    )
+    assert got == want

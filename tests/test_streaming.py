@@ -1,0 +1,178 @@
+"""Streaming semantics tests (SURVEY §5, §2.8): chunked file-source replay
+with late + duplicate rows, watermarked dedup, windowed aggs, session
+windows, stream-static joins, and the stateful T7 presence alerts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from ssidentity_spark.schemas import OBSERVATIONS_SCHEMA
+from ssidentity_spark.streaming.ingest import (
+    devices_per_window,
+    ingest_stream,
+    read_frame_stream,
+    read_observation_stream,
+    visits_session_window,
+    watchlist_hits_stream,
+)
+
+
+def _obs_rows(spec):
+    """spec: (minute_offset, mac, sensor) triples → observation rows."""
+    base = dt.datetime(2016, 7, 21, 10, 0, 0)
+    rows = []
+    for minute, mac, sensor in spec:
+        ts = base + dt.timedelta(minutes=minute)
+        rows.append(
+            (
+                ts,
+                ts.strftime("%m/%d/%y - %I:%M%p"),
+                sensor,
+                mac,
+                "NET_01",
+                -70,
+                2437,
+                35.4,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["ts", "ts_str", "sensor_id", "mac", "ssid", "rssi", "freq", "dist"],
+    )
+
+
+def _write_chunks(spark, tmp_path, chunks):
+    src = str(tmp_path / "obs_src")
+    for i, spec in enumerate(chunks):
+        df = spark.createDataFrame(_obs_rows(spec), schema=OBSERVATIONS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def _run(df, tmp_path, name, mode="append"):
+    out = str(tmp_path / f"{name}_out")
+    ck = str(tmp_path / f"{name}_ck")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return out
+
+
+def test_ingest_frames_to_parquet(spark, tmp_path):
+    """T1/T2/T6/S2: raw frames → parse → dedup → parquet, exactly once."""
+    from ssidentity_spark.fixtures import raw_frames_df
+
+    frames = raw_frames_df(spark, n_extra=60)
+    src = str(tmp_path / "frames")
+    frames.write.parquet(src)
+    out = str(tmp_path / "obs")
+    q = ingest_stream(
+        read_frame_stream(spark, src), out, str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.count() > 60  # accepted fixture cases + extras
+    assert got.filter(F.col("mac") == "28B2BDD02FC8").count() >= 1
+
+
+def test_tumbling_window_counts(spark, tmp_path):
+    chunks = [
+        [(0, "AAA", "s1"), (5, "BBB", "s1"), (61, "AAA", "s2")],
+        [(62, "CCC", "s1"), (125, "AAA", "s1")],
+    ]
+    src = _write_chunks(spark, tmp_path, chunks)
+    stream = read_observation_stream(spark, src)
+    out = _run(devices_per_window(stream, watermark="5 minutes"), tmp_path, "tumble")
+    got = {
+        r.window_start.minute + 60 * r.window_start.hour: r.n_probes
+        for r in spark.read.parquet(out).collect()
+    }
+    # windows 10:00, 11:00 closed by the final watermark; 12:00 may be open
+    assert got[600] == 2 and got[660] == 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """T6: duplicated (mac, ssid, ts) across adjacent chunks collapse."""
+    dup = [(0, "AAA", "s1"), (1, "BBB", "s1")]
+    chunks = [dup, dup, [(30, "CCC", "s1")]]
+    src = _write_chunks(spark, tmp_path, chunks)
+    stream = (
+        read_observation_stream(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["mac", "ssid", "ts"])
+    )
+    out = _run(stream, tmp_path, "dedup")
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # 2 unique + CCC, duplicates dropped
+
+
+def test_session_window_visits(spark, tmp_path):
+    """T5: two bursts separated by > gap → two sessions for the device."""
+    chunks = [
+        [(0, "AAA", "s1"), (3, "AAA", "s1"), (6, "AAA", "s1")],
+        [(60, "AAA", "s1"), (62, "AAA", "s1"), (180, "ZZZ", "s1")],
+    ]
+    src = _write_chunks(spark, tmp_path, chunks)
+    stream = read_observation_stream(spark, src)
+    out = _run(
+        visits_session_window(stream, gap="15 minutes", watermark="5 minutes"),
+        tmp_path,
+        "sess",
+    )
+    sessions = spark.read.parquet(out).filter(F.col("mac") == "AAA").collect()
+    assert len(sessions) == 2
+    assert sorted(s.n_probes for s in sessions) == [2, 3]
+
+
+def test_stream_static_watchlist_join(spark, tmp_path):
+    from ssidentity_spark.schemas import WATCHLIST_SCHEMA
+
+    chunks = [[(0, "AAA", "s1"), (1, "BBB", "s2"), (2, "CCC", "s3")]]
+    src = _write_chunks(spark, tmp_path, chunks)
+    watch = spark.createDataFrame([("AAA", "t1"), ("CCC", "t2")], WATCHLIST_SCHEMA)
+    stream = watchlist_hits_stream(read_observation_stream(spark, src), watch)
+    out = _run(stream, tmp_path, "watch")
+    got = sorted(r.mac for r in spark.read.parquet(out).collect())
+    assert got == ["AAA", "CCC"]
+
+
+def test_presence_alerts_arrival_and_departure(spark, tmp_path):
+    """T7: absent→present emits arrival; silence past gap + watermark
+    advance emits departure with the correct synthetic timestamp."""
+    from ssidentity_spark.streaming.alerts import presence_alerts
+
+    chunks = [
+        # AAA active at t0..t2; BBB appears at t1
+        [(0, "AAA", "s1"), (2, "AAA", "s1"), (1, "BBB", "s2")],
+        # much later: BBB re-appears (arrival #2), AAA stays silent →
+        # AAA departure fires once watermark passes t2 + gap
+        [(120, "BBB", "s2"), (121, "ZZZ", "s1")],
+        [(240, "ZZZ", "s1")],
+    ]
+    src = _write_chunks(spark, tmp_path, chunks)
+    stream = read_observation_stream(spark, src)
+    alerts = presence_alerts(stream, gap="30 minutes", watermark="10 minutes")
+    out = _run(alerts, tmp_path, "alerts", mode="append")
+    got = spark.read.parquet(out).collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r.alert_type, []).append(r.mac)
+    assert "AAA" in by_type.get("arrival", [])
+    assert "BBB" in by_type.get("arrival", [])
+    assert "AAA" in by_type.get("departure", []), got
+    # AAA departure stamped last_seen + gap = t2 + 30 min
+    dep = [r for r in got if r.mac == "AAA" and r.alert_type == "departure"][0]
+    base = dt.datetime(2016, 7, 21, 10, 0, 0, tzinfo=dt.timezone.utc)
+    expect_ms = int((base + dt.timedelta(minutes=32)).timestamp() * 1000)
+    assert dep.event_ms == expect_ms
