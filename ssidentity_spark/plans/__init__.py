@@ -18,4 +18,5 @@ from ssidentity_spark.plans import (  # noqa: F401
     similarity,
     text,
     tpch,
+    tpch2,
 )

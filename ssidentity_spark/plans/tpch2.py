@@ -1,0 +1,320 @@
+"""Second wave of star-schema queries: correlated-subquery shapes, exact
+percentiles, min_by/max_by, unpivot, ntile/percent_rank — widening the
+SURVEY §2.4-§2.7 surface with oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ssidentity_spark.io import load_table
+from ssidentity_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 analog: the scan-dominant filter-aggregate (P11 + A6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey="P11,A6",
+    bench=True,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 analog: EXISTS-style semi join with date correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_priority_count",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+    survey="J3,A6",
+)
+def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    hit = filtered.join(
+        li,
+        (filtered.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > filtered.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 analog: conditional-aggregation ratio (promo revenue share)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    survey="J1,A6",
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analog: HAVING over a grouped subquery (large-quantity orders)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q18_big_orders",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey, round(t.total_qty, 2) AS total_qty,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) t
+      ON o.o_orderkey = t.l_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    survey="A6,J2,O2",
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 150)
+    )
+    return (
+        o.join(t, o.o_orderkey == t.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.round("raw_qty", 2).alias("total_qty"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / median (A-family distribution stats)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY 1
+    """,
+    survey="A6,A8",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           min_by(o_orderkey, o_totalprice) AS cheapest_order,
+           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY 1
+    """,
+    survey="A6",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / stack (O-family reshaping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_customer_metrics",
+    oracle="""
+    SELECT c_custkey, metric, round(val, 4) AS val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+    survey="O3,D7",
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+        " AS (metric, raw_val)",
+    ).select("c_custkey", "metric", F.round("raw_val", 4).alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: ntile / percent_rank / cume_dist (W1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    survey="W1",
+)
+def w1_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# string_agg / listagg-style ordered concatenation (A4-adjacent)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_ordered_listagg",
+    oracle="""
+    SELECT n.n_name AS nation,
+           string_agg(s.s_name, '|' ORDER BY s.s_name) AS suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    survey="A4",
+)
+def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias(
+                "suppliers"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery shape: customers above their nation's average
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j9_above_nation_avg",
+    oracle="""
+    WITH nat_avg AS (
+      SELECT c_nationkey, avg(c_acctbal) AS nation_avg
+      FROM customer GROUP BY 1
+    )
+    SELECT c.c_custkey AS c_custkey,
+           round(c.c_acctbal, 2) AS acctbal,
+           round(a.nation_avg, 4) AS nation_avg
+    FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
+    WHERE c.c_acctbal > a.nation_avg
+    """,
+    survey="J9,A6",
+)
+def j9_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    nat = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg_raw"))
+    return (
+        c.join(F.broadcast(nat), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg_raw"))
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("nation_avg_raw", 4).alias("nation_avg"),
+        )
+    )
