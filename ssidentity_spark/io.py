@@ -93,3 +93,27 @@ def read_observations(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     df.createOrReplaceTempView("observations")
     return df
+
+
+def write_observations_bucketed(
+    df: DataFrame, table: str, n_buckets: int = 64, mode: str = "append"
+) -> None:
+    """S2 scale path: bucketed store for shuffle-free per-device analytics.
+
+    Bucketing by ``mac`` co-locates each device's history: groupBy(mac),
+    window-by-mac, and obs⋈obs self-joins on mac read pre-partitioned
+    buckets and skip the shuffle entirely. At 100 TB this is the difference
+    between re-shuffling the corpus per query and a narrow scan.
+
+    Requires a metastore-backed table (saveAsTable); pair with
+    ``spark.sql.sources.bucketing.enabled`` (default true).
+    """
+    (
+        df.withColumn("obs_date", F.to_date("ts"))
+        .write.mode(mode)
+        .partitionBy("obs_date")
+        .bucketBy(n_buckets, "mac")
+        .sortBy("mac", "ts")
+        .format("parquet")
+        .saveAsTable(table)
+    )

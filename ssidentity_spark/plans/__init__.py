@@ -14,6 +14,7 @@ from ssidentity_spark.plans import (  # noqa: F401
     analytics,
     dedup,
     multimodal,
+    reference_pipeline,
     scalars,
     similarity,
     text,

@@ -1,0 +1,109 @@
+"""Skew-mitigation operators (equivalence to the plain versions) and
+physical-plan regression checks (broadcast where intended, pushdown, no
+Python nodes in expression-only paths — the SCALE.md invariants)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ssidentity_spark.operators import skew
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows) + a long tail
+    hot = spark.range(9000).select(
+        F.lit("HOT").alias("k"), (F.col("id") % 100).alias("v")
+    )
+    tail = spark.range(1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 50).cast("string")).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    return hot.unionByName(tail).cache()
+
+
+def test_salted_count_equivalence(skewed):
+    plain = {r.k: r["count"] for r in skewed.groupBy("k").count().collect()}
+    salted = {r.k: r.n for r in skew.salted_count(skewed, ["k"]).collect()}
+    assert salted == plain
+
+
+def test_salted_sum_equivalence(skewed):
+    plain = {r.k: r.s for r in skewed.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {r.k: r.sum_v for r in skew.salted_sum(skewed, ["k"], "v").collect()}
+    assert salted == plain
+
+
+def test_salted_join_equivalence(spark, skewed):
+    dim = spark.createDataFrame(
+        [("HOT", "hot_label")] + [(f"k{i}", f"l{i}") for i in range(50)],
+        "k STRING, label STRING",
+    )
+    plain = skewed.join(dim, "k").groupBy("label").count()
+    salted = skew.salted_broadcast_join(skewed, dim, "k").groupBy("label").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_topk_per_key_skew_safe(skewed):
+    got = skew.top_k_per_key_skew_safe(
+        skewed, "k", F.desc("v"), k=3
+    )
+    plain_top = (
+        skewed.groupBy("k").agg(F.max("v").alias("vmax")).collect()
+    )
+    vmax = {r.k: r.vmax for r in plain_top}
+    rows = got.collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.k, []).append(r.v)
+    for k, vs in per_key.items():
+        assert len(vs) <= 3
+        assert max(vs) == vmax[k]
+
+
+# ---------------------------------------------------------------------------
+# plan regressions
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_joins_broadcast(spark):
+    from ssidentity_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    for name in ["j1_region_revenue", "j2_supplier_volume", "j1_brand_pricing"]:
+        plan = _plan(all_queries()[name](spark, sf))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q1_pushdown_and_pruning(spark):
+    from ssidentity_spark.registry import all_queries
+
+    plan = _plan(all_queries()["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual" in plan
+    # column pruning: never reads the full 11-column lineitem schema
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_text_queries_stay_jvm_side(spark):
+    from ssidentity_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    for name in ["text_token_stats", "text_quality", "dedup_minhash_signatures"]:
+        assert "Python" not in _plan(all_queries()[name](spark, sf)), name
+
+
+def test_semi_anti_stay_semi_anti(spark):
+    from ssidentity_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    plan = _plan(all_queries()["j3_customers_without_orders"](spark, sf))
+    assert "LeftAnti" in plan
+    plan = _plan(all_queries()["j3_active_customer_nations"](spark, sf))
+    assert "LeftSemi" in plan
