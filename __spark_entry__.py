@@ -9,9 +9,16 @@ DuckDB oracle over the same parquet tables.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# importable regardless of the caller's cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -17,6 +17,7 @@ from ssidentity_spark.plans import (  # noqa: F401
     reference_pipeline,
     scalars,
     similarity,
+    sqlapi,
     text,
     tpch,
     tpch2,

@@ -1,0 +1,66 @@
+"""Queries expressed through the ``spark.sql`` entry point (SURVEY §3 entry
+point 3): the engine registers the testdata as temp views and runs SQL text
+— same Catalyst pipeline as the DataFrame API, proving both fronts work."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ssidentity_spark.io import load_tables
+from ssidentity_spark.registry import register
+
+
+@register(
+    "sql_api_daily_type_summary",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS v_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="S4,A1,A8,D3",
+)
+def sql_api_daily_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+               event_type,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS v_sum
+        FROM events
+        GROUP BY 1, 2
+        """
+    )
+
+
+@register(
+    "sql_api_nation_order_stats",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_orders,
+           round(avg(o.o_totalprice), 4) AS avg_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    survey="S4,J1,J9",
+)
+def sql_api_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(*) AS n_orders,
+               round(avg(o.o_totalprice), 4) AS avg_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+        """
+    )
