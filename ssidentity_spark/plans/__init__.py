@@ -13,6 +13,7 @@ Modules (one per SURVEY.md §2 family):
 from ssidentity_spark.plans import (  # noqa: F401
     analytics,
     dedup,
+    extras,
     multimodal,
     reference_pipeline,
     scalars,

@@ -147,6 +147,30 @@ def test_stream_static_watchlist_join(spark, tmp_path):
     assert got == ["AAA", "CCC"]
 
 
+def test_stream_stream_cross_sensor_join(spark, tmp_path):
+    """J7: the same device seen by two sensors within tolerance appears as a
+    correlated pair; different devices / distant times do not."""
+    from ssidentity_spark.streaming.ingest import cross_sensor_correlation
+
+    chunks = [
+        [
+            (0, "AAA", "s1"),
+            (0, "AAA", "s2"),  # within 30 s of the s1 sighting → pair
+            (5, "BBB", "s1"),  # never seen elsewhere
+            (40, "CCC", "s1"),
+        ],
+        [(45, "CCC", "s3"), (120, "ZZZ", "s9")],  # CCC pair crosses chunks
+    ]
+    src = _write_chunks(spark, tmp_path, chunks)
+    a = read_observation_stream(spark, src)
+    b = read_observation_stream(spark, src)
+    joined = cross_sensor_correlation(a, b, tolerance_s=30, watermark="5 minutes")
+    out = _run(joined, tmp_path, "xsensor")
+    got = sorted((r.mac, r.l_sensor, r.r_sensor) for r in spark.read.parquet(out).collect())
+    assert ("AAA", "s1", "s2") in got
+    assert all(m != "BBB" and m != "ZZZ" for m, *_ in got)
+
+
 def test_presence_alerts_arrival_and_departure(spark, tmp_path):
     """T7: absent→present emits arrival; silence past gap + watermark
     advance emits departure with the correct synthetic timestamp."""
