@@ -1,0 +1,115 @@
+"""Table maintenance operators: MERGE-style upsert and small-file
+compaction — the operational half of running the observation store at scale.
+
+Upsert impetus: the reference TODO "Use MAC as primary key and keep
+timestamps as CSV text field" (/root/reference/ssidentity.c:26) is an
+upsert-by-key table. Plain parquet has no MERGE INTO (that's Delta/Iceberg);
+the classic emulation is anti-join + union + atomic swap, which is also the
+SCD pattern from the era before ACID table formats.
+
+Compaction impetus: streaming sinks (micro-batch parquet commits,
+streaming/ingest.py) accrete small files; at 100 TB the file count — not
+byte volume — kills scan planning. Compaction rewrites a partition to
+target-sized files.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def upsert_by_key(
+    target: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE INTO emulation: rows of ``target`` whose key collides with an
+    update are replaced; new keys are appended. Pure DataFrame plan — the
+    caller writes the result (or uses ``upsert_parquet`` for the swap).
+
+    Both sides shuffle once on the key; with a bucketed target
+    (io.write_observations_bucketed) the anti-join is shuffle-free.
+    """
+    keep = target.join(updates.select(*keys).distinct(), list(keys), "left_anti")
+    return keep.unionByName(updates)
+
+
+def latest_per_key(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    """SCD-1 collapse: keep each key's newest row (deterministic tiebreak on
+    the full ordering column)."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    )
+
+
+def mac_roster_upsert(
+    roster: DataFrame, new_obs: DataFrame
+) -> DataFrame:
+    """The reference's MAC-as-primary-key table (ssidentity.c:26): one row
+    per device with first/last seen and the ts CSV field, merged with a new
+    batch of observations."""
+    batch = new_obs.groupBy("mac").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.array_join(F.sort_array(F.collect_set("ts_str")), ",").alias("ts_csv"),
+        F.count(F.lit(1)).alias("n_probes"),
+    )
+    merged = roster.unionByName(batch)
+    return (
+        merged.groupBy("mac")
+        .agg(
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+            # re-sort the union of both CSV fields
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.flatten(F.collect_list(F.split("ts_csv", ",")))
+                    )
+                ),
+                ",",
+            ).alias("ts_csv"),
+            F.sum("n_probes").cast("long").alias("n_probes"),
+        )
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> None:
+    """Read-modify-atomic-swap upsert for a plain parquet table: stage the
+    merged result, then swap directories. (Delta/Iceberg would make this a
+    metadata-only MERGE; the plan shape is identical.)"""
+    target = spark.read.parquet(path)
+    merged = upsert_by_key(target, updates, keys)
+    stage = tempfile.mkdtemp(prefix="upsert_stage_")
+    merged.write.mode("overwrite").parquet(stage)
+    # re-read from stage to release the source scan before the swap
+    shutil.rmtree(path)
+    shutil.move(stage, path)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Rewrite a (partition) directory into ~target-sized files. Returns the
+    new file count. At scale this runs per date-partition as a maintenance
+    job; the rewrite is a narrow repartition — no wide shuffle keys."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
+    stage = tempfile.mkdtemp(prefix="compact_stage_")
+    df.repartition(n_files).write.mode("overwrite").parquet(stage)
+    shutil.rmtree(path)
+    shutil.move(stage, path)
+    return n_files

@@ -165,7 +165,7 @@ def j9_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id,
-           list_sort(v)[1:3] AS smallest3,
+           array_to_string(list_sort(v)[1:3], ',') AS smallest3,
            CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive,
            round(list_sum(list_transform(v[1:8], x -> abs(x))), 4) AS l1_head
     FROM e
@@ -177,7 +177,10 @@ def d7_array_manipulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform("embedding", lambda x: F.round(x.cast("double"), 4))
     return em.select(
         "vec_id",
-        F.slice(F.array_sort(v), 1, 3).alias("smallest3"),
+        # string render: raw array columns hash engine-dependently
+        F.array_join(F.slice(F.array_sort(v), 1, 3).cast("array<string>"), ",").alias(
+            "smallest3"
+        ),
         F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
         F.round(
             F.aggregate(

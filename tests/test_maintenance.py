@@ -1,0 +1,81 @@
+"""Upsert / roster-merge / compaction operator tests."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ssidentity_spark.operators.maintenance import (
+    compact_partition,
+    latest_per_key,
+    mac_roster_upsert,
+    upsert_by_key,
+    upsert_parquet,
+)
+
+
+@pytest.fixture()
+def target(spark):
+    return spark.createDataFrame(
+        [("A", 1, "old"), ("B", 2, "old"), ("C", 3, "old")], "k STRING, v INT, src STRING"
+    )
+
+
+def test_upsert_by_key(spark, target):
+    updates = spark.createDataFrame(
+        [("B", 20, "new"), ("D", 40, "new")], "k STRING, v INT, src STRING"
+    )
+    got = {r.k: (r.v, r.src) for r in upsert_by_key(target, updates, ["k"]).collect()}
+    assert got == {"A": (1, "old"), "B": (20, "new"), "C": (3, "old"), "D": (40, "new")}
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 10), ("A", 2, 20), ("B", 1, 30)], "k STRING, ver INT, v INT"
+    )
+    got = {r.k: r.v for r in latest_per_key(df, ["k"], "ver").collect()}
+    assert got == {"A": 20, "B": 30}
+
+
+def test_upsert_parquet_swap(spark, target, tmp_path):
+    path = str(tmp_path / "tbl")
+    target.write.parquet(path)
+    updates = spark.createDataFrame([("A", 100, "new")], "k STRING, v INT, src STRING")
+    upsert_parquet(spark, path, updates, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"A": 100, "B": 2, "C": 3}
+
+
+def test_mac_roster_upsert(spark, observations):
+    half1 = observations.filter(F.dayofmonth("ts") <= 20)
+    half2 = observations.filter(F.dayofmonth("ts") > 20)
+    empty = spark.createDataFrame(
+        [],
+        "mac STRING, first_seen TIMESTAMP, last_seen TIMESTAMP, ts_csv STRING, n_probes LONG",
+    )
+    roster = mac_roster_upsert(mac_roster_upsert(empty, half1), half2)
+    direct = observations.groupBy("mac").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_probes"),
+    )
+    got = {r.mac: (r.first_seen, r.last_seen, r.n_probes) for r in roster.collect()}
+    want = {r.mac: (r.first_seen, r.last_seen, r.n_probes) for r in direct.collect()}
+    assert got == want
+    # the CSV field holds the union of distinct rendered timestamps
+    csvs = {r.mac: r.ts_csv for r in roster.collect()}
+    sample = next(iter(csvs.values()))
+    assert sample == ",".join(sorted(sample.split(",")))
+
+
+def test_compact_partition(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(10_000).repartition(37).write.parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    n_files = compact_partition(spark, path, target_rows_per_file=5_000)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert before == 37 and n_files == 2 and after == 2
+    assert spark.read.parquet(path).count() == 10_000
