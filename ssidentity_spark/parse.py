@@ -178,6 +178,29 @@ def parse_observations(frames: DataFrame, ts_col: str = "recv_ts") -> DataFrame:
     )
 
 
+def render_console_row(obs: DataFrame) -> DataFrame:
+    """S3: the reference's console line, bit-for-bit
+    (``printf("%s  %s  \\"%s\\"\\t%ddBm %umHz  Dist: %.02fm\\n", ...)``,
+    /root/reference/ssidentity.c:89-95) as a Column expression."""
+    # printf('%.2f') rather than format_number: the C %.02f has no
+    # thousands separators
+    line = F.concat(
+        F.col("ts_str"),
+        F.lit("  "),
+        F.col("mac"),
+        F.lit('  "'),
+        F.col("ssid"),
+        F.lit('"\t'),
+        F.col("rssi").cast("string"),
+        F.lit("dBm "),
+        F.col("freq").cast("string"),
+        F.lit("mHz  Dist: "),
+        F.expr("printf('%.2f', dist)"),
+        F.lit("m"),
+    )
+    return obs.select(line.alias("console_line"))
+
+
 def parse_rejects(frames: DataFrame) -> DataFrame:
     """The PERMISSIVE-style side output (SURVEY §4): frames the predicate
     chain filtered, with the reason — the Spark-native replacement for the

@@ -249,6 +249,20 @@ def a6_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a8_approx_quantiles",
+    oracle=None,  # t-digest/GK sketches differ between engines by design
+    survey="A8",
+)
+def a8_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx: the streaming/100 TB path for distribution stats
+    (bounded-memory sketch vs exact percentile's full sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts")
+    )
+
+
+@register(
     "a8_approx_distinct_users",
     oracle=None,  # HLL sketch differs between engines by design → rows-only
     survey="A8",

@@ -70,6 +70,19 @@ def test_escape_alarm_flag(spark, labeled):
     assert rows["golden_probe"] is False
 
 
+def test_console_render_matches_reference_format(spark, labeled):
+    """S3: console line byte-matches the reference printf for golden row 1
+    (ssidentity.c:89-95 + observations.db)."""
+    from ssidentity_spark.parse import render_console_row
+
+    obs = parse_observations(labeled).filter(F.col("sensor_id") == "golden_probe")
+    line = render_console_row(obs).collect()[0].console_line
+    assert (
+        line
+        == '07/21/16 - 11:41AM  28B2BDD02FC8  "OPTUSVD3DA15E0_EXT"\t-90dBm 2464mHz  Dist: 306.10m'
+    )
+
+
 def test_reject_reasons(spark, labeled):
     reasons = {
         r.sensor_id: r.reject_reason for r in parse_rejects(labeled).collect()
