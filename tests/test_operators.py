@@ -164,6 +164,32 @@ def test_asof_last_seen(spark, observations):
     assert all(r.asof_ts is None or r.asof_ts <= r.ts for r in rows)
 
 
+def test_udtf_transitions_match_window_lag(spark, observations):
+    """U4: the UDTF expansion agrees with the declarative lag() formulation."""
+    from pyspark.sql import Window
+
+    from ssidentity_spark.operators.udtf_ops import probe_transitions
+
+    got = probe_transitions(spark, observations)
+    w = Window.partitionBy("mac").orderBy(F.unix_timestamp("ts"), "ssid")
+    # reference computation via lag over the same (t, ssid) ordering the
+    # UDTF's array_sort(struct(t, ssid)) induces
+    ref = (
+        observations.select("mac", "ssid", F.unix_timestamp("ts").alias("t"))
+        .withColumn("prev_ssid", F.lag("ssid").over(
+            Window.partitionBy("mac").orderBy("t", "ssid")
+        ))
+        .withColumn("prev_t", F.lag("t").over(
+            Window.partitionBy("mac").orderBy("t", "ssid")
+        ))
+        .filter(F.col("prev_ssid").isNotNull() & (F.col("prev_ssid") != F.col("ssid")))
+        .select("mac", F.col("prev_ssid").alias("from_ssid"),
+                F.col("ssid").alias("to_ssid"),
+                (F.col("t") - F.col("prev_t")).alias("gap_s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
 def test_top_ssids(observations, duck):
     got = _rows(ops.top_ssids(observations, k=5))
     want = _drows(
