@@ -153,6 +153,59 @@ def cross_sensor_correlation(
     )
 
 
+def read_sensor_drop_tree(spark: SparkSession, root_dir: str) -> DataFrame:
+    """S5 fan-in: per-sensor drop directories ``root/sensor_id=<id>/*.parquet``
+    (the reference's "DB upload to server", ssidentity.c:30, README.md:12).
+    Hive-style partition discovery recovers sensor_id as a column, so each
+    sensor ships files knowing nothing about the others."""
+    return (
+        spark.readStream.schema(
+            "frame BINARY, recv_ts TIMESTAMP, frame_len INT, sensor_id STRING"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(root_dir)
+    )
+
+
+def roster_upsert_stream(
+    obs_stream: DataFrame, roster_path: str, checkpoint: str
+) -> StreamingQuery:
+    """S2+A4 via foreachBatch-upsert: maintain the MAC-as-primary-key roster
+    (ssidentity.c:26) incrementally — each micro-batch merges into the
+    parquet roster with operators/maintenance.mac_roster_upsert."""
+    import os
+
+    from ssidentity_spark.operators.maintenance import mac_roster_upsert
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.isdir(roster_path) and any(
+            f.endswith(".parquet") for f in os.listdir(roster_path)
+        ):
+            roster = spark.read.parquet(roster_path)
+        else:
+            roster = spark.createDataFrame(
+                [],
+                "mac STRING, first_seen TIMESTAMP, last_seen TIMESTAMP, "
+                "ts_csv STRING, n_probes LONG",
+            )
+        merged = mac_roster_upsert(roster, batch)
+        staged = roster_path + f"._stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        if os.path.isdir(roster_path):
+            shutil.rmtree(roster_path)
+        shutil.move(staged, roster_path)
+
+    return (
+        obs_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_console(df: DataFrame, **options) -> StreamingQuery:
     """S3: the reference's console sink (ssidentity.c:89-95)."""
     return df.writeStream.format("console").outputMode("append").start(**options)

@@ -147,6 +147,51 @@ def test_stream_static_watchlist_join(spark, tmp_path):
     assert got == ["AAA", "CCC"]
 
 
+def test_sensor_drop_tree_fanin(spark, tmp_path):
+    """S5: hive-partitioned per-sensor drop dirs union into one stream with
+    sensor_id recovered from the path."""
+    from ssidentity_spark.fixtures import raw_frames_pdf
+    from ssidentity_spark.streaming.ingest import read_sensor_drop_tree
+
+    pdf = raw_frames_pdf(n_extra=20)
+    root = tmp_path / "drops"
+    for sid in ("s1", "s2"):
+        sub = pdf[pdf.sensor_id == sid].drop(columns=["sensor_id"])
+        d = root / f"sensor_id={sid}"
+        d.mkdir(parents=True)
+        df = spark.createDataFrame(
+            sub, schema="frame BINARY, recv_ts TIMESTAMP, frame_len INT"
+        )
+        df.coalesce(1).write.mode("append").parquet(str(d))
+    stream = read_sensor_drop_tree(spark, str(root))
+    out = _run(stream.select("sensor_id", "frame_len"), tmp_path, "fanin")
+    got = spark.read.parquet(out)
+    assert set(r.sensor_id for r in got.select("sensor_id").distinct().collect()) == {
+        "s1",
+        "s2",
+    }
+    assert got.count() == len(pdf[pdf.sensor_id.isin(["s1", "s2"])])
+
+
+def test_roster_upsert_stream(spark, tmp_path):
+    """S2/A4: the MAC roster maintained incrementally across micro-batches
+    equals the roster computed from all observations at once."""
+    from ssidentity_spark.streaming.ingest import roster_upsert_stream
+
+    chunks = [
+        [(0, "AAA", "s1"), (5, "BBB", "s1")],
+        [(30, "AAA", "s2"), (45, "CCC", "s3")],
+    ]
+    src = _write_chunks(spark, tmp_path, chunks)
+    roster_path = str(tmp_path / "roster")
+    q = roster_upsert_stream(
+        read_observation_stream(spark, src), roster_path, str(tmp_path / "rck")
+    )
+    q.awaitTermination(180)
+    got = {r.mac: r.n_probes for r in spark.read.parquet(roster_path).collect()}
+    assert got == {"AAA": 2, "BBB": 1, "CCC": 1}
+
+
 def test_stream_stream_cross_sensor_join(spark, tmp_path):
     """J7: the same device seen by two sensors within tolerance appears as a
     correlated pair; different devices / distant times do not."""
