@@ -1,0 +1,131 @@
+"""IVF-style ANN (SURVEY §2.9 U5 scale path, BASELINE.json north star):
+inverted-file search over k-means cells — the second classic ANN family
+next to LSH (plans/similarity.py:sim_lsh_bucketed).
+
+Spark-first split of the work:
+- **Train** (driver): k-means on a bounded deterministic sample — centroid
+  count × dims is tiny; training on the driver avoids an iterative
+  distributed job for what is a broadcast-sized model.
+- **Assign** (executors): vectorized Pandas UDF — one numpy matmul per Arrow
+  batch against the broadcast centroid matrix. This is the documented
+  exception to "no Python in the hot path": a 64×k matmul per batch is
+  exactly what Arrow-batched UDFs are for, and stays ~100× faster than
+  per-row Python.
+- **Search** (executors): score only vectors whose cell is among the
+  query's ``n_probes`` nearest cells — candidate count ~ (n_probes/k) of
+  the corpus. With n_probes == k the search is exhaustive and provably
+  equals brute force (property-tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+def train_centroids(
+    em: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    sample_mod: int = 1,
+    max_sample: int = 4096,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a bounded sample (no RNG: seeds are
+    the first k sample vectors in vec_id order)."""
+    sample = (
+        em.filter(F.col("vec_id") % sample_mod == 0)
+        .orderBy("vec_id")
+        .limit(max_sample)
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([r.embedding for r in sample], dtype=np.float64)
+    cent = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def assign_cells(em: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Vectorized cell assignment: argmin L2 distance per Arrow batch."""
+    cent = centroids  # captured; shipped once per task via closure pickle
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(embs: pd.Series) -> pd.Series:
+        x = np.stack(embs.map(np.asarray).to_numpy()).astype(np.float64)
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return em.withColumn("cell", cell_of("embedding"))
+
+
+def ivf_topk(
+    em: DataFrame,
+    centroids: np.ndarray,
+    query_ids: list[int],
+    top_k: int = 5,
+    n_probes: int = 2,
+) -> DataFrame:
+    """Top-k cosine neighbors per query, searching only the query's
+    ``n_probes`` nearest cells. Returns (query_id, neighbor_id, cos, rnk).
+    """
+    assigned = assign_cells(em, centroids).cache()
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = assigned.select(
+        "vec_id",
+        "cell",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+
+    queries = base.filter(F.col("vec_id").isin(query_ids))
+    q_rows = queries.collect()  # |queries| is small by contract
+    probe_map = []
+    for r in q_rows:
+        qv = np.asarray(r.v)
+        d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(d2)[:n_probes]:
+            probe_map.append((r.vec_id, int(c)))
+    probes = em.sparkSession.createDataFrame(
+        probe_map, "query_id LONG, probe_cell INT"
+    )
+
+    qside = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    ).join(F.broadcast(probes), "query_id")
+
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        base.join(
+            F.broadcast(qside),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qnrm") * F.col("nrm")), 6).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )

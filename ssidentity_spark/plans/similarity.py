@@ -179,6 +179,22 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivf_topk",
+    oracle=None,  # iterative k-means training — not SQL-expressible;
+    # exactness under full probing is property-tested (tests/test_ivf.py)
+    survey="U5",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells + probe-limited search (see operators/ivf.py)."""
+    from ssidentity_spark.io import load_table as _lt
+    from ssidentity_spark.operators.ivf import ivf_topk, train_centroids
+
+    em = _lt(spark, sf_dir, "embeddings")
+    cents = train_centroids(em, k=16, iters=3)
+    return ivf_topk(em, cents, list(range(N_QUERIES)), top_k=TOP_K, n_probes=4)
+
+
 # ---------------------------------------------------------------------------
 # Label-centroid similarity — groupwise vector aggregation (UDAF-shaped work
 # done with native array aggregation: element-wise sum via explode+pivot-free

@@ -1,0 +1,64 @@
+"""IVF ANN operator: exhaustive-probe exactness (== brute force), bounded
+candidate sets under partial probing, deterministic training."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ssidentity_spark.io import load_table
+from ssidentity_spark.operators.ivf import assign_cells, ivf_topk, train_centroids
+
+SF = "/root/testdata/sf0.001"
+K = 8
+QUERIES = [0, 1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def em(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def centroids(em):
+    return train_centroids(em, k=K, iters=3)
+
+
+def test_training_deterministic(em):
+    a = train_centroids(em, k=K, iters=3)
+    b = train_centroids(em, k=K, iters=3)
+    assert np.array_equal(a, b)
+
+
+def test_assignment_covers_all_cells_used(em, centroids):
+    assigned = assign_cells(em, centroids)
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(K)) and len(cells) > 1
+
+
+def test_full_probe_equals_bruteforce(spark, em, centroids):
+    """n_probes == k ⇒ IVF must return exactly the brute-force top-k."""
+    from ssidentity_spark.registry import all_queries
+
+    ivf = ivf_topk(em, centroids, QUERIES, top_k=5, n_probes=K)
+    brute = (
+        all_queries()["sim_topk_bruteforce"](spark, SF)
+        .filter(F.col("query_id").isin(QUERIES))
+    )
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_partial_probe_subset_property(em, centroids):
+    """With fewer probes, every result must come from a probed cell and
+    still rank correctly among candidates (top-1 cos monotone ≥ top-5)."""
+    res = ivf_topk(em, centroids, QUERIES, top_k=5, n_probes=2).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append((r.rnk, r.cos))
+    for q, rows in per_q.items():
+        rows.sort()
+        coss = [c for _, c in rows]
+        assert coss == sorted(coss, reverse=True)
+        assert len(rows) <= 5
