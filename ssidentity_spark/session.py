@@ -57,6 +57,12 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
         except Exception:
             pass  # immutable in this build — keep going, defaults are sane
     if shuffle_partitions is None:
+        try:
+            current = spark.conf.get("spark.sql.shuffle.partitions")
+        except Exception:
+            current = "200"
+        if current != "200":
+            return spark  # caller already chose (bench/tests) — respect it
         # AQE coalesces down from this; ~2×cores is a good local ceiling and
         # harmless on a cluster (AQE re-splits by advisory size anyway).
         shuffle_partitions = max(2 * cpu_count(), 8)
