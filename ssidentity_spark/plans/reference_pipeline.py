@@ -72,6 +72,27 @@ def ref_visit_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_companion_clusters",
+    oracle=None,
+    survey="J2,A3 (correlation network)",
+)
+def ref_companion_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Devices that repeatedly co-occur → connected components
+    (README.md:15-19 correlation network)."""
+    from ssidentity_spark.fixtures import observations_df
+    from ssidentity_spark.operators.graph import companion_clusters
+
+    clusters = companion_clusters(
+        observations_df(spark, n_rows=800), window="30 seconds", min_cowindows=1
+    )
+    return clusters.select(
+        "component",
+        F.array_join("members", ",").alias("members"),
+        "n_members",
+    )
+
+
+@register(
     "ref_watchlist_alerts",
     oracle=None,
     survey="J3,J6,W2",

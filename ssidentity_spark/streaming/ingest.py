@@ -42,6 +42,39 @@ def read_observation_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return spark.readStream.schema(OBSERVATIONS_SCHEMA).parquet(source_dir)
 
 
+def replay_observations_rate(
+    spark: SparkSession,
+    obs_path: str,
+    rows_per_second: int = 1000,
+) -> DataFrame:
+    """S1 live-mode simulation: a ``rate`` source drives replay of a stored
+    observation log at a controlled rate — each tick joins to the next
+    stored row by sequence number, re-stamping event time to 'now'.
+
+    This is the harness for soak-testing the streaming operators at a
+    chosen throughput without radio hardware (the reference defers capture
+    setup to airmon-ng likewise, ssidentity.c:20).
+    """
+    from pyspark.sql import Window
+
+    stored = spark.read.parquet(obs_path)
+    w = Window.orderBy("ts", "mac", "ssid")
+    indexed = stored.withColumn("seq", F.row_number().over(w) - 1)
+    n = indexed.count()
+    ticks = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .withColumn("seq", F.col("value") % n)
+    )
+    return (
+        ticks.join(indexed, "seq")
+        .drop("seq", "ts", "value")
+        .withColumnRenamed("timestamp", "ts")
+        .withColumn("ts_str", F.upper(F.date_format("ts", "MM/dd/yy - hh:mma")))
+    )
+
+
 def ingest_stream(
     frames: DataFrame,
     out_path: str,

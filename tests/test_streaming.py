@@ -147,6 +147,39 @@ def test_stream_static_watchlist_join(spark, tmp_path):
     assert got == ["AAA", "CCC"]
 
 
+def test_rate_replay_live_mode(spark, tmp_path):
+    """S1 live mode: rate-driven replay emits observation-shaped rows at a
+    controlled rate with re-stamped event time."""
+    import time
+
+    from ssidentity_spark.streaming.ingest import replay_observations_rate
+
+    src = _write_chunks(spark, tmp_path, [[(0, "AAA", "s1"), (1, "BBB", "s2")]])
+    stream = replay_observations_rate(spark, src, rows_per_second=50)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("replay_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM replay_test").collect()[0].c
+            if n >= 20:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert n >= 20
+    row = spark.sql("SELECT * FROM replay_test LIMIT 1").collect()[0]
+    assert set(["ts", "ts_str", "sensor_id", "mac", "ssid", "rssi", "freq", "dist"]) <= set(
+        row.asDict()
+    )
+    assert row.mac in ("AAA", "BBB")
+
+
 def test_sensor_drop_tree_fanin(spark, tmp_path):
     """S5: hive-partitioned per-sensor drop dirs union into one stream with
     sensor_id recovered from the path."""
