@@ -91,16 +91,18 @@ def j1_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    # customer→nation→region collapses to one small broadcast dim; the
-    # lineitem⋈orders fact-fact join shuffles once on orderkey.
+    # No join hints here on purpose: AQE's runtime sizes pick broadcast for
+    # the collapsed customer→nation→region dim at bench scale and would
+    # demote to SMJ at 100 TB where the customer dim outgrows the threshold —
+    # measured faster than forcing the broadcast (driver-side build cost).
     cust_dim = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "r_name")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_dim), o.o_custkey == F.col("c_custkey"))
+        .join(cust_dim, o.o_custkey == F.col("c_custkey"))
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.round(
