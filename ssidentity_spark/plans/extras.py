@@ -143,7 +143,7 @@ def j9_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p.filter(F.col("p_size") >= 10)), li.l_partkey == p.p_partkey)
+        li.join(p.filter(F.col("p_size") >= 10), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(
             F.countDistinct("l_suppkey").alias("n_suppliers"),

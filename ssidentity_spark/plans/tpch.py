@@ -4,9 +4,13 @@ the reference's declared correlation analytics would at fleet scale
 (README.md:15-19: obs ⋈ sensors ⋈ geo ⋈ watchlists).
 
 Physical-plan intent (verified via .explain in tests):
-- dimension joins (region/nation/supplier/part vs fact) → broadcast hash join
-  (explicit F.broadcast on dims; at 100 TB the fact side never shuffles for
-  these);
+- fixed-cardinality dims (nation=25, region=5) carry explicit F.broadcast —
+  they are broadcast-sized at ANY scale factor, so the hint is free and
+  removes a planner decision;
+- SF-proportional dims (part, supplier, customer) carry NO hint: AQE's
+  runtime statistics promote them to broadcast while they fit and demote to
+  shuffle joins at 100 TB — measured faster locally than forcing the
+  broadcast, and the only scale-correct choice;
 - fact-fact joins (lineitem ⋈ orders) → shuffle sort-merge on the join key,
   AQE-coalesced; both sides hash-partition once and reuse;
 - semi/anti joins stay semi/anti (no materialized distinct);
@@ -200,7 +204,7 @@ def j9_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(
-            F.broadcast(s),
+            s,  # SF-proportional: AQE decides
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -325,8 +329,10 @@ def j2_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", "s_name", "n_name"
     )
+    # dim is SF-proportional (supplier table): no broadcast hint — AQE
+    # promotes to BHJ while it fits, demotes at scale
     return (
-        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        li.join(dim, li.l_suppkey == dim.s_suppkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("s_name").alias("supplier"))
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
@@ -358,7 +364,8 @@ def j1_brand_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part is SF-proportional: AQE decides the build side
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_extendedprice"), 2).alias("gross"),

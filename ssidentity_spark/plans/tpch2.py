@@ -106,7 +106,7 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # SF-proportional: AQE decides
         .agg(
             F.round(
                 100.0
