@@ -335,6 +335,34 @@ def a9_cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pivot_user_type_matrix",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+    survey="A6,A9 (pivot)",
+)
+def pivot_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True .pivot() API (explicit value list → deterministic schema);
+    null cells zero-filled to match the FILTER-count oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
 # ---------------------------------------------------------------------------
 # A10/O1/O2 — heavy hitters & global sort/limit
 # ---------------------------------------------------------------------------
