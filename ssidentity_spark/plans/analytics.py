@@ -255,10 +255,24 @@ def a6_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a8_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx: the streaming/100 TB path for distribution stats
-    (bounded-memory sketch vs exact percentile's full sort)."""
+    (bounded-memory sketch vs exact percentile's full sort).
+
+    Output is one scalar row per (event_type, pct) — array columns are a
+    driver-canonicalizer hash risk (registry contract), so the sketch array
+    is posexploded into rows.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts")
+    pcts = [0.5, 0.9, 0.99]
+    arr = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", pcts, 10_000).alias("approx_pcts")
+    )
+    pct_lit = F.array(*[F.lit(p) for p in pcts])
+    return arr.select(
+        "event_type", F.posexplode("approx_pcts").alias("pos", "approx_value")
+    ).select(
+        "event_type",
+        F.element_at(pct_lit, F.col("pos") + 1).alias("pct"),
+        F.round("approx_value", 4).alias("approx_value"),
     )
 
 
