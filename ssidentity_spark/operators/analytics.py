@@ -183,3 +183,72 @@ def top_ssids(obs: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.desc("n_devices"), F.desc("n"), "ssid")
         .limit(k)
     )
+
+
+def scalable_global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int = 256,
+    rn_col: str = "rn",
+    n_col: str = "n_total",
+) -> DataFrame:
+    """Global row_number over ``order_cols`` WITHOUT a single-partition
+    window (W1 at scale: ``Window.orderBy(...)`` with no partitionBy funnels
+    the whole table through one task — a straggler/OOM at 100 TB).
+
+    Two-pass bucketed rank:
+      1. exact min/max of the leading order column (one partial+final agg);
+      2. deterministic fixed-width bucket = floor((x-min)/width) — value-
+         derived, so re-computation across plan branches cannot disagree
+         (unlike repartitionByRange, whose sampled boundaries are not stable
+         across recomputes, or approx-quantile boundaries);
+      3. row_number within each bucket (parallel windows);
+      4. bucket offsets via a cumulative sum over the <=n_buckets bucket
+         counts — a single-partition window over a BUCKET-COUNT-sized input,
+         broadcast-joined back.
+
+    Ties across buckets are impossible: equal leading values share a bucket,
+    and the remaining order columns only break ties inside it. The first
+    order column must be numeric; output adds ``rn`` (1-based, dense over
+    the whole frame) and ``n_total``.
+    """
+    lead = order_cols[0]
+    stats = df.agg(
+        F.min(lead).alias("_mn"),
+        F.max(lead).alias("_mx"),
+        F.count(F.lit(1)).alias(n_col),
+    )
+    with_stats = df.join(F.broadcast(stats))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(n_buckets)
+    bucket = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col(lead) - F.col("_mn")) / width),
+        )
+    )
+    bucketed = with_stats.withColumn("_bucket", bucket).drop("_mn", "_mx")
+    w_local = Window.partitionBy("_bucket").orderBy(*order_cols)
+    ranked = bucketed.withColumn("_rn_local", F.row_number().over(w_local))
+    counts = bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_bucket")
+        .withColumn(rn_col, (F.col("_off") + F.col("_rn_local")).cast("long"))
+        .drop("_bucket", "_rn_local", "_off")
+    )
+
+
+def ntile_from_rn(rn, n, tiles: int):
+    """ntile(tiles) reconstructed from a global row number: the first
+    ``n % tiles`` tiles get ``n div tiles + 1`` rows, the rest ``n div
+    tiles`` (SQL-standard ntile distribution)."""
+    q = F.floor(n / tiles)
+    rem = n % tiles
+    big = q + 1
+    cutoff = rem * big
+    return F.when(rn <= cutoff, F.ceil(rn / big)).otherwise(
+        rem + F.ceil((rn - cutoff) / F.greatest(q, F.lit(1)))
+    )

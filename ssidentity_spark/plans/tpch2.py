@@ -247,13 +247,28 @@ def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="W1",
 )
 def w1_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    """Distribution ranks over a GLOBAL ordering without a global window.
+
+    ``Window.orderBy`` with no partitionBy (the round-1 plan) funnels every
+    row through one task — correct at test scale, a straggler/OOM at 100 TB.
+    Instead: two-pass bucketed global row_number (operators/analytics.py
+    ``scalable_global_row_number``), then ntile/percent_rank/cume_dist are
+    pure arithmetic on (rn, n_total) because the ordering key
+    (o_totalprice, o_orderkey) is unique — rank == row_number, so
+    percent_rank = (rn-1)/(n-1) and cume_dist = rn/n exactly."""
+    from ssidentity_spark.operators.analytics import (
+        ntile_from_rn,
+        scalable_global_row_number,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = scalable_global_row_number(o, ["o_totalprice", "o_orderkey"])
+    rn, n = F.col("rn"), F.col("n_total")
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rn(rn, n, 4).cast("int").alias("quartile"),
+        F.round((rn - 1) / (n - 1), 6).alias("pct_rank"),
+        F.round(rn / n, 6).alias("cume"),
     )
 
 

@@ -118,3 +118,49 @@ def test_embedding_neardup_has_no_nested_loop(spark):
     plan = _plan(all_queries()["dedup_embedding_cosine"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_distribution_ranks_no_global_window(spark):
+    """The full-table window must partition on the derived bucket; the only
+    single-partition exchange allowed is the <=256-row bucket-count cumsum."""
+    from ssidentity_spark.registry import all_queries
+
+    plan = _plan(all_queries()["w1_distribution_ranks"](spark, "/root/testdata/sf0.001"))
+    assert "hashpartitioning(_bucket" in plan
+    # the orders-sized window runs per-bucket, not globally
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert any("_bucket" in ln for ln in windows)
+
+
+def test_scalable_row_number_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from ssidentity_spark.operators.analytics import (
+        ntile_from_rn,
+        scalable_global_row_number,
+    )
+
+    # adversarial sizes: n % 4 in {0,1,2,3}, duplicate leading values,
+    # negative values, and a constant column (min == max edge)
+    for n, const in [(17, False), (16, False), (18, False), (19, False), (5, True)]:
+        df = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.lit(0) if const else ((F.col("id") * 37) % 11 - 5).cast("double")).alias(
+                "x"
+            ),
+        )
+        got = scalable_global_row_number(df, ["x", "k"], n_buckets=4)
+        w = Window.orderBy("x", "k")
+        want = df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("q4"),
+        )
+        got_rows = {
+            r.k: (r.rn, r.q4)
+            for r in got.select(
+                "k", "rn", ntile_from_rn(F.col("rn"), F.col("n_total"), 4).alias("q4")
+            ).collect()
+        }
+        want_rows = {r.k: (r.rn, r.q4) for r in want.collect()}
+        assert got_rows == want_rows, f"n={n} const={const}"
