@@ -15,8 +15,8 @@ target-sized files.
 
 from __future__ import annotations
 
+import os
 import shutil
-import tempfile
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,22 +79,72 @@ def mac_roster_upsert(
     )
 
 
+def _swap_in(stage: str, path: str) -> None:
+    """Crash-safe directory swap: rename the live table aside, move the
+    fully-written stage in, delete the backup LAST. A crash between any two
+    steps leaves either the old table (possibly under the ``._backup``
+    name) or the new one on disk — never neither. ``stage`` must be a
+    sibling of ``path`` so every step is a same-filesystem rename, not a
+    copy (tempfile.mkdtemp could land on another mount and turn the "swap"
+    into a slow, non-atomic copy)."""
+    backup = path + "._backup"
+    if os.path.isdir(backup):  # leftover from an interrupted earlier swap
+        shutil.rmtree(backup)
+    if os.path.isdir(path):
+        os.rename(path, backup)
+    os.rename(stage, path)
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     keys: Sequence[str],
 ) -> None:
-    """Read-modify-atomic-swap upsert for a plain parquet table: stage the
-    merged result, then swap directories. (Delta/Iceberg would make this a
-    metadata-only MERGE; the plan shape is identical.)"""
+    """Read-modify-swap upsert for an UNPARTITIONED parquet table. Rewrites
+    the whole table — O(history) per call, acceptable only for compact
+    roster-sized tables. For fact tables partitioned by date use
+    ``upsert_parquet_partitioned``: O(touched partitions) per batch.
+    (Delta/Iceberg would make either a metadata-only MERGE; the plan shape
+    is identical.)"""
     target = spark.read.parquet(path)
     merged = upsert_by_key(target, updates, keys)
-    stage = tempfile.mkdtemp(prefix="upsert_stage_")
+    stage = path + "._stage"
     merged.write.mode("overwrite").parquet(stage)
-    # re-read from stage to release the source scan before the swap
-    shutil.rmtree(path)
-    shutil.move(stage, path)
+    _swap_in(stage, path)
+
+
+def upsert_parquet_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+) -> list:
+    """MERGE for a hive-partitioned parquet table that touches ONLY the
+    partitions present in the update batch (dynamic partition overwrite),
+    so per-batch cost is O(batch ∪ touched partitions), not O(history).
+
+    Untouched partition directories are not rewritten — their files stay
+    byte-identical (asserted in tests/test_maintenance.py). The distinct
+    partition-value collect is bounded by the number of partitions in one
+    batch (a handful of dates), not by data volume. Returns the touched
+    partition values."""
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    merged = upsert_by_key(target, updates, keys)
+    # break lineage from `path` before overwriting it (Spark refuses a
+    # direct read-from/write-to cycle); bounded by the touched partitions
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return touched
 
 
 def compact_partition(
@@ -108,8 +158,7 @@ def compact_partition(
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
-    stage = tempfile.mkdtemp(prefix="compact_stage_")
+    stage = path + "._stage"
     df.repartition(n_files).write.mode("overwrite").parquet(stage)
-    shutil.rmtree(path)
-    shutil.move(stage, path)
+    _swap_in(stage, path)
     return n_files

@@ -204,32 +204,47 @@ def roster_upsert_stream(
     obs_stream: DataFrame, roster_path: str, checkpoint: str
 ) -> StreamingQuery:
     """S2+A4 via foreachBatch-upsert: maintain the MAC-as-primary-key roster
-    (ssidentity.c:26) incrementally — each micro-batch merges into the
-    parquet roster with operators/maintenance.mac_roster_upsert."""
+    (ssidentity.c:26) incrementally with mac_roster_upsert.
+
+    The roster is hive-partitioned on the first MAC octet (256 buckets) and
+    each micro-batch dynamically overwrites ONLY the buckets its MACs fall
+    in — per-batch cost is O(batch ∪ touched buckets), not O(roster). The
+    round-1 version rewrote (and rmtree'd!) the whole roster every batch:
+    O(history) per batch and a crash window where the table did not exist."""
     import os
 
     from ssidentity_spark.operators.maintenance import mac_roster_upsert
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        if os.path.isdir(roster_path) and any(
-            f.endswith(".parquet") for f in os.listdir(roster_path)
-        ):
-            roster = spark.read.parquet(roster_path)
+        bucket = F.substring("mac", 1, 2)
+        exists = os.path.isdir(roster_path) and any(
+            f.startswith("mac_bucket=") for f in os.listdir(roster_path)
+        )
+        if exists:
+            touched = [
+                r[0] for r in batch.select(bucket.alias("b")).distinct().collect()
+            ]
+            roster = (
+                spark.read.parquet(roster_path)
+                .filter(F.col("mac_bucket").isin(touched))
+                .drop("mac_bucket")
+            )
         else:
             roster = spark.createDataFrame(
                 [],
                 "mac STRING, first_seen TIMESTAMP, last_seen TIMESTAMP, "
                 "ts_csv STRING, n_probes LONG",
             )
-        merged = mac_roster_upsert(roster, batch)
-        staged = roster_path + f"._stage_{batch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        import shutil
-
-        if os.path.isdir(roster_path):
-            shutil.rmtree(roster_path)
-        shutil.move(staged, roster_path)
+        merged = mac_roster_upsert(roster, batch).withColumn("mac_bucket", bucket)
+        # break the read->overwrite cycle; bounded by the touched buckets
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("mac_bucket")
+            .parquet(roster_path)
+        )
 
     return (
         obs_stream.writeStream.foreachBatch(_merge)

@@ -79,3 +79,62 @@ def test_compact_partition(spark, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert before == 37 and n_files == 2 and after == 2
     assert spark.read.parquet(path).count() == 10_000
+
+
+def _partition_files(path: str, part: str) -> dict[str, bytes]:
+    import os
+
+    out = {}
+    for f in glob.glob(f"{path}/{part}/*.parquet"):
+        with open(f, "rb") as fh:
+            out[os.path.basename(f)] = fh.read()
+    return out
+
+
+def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """The 100 TB contract: a MERGE batch must cost O(touched partitions),
+    leaving every other partition's files byte-identical on disk."""
+    from ssidentity_spark.operators.maintenance import upsert_parquet_partitioned
+
+    path = str(tmp_path / "fact")
+    rows = [
+        (k, d, v)
+        for d, base in [("2024-01-01", 0), ("2024-01-02", 100), ("2024-01-03", 200)]
+        for k, v in [(f"{d}#{i}", base + i) for i in range(5)]
+    ]
+    spark.createDataFrame(rows, "k STRING, d STRING, v INT").write.partitionBy(
+        "d"
+    ).parquet(path)
+
+    before = {
+        p: _partition_files(path, f"d={p}") for p in ["2024-01-01", "2024-01-03"]
+    }
+    updates = spark.createDataFrame(
+        [("2024-01-02#1", "2024-01-02", 9999), ("2024-01-02#new", "2024-01-02", 7)],
+        "k STRING, d STRING, v INT",
+    )
+    touched = upsert_parquet_partitioned(spark, path, updates, ["k"], "d")
+    assert touched == ["2024-01-02"]
+
+    for p, files in before.items():
+        assert _partition_files(path, f"d={p}") == files, f"partition {p} rewritten"
+    got = {r.k: r.v for r in spark.read.parquet(path).filter("d = '2024-01-02'").collect()}
+    assert got["2024-01-02#1"] == 9999 and got["2024-01-02#new"] == 7
+    assert len(got) == 6  # 5 originals (1 replaced) + 1 appended
+    assert spark.read.parquet(path).count() == 16
+
+
+def test_swap_survives_leftover_backup(spark, target, tmp_path):
+    """A crash between backup-rename and stage-move leaves a ._backup dir;
+    the next upsert must clear it and still swap correctly."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    target.write.parquet(path)
+    os.makedirs(path + "._backup")  # simulated interrupted-swap residue
+    updates = spark.createDataFrame([("C", 33, "new")], "k STRING, v INT, src STRING")
+    upsert_parquet(spark, path, updates, ["k"])
+    assert not os.path.isdir(path + "._backup")
+    assert not os.path.isdir(path + "._stage")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"A": 1, "B": 2, "C": 33}
