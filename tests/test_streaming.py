@@ -278,3 +278,44 @@ def test_presence_alerts_arrival_and_departure(spark, tmp_path):
     base = dt.datetime(2016, 7, 21, 10, 0, 0, tzinfo=dt.timezone.utc)
     expect_ms = int((base + dt.timedelta(minutes=32)).timestamp() * 1000)
     assert dep.event_ms == expect_ms
+
+
+def test_presence_alerts_crash_resume_no_duplicate_arrival(spark, tmp_path):
+    """T7 exactly-once across restarts: stop the query, add data, restart on
+    the SAME checkpoint — per-key state must be restored, so a device seen
+    again within its gap must NOT re-emit an arrival, while a genuinely new
+    device must."""
+    from ssidentity_spark.streaming.alerts import presence_alerts
+
+    src = str(tmp_path / "obs_src")
+    out = str(tmp_path / "alerts_out")
+    ck = str(tmp_path / "alerts_ck")
+
+    def _append(spec):
+        df = spark.createDataFrame(_obs_rows(spec), schema=OBSERVATIONS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def _run_once():
+        stream = read_observation_stream(spark, src)
+        alerts = presence_alerts(stream, gap="30 minutes", watermark="10 minutes")
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: AAA and BBB arrive
+    _append([(0, "AAA", "s1"), (1, "BBB", "s2")])
+    _run_once()  # query stops (simulated crash/shutdown)
+
+    # while "down": AAA speaks again within its gap, CCC is brand new
+    _append([(5, "AAA", "s1"), (10, "CCC", "s3")])
+    _run_once()  # restart from the same checkpoint
+
+    got = spark.read.parquet(out).collect()
+    arrivals = sorted(r.mac for r in got if r.alert_type == "arrival")
+    assert arrivals == ["AAA", "BBB", "CCC"], got  # exactly one arrival each
