@@ -133,7 +133,27 @@ def _proj_coeff_sql(j: int) -> str:
 )
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(em, n_proj=N_PROJ, n_queries=N_QUERIES, top_k=TOP_K)
+
+
+def lsh_topk(
+    em: DataFrame,
+    n_proj: int = N_PROJ,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+    n_bands: int = 1,
+) -> DataFrame:
+    """Sign-random-projection bucketed top-k.
+
+    ``n_proj`` is the bucket-width knob: each extra bit halves the expected
+    bucket population (cost) and lowers recall. ``n_bands > 1`` switches to
+    the OR-construction: ``n_bands`` independent bucket tables, candidates =
+    union of same-bucket mates across bands — each band multiplies cost and
+    lifts recall (1-(1-p^proj)^bands). The measured recall-vs-cost curve
+    lives in SCALE.md; the registered ``sim_lsh_bucketed`` query is the
+    single-band variant (its DuckDB oracle pins that shape)."""
     base = _norm_vec(em)
+
     def proj_expr(j: int):
         a, b = 37 * j + 11, 17 * j + 5
 
@@ -146,21 +166,40 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    bucket = None
-    for j in range(N_PROJ):
-        bit = F.when(proj_expr(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    sig = base.withColumn("bucket", bucket)
-    queries = sig.filter(F.col("vec_id") < N_QUERIES).select(
+    def band_bucket(band: int):
+        bucket = None
+        for r in range(n_proj):
+            bit = F.when(proj_expr(band * n_proj + r) > 0, F.lit(1 << r)).otherwise(
+                F.lit(0)
+            )
+            bucket = bit if bucket is None else bucket + bit
+        return bucket
+
+    bands_arr = F.array(
+        *[
+            F.struct(F.lit(band).alias("band"), band_bucket(band).alias("bucket"))
+            for band in range(n_bands)
+        ]
+    )
+    sig = base.select("vec_id", "v", "nrm", F.explode(bands_arr).alias("bb")).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    queries = sig.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
+        F.col("band").alias("qband"),
         F.col("bucket").alias("qbucket"),
     )
     scored = (
         sig.join(
             F.broadcast(queries),
-            (F.col("bucket") == F.col("qbucket"))
+            (F.col("band") == F.col("qband"))
+            & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -170,11 +209,12 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
             ).alias("cos"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= top_k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
 
