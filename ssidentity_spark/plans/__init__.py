@@ -53,6 +53,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j8_cross_region_nation",
     "w1_distribution_ranks",
     "j9_q16_supplier_variety",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     # events analytics: aggregation families
     "a2_habitual_hour",
     "a3_network_tree",
@@ -68,7 +70,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "o4_intersect_users",
     # window functions
     "w2_event_gaps",
-    "w2_value_functions",
     "w3_rolling_avg_rows",
     "w4_sessionize",
     # non-equi joins
@@ -98,7 +99,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # scalar-function surface
     "d1_fspl_distance",
     "d7_date_funcs",
-    "d7_from_json_struct",
     # SQL API surface
     "sql_api_nation_order_stats",
     # reference sniffer pipeline (rows-only: no SQL-expressible oracle)

@@ -333,3 +333,190 @@ def j9_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("nation_avg_raw", 4).alias("nation_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7/Q8/Q9 analog shapes (J9 multi-way, dual dimension roles).
+# The testdata lacks partsupp, so Q9's supply cost uses a retail-price proxy
+# (documented inline); Q7/Q8 map 1:1 onto the available columns.
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = "('NATION_1', 'NATION_2', 'NATION_3')"
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           -- floor to whole currency units: round()'s half-mode diverges
+           -- between engines when a 60k-term double sum lands on a .xx5
+           CAST(floor(sum(volume)) AS BIGINT) AS revenue,
+           count(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN {_Q7_NATIONS}
+        AND n2.n_name IN {_Q7_NATIONS}
+        AND n1.n_name <> n2.n_name
+    )
+    GROUP BY 1, 2, 3
+    """,
+    survey="J9,J1,A6",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral trade volume between nation pairs, with
+    the nation dim joined in TWO roles (supplier side and customer side).
+    Both nation joins are explicit broadcasts (fixed 25-row cardinality —
+    the b6c008f hint policy); the three fact joins stay AQE-governed. The
+    nation IN-filters reach the dim scans, so the fact side is pruned by
+    two broadcast semi-join-shaped filters before the agg shuffle."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    nations = [x.strip(" '") for x in _Q7_NATIONS.strip("()").split(",")]
+    n1 = n.filter(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share,
+           count(*) AS n_items
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+    survey="J9,J1,A6",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: one nation's share of PROMO-part volume sold into
+    one region, per order year — an 8-way join (part, lineitem, supplier,
+    orders, customer, nation x2 roles, region). Nation/region broadcast
+    (fixed cardinality); part's p_type filter is pushed to its scan and AQE
+    sizes that join; conditional share via CASE inside the same agg (one
+    shuffle, no second pass)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_profit_by_nation",
+    oracle="""
+    SELECT nation, o_year, CAST(floor(sum(amount)) AS BIGINT) AS profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    )
+    GROUP BY 1, 2
+    """,
+    survey="J9,A6",
+)
+def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: profit per supplier nation per year over a
+    name-matched part subset. The testdata has no partsupp table, so
+    supply cost is proxied as 10% of p_retailprice x quantity (the join
+    tree and agg shape — 5-way with a LIKE-filtered part dim — is the
+    point, not the cost constant)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.floor(F.sum(amount)).cast("long").alias("profit"))
+    )
