@@ -211,6 +211,12 @@ def scalable_global_row_number(
     and the remaining order columns only break ties inside it. The first
     order column must be numeric; output adds ``rn`` (1-based, dense over
     the whole frame) and ``n_total``.
+
+    Plan note: attaching the 1-ROW stats aggregate is a condition-less
+    broadcast join, which Spark prints as BroadcastNestedLoopJoin — with a
+    single-row build side that is O(n) work (one row tested per input row),
+    not a pair-space join; PLANS.md's BNLJ flag on w1_distribution_ranks is
+    this, by design.
     """
     lead = order_cols[0]
     stats = df.agg(
