@@ -319,3 +319,45 @@ def test_presence_alerts_crash_resume_no_duplicate_arrival(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     arrivals = sorted(r.mac for r in got if r.alert_type == "arrival")
     assert arrivals == ["AAA", "BBB", "CCC"], got  # exactly one arrival each
+
+
+def test_presence_alerts_transform_with_state(spark, tmp_path):
+    """T7 on the state-v2 API (transformWithStateInPandas + event-time
+    timers, RocksDB-backed): same arrival/departure semantics as the
+    applyInPandasWithState implementation."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    # the state-v2 Python runner speaks protobuf to the JVM; without it the
+    # streaming worker crashes at init (container lacks google.protobuf)
+    pytest.importorskip("google.protobuf")
+    from ssidentity_spark.streaming.alerts import presence_alerts_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        chunks = [
+            [(0, "AAA", "s1"), (2, "AAA", "s1"), (1, "BBB", "s2")],
+            [(120, "BBB", "s2"), (121, "ZZZ", "s1")],
+            [(240, "ZZZ", "s1")],
+        ]
+        src = _write_chunks(spark, tmp_path, chunks)
+        stream = read_observation_stream(spark, src)
+        alerts = presence_alerts_tws(stream, gap="30 minutes", watermark="10 minutes")
+        out = _run(alerts, tmp_path, "tws_alerts", mode="append")
+        got = spark.read.parquet(out).collect()
+        by_type = {}
+        for r in got:
+            by_type.setdefault(r.alert_type, []).append(r.mac)
+        assert "AAA" in by_type.get("arrival", [])
+        assert "BBB" in by_type.get("arrival", [])
+        assert "AAA" in by_type.get("departure", []), got
+        dep = [r for r in got if r.mac == "AAA" and r.alert_type == "departure"][0]
+        base = dt.datetime(2016, 7, 21, 10, 0, 0, tzinfo=dt.timezone.utc)
+        assert dep.event_ms == int((base + dt.timedelta(minutes=32)).timestamp() * 1000)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
