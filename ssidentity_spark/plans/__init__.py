@@ -65,7 +65,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pivot_user_type_matrix",
     "a10_heavy_hitters",
     # set ops / ordering
-    "o1_global_sort_top",
     "o3_union_split",
     "o4_intersect_users",
     # window functions
@@ -83,6 +82,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "dedup_jaccard_topk",
     "dedup_embedding_cosine",
+    "dedup_cc_clusters",
     # LLM-pipeline: similarity search
     "sim_topk_bruteforce",
     "sim_lsh_bucketed",

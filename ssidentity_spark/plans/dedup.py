@@ -133,10 +133,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_minhash(_spark_shingles(d))
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-    WITH {_minhash_sql_shingles()}, sigs AS (
+def _lsh_pairs_sql_ctes() -> str:
+    """DuckDB CTE chain ending in ``pairs(doc_a, doc_b)`` — the LSH
+    candidate pairs (shared between the pairs query and the CC clusters)."""
+    return f"""{_minhash_sql_shingles()}, sigs AS (
       {_minhash_agg_sql()}
     ), bands AS (
       SELECT doc_id, b,
@@ -146,15 +146,14 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHEN 2 THEN mh4 || mh5
                         ELSE mh6 || mh7 END) AS band_key
       FROM sigs, unnest(generate_series(0, 3)) AS t(b)
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id
-    """,
-    survey="EXT-dedup",
-)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id
+    )"""
+
+
+def _spark_lsh_pairs(d: DataFrame) -> DataFrame:
     sigs = _spark_minhash(_spark_shingles(d))
     band_exprs = [
         F.struct(
@@ -181,6 +180,65 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_lsh_pairs_sql_ctes()}
+    SELECT doc_a, doc_b FROM pairs
+    """,
+    survey="EXT-dedup",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return _spark_lsh_pairs(d)
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pairs_sql_ctes()}, edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ), comp AS (
+      SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+    survey="EXT-dedup,A3",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (operators/graph.py HashMin label propagation — joins+aggs, one
+    shuffle per iteration, localCheckpoint plan truncation), then every
+    document keyed to its cluster's minimum doc_id; singletons are their
+    own canonical. This is the keep-one-per-cluster stage of a training-
+    data dedup pipeline; the DuckDB oracle computes the same fixpoint with
+    a recursive transitive-closure CTE, so the iterative algorithm is
+    hash-verified, not rows-only."""
+    from ssidentity_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _spark_lsh_pairs(d)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        (F.col("doc_id") == F.coalesce("cluster_id", F.col("doc_id"))).alias(
+            "is_canonical"
+        ),
     )
 
 

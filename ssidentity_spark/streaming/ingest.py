@@ -155,6 +155,50 @@ def watchlist_hits_stream(obs_stream: DataFrame, watchlist: DataFrame) -> DataFr
     return obs_stream.join(F.broadcast(watchlist), "mac", "inner")
 
 
+def update_settings(spark: SparkSession, settings_path: str, rows, schema: str) -> None:
+    """S6 write path: replace the settings table with a crash-safe swap
+    (remote-admin "settings change", ssidentity.c:29 / README.md:13). The
+    table is tiny by contract — full rewrite is the right granularity."""
+    from ssidentity_spark.operators.maintenance import _swap_in
+
+    df = rows if isinstance(rows, DataFrame) else spark.createDataFrame(rows, schema)
+    stage = settings_path + "._stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    _swap_in(stage, settings_path)
+
+
+def watchlist_hits_stream_live(
+    obs_stream: DataFrame, settings_path: str, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """S6 propagation path: the watchlist is RE-READ from ``settings_path``
+    at every micro-batch, so a settings edit (update_settings) takes effect
+    on the next batch without restarting the query — the config-change
+    propagation story the static-join stand-in lacked. foreachBatch is the
+    documented Spark idiom for refreshing a slowly-changing dimension
+    against a stream; the per-batch read is one tiny parquet footer, and
+    the join broadcasts it."""
+
+    def _match(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        import os
+
+        if not os.path.isdir(settings_path):
+            return
+        watchlist = spark.read.parquet(settings_path)
+        (
+            batch.join(F.broadcast(watchlist), "mac", "inner")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        obs_stream.writeStream.foreachBatch(_match)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def cross_sensor_correlation(
     a: DataFrame, b: DataFrame, *, tolerance_s: int = 30, watermark: str = "2 minutes"
 ) -> DataFrame:

@@ -361,3 +361,44 @@ def test_presence_alerts_transform_with_state(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_settings_edit_propagates_without_restart(spark, tmp_path):
+    """S6: an update_settings() edit is picked up by the NEXT micro-batch of
+    the live watchlist query — no query restart required."""
+    from ssidentity_spark.streaming.ingest import (
+        update_settings,
+        watchlist_hits_stream_live,
+    )
+
+    src = str(tmp_path / "obs_src")
+    out = str(tmp_path / "hits_out")
+    ck = str(tmp_path / "hits_ck")
+    settings = str(tmp_path / "settings")
+
+    def _append(spec):
+        df = spark.createDataFrame(_obs_rows(spec), schema=OBSERVATIONS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def _run_once():
+        q = watchlist_hits_stream_live(
+            read_observation_stream(spark, src), settings, out, ck
+        )
+        q.awaitTermination(180)
+
+    update_settings(spark, settings, [("AAA", "suspect")], "mac STRING, tag STRING")
+    _append([(0, "AAA", "s1"), (1, "BBB", "s2")])
+    _run_once()
+    got1 = {r.mac for r in spark.read.parquet(out).collect()}
+    assert got1 == {"AAA"}  # BBB not on the list yet
+
+    # remote-admin edit while the pipeline keeps running: add BBB
+    update_settings(
+        spark, settings, [("AAA", "suspect"), ("BBB", "suspect")], "mac STRING, tag STRING"
+    )
+    _append([(5, "AAA", "s1"), (6, "BBB", "s2"), (7, "CCC", "s3")])
+    _run_once()
+    got2 = sorted((r.mac, int(r.ts.minute)) for r in spark.read.parquet(out).collect())
+    assert ("BBB", 6) in got2  # new list entry matched post-edit
+    assert ("CCC", 7) not in [(m, t) for m, t in got2]
+    assert ("BBB", 1) not in got2  # pre-edit batch was matched with old list
