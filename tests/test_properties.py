@@ -148,3 +148,36 @@ def test_sliding_window_stream(spark, tmp_path):
     # the 10:05 event is covered by the 09:30 and 10:00 sliding windows
     starts = sorted(r.window_start.strftime("%H:%M") for r in got)
     assert "09:30" in starts and "10:00" in starts
+
+
+def test_scalable_row_number_property(spark):
+    """Property: the two-pass bucketed rank equals a global-window
+    row_number for adversarial value distributions — heavy duplicates,
+    extreme skew (90% one value), negatives, and tiny/large bucket counts."""
+    from pyspark.sql import Window
+
+    from ssidentity_spark.operators.analytics import scalable_global_row_number
+
+    rng = np.random.default_rng(99)
+    dists = [
+        rng.normal(0, 1, 500),  # smooth
+        np.repeat(rng.normal(0, 1, 5), 100),  # 5 distinct values x 100
+        np.concatenate([np.zeros(450), rng.uniform(1e6, 2e6, 50)]),  # skew
+        rng.integers(-5, 5, 500).astype(float),  # integer-valued, negative
+    ]
+    for di, xs in enumerate(dists):
+        rows = [(int(i), float(x)) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "k BIGINT, x DOUBLE")
+        for n_buckets in (2, 16, 256):
+            got = {
+                r.k: r.rn
+                for r in scalable_global_row_number(
+                    df, ["x", "k"], n_buckets=n_buckets
+                ).collect()
+            }
+            w = Window.orderBy("x", "k")
+            want = {
+                r.k: r.rn
+                for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+            }
+            assert got == want, f"dist={di} buckets={n_buckets}"
