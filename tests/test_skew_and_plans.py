@@ -76,10 +76,18 @@ def test_dimension_joins_broadcast(spark):
     from ssidentity_spark.registry import all_queries
 
     sf = "/root/testdata/sf0.001"
-    for name in ["j1_region_revenue", "j2_supplier_volume", "j1_brand_pricing"]:
+    for name in [
+        "j1_region_revenue",
+        "j2_supplier_volume",
+        "j1_brand_pricing",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_profit_by_nation",
+    ]:
         plan = _plan(all_queries()[name](spark, sf))
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
 
 
 def test_q1_pushdown_and_pruning(spark):
