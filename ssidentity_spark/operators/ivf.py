@@ -55,6 +55,55 @@ def train_centroids(
     return cent
 
 
+def train_centroids_distributed(
+    em: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus — the scale path
+    past ``train_centroids``'s bounded driver sample (which caps training
+    input at 4096 vectors; fine for model *quality* at small SF, but a
+    100 TB corpus wants training to see all of it without moving it).
+
+    Spark-first split per iteration:
+    - **assign**: the same vectorized Pandas-UDF argmin as search-time
+      assignment (one numpy matmul per Arrow batch, centroids shipped in
+      the closure — model is broadcast-sized by contract, k × dims).
+    - **update**: JVM-native ``posexplode`` → groupBy(cell, dim) partial+
+      final ``avg`` — one shuffle of k × dims groups; only the k × dims
+      model rows are collected to the driver, never the corpus.
+
+    Determinism: seeds are the first ``k`` vectors in vec_id order (no
+    RNG), and the elementwise mean is Spark's fixed-plan aggregate, so two
+    runs over the same data produce identical models. Empty cells keep
+    their previous centroid (same rule as the sampled trainer).
+
+    ``pyspark.ml.clustering.KMeans`` is the library alternative; this
+    hand-rolled loop keeps the deterministic seeding + no-UDT contract and
+    stays dependency-light.
+    """
+    seeds = em.orderBy("vec_id").limit(k).select("embedding").collect()
+    cent = np.array([r.embedding for r in seeds], dtype=np.float64)
+    base = em.select("vec_id", "embedding").persist()
+    try:
+        base.count()  # materialize once; every iteration rescans the cache
+        for _ in range(iters):
+            means = (
+                assign_cells(base, cent)
+                .select("cell", F.posexplode("embedding").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            new = cent.copy()
+            for r in means:
+                new[r.cell][r.pos] = r.m
+            cent = new
+    finally:
+        base.unpersist()
+    return cent
+
+
 def assign_cells(em: DataFrame, centroids: np.ndarray) -> DataFrame:
     """Vectorized cell assignment: argmin L2 distance per Arrow batch."""
     cent = centroids  # captured; shipped once per task via closure pickle

@@ -235,6 +235,26 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(em, cents, list(range(N_QUERIES)), top_k=TOP_K, n_probes=4)
 
 
+@register(
+    "sim_ivf_topk_distributed",
+    oracle=None,  # iterative k-means — not SQL-expressible; trainer
+    # equivalence + full-probe exactness are property-tested (tests/test_ivf.py)
+    survey="U5",
+)
+def sim_ivf_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the DISTRIBUTED trainer: Lloyd's over the full corpus
+    (posexplode + groupBy mean per iteration — only the k × dims model ever
+    reaches the driver). The scale path when the corpus outgrows
+    ``train_centroids``'s 4096-vector driver sample; same probe-limited
+    search as ``sim_ivf_topk``."""
+    from ssidentity_spark.io import load_table as _lt
+    from ssidentity_spark.operators.ivf import ivf_topk, train_centroids_distributed
+
+    em = _lt(spark, sf_dir, "embeddings")
+    cents = train_centroids_distributed(em, k=16, iters=3)
+    return ivf_topk(em, cents, list(range(N_QUERIES)), top_k=TOP_K, n_probes=4)
+
+
 # ---------------------------------------------------------------------------
 # Label-centroid similarity — groupwise vector aggregation (UDAF-shaped work
 # done with native array aggregation: element-wise sum via explode+pivot-free

@@ -9,7 +9,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table
-from ssidentity_spark.operators.ivf import assign_cells, ivf_topk, train_centroids
+from ssidentity_spark.operators.ivf import (
+    assign_cells,
+    ivf_topk,
+    train_centroids,
+    train_centroids_distributed,
+)
 
 SF = "/root/testdata/sf0.001"
 K = 8
@@ -43,6 +48,35 @@ def test_full_probe_equals_bruteforce(spark, em, centroids):
     from ssidentity_spark.registry import all_queries
 
     ivf = ivf_topk(em, centroids, QUERIES, top_k=5, n_probes=K)
+    brute = (
+        all_queries()["sim_topk_bruteforce"](spark, SF)
+        .filter(F.col("query_id").isin(QUERIES))
+    )
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_distributed_training_deterministic(em):
+    a = train_centroids_distributed(em, k=K, iters=3)
+    b = train_centroids_distributed(em, k=K, iters=3)
+    assert np.array_equal(a, b)
+
+
+def test_distributed_matches_sampled_when_sample_is_full_corpus(em):
+    """At this SF the sampled trainer's 4096 cap covers the whole corpus, so
+    both trainers run Lloyd's on identical data from identical seeds — the
+    models must agree up to float summation order (Spark's avg vs numpy
+    mean accumulate in different orders)."""
+    assert em.count() <= 4096
+    sampled = train_centroids(em, k=K, iters=3)
+    distributed = train_centroids_distributed(em, k=K, iters=3)
+    assert np.allclose(sampled, distributed, atol=1e-9)
+
+
+def test_full_probe_equals_bruteforce_distributed(spark, em):
+    from ssidentity_spark.registry import all_queries
+
+    cents = train_centroids_distributed(em, k=K, iters=3)
+    ivf = ivf_topk(em, cents, QUERIES, top_k=5, n_probes=K)
     brute = (
         all_queries()["sim_topk_bruteforce"](spark, SF)
         .filter(F.col("query_id").isin(QUERIES))
