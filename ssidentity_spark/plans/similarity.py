@@ -142,6 +142,7 @@ def lsh_topk(
     n_queries: int = N_QUERIES,
     top_k: int = TOP_K,
     n_bands: int = 1,
+    n_flips: int = 0,
 ) -> DataFrame:
     """Sign-random-projection bucketed top-k.
 
@@ -149,9 +150,18 @@ def lsh_topk(
     bucket population (cost) and lowers recall. ``n_bands > 1`` switches to
     the OR-construction: ``n_bands`` independent bucket tables, candidates =
     union of same-bucket mates across bands — each band multiplies cost and
-    lifts recall (1-(1-p^proj)^bands). The measured recall-vs-cost curve
-    lives in SCALE.md; the registered ``sim_lsh_bucketed`` query is the
-    single-band variant (its DuckDB oracle pins that shape)."""
+    lifts recall (1-(1-p^proj)^bands). ``n_flips > 0`` is MULTI-PROBE
+    (Lv et al., VLDB'07): each query additionally probes the buckets at
+    Hamming distance 1 obtained by flipping the ``n_flips`` sign bits whose
+    projection margin |proj| is smallest — the bits most likely to disagree
+    with a true neighbor — lifting recall with only the QUERY side
+    exploded (corpus signatures and partitioning untouched, so at 100 TB
+    the extra cost is n_flips more broadcast probe rows per query, not a
+    corpus rescan). Margins are rounded to 6 dp before ranking (ties →
+    bit index) so both engines pick identical flip sets. The measured
+    recall-vs-cost curve lives in SCALE.md; the registered
+    ``sim_lsh_bucketed`` query is the single-band single-probe variant
+    (its DuckDB oracle pins that shape)."""
     base = _norm_vec(em)
 
     def proj_expr(j: int):
@@ -166,27 +176,33 @@ def lsh_topk(
             lambda acc, x: acc + x,
         )
 
-    def band_bucket(band: int):
-        bucket = None
-        for r in range(n_proj):
-            bit = F.when(proj_expr(band * n_proj + r) > 0, F.lit(1 << r)).otherwise(
-                F.lit(0)
-            )
-            bucket = bit if bucket is None else bucket + bit
-        return bucket
-
     bands_arr = F.array(
         *[
-            F.struct(F.lit(band).alias("band"), band_bucket(band).alias("bucket"))
+            F.struct(
+                F.lit(band).alias("band"),
+                F.array(
+                    *[proj_expr(band * n_proj + r) for r in range(n_proj)]
+                ).alias("projs"),
+            )
             for band in range(n_bands)
         ]
     )
-    sig = base.select("vec_id", "v", "nrm", F.explode(bands_arr).alias("bb")).select(
-        "vec_id",
-        "v",
-        "nrm",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+    bucket_expr = None
+    for r in range(n_proj):
+        bit = F.when(F.element_at("projs", r + 1) > 0, F.lit(1 << r)).otherwise(
+            F.lit(0)
+        )
+        bucket_expr = bit if bucket_expr is None else bucket_expr + bit
+    sig = (
+        base.select("vec_id", "v", "nrm", F.explode(bands_arr).alias("bb"))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.col("bb.band").alias("band"),
+            F.col("bb.projs").alias("projs"),
+        )
+        .withColumn("bucket", bucket_expr)
     )
     queries = sig.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -194,7 +210,31 @@ def lsh_topk(
         F.col("nrm").alias("qnrm"),
         F.col("band").alias("qband"),
         F.col("bucket").alias("qbucket"),
+        "projs",
     )
+    if n_flips:
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(F.abs(F.element_at("projs", r + 1)), 6).alias("am"),
+                        # bit mask, not bit index: 1<<r is monotone in r so
+                        # tie-breaks sort identically, and XOR takes it directly
+                        F.lit(1 << r).alias("mask"),
+                    )
+                    for r in range(n_proj)
+                ]
+            )
+        )
+        flips = F.transform(
+            F.slice(margins, 1, n_flips),
+            lambda s: F.col("qbucket").bitwiseXOR(s["mask"]),
+        )
+        queries = queries.withColumn(
+            "qbucket",
+            F.explode(F.concat(F.array(F.col("qbucket")), flips)),
+        )
+    queries = queries.drop("projs")
     scored = (
         sig.join(
             F.broadcast(queries),
@@ -216,6 +256,57 @@ def lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= top_k)
         .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+N_FLIPS = 3  # multi-probe: flip the 3 lowest-margin sign bits per query
+
+
+@register(
+    "sim_lsh_multiprobe",
+    oracle=f"""
+    WITH {_DUCK_VEC}, sig AS (
+      SELECT vec_id, v, nrm,
+             [{", ".join(_proj_coeff_sql(j) for j in range(N_PROJ))}] AS projs
+      FROM n
+    ), sig2 AS (
+      SELECT vec_id, v, nrm, projs,
+             list_sum(list_transform(generate_series(1, {N_PROJ}),
+                      r -> CASE WHEN projs[r] > 0 THEN (1 << (r - 1)) ELSE 0 END)) AS bucket
+      FROM sig
+    ), qp AS (
+      SELECT vec_id, v, nrm,
+             list_prepend(bucket,
+               list_transform(
+                 list_slice(
+                   list_sort(list_transform(generate_series(1, {N_PROJ}),
+                             r -> {{'am': round(abs(projs[r]), 6), 'r': r - 1}})),
+                   1, {N_FLIPS}),
+                 s -> xor(bucket, (1 << s.r)))) AS probes
+      FROM sig2 WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM qp q JOIN sig2 c
+        ON list_contains(q.probes, c.bucket) AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    survey="U5",
+)
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: same bucket table as ``sim_lsh_bucketed``, but
+    each query also probes the Hamming-1 buckets from flipping its
+    ``N_FLIPS`` lowest-margin sign bits — higher recall for n_flips extra
+    probe rows per query, corpus side untouched."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        em, n_proj=N_PROJ, n_queries=N_QUERIES, top_k=TOP_K, n_flips=N_FLIPS
     )
 
 

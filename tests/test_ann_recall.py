@@ -61,6 +61,28 @@ def test_lsh_banding_lifts_recall(spark, truth):
     assert cand < N_QUERIES * (n - 1) * 0.5  # bounded: <50% of brute force
 
 
+def test_multiprobe_candidates_superset_and_recall_monotone(spark, truth):
+    """Multi-probe candidates strictly contain the single-probe candidates
+    (probe set = original bucket + flips), so per-query results can only
+    improve: recall is monotone in n_flips and the candidate count stays
+    bounded by (1 + n_flips) x the per-bucket population."""
+    em = load_table(spark, SF_DIR, "embeddings")
+    n = em.count()
+    single_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(em, n_proj=8, top_k=10**9).collect()
+    }
+    multi_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(em, n_proj=8, top_k=10**9, n_flips=3).collect()
+    }
+    assert single_pairs <= multi_pairs
+    r_single = _recall(truth, _topk_sets(lsh_topk(em, n_proj=8)))
+    r_multi = _recall(truth, _topk_sets(lsh_topk(em, n_proj=8, n_flips=3)))
+    assert r_multi >= r_single
+    assert len(multi_pairs) < N_QUERIES * (n - 1) * 0.5  # still bounded
+
+
 def test_lsh_recall_high_in_near_dup_regime(spark):
     """Sign-projection LSH is built for the near-dup operating point
     (cos -> 1 => per-bit collision -> 1): with planted ~0.98-cosine

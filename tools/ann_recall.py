@@ -56,11 +56,26 @@ def main() -> None:
     print("| method | setting | recall@5 | scored pairs | vs brute |")
     print("|---|---|---|---|---|")
 
-    for n_bands, n_proj in [(1, 4), (1, 6), (1, 8), (4, 4), (4, 6), (8, 6), (8, 8)]:
-        got = _topk_sets(lsh_topk(em, n_proj=n_proj, n_bands=n_bands))
-        cand = lsh_topk(em, n_proj=n_proj, n_bands=n_bands, top_k=10**9).count()
+    for n_bands, n_proj, n_flips in [
+        (1, 4, 0),
+        (1, 6, 0),
+        (1, 8, 0),
+        (1, 8, 1),
+        (1, 8, 3),
+        (1, 8, 5),
+        (4, 4, 0),
+        (4, 6, 0),
+        (8, 6, 0),
+        (8, 8, 0),
+        (4, 8, 3),
+    ]:
+        kw = dict(n_proj=n_proj, n_bands=n_bands, n_flips=n_flips)
+        got = _topk_sets(lsh_topk(em, **kw))
+        cand = lsh_topk(em, top_k=10**9, **kw).count()
         r = recall_at_k(truth, got)
         label = f"{n_bands} band(s) x {n_proj} bits"
+        if n_flips:
+            label += f" + {n_flips} probes"
         print(f"| LSH | {label} | {r:.2f} | {cand} | {cand / brute_cost:.1%} |")
 
     cents = train_centroids(em, k=16, iters=3)
