@@ -33,6 +33,7 @@ from ssidentity_spark.plans import (  # noqa: F401
     text,
     tpch,
     tpch2,
+    tpch3,
 )
 from ssidentity_spark.registry import REGISTRY
 
@@ -55,13 +56,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j9_q16_supplier_variety",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    # events analytics: aggregation families
+    # third-wave TPC-H shapes (tpch3): Q12 fact-fact residual, Q13 outer
+    # join + two-level agg, Q19 disjunctive pushdown, Q22 threshold + anti
+    "tpch_q12_late_priority",
+    "tpch_q13_custdist",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # events analytics: aggregation families (a3/a6/a9-rollup/mm-metadata
+    # parked with r01 driver-green rows on file to make room for tpch3)
     "a2_habitual_hour",
-    "a3_network_tree",
     "a4_distinct_pairs",
-    "a6_value_stats",
     "a8_approx_quantiles",
-    "a9_rollup_type_hour",
     "pivot_user_type_matrix",
     "a10_heavy_hitters",
     # set ops / ordering
@@ -94,7 +99,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_langid",
     "text_bigram_profile",
     # LLM-pipeline: multimodal binary columns
-    "mm_binary_metadata",
     "mm_decoded_features",
     # scalar-function surface
     "d1_fspl_distance",
