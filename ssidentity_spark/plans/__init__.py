@@ -26,6 +26,7 @@ from ssidentity_spark.plans import (  # noqa: F401
     dedup,
     extras,
     multimodal,
+    pipeline,
     reference_pipeline,
     scalars,
     similarity,
@@ -34,6 +35,7 @@ from ssidentity_spark.plans import (  # noqa: F401
     tpch,
     tpch2,
     tpch3,
+    tpch4,
 )
 from ssidentity_spark.registry import REGISTRY
 
@@ -50,18 +52,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j1_region_revenue",
     "j9_q3_top_orders",
     "j9_q5_local_supplier_volume",
-    "j3_customers_without_orders",
     "j8_cross_region_nation",
     "w1_distribution_ranks",
     "j9_q16_supplier_variety",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
     # third-wave TPC-H shapes (tpch3): Q12 fact-fact residual, Q13 outer
     # join + two-level agg, Q19 disjunctive pushdown, Q22 threshold + anti
     "tpch_q12_late_priority",
     "tpch_q13_custdist",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_global_sales_opportunity",
+    # fourth-wave TPC-H shapes (tpch4): Q15 view+max join-back, Q17
+    # decorrelated per-key average, Q21 window-decorrelated EXISTS pair
+    # (q11/q20/q8/j3-anti stay registered past the window — every §2 row
+    # they evidence is carried by a windowed sibling)
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_suppliers",
     # events analytics: aggregation families (a3/a6/a9-rollup/mm-metadata
     # parked with r01 driver-green rows on file to make room for tpch3)
     "a2_habitual_hour",
@@ -79,15 +86,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # non-equi joins
     "j4_range_join_funnel",
     "j5_asof_last_login",
-    # LLM-pipeline: dedup family (all first-class)
+    # LLM-pipeline: dedup family (signature-only and verify-stage variants
+    # — minhash_signatures/simhash/jaccard_topk — parked with r01
+    # driver-green rows on file; the windowed pair-generation queries
+    # exercise those signatures end-to-end)
     "dedup_exact",
-    "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_jaccard_topk",
     "dedup_embedding_cosine",
     "dedup_cc_clusters",
+    # LLM-pipeline: training-data preparation (clean/dedup gate + int8
+    # embedding quantization; split/stratified-sample variants parked)
+    "pipe_docs_clean",
+    "pipe_embed_quantize",
     # LLM-pipeline: similarity search
     "sim_topk_bruteforce",
     "sim_lsh_bucketed",

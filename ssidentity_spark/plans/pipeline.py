@@ -1,0 +1,241 @@
+"""Training-data pipeline operators over ``documents`` / ``embeddings`` —
+the corpus-preparation surface a 100 TB LLM data pipeline runs between raw
+ingest and training: deterministic splits, stratified sampling, the
+C4-style clean/dedup gate, and embedding compression.
+
+Everything is pure Column expressions (JVM, codegen): the only shuffles are
+the per-key windows (dedup keep-first, per-language sample), each keyed on
+a bounded-cardinality or hash-distributed column. Determinism matters more
+than randomness here — re-running the pipeline on the same corpus must
+yield the same split/sample (reproducible training sets), so "random" is
+md5 of the stable document id, never rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ssidentity_spark.io import load_table
+from ssidentity_spark.plans.text import _STOPWORDS
+from ssidentity_spark.registry import register
+
+# hex-prefix thresholds over md5(doc_id): 0x00-0xe5 train (~89.8%),
+# 0xe6-0xf2 val (~5.1%), 0xf3-0xff test (~5.1%). String comparison on the
+# first two hex chars is engine-portable (no integer-parsing builtins
+# needed) and uniform because md5 is.
+_TRAIN_LT = "e6"
+_VAL_LT = "f3"
+
+
+def _doc_hash():
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# EXT-pipeline — deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_LT}'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_LT}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    survey="EXT-pipeline,D7",
+)
+def pipe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split: a narrow map, zero shuffles. The split follows the
+    document wherever it is processed (any executor recomputes the same
+    assignment from doc_id alone), so train/test separation survives
+    repartitioning, backfills, and incremental corpus growth — unlike
+    rand()-based splits, which leak across reruns."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(_doc_hash(), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(prefix < _TRAIN_LT, "train")
+        .when(prefix < _VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT-pipeline — stratified per-language sample
+# ---------------------------------------------------------------------------
+
+_SAMPLE_PER_LANG = 20
+
+
+@register(
+    "pipe_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      FROM documents
+    ) WHERE rk <= {_SAMPLE_PER_LANG}
+    """,
+    survey="EXT-pipeline,W1",
+)
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota stratified sample: rank documents inside each language
+    by their id hash (a deterministic uniform shuffle) and keep the first
+    N. One shuffle on ``lang``; per-language state is a single counter, so
+    skewed strata stream through without materializing. For
+    fraction-quotas at scale, the same hash can threshold directly
+    (``hash < frac``) with no window at all — this query keeps the exact-N
+    variant the oracle can mirror."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_doc_hash())
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _SAMPLE_PER_LANG)
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT-pipeline — C4-style clean/dedup verdict per document
+# ---------------------------------------------------------------------------
+
+_MIN_WORDS, _MAX_WORDS = 5, 1000
+_STOP_LO, _STOP_HI = 0.01, 0.6
+
+
+@register(
+    "pipe_docs_clean",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\\s+') AS w,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+      FROM documents
+    ), r AS (
+      SELECT doc_id, w,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN dup_rank > 1 THEN 'dup'
+                WHEN len(w) < {_MIN_WORDS} THEN 'short'
+                WHEN len(w) > {_MAX_WORDS} THEN 'long'
+                WHEN CAST(len(list_filter(w, x -> list_contains({list(_STOPWORDS)}, x)))
+                          AS DOUBLE) / len(w) NOT BETWEEN {_STOP_LO} AND {_STOP_HI}
+                  THEN 'quality'
+                ELSE 'ok' END AS verdict
+    FROM r
+    """,
+    survey="EXT-pipeline,EXT-dedup,U6",
+)
+def pipe_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleanup gate as ONE pass: normalized-text exact dedup
+    (keep-first by doc_id), length bounds, and stopword-ratio quality in a
+    single verdict column, so a 100 TB corpus is scanned once and shuffled
+    once (on the content fingerprint) instead of once per filter stage.
+    Downstream stages filter ``verdict = 'ok'``; the labeled rejects are
+    the audit trail quality iteration needs (how much did each gate cut?).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.size(w)
+    )
+    ranked = d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        F.row_number()
+        .over(Window.partitionBy(fp).orderBy("doc_id"))
+        .alias("dup_rank"),
+    )
+    verdict = (
+        F.when(F.col("dup_rank") > 1, "dup")
+        .when(F.col("n_words") < _MIN_WORDS, "short")
+        .when(F.col("n_words") > _MAX_WORDS, "long")
+        .when(
+            ~F.col("stop_ratio").between(_STOP_LO, _STOP_HI), "quality"
+        )
+        .otherwise("ok")
+    )
+    return ranked.select("doc_id", verdict.alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# EXT-pipeline — int8 embedding quantization (compression + error audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_embed_quantize",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS s,
+             len(embedding) AS dim
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(CAST(s AS DOUBLE), 6) AS scale,
+           CASE WHEN s > 0 THEN CAST(list_aggregate(
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / s) AS BIGINT)),
+                  'sum') AS BIGINT)
+                ELSE 0 END AS q_checksum,
+           CASE WHEN s > 0 THEN round(list_aggregate(
+                  list_transform(embedding,
+                    x -> (CAST(x AS DOUBLE)
+                          - round(CAST(x AS DOUBLE) * 127.0 / s) * s / 127.0) ** 2),
+                  'sum') / dim, 9)
+                ELSE 0.0 END AS mse
+    FROM t
+    """,
+    survey="EXT-pipeline,U5,D7",
+)
+def pipe_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization, the standard 4× shrink before
+    ANN indexing: per-vector absmax scale, codes = round(x*127/scale).
+    All array math is native transform/aggregate (JVM codegen — no Python,
+    no shuffle; at 100 TB this is a narrow rewrite of the embedding
+    column). The query audits the compression instead of shipping the code
+    arrays (driver contract: no array outputs): an exact integer checksum
+    of the codes pins the quantizer bit-for-bit across engines, and the
+    per-vector reconstruction MSE is the quality metric a pipeline would
+    alert on. Integer checksum is order-exact; MSE rounds at 1e-9 with
+    terms ~1e-23 apart, so cross-engine summation order cannot move it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    s = F.array_max(F.transform(emb, lambda x: F.abs(xd(x))))
+    dim = F.size(emb)
+    qsum = F.aggregate(
+        F.transform(emb, lambda x: F.round(xd(x) * 127.0 / s).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    sq_err = F.aggregate(
+        F.transform(
+            emb,
+            lambda x: F.pow(xd(x) - F.round(xd(x) * 127.0 / s) * s / 127.0, F.lit(2)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return e.select(
+        "vec_id",
+        F.round(s.cast("double"), 6).alias("scale"),
+        F.when(s > 0, qsum).otherwise(F.lit(0).cast("bigint")).alias("q_checksum"),
+        F.when(s > 0, F.round(sq_err / dim, 9)).otherwise(0.0).alias("mse"),
+    )
