@@ -21,6 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ssidentity_spark.registry import bench_queries  # noqa: E402
 from ssidentity_spark.session import cpu_count, get_spark  # noqa: E402
 
+# Recorded per-query seconds from the previous round's BENCH artifact
+# (BENCH_r01.json, sf0.1) — emitted alongside fresh numbers so each round's
+# artifact carries its own regression context (>1.3x flags a plan change).
+PREV_ROUND = {
+    "dedup_exact": 0.247,
+    "flagship_hourly_top_types": 0.537,
+    "j1_region_revenue": 1.078,
+    "j4_range_join_funnel": 0.387,
+    "j9_q3_top_orders": 0.756,
+    "sim_topk_bruteforce": 0.509,
+    "text_token_stats": 0.240,
+    "tpch_q1_pricing_summary": 0.379,
+    "tpch_q6_forecast_revenue": 0.267,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,6 +65,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    ratios = {
+        name: round(t / PREV_ROUND[name], 2)
+        for name, t in timings.items()
+        if name in PREV_ROUND
+    }
     print(
         json.dumps(
             {
@@ -58,6 +78,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "prev_round": PREV_ROUND,
+                "ratio_vs_prev": ratios,
+                "regressions_over_1.3x": sorted(
+                    n for n, r in ratios.items() if r > 1.3
+                ),
             }
         )
     )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -104,38 +105,64 @@ def resize_stub(df: DataFrame, max_px: int = 256) -> DataFrame:
     return df.mapInPandas(_resize, schema=df.schema)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling shape: one row in → N frame rows out (flatMap
-    via mapInPandas). Emits a single synthetic 'frame' per payload here."""
-    out_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("frame_idx", IntegerType()),
-            StructField("frame_bytes", LongType()),
-        ]
-    )
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_pfx_hex", StringType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 32, stride: int = 4, pfx_bytes: int = 8
+) -> DataFrame:
+    """Video frame-sampling shape: one payload row in → N sampled-frame rows
+    out (a flatMap, expressed through mapInPandas so the fan-out happens
+    inside the Arrow batch, never on the driver).
+
+    The payload is treated as a sequence of fixed-size ``frame_bytes``
+    frames; every ``stride``-th frame is emitted with a hex prefix of its
+    leading bytes (what a real pipeline would replace with a decoded
+    thumbnail / phash). Trailing partial frames are dropped — the same
+    convention a fixed-GOP video sampler uses. Output is scalar-typed so
+    the fan-out is oracle-checkable byte-for-byte (``mm_frame_sample``)."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            pfxs: list[str] = []
+            totals: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    start = i * frame_bytes
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    pfxs.append(b[start : start + pfx_bytes].hex().upper())
+                    totals.append(n_frames)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "frame_idx": pd.Series([0] * len(pdf), dtype="int32"),
-                    "frame_bytes": pdf["payload"].map(lambda p: len(bytes(p))).astype(
-                        "int64"
-                    ),
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_pfx_hex": pd.Series(pfxs, dtype="object"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
                 }
             )
 
-    return df.mapInPandas(_sample, schema=out_schema)
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
 __all__ = [
     "FEATURE_SCHEMA",
+    "FRAME_SCHEMA",
     "decode_image",
     "decode_audio",
     "fake_decode",
     "extract_features",
     "resize_stub",
-    "frame_sample_stub",
+    "sample_frames",
 ]

@@ -65,6 +65,36 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             upper(hex(encode(text))) AS h,
+             CAST(octet_length(encode(text)) // 32 AS INTEGER) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           substr(h, CAST(i AS BIGINT) * 64 + 1, 16) AS frame_pfx_hex,
+           n_frames
+    FROM t, unnest(generate_series(0, n_frames - 1, 4)) AS u(i)
+    """,
+    survey="EXT-multimodal,U1,U4",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: every 4th 32-byte
+    'frame', one output row per sampled frame (a 1→N flatMap inside the
+    Arrow batch — the mapInPandas shape a real GOP sampler would use). The
+    oracle mirrors the byte math on the hex encoding, so the fan-out row
+    set AND the sampled bytes are hash-checked, not just counted."""
+    from ssidentity_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(with_payload, frame_bytes=32, stride=4, pfx_bytes=8)
+
+
+@register(
     "mm_decoded_features",
     oracle="""
     SELECT doc_id,

@@ -229,6 +229,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# U6 — tf-idf top terms per document (SURVEY §2.9: "tf-idf-ish counts")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC,
+                        tf.term) AS rk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rk <= 3
+    """,
+    survey="U6,A6,W1",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic tf-idf, all relational: explode → per-(doc, term) counts →
+    per-term document frequency → idf join → per-doc top-3 by score. Three
+    keyed shuffles (doc×term, term, doc), each hash-distributed — the same
+    plan at corpus scale; the scalar doc count is a 1-row broadcast. Rank
+    uses the raw double score with a term tiebreak (equal (tf, df) pairs
+    produce bit-identical scores in both engines, so the tiebreak is the
+    only ordering authority within ties); the emitted score rounds to 6dp
+    for hash stability."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_words()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    raw = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    win = Window.partitionBy("doc_id").orderBy(F.desc(raw), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", F.round(raw, 6).alias("score"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # U4/U6 — n-gram profile per language (explode → count → rank): the
 # "UDTF" surface expressed with built-in explode/transform.
 # ---------------------------------------------------------------------------

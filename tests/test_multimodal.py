@@ -12,8 +12,8 @@ from ssidentity_spark.operators.multimodal import (
     decode_image,
     extract_features,
     fake_decode,
-    frame_sample_stub,
     resize_stub,
+    sample_frames,
 )
 
 
@@ -50,10 +50,20 @@ def test_resize_roundtrip_schema(payloads):
     assert out.count() == payloads.count()
 
 
-def test_frame_sample_shape(payloads):
-    rows = {r.doc_id: r for r in frame_sample_stub(payloads).collect()}
-    assert rows[2].frame_bytes == 13
-    assert all(r.frame_idx == 0 for r in rows.values())
+def test_frame_sample_fanout(payloads):
+    # frame size 4, stride 2: doc 1 (11 bytes → 2 frames) samples frame 0;
+    # doc 2 (13 bytes → 3 frames) samples frames 0 and 2; doc 3 (empty) none
+    rows = sample_frames(payloads, frame_bytes=4, stride=2, pfx_bytes=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0]
+    assert sorted(r.frame_idx for r in by_doc[2]) == [0, 2]
+    assert 3 not in by_doc
+    d2 = {r.frame_idx: r for r in by_doc[2]}
+    assert d2[0].frame_pfx_hex == b"\x10\x20bi".hex().upper()
+    assert d2[2].frame_pfx_hex == b"\x00blo".hex().upper()
+    assert all(r.n_frames == 3 for r in by_doc[2])
 
 
 def test_binary_column_survives_shuffle(payloads):
