@@ -346,6 +346,52 @@ def sim_ivf_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(em, cents, list(range(N_QUERIES)), top_k=TOP_K, n_probes=4)
 
 
+@register(
+    "sim_pq_adc_topk",
+    oracle=None,  # iterative per-subspace k-means — not SQL-expressible;
+    # ADC lookup path is verified bit-exact against numpy and the near-dup
+    # recall bar is pinned in tests/test_pq.py
+    survey="U5",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 64-dim floats become
+    m=8 4-bit codes (64× compression), queries score codes JVM-side via a
+    broadcast per-query lookup table (ADC). The memory-compression axis of
+    the similarity stack — measured recall/MSE trade in SCALE.md (low
+    recall in this corpus's mid-similarity regime, ~1.0 on near-dups —
+    the compression is for candidate generation + re-rank, not final
+    ranking)."""
+    from ssidentity_spark.io import load_table as _lt
+    from ssidentity_spark.operators.pq import pq_adc_topk, train_codebooks
+
+    em = _lt(spark, sf_dir, "embeddings")
+    books = train_codebooks(em, m=8, k=16, iters=5)
+    return pq_adc_topk(em, books, list(range(N_QUERIES)), top_k=TOP_K)
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=None,  # iterative trainers — not SQL-expressible; full-probe
+    # equivalence to plain PQ-ADC is property-tested (tests/test_pq.py)
+    survey="U5",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ (operators/pq.py:ivf_pq_topk) — the billion-scale ANN
+    layout: coarse cells prune the scan to ~n_probes/k of the corpus, PQ
+    codes shrink what is scanned 64×. The equi-join on cell id keeps
+    candidate generation a broadcast hash join; ADC stays JVM-side."""
+    from ssidentity_spark.io import load_table as _lt
+    from ssidentity_spark.operators.ivf import train_centroids
+    from ssidentity_spark.operators.pq import ivf_pq_topk, train_codebooks
+
+    em = _lt(spark, sf_dir, "embeddings")
+    cents = train_centroids(em, k=16, iters=3)
+    books = train_codebooks(em, m=8, k=16, iters=5)
+    return ivf_pq_topk(
+        em, cents, books, list(range(N_QUERIES)), top_k=TOP_K, n_probes=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Label-centroid similarity — groupwise vector aggregation (UDAF-shaped work
 # done with native array aggregation: element-wise sum via explode+pivot-free
