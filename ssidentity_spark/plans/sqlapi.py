@@ -39,6 +39,54 @@ def sql_api_daily_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_api_source_quality_rank",
+    oracle="""
+    WITH q AS (
+      SELECT source,
+             len(string_split_regex(lower(text), '\\s+')) AS n_words
+      FROM documents
+    ), agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS total_words,
+             round(avg(n_words), 4) AS avg_words
+      FROM q GROUP BY 1
+    )
+    SELECT source, n_docs, total_words, avg_words,
+           CAST(row_number() OVER (ORDER BY total_words DESC, source)
+                AS INTEGER) AS rnk
+    FROM agg
+    """,
+    survey="S4,A6,W1",
+)
+def sql_api_source_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text front over the corpus domain: CTE → aggregate → window
+    rank, same Catalyst plan the DataFrame API would produce. The global
+    window is over |sources| = 20 aggregated rows — report-sized by
+    construction, not a data-scale sort."""
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        r"""
+        WITH q AS (
+          SELECT source,
+                 size(split(lower(text), '\\s+')) AS n_words
+          FROM documents
+        ), agg AS (
+          SELECT source,
+                 count(*) AS n_docs,
+                 sum(n_words) AS total_words,
+                 round(avg(n_words), 4) AS avg_words
+          FROM q GROUP BY 1
+        )
+        SELECT source, n_docs, total_words, avg_words,
+               CAST(row_number() OVER (ORDER BY total_words DESC, source)
+                    AS INT) AS rnk
+        FROM agg
+        """
+    )
+
+
+@register(
     "sql_api_nation_order_stats",
     oracle="""
     SELECT n.n_name AS nation,

@@ -117,6 +117,41 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert got.count() == 3  # 2 unique + CCC, duplicates dropped
 
 
+def test_streaming_corpus_cleanup(spark, tmp_path):
+    """EXT-pipeline × T6: the batch cleanup gate on an unbounded stream —
+    quality rejects never reach dedup state; cross-chunk exact dups
+    collapse keep-first; state is watermark-bounded."""
+    import datetime as dt
+
+    from ssidentity_spark.streaming.corpus import (
+        DOCS_STREAM_SCHEMA,
+        clean_documents_stream,
+        read_document_stream,
+    )
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    good_a = "the quick brown fox jumps over a lazy dog"
+    good_b = "a stream of documents flows into the cleanup gate here"
+    chunks = [
+        [(base, 1, good_a), (base, 2, "hi")],  # 2: too short → rejected
+        [
+            (base + dt.timedelta(minutes=1), 3, good_a),  # dup of 1 → dropped
+            (base + dt.timedelta(minutes=1), 4, good_b),
+        ],
+    ]
+    src = str(tmp_path / "docs_src")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cleaned = clean_documents_stream(read_document_stream(spark, src))
+    out = _run(cleaned, tmp_path, "corpus_clean")
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # exactly ONE of the duplicate pair survives (which one is undefined
+    # when both land in the same micro-batch), the short doc never emits
+    assert got in ({1, 4}, {3, 4})
+
+
 def test_session_window_visits(spark, tmp_path):
     """T5: two bursts separated by > gap → two sessions for the device."""
     chunks = [
