@@ -96,6 +96,33 @@ def main() -> None:
         )
     _ = cell_sizes
 
+    # PQ: full scan (ADC costs a LUT lookup-sum per pair, not a dot
+    # product) and the IVF x PQ composition (probe-pruned scan of codes)
+    from ssidentity_spark.operators.pq import ivf_pq_topk, pq_adc_topk, train_codebooks
+
+    for m in (8, 16):
+        books = train_codebooks(em, m=m, k=16, iters=5)
+        got = _topk_sets(pq_adc_topk(em, books, list(range(N_QUERIES)), top_k=TOP_K))
+        r = recall_at_k(truth, got)
+        print(
+            f"| PQ m={m} k=16 | ADC full scan ({m // 2}B packed codes) "
+            f"| {r:.2f} | {brute_cost} (LUT) | 100% of pairs, {512 // m}x "
+            f"less memory |"
+        )
+    books = train_codebooks(em, m=8, k=16, iters=5)
+    for n_probes in (4, 8):
+        got = _topk_sets(
+            ivf_pq_topk(
+                em, cents, books, list(range(N_QUERIES)), top_k=TOP_K, n_probes=n_probes
+            )
+        )
+        r = recall_at_k(truth, got)
+        approx_cand = int(n_probes / 16 * n_corpus * N_QUERIES)
+        print(
+            f"| IVFPQ m=8 | {n_probes} probes | {r:.2f} | ~{approx_cand} (LUT) "
+            f"| {approx_cand / brute_cost:.1%} |"
+        )
+
 
 if __name__ == "__main__":
     main()
