@@ -195,6 +195,59 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_rerank_topk(
+    em: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_ids: list[int],
+    top_k: int = 5,
+    n_probes: int = 4,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """The production ANN layout end-to-end: IVF×PQ generates
+    ``n_candidates`` per query from the compressed probe-pruned scan, then
+    ONLY those rows are re-scored with exact cosine against the full
+    vectors. The expensive reads (full embeddings) touch
+    O(queries × n_candidates) rows instead of the corpus; ADC's ranking
+    error is confined to the candidate boundary, so recall approaches the
+    IVF ceiling at PQ's memory cost. Returns (query_id, neighbor_id, cos,
+    rnk) — same contract as the exact rankers."""
+    cands = ivf_pq_topk(
+        em, centroids, codebooks, query_ids, top_k=n_candidates, n_probes=n_probes
+    ).select("query_id", "neighbor_id")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = em.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    qside = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        base.join(F.broadcast(cands), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qnrm") * F.col("nrm")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def pq_adc_topk(
     em: DataFrame,
     codebooks: np.ndarray,

@@ -392,6 +392,37 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivfpq_rerank_topk",
+    oracle=None,  # iterative trainers — not SQL-expressible; recall bar
+    # and candidate-stage containment are pinned in tests/test_pq.py
+    survey="U5",
+)
+def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN layout end-to-end (operators/pq.py:
+    ivf_pq_rerank_topk): IVF cells prune the scan, PQ codes compress it,
+    exact cosine re-ranks only the ~100 candidates per query. Measured
+    recall@5 0.88 at sf0.01 / 0.80 at sf0.1 vs 0.26 for raw ADC ranking —
+    ADC's error is confined to the candidate boundary while full vectors
+    are read for O(queries × candidates) rows only."""
+    from ssidentity_spark.io import load_table as _lt
+    from ssidentity_spark.operators.ivf import train_centroids
+    from ssidentity_spark.operators.pq import ivf_pq_rerank_topk, train_codebooks
+
+    em = _lt(spark, sf_dir, "embeddings")
+    cents = train_centroids(em, k=16, iters=3)
+    books = train_codebooks(em, m=8, k=16, iters=5)
+    return ivf_pq_rerank_topk(
+        em,
+        cents,
+        books,
+        list(range(N_QUERIES)),
+        top_k=TOP_K,
+        n_probes=4,
+        n_candidates=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Label-centroid similarity — groupwise vector aggregation (UDAF-shaped work
 # done with native array aggregation: element-wise sum via explode+pivot-free

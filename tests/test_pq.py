@@ -128,6 +128,46 @@ def test_ivfpq_probe_limited_is_subset_scored(em, books):
         assert all_pairs[(r.query_id, r.neighbor_id)] == r.approx_cos
 
 
+def test_ivfpq_rerank_recovers_recall(em, books, corpus_np):
+    """Exact re-rank over PQ candidates is the production pattern: recall
+    must beat raw ADC ranking decisively (measured 0.88 vs 0.26 at
+    sf0.01 — pinned at >= 0.8 and strictly greater), and every result
+    must come from the candidate stage."""
+    from ssidentity_spark.operators.pq import ivf_pq_rerank_topk
+
+    ids, xn = corpus_np
+    by_pos = {int(i): j for j, i in enumerate(ids)}
+    truth = {}
+    for q in range(10):
+        cos = xn @ xn[by_pos[q]]
+        order = np.argsort(-cos)
+        truth[q] = set([int(ids[i]) for i in order if ids[i] != q][:5])
+
+    cents = train_centroids(em, k=16, iters=3)
+    qids = list(range(10))
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    def recall(got):
+        return np.mean([len(got.get(q, set()) & set(truth[q])) / 5 for q in qids])
+
+    reranked = topk_sets(
+        ivf_pq_rerank_topk(em, cents, books, qids, top_k=5, n_probes=4, n_candidates=100)
+    )
+    raw = topk_sets(ivf_pq_topk(em, cents, books, qids, top_k=5, n_probes=4))
+    cands = topk_sets(
+        ivf_pq_topk(em, cents, books, qids, top_k=100, n_probes=4)
+    )
+    assert recall(reranked) >= 0.8
+    assert recall(reranked) > recall(raw)
+    for q, neighbors in reranked.items():
+        assert neighbors <= cands[q]
+
+
 def test_pq_recall_high_in_near_dup_regime(spark):
     """Planted ~0.98-cosine duplicate groups quantize to (near-)identical
     codes, so ADC ranks them first: recall@3 ≥ 0.9 (measured 1.0). Same
