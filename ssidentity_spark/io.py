@@ -35,9 +35,12 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Testdata columns stored as parquet TIMESTAMP(NANOS): Spark reads them as
-# LongType under spark.sql.legacy.parquet.nanosAsLong; we convert to real
-# timestamps (nanos→micros truncation == duckdb's µs precision).
+# r1-r2 testdata stored parquet TIMESTAMP(NANOS): Spark reads those as
+# LongType under spark.sql.legacy.parquet.nanosAsLong and we convert to real
+# timestamps (nanos→micros truncation == duckdb's µs precision). The r3
+# regeneration writes naive timestamp[us] (read as TIMESTAMP_NTZ), so the
+# bigint guard below simply never fires — kept so either vintage of the
+# testdata loads correctly.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ssidentity_spark.functions.timeutil import epoch_us
 from ssidentity_spark.io import load_table
 from ssidentity_spark.registry import register
 
@@ -277,6 +278,58 @@ def a8_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a8_exact_percentiles",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q25,
+             quantile_cont(value, 0.50) AS q50,
+             quantile_cont(value, 0.75) AS q75,
+             quantile_cont(value, 0.95) AS q95
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(0.25 AS DOUBLE) AS pct, round(q25, 6) AS v FROM q
+    UNION ALL
+    SELECT event_type, CAST(0.50 AS DOUBLE) AS pct, round(q50, 6) AS v FROM q
+    UNION ALL
+    SELECT event_type, CAST(0.75 AS DOUBLE) AS pct, round(q75, 6) AS v FROM q
+    UNION ALL
+    SELECT event_type, CAST(0.95 AS DOUBLE) AS pct, round(q95, 6) AS v FROM q
+    """,
+    survey="A8",
+)
+def a8_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles — the hash-matchable companion
+    to ``a8_approx_quantiles``: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the same interpolation definition, so rounding
+    to 6 dp makes the pair bit-comparable (the GK sketch next door stays
+    registered as the bounded-memory 100 TB path).
+
+    One shuffle on event_type; the per-group sort that exact percentiles
+    require happens inside the aggregate. Long-form output (event_type,
+    pct, v) — scalar rows, no array columns, per the registry contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        *[
+            F.percentile("value", F.lit(p)).alias(f"q{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pct"), F.col(f"q{int(p * 100)}").alias("v")
+            )
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+    return agg.select("event_type", F.explode(pairs).alias("x")).select(
+        "event_type", F.col("x.pct").alias("pct"), F.round("x.v", 6).alias("v")
+    )
+
+
+@register(
     "a8_approx_distinct_users",
     oracle=None,  # HLL sketch differs between engines by design → rows-only
     survey="A8",
@@ -506,7 +559,7 @@ def w2_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = ev.withColumn(
-        "gap_us", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        "gap_us", epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     )
     return g.groupBy("user_id").agg(
         F.count("gap_us").alias("n_gaps"),
@@ -582,7 +635,7 @@ def w3_rolling_count_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-600_000_000, 0)
     )
     return ev.select("event_id", F.count(F.lit(1)).over(w).alias("n_10min"))
@@ -623,7 +676,7 @@ def w3_rolling_count_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    gap_us = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     flagged = ev.withColumn(
         "new_sess",
         F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
@@ -655,7 +708,7 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
       ON s.user_id = p.user_id
      AND p.ts >= s.ts
-     AND epoch_us(p.ts) - epoch_us(s.ts) <= 1800000000
+     AND p.ts <= s.ts + INTERVAL 30 MINUTE
     GROUP BY 1
     """,
     survey="J4",
@@ -669,11 +722,13 @@ def j4_range_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
+    # native interval comparison (timestamp-type-agnostic, cheaper than
+    # materializing epoch micros on both sides of the band predicate)
     joined = s.join(
         p,
         (s.user_id == p.p_user)
         & (p.p_ts >= s.s_ts)
-        & (F.unix_micros("p_ts") - F.unix_micros("s_ts") <= 1_800_000_000),
+        & (p.p_ts <= s.s_ts + F.expr("INTERVAL 30 MINUTES")),
     )
     return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_conversions"))
 
@@ -712,7 +767,7 @@ def j5_asof_last_login(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_us",
         F.max(
             F.when(
-                F.col("event_type").isin("login", "signup"), F.unix_micros("ts")
+                F.col("event_type").isin("login", "signup"), epoch_us("ts")
             )
         ).over(w),
     )
