@@ -346,6 +346,111 @@ def sim_ivf_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(em, cents, list(range(N_QUERIES)), top_k=TOP_K, n_probes=4)
 
 
+N_PINNED_PROBES = 2
+PINNED_CENT_MOD = 97  # centroid set: vec_id % 97 == 0 → k grows with corpus
+
+
+@register(
+    "sim_ivf_pinned_topk",
+    oracle=f"""
+    WITH {_DUCK_VEC}, cent AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % {PINNED_CENT_MOD} = 0
+    ), ranked AS (
+      SELECT vec_id, v, nrm, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cell_cos DESC, cid) AS rn
+      FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.cid,
+               round(list_sum(list_transform(generate_series(1, len(n.v)),
+                              i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6)
+                 AS cell_cos
+        FROM n CROSS JOIN cent c)
+    ), cells AS (
+      SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM ranked
+      WHERE vec_id < {N_QUERIES} AND rn <= {N_PINNED_PROBES}
+    ), cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+      JOIN cells q ON q.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {TOP_K}
+    """,
+    survey="U5",
+)
+def sim_ivf_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF *search* with PINNED centroids — the hash-matchable twin of
+    ``sim_ivf_topk``: centroids are a deterministic corpus subset
+    (``vec_id % 97 == 0``, so k grows with the corpus like a trained
+    codebook would) instead of Lloyd's-trained, which makes the entire
+    assign → probe → exact-cosine pipeline SQL-expressible and lets the
+    driver hash-verify the search machinery the trained variants reuse.
+
+    Scale shape (identical to operators/ivf.py): assignment is the
+    inherent O(corpus × k) broadcast pass (centroid set is model-sized),
+    one corpus shuffle for the per-vector argmax window, then the probe
+    join prunes scoring to the ≤ n_probes cells each query selected —
+    candidates, not corpus, reach the exact-cosine stage. Cosines are
+    rounded to 6 dp before every rank on both engines; ties break on id.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    base = _norm_vec(em)
+    cent = base.filter(F.col("vec_id") % PINNED_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("cell_cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "v", "nrm", F.col("cid").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PINNED_PROBES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    qv = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 @register(
     "sim_pq_adc_topk",
     oracle=None,  # iterative per-subspace k-means — not SQL-expressible;

@@ -1,14 +1,34 @@
 """The driver records only the FIRST 50 registered queries — these tests pin
 the window so a refactor can't silently push a query family out of the
-driver's correctness artifact again (round-1 regression: alphabetical module
-import order starved tpch/similarity/text of driver rows)."""
+driver's correctness artifact (round-1 regression: alphabetical module
+import order starved tpch/similarity/text of driver rows).
+
+Round 4+: the window ROTATES. Queries the driver has hash-verified green in
+a prior round (CORRECTNESS_r*.json → plans.DRIVER_VERIFIED_HISTORY) may park
+past the window — their green artifact rows are standing evidence — freeing
+slots for queries the driver has never checked. Invariants below enforce
+that rotation strictly GROWS the cumulative driver-verified set:
+§2-row coverage is window ∪ history, parked oracled queries must be in
+history OR redundant, and while never-verified oracled queries remain, the
+window must spend slots on them.
+"""
 
 from __future__ import annotations
 
-from ssidentity_spark.plans import DRIVER_WINDOW, PYTEST_ONLY_SURVEY_ROWS
+import sys
+
+from ssidentity_spark.plans import (
+    DRIVER_VERIFIED_HISTORY,
+    DRIVER_WINDOW,
+    PYTEST_ONLY_SURVEY_ROWS,
+)
 from ssidentity_spark.registry import REGISTRY, all_queries, bench_queries
 
 WINDOW = 50
+# While any oracled query has never been driver-verified, at least this many
+# window slots must go to first-timers (the "rotation grows the cumulative
+# set" guarantee — VERDICT r2 ask #1).
+MIN_FIRST_TIMERS = 10
 
 
 def _survey_rows(spec) -> set[str]:
@@ -33,15 +53,66 @@ def test_every_module_has_a_windowed_query():
     assert windowed_modules == all_modules
 
 
-def test_every_batch_survey_row_has_a_windowed_query():
-    """A query parked past the window must be a redundant variant: every §2
-    row it evidences must also be evidenced by some windowed query."""
-    windowed_rows: set[str] = set()
-    for n in DRIVER_WINDOW:
-        windowed_rows |= _survey_rows(REGISTRY[n])
+def test_history_matches_correctness_artifacts():
+    """DRIVER_VERIFIED_HISTORY is a committed copy of the artifact union —
+    regenerate with tools/driver_history.py when a new round's
+    CORRECTNESS_r*.json lands."""
+    sys.path.insert(0, "tools")
+    from driver_history import driver_green_history
+
+    assert DRIVER_VERIFIED_HISTORY == frozenset(driver_green_history())
+
+
+def test_every_batch_survey_row_has_driver_evidence():
+    """Cumulative coverage: every §2 row evidenced by any registered query
+    must be evidenced by a windowed query (checked this round) or by a
+    historically driver-green query (checked in a prior round)."""
+    evidenced: set[str] = set()
+    for n, spec in REGISTRY.items():
+        if n in DRIVER_WINDOW or n in DRIVER_VERIFIED_HISTORY:
+            evidenced |= _survey_rows(spec)
     for name, spec in REGISTRY.items():
-        uncovered = _survey_rows(spec) - windowed_rows - PYTEST_ONLY_SURVEY_ROWS
-        assert not uncovered, f"{name} evidences rows with no windowed query: {uncovered}"
+        uncovered = _survey_rows(spec) - evidenced - PYTEST_ONLY_SURVEY_ROWS
+        assert not uncovered, (
+            f"{name} evidences rows with no windowed or history-green query: "
+            f"{uncovered}"
+        )
+
+
+def test_rotation_spends_slots_on_first_timers():
+    """While never-driver-verified oracled queries exist, the window must
+    include at least MIN_FIRST_TIMERS of them (or all that remain)."""
+    never_verified = {
+        n
+        for n, spec in REGISTRY.items()
+        if spec.oracle and n not in DRIVER_VERIFIED_HISTORY
+    }
+    if not never_verified:
+        return  # everything oracled has been driver-verified at least once
+    first_timers = never_verified & set(DRIVER_WINDOW)
+    need = min(MIN_FIRST_TIMERS, len(never_verified))
+    assert len(first_timers) >= need, (
+        f"only {len(first_timers)} first-time-verified queries windowed; "
+        f"{len(never_verified)} never-verified remain: "
+        f"{sorted(never_verified - first_timers)[:10]}"
+    )
+
+
+def test_parked_oracled_queries_have_history_or_redundancy():
+    """A query parked past the window must either be history-green (its
+    artifact row is the evidence) or be a redundant variant whose every §2
+    row is carried by a windowed or history-green sibling (checked above) —
+    i.e. parking never deletes evidence."""
+    windowed_or_green_rows: set[str] = set()
+    for n, spec in REGISTRY.items():
+        if n in DRIVER_WINDOW or n in DRIVER_VERIFIED_HISTORY:
+            windowed_or_green_rows |= _survey_rows(spec)
+    for name, spec in REGISTRY.items():
+        if name in DRIVER_WINDOW or name in DRIVER_VERIFIED_HISTORY:
+            continue
+        assert _survey_rows(spec) <= windowed_or_green_rows | PYTEST_ONLY_SURVEY_ROWS, (
+            f"{name} parked with neither history nor a covering sibling"
+        )
 
 
 def test_bench_headliners_are_windowed():
@@ -52,11 +123,11 @@ def test_bench_headliners_are_windowed():
 def test_windowed_queries_prefer_oracles():
     """Rows-only entries are allowed in the window only for genuinely
     non-SQL-expressible ops — keep the list explicit so additions are
-    deliberate."""
+    deliberate. r4: a8_approx_quantiles and sim_ivf_topk left the window,
+    replaced by their hash-matchable twins a8_exact_percentiles and
+    sim_ivf_pinned_topk (VERDICT r2 asks #2 and #3)."""
     rows_only = {n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None}
     assert rows_only == {
-        "a8_approx_quantiles",  # GK sketch — engine-specific by design
-        "sim_ivf_topk",  # iterative k-means — property-tested instead
         "ref_parse_pipeline",  # binary 802.11 fixture frames, no duckdb view
         "ref_trilateration",  # lstsq applyInPandas — truth-tested in pytest
     }
