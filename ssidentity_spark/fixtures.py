@@ -338,3 +338,59 @@ def trilat_truth_observations(spark: SparkSession) -> tuple[DataFrame, dict[str,
         columns=["ts", "ts_str", "sensor_id", "mac", "ssid", "rssi", "freq", "dist"],
     )
     return spark.createDataFrame(pdf, schema=OBSERVATIONS_SCHEMA), truth
+
+
+# ---------------------------------------------------------------------------
+# Real-format binary fixtures (FIXTURES.md §7): dependency-free generators
+# for the two header-described formats operators/multimodal.py decodes for
+# real — uncompressed 24-bit BMP and PCM WAV.
+# ---------------------------------------------------------------------------
+
+
+def build_bmp(width: int, height: int, pixel_fn=None) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP. ``pixel_fn(x, y) -> (b, g, r)``
+    defaults to a deterministic gradient."""
+    import struct as _struct
+
+    if pixel_fn is None:
+        pixel_fn = lambda x, y: ((x * 7) % 256, (y * 11) % 256, (x + y) % 256)  # noqa: E731
+    stride = (width * 3 + 3) & ~3
+    pixel_bytes = bytearray()
+    for y in range(height):  # bottom-up row order, rows padded to stride
+        row = bytearray()
+        for x in range(width):
+            row.extend(pixel_fn(x, y))
+        row.extend(b"\x00" * (stride - len(row)))
+        pixel_bytes.extend(row)
+    header_size = 14 + 40
+    file_size = header_size + len(pixel_bytes)
+    return (
+        b"BM"
+        + _struct.pack("<IHHI", file_size, 0, 0, header_size)
+        + _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel_bytes), 2835, 2835, 0, 0)
+        + bytes(pixel_bytes)
+    )
+
+
+def build_wav(
+    n_samples: int, sample_rate: int = 16000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Integer-PCM WAV with a deterministic sawtooth payload."""
+    import struct as _struct
+
+    bytes_ps = bits // 8
+    block_align = channels * bytes_ps
+    data = bytearray()
+    for i in range(n_samples * channels):
+        data.extend(((i * 257) % (1 << bits)).to_bytes(bytes_ps, "little"))
+    fmt = _struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    riff_payload = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + _struct.pack("<I", len(riff_payload)) + riff_payload

@@ -26,6 +26,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
+# The probe/LUT builders below collect the QUERY vectors to the driver —
+# sound only while the query set is broadcast-sized. The cap turns a
+# silent driver OOM (10^6 query ids → 10^6 collected vectors + LUTs) into
+# an immediate, explanatory error.
+MAX_BROADCAST_QUERIES = 10_000
+
+
+def check_query_cap(query_ids) -> None:
+    if len(query_ids) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"{len(query_ids)} query ids exceed the broadcast-probe cap of "
+            f"{MAX_BROADCAST_QUERIES}: ivf/pq top-k builds per-query probe "
+            "lists and ADC LUTs on the driver by design (queries are the "
+            "small side). For corpus-scale query sets, use the symmetric "
+            "join-based searches in plans/similarity.py (e.g. "
+            "sim_lsh_bucketed / sim_ivf_pinned_topk shapes) or batch the "
+            "queries."
+        )
+
 
 def train_centroids(
     em: DataFrame,
@@ -136,8 +155,9 @@ def ivf_topk(
         F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
     )
 
+    check_query_cap(query_ids)
     queries = base.filter(F.col("vec_id").isin(query_ids))
-    q_rows = queries.collect()  # |queries| is small by contract
+    q_rows = queries.collect()  # |queries| is small — capped above
     probe_map = []
     for r in q_rows:
         qv = np.asarray(r.v)

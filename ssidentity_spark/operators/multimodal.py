@@ -1,11 +1,15 @@
 """Multimodal binary-column operators (BASELINE.json north star).
 
-Real decode/resize/frame-sample requires codec libraries not present in this
-container, so ``decode_image``/``decode_audio`` are stubs that raise
-NotImplementedError; ``fake_decode`` is the deterministic stand-in used by
-tests and the oracle-checked queries. The Spark-side plumbing — binary
-schema, Arrow batching via mapInPandas, output StructType — is real and is
-exactly what a production codec would plug into.
+``decode_image`` and ``decode_audio`` are REAL dependency-free decoders for
+the two classic header-described formats — uncompressed 24/32-bit BMP and
+PCM WAV — parsed straight from the byte layout (no codec library). Formats
+that genuinely need a codec (JPEG/PNG/MP3/…) still raise
+NotImplementedError; plug Pillow/libvips/ffmpeg into the same functions in
+production. ``fake_decode`` remains the deterministic stand-in the
+DuckDB-oracled queries use (an oracle can't decode BMP), and
+``extract_image_features`` runs the real BMP decoder through the identical
+Arrow/mapInPandas plumbing (pytest decodes generated fixture images to
+known width/height/mean-pixel).
 
 Scale: mapInPandas streams Arrow record batches per partition; payload bytes
 never transit the driver, and batch size is governed by
@@ -16,13 +20,14 @@ bounded by (batch rows × max payload size).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -41,16 +46,65 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> Any:
-    """Real image decode — requires a codec library absent from this
-    container. Plug Pillow/libvips here in production."""
-    raise NotImplementedError("image codec not available in this environment")
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Decode an uncompressed 24/32-bit BMP: (width, height, mean_channel).
+
+    Pure byte-layout parsing (BITMAPFILEHEADER + BITMAPINFOHEADER), no codec
+    library: pixel rows are ``width*bytes_pp`` BGR(A) runs padded to 4-byte
+    stride; the mean is over colour channels only (alpha excluded for
+    32-bit). Compressed BMP or any other format raises NotImplementedError —
+    that's where Pillow/libvips plugs in outside this container.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not an uncompressed BMP (codec libs absent)")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        raise NotImplementedError("only uncompressed 24/32-bit BMP decodable")
+    n_rows = abs(height)  # height < 0 → top-down row order; mean is order-free
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    total = 0
+    for r in range(n_rows):
+        row = payload[pixel_off + r * stride : pixel_off + r * stride + width * bytes_pp]
+        if len(row) != width * bytes_pp:
+            raise NotImplementedError("truncated BMP pixel array")
+        total += sum(row)
+        if bytes_pp == 4:
+            total -= sum(row[3::4])  # exclude the alpha channel
+    mean = total / (width * n_rows * 3)
+    return width, n_rows, mean
 
 
-def decode_audio(payload: bytes) -> Any:
-    """Real audio decode — requires a codec library absent from this
-    container. Plug soundfile/ffmpeg here in production."""
-    raise NotImplementedError("audio codec not available in this environment")
+def decode_audio(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode a PCM WAV header: (channels, sample_rate, bits, n_samples).
+
+    RIFF chunk walk (fmt + data), integer PCM only; compressed audio raises
+    NotImplementedError — that's where soundfile/ffmpeg plugs in outside
+    this container.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload (codec libs absent)")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise NotImplementedError("WAV missing fmt/data chunks")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or block_align == 0:
+        raise NotImplementedError("only integer PCM WAV decodable")
+    return channels, sample_rate, bits, data_size // block_align
 
 
 def fake_decode(payload: bytes) -> tuple[int, int]:
@@ -91,6 +145,42 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_px", DoubleType()),
+    ]
+)
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → real decoded features via mapInPandas —
+    the same Arrow plumbing as ``extract_features`` but running the REAL
+    ``decode_image`` BMP decoder (pytest feeds generated fixture bitmaps
+    and pins width/height/mean-pixel)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, ms = [], [], []
+            for payload in pdf["payload"]:
+                w, h, m = decode_image(bytes(payload))
+                ws.append(w)
+                hs.append(h)
+                ms.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_px": pd.Series(ms, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=IMAGE_FEATURE_SCHEMA)
 
 
 def resize_stub(df: DataFrame, max_px: int = 256) -> DataFrame:
@@ -159,10 +249,12 @@ def sample_frames(
 __all__ = [
     "FEATURE_SCHEMA",
     "FRAME_SCHEMA",
+    "IMAGE_FEATURE_SCHEMA",
     "decode_image",
     "decode_audio",
     "fake_decode",
     "extract_features",
+    "extract_image_features",
     "resize_stub",
     "sample_frames",
 ]

@@ -154,8 +154,9 @@ def ivf_pq_topk(
     Join shape: codes ⋈ broadcast(query × probed-cell × LUT) on the cell
     id — an equi-join, so only probed-cell rows are ADC-scored; everything
     stays JVM-side except the one Arrow-batched encode/assign pass."""
-    from ssidentity_spark.operators.ivf import assign_cells
+    from ssidentity_spark.operators.ivf import assign_cells, check_query_cap
 
+    check_query_cap(query_ids)
     spark = em.sparkSession
     coded = encode_pq(assign_cells(em, centroids), codebooks).select(
         "vec_id", "cell", "codes"
@@ -260,8 +261,11 @@ def pq_adc_topk(
     The per-query LUT is data in a broadcast-joined frame, not a closure:
     ``zip_with(lut, codes, (row, c) -> element_at(row, c+1))`` +
     ``aggregate`` sum evaluate the ADC distance entirely JVM-side. Exact
-    queries (collected — small by contract, like ivf_topk) keep full
+    queries (collected — small, capped like ivf_topk) keep full
     precision; only the corpus side is quantized."""
+    from ssidentity_spark.operators.ivf import check_query_cap
+
+    check_query_cap(query_ids)
     spark = em.sparkSession
     coded = encode_pq(em, codebooks).select("vec_id", "codes")
     q_rows = em.filter(F.col("vec_id").isin(query_ids)).collect()

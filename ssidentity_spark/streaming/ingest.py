@@ -42,6 +42,36 @@ def read_observation_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return spark.readStream.schema(OBSERVATIONS_SCHEMA).parquet(source_dir)
 
 
+def read_frames_binary(spark: SparkSession, source_dir: str) -> DataFrame:
+    """S1 true binary-file ingestion: one raw 802.11 frame blob per file
+    (what a capture box actually drops on disk — the reference's recvfrom
+    buffer, ssidentity.c:73-84, persisted verbatim), read with Spark's
+    ``binaryFile`` source into RAW_FRAMES_SCHEMA.
+
+    File-name contract: ``{sensor_id}__{recv_epoch_us}__{seq}.bin`` — the
+    capture metadata a raw blob can't carry in-band rides in the name
+    (standard practice for pcap/frame drops). Output is column-identical to
+    the parquet replay path, so ``parse_observations`` runs unchanged on
+    either (pytest pins binaryFile ≡ parquet on the same frames).
+
+    Scale: binaryFile is a batch/backfill source (OSS Spark has no
+    streaming binaryFile); each file is a scan split, so a 100 TB frame
+    archive parallelizes by file count and prunes by path glob. The
+    *streaming* drop-box path stays ``read_frame_stream`` (parquet bundles
+    amortize the per-file open cost that millions of tiny .bin files would
+    pay); this reader is how a cold archive bootstraps into the table sink.
+    """
+    df = spark.read.format("binaryFile").load(source_dir)
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    parts = F.split(F.regexp_replace(name, r"\.bin$", ""), "__")
+    return df.select(
+        F.col("content").alias("frame"),
+        parts.getItem(0).alias("sensor_id"),
+        F.timestamp_micros(parts.getItem(1).cast("long")).alias("recv_ts"),
+        F.length("content").cast("int").alias("frame_len"),
+    )
+
+
 def replay_observations_rate(
     spark: SparkSession,
     obs_path: str,

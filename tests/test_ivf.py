@@ -96,3 +96,23 @@ def test_partial_probe_subset_property(em, centroids):
         coss = [c for _, c in rows]
         assert coss == sorted(coss, reverse=True)
         assert len(rows) <= 5
+
+
+def test_broadcast_query_cap_guard(spark):
+    """ivf/pq top-k collect query vectors to the driver — the cap turns a
+    silent OOM into an explanatory error (VERDICT r2 ask #8)."""
+    import numpy as np
+    import pytest
+
+    from ssidentity_spark.operators.ivf import MAX_BROADCAST_QUERIES, ivf_topk
+    from ssidentity_spark.operators.pq import pq_adc_topk
+
+    em = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    too_many = list(range(MAX_BROADCAST_QUERIES + 1))
+    cents = np.zeros((2, 2))
+    with pytest.raises(ValueError, match="broadcast-probe cap"):
+        ivf_topk(em, cents, too_many)
+    with pytest.raises(ValueError, match="broadcast-probe cap"):
+        pq_adc_topk(em, np.zeros((2, 2, 2)), too_many)

@@ -74,3 +74,76 @@ def test_binary_column_survives_shuffle(payloads):
         import hashlib
 
         assert hashlib.md5(bytes(r.payload)).hexdigest() == r.h
+
+
+# --- real dependency-free decoders (BMP / PCM-WAV), VERDICT r2 ask #6 ---
+
+
+def test_decode_bmp_real_known_image():
+    from ssidentity_spark.fixtures import build_bmp
+    from ssidentity_spark.operators.multimodal import decode_image
+
+    # solid mid-grey 4x2 → mean is exactly 100
+    bmp = build_bmp(4, 2, pixel_fn=lambda x, y: (100, 100, 100))
+    assert decode_image(bmp) == (4, 2, 100.0)
+    # gradient image: mean equals the hand-computed channel average
+    w, h = 5, 3
+    bmp = build_bmp(w, h)
+    total = sum(
+        ((x * 7) % 256) + ((y * 11) % 256) + ((x + y) % 256)
+        for y in range(h)
+        for x in range(w)
+    )
+    width, height, mean = decode_image(bmp)
+    assert (width, height) == (w, h)
+    assert mean == pytest.approx(total / (w * h * 3))
+
+
+def test_decode_bmp_row_padding_excluded():
+    from ssidentity_spark.fixtures import build_bmp
+    from ssidentity_spark.operators.multimodal import decode_image
+
+    # width 3 → 9-byte rows padded to 12: mean must ignore the pad bytes
+    bmp = build_bmp(3, 2, pixel_fn=lambda x, y: (200, 200, 200))
+    assert decode_image(bmp) == (3, 2, 200.0)
+
+
+def test_decode_wav_real_header():
+    from ssidentity_spark.fixtures import build_wav
+    from ssidentity_spark.operators.multimodal import decode_audio
+
+    assert decode_audio(build_wav(1000, 22050, 2, 16)) == (2, 22050, 16, 1000)
+    assert decode_audio(build_wav(441, 44100, 1, 8)) == (1, 44100, 8, 441)
+
+
+def test_decoders_still_raise_on_compressed_formats():
+    from ssidentity_spark.operators.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03" + b"\x00" * 64)  # mp3
+
+
+def test_extract_image_features_arrow_path(spark):
+    """The REAL BMP decoder through the same mapInPandas/Arrow plumbing as
+    the fake-decode query path."""
+    from ssidentity_spark.fixtures import build_bmp
+    from ssidentity_spark.operators.multimodal import extract_image_features
+
+    rows = [
+        (1, build_bmp(4, 2, pixel_fn=lambda x, y: (10, 20, 30))),
+        (2, build_bmp(7, 5)),
+        (3, build_bmp(1, 1, pixel_fn=lambda x, y: (255, 255, 255))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY").repartition(2)
+    got = {r.doc_id: r for r in extract_image_features(df).collect()}
+    assert (got[1].width, got[1].height, got[1].mean_px) == (4, 2, 20.0)
+    assert (got[3].width, got[3].height, got[3].mean_px) == (1, 1, 255.0)
+    w, h = 7, 5
+    total = sum(
+        ((x * 7) % 256) + ((y * 11) % 256) + ((x + y) % 256)
+        for y in range(h)
+        for x in range(w)
+    )
+    assert got[2].mean_px == pytest.approx(total / (w * h * 3))

@@ -141,3 +141,39 @@ def test_batch_stream_parity(spark, tmp_path):
     )
     got = spark.read.parquet(out)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_binaryfile_ingest_matches_parquet_replay(spark, tmp_path):
+    """S1 true binary-file ingestion (VERDICT r2 ask #5): the same fixture
+    frames written as individual .bin blobs (binaryFile source) and as a
+    parquet bundle must parse to identical observations."""
+    from ssidentity_spark.fixtures import raw_frames_pdf
+    from ssidentity_spark.parse import parse_observations
+    from ssidentity_spark.streaming.ingest import read_frames_binary
+
+    pdf = raw_frames_pdf(n_extra=40)
+    bin_dir = tmp_path / "frames_bin"
+    bin_dir.mkdir()
+    for i, row in pdf.iterrows():
+        epoch_us = int(row["recv_ts"].value // 1_000)  # pandas ns → µs
+        name = f"{row['sensor_id']}__{epoch_us}__{i}.bin"
+        (bin_dir / name).write_bytes(bytes(row["frame"]))
+
+    pq_path = str(tmp_path / "frames_parquet")
+    from ssidentity_spark.schemas import RAW_FRAMES_SCHEMA
+
+    spark.createDataFrame(pdf, schema=RAW_FRAMES_SCHEMA).write.parquet(pq_path)
+
+    via_binary = read_frames_binary(spark, str(bin_dir))
+    assert dict(via_binary.dtypes)["frame"] == "binary"
+    via_parquet = spark.read.schema(RAW_FRAMES_SCHEMA).parquet(pq_path)
+
+    cols = ["ts", "sensor_id", "mac", "ssid", "rssi", "freq", "dist"]
+    obs_b = sorted(
+        tuple(r) for r in parse_observations(via_binary).select(cols).collect()
+    )
+    obs_p = sorted(
+        tuple(r) for r in parse_observations(via_parquet).select(cols).collect()
+    )
+    assert len(obs_b) > 0
+    assert obs_b == obs_p
