@@ -239,3 +239,136 @@ def pipe_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(s > 0, qsum).otherwise(F.lit(0).cast("bigint")).alias("q_checksum"),
         F.when(s > 0, F.round(sq_err / dim, 9)).otherwise(0.0).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-pipeline — benchmark decontamination (r4): flag corpus documents that
+# share word 5-grams with a held-out evaluation set. The train-on-test leak
+# detector every LLM pipeline runs before training (n-gram overlap is the
+# standard check, e.g. GPT-3 App. C / PaLM App. D style).
+# ---------------------------------------------------------------------------
+
+# benchmark stand-in: doc_id % 17 == 3 (deterministic ~6% of the corpus —
+# chosen so the corpus's planted near-dup structure actually produces
+# contamination hits at every SF: 5/3/152 docs at sf0.001/0.01/0.1)
+_BENCH_MOD = 17
+_BENCH_REM = 3
+_GRAM_N = 5
+
+
+@register(
+    "pipe_decontaminate",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(w) - {_GRAM_N - 1}, 0)),
+               i -> md5(array_to_string(list_slice(w, i, i + {_GRAM_N - 1}), ' '))
+             )) AS gram
+      FROM w
+    ), bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = {_BENCH_REM}
+    ), corpus AS (
+      SELECT DISTINCT doc_id, gram FROM g
+      WHERE doc_id % {_BENCH_MOD} <> {_BENCH_REM}
+    ), shared AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM corpus c JOIN bench b ON c.gram = b.gram
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           COALESCE(s.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+    WHERE d.doc_id % {_BENCH_MOD} <> {_BENCH_REM}
+    """,
+    survey="EXT-pipeline,J3,A6",
+)
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by word-5-gram overlap.
+
+    Scale shape: the benchmark side is eval-set-sized → its distinct gram
+    table broadcasts; the corpus side is one explode + one distinct + one
+    equi-join on the gram hash + one groupBy — all keyed shuffles on
+    hash-distributed keys, never O(corpus × benchmark). Gram keys are md5
+    strings so both engines bucket identically. Documents shorter than 5
+    words produce no grams (guarded — Spark's sequence(1, 0) would count
+    DOWN) and come out clean.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    grams = F.when(
+        F.size(w) >= _GRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (_GRAM_N - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, _GRAM_N))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
+    bench = g.filter(is_bench).select("gram").distinct()
+    corpus = g.filter(~is_bench).distinct()
+    shared = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        d.filter(~is_bench)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT-pipeline — domain mixing (r4): deterministic source-weighted
+# downsampling. Training mixes re-weight domains (keep 100% of curated
+# sources, a fraction of crawl-grade ones); the keep decision must be a
+# pure function of (doc_id, source) so the mix is reproducible and
+# shuffle-free, exactly like pipe_split_assign.
+# ---------------------------------------------------------------------------
+
+# even-numbered sources are "curated" (keep all); odd are "crawl" (keep the
+# md5 hex-prefix slice below 0x40 ≈ 25%)
+_CRAWL_KEEP_LT = "40"
+
+
+@register(
+    "pipe_domain_mix",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source,
+             CAST(substr(source, 4) AS INTEGER) % 2 = 0 AS curated,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_CRAWL_KEEP_LT}'
+               AS in_slice
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN curated OR in_slice THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM tagged GROUP BY source
+    """,
+    survey="EXT-pipeline,A6,D7",
+)
+def pipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mix: narrow per-row keep decision (no shuffle
+    until the audit aggregation), id-hash-sliced so reruns and backfills
+    keep exactly the same documents. Output is the per-source audit a
+    pipeline would alert on (kept counts vs targets)."""
+    d = load_table(spark, sf_dir, "documents")
+    curated = F.substring("source", 4, 10).cast("int") % 2 == 0
+    in_slice = F.substring(_doc_hash(), 1, 2) < _CRAWL_KEEP_LT
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(curated | in_slice, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )

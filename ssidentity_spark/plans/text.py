@@ -336,3 +336,62 @@ def text_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "bigram", "n", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# U6 — repetition scoring (r4): Gopher-style within-document repetition
+# signals (Rae et al. 2021 §A1.1 use duplicate-line/top-n-gram fractions as
+# quality gates). Two signals that are meaningful on any corpus: the
+# duplicate-word fraction and the most-frequent-word share.
+# ---------------------------------------------------------------------------
+
+_TOP_WORD_MAX_FRAC = 0.125  # flag when one word is > 1/8 of the document
+
+
+@register(
+    "text_repetition_scores",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_words,
+           round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4)
+             AS dup_word_frac,
+           round(list_max(list_transform(list_distinct(w),
+                 x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w), 4)
+             AS top_word_frac,
+           list_max(list_transform(list_distinct(w),
+                 x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w)
+             > {_TOP_WORD_MAX_FRAC} AS repetitive
+    FROM w
+    """,
+    survey="U6,A6",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition, computed ROW-LOCALLY with array expressions
+    (no explode, no shuffle — the whole query is a narrow projection, so at
+    100 TB it rides the scan). The distinct×occurrence counting is
+    O(n_distinct × n_words) per row in the JVM — bounded by document
+    length, the same trade text_token_stats makes, and far cheaper than an
+    explode + two shuffled aggregations per signal."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n = F.size(w)
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x)),
+        )
+    )
+    top_frac = top_n * F.lit(1.0) / n
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(1.0 - F.size(F.array_distinct(w)) * F.lit(1.0) / n, 4).alias(
+            "dup_word_frac"
+        ),
+        F.round(top_frac, 4).alias("top_word_frac"),
+        (top_frac > _TOP_WORD_MAX_FRAC).alias("repetitive"),
+    )

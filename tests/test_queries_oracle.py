@@ -49,3 +49,15 @@ def test_entry_contract(spark):
     qs, oracles = m.queries(), m.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) == len(REGISTRY)
+
+
+def test_decontamination_is_not_vacuous(spark):
+    """The benchmark mod/rem were chosen so the corpus's planted near-dup
+    structure produces real hits — if a testdata regeneration makes the
+    flag never fire, this fails loudly rather than letting the oracle
+    green-light a vacuous join."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["pipe_decontaminate"].fn(spark, SF_DIR)
+    n_contaminated = df.filter(F.col("contaminated")).count()
+    assert n_contaminated > 0
