@@ -774,3 +774,53 @@ def j5_asof_last_login(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "asof_us"
     )
+
+
+@register(
+    "j5_asof_payload",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           epoch_us(l.ts) AS login_us,
+           l.event_id AS login_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT * FROM events WHERE event_type IN ('login', 'signup')) l
+      ON p.user_id = l.user_id AND l.ts <= p.ts
+    """,
+    survey="J5,W2",
+)
+def j5_asof_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-carrying as-of join, oracled against DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — a genuinely independent algorithm (DuckDB's asof
+    is a specialized merge), so agreement checks the semantics, not just a
+    mirrored idiom (j5_asof_last_login's oracle restates the same window).
+
+    Spark idiom: ``max(struct(epoch_us, event_id)) OVER (rows unbounded
+    preceding)`` — the struct's lexicographic ordering lets the window
+    carry ARBITRARY payload columns alongside the as-of timestamp, which
+    is what distinguishes a real as-of join from a running max. One
+    corpus-sized window shuffle on user_id, no join at all; at 100 TB this
+    beats the range-join formulation (no candidate blow-up, state is one
+    struct per row). Tie-safety: (user_id, ts) is unique in the testdata
+    (asserted by the oracle match — equal-ts ties would let DuckDB's asof
+    pick either row); ordering by (ts, event_id) pins Spark's choice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rel = ev.filter(F.col("event_type").isin("purchase", "login", "signup"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    login_struct = F.when(
+        F.col("event_type").isin("login", "signup"),
+        F.struct(epoch_us("ts").alias("us"), F.col("event_id").alias("eid")),
+    )
+    tagged = rel.withColumn("asof", F.max(login_struct).over(w))
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("asof.us").alias("login_us"),
+        F.col("asof.eid").alias("login_event_id"),
+    )
