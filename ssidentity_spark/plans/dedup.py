@@ -97,17 +97,19 @@ def _minhash_agg_sql() -> str:
 
 
 def _spark_shingles(d: DataFrame) -> DataFrame:
-    w = _words_col()
+    # split ONCE into a materialized array column: CSE does not reach into
+    # lambda bodies, so building shingles off the raw split expression
+    # re-ran the regex split per element_at (3 × n_shingles per row) —
+    # the same 10-20× trap measured on text_fingerprint at sf0.1
+    t = d.select("doc_id", _words_col().alias("w")).filter(F.size("w") >= 3)
+    w = F.col("w")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(w) - 2),
         lambda i: F.concat_ws(
             " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
         ),
     )
-    return (
-        d.filter(F.size(w) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-    )
+    return t.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
 def _spark_minhash(sh: DataFrame) -> DataFrame:

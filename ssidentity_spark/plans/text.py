@@ -206,9 +206,15 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="U6",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `w` is MATERIALIZED in a first projection: common-subexpression
+    # elimination does not reach inside lambda bodies, so referencing the
+    # split expression via element_at in the shingle lambda re-ran the
+    # regex split per element (~4 × n_shingles per row) — measured 20×
+    # slower at sf0.1 (12.7 s vs 0.63 s) than splitting once per row.
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
-    w = _words()
+    t = d.select("doc_id", F.md5(norm).alias("fp_md5"), _words().alias("w"))
+    w = F.col("w")
     shingle_hashes = F.transform(
         F.sequence(F.lit(0), F.size(w) - 4),
         lambda i: F.md5(
@@ -221,11 +227,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    return d.select(
+    return t.select(
         "doc_id",
-        F.md5(norm).alias("fp_md5"),
+        "fp_md5",
         F.when(F.size(w) >= 4, F.array_min(shingle_hashes))
-        .otherwise(F.md5(norm))
+        .otherwise(F.col("fp_md5"))
         .alias("fp_minshingle"),
     )
 
@@ -319,14 +325,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    w = _words()
+    # materialize the split once per row (lambda bodies defeat CSE — see
+    # text_fingerprint)
+    t = d.select("lang", _words().alias("w")).filter(F.size("w") >= 2)
+    w = F.col("w")
     bigrams = F.transform(
         F.sequence(F.lit(2), F.size(w)),
         lambda i: F.concat_ws(" ", F.element_at(w, i - 1), F.element_at(w, i)),
     )
     bg = (
-        d.filter(F.size(w) >= 2)
-        .select("lang", F.explode(bigrams).alias("bigram"))
+        t.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -377,7 +385,11 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, the same trade text_token_stats makes, and far cheaper than an
     explode + two shuffled aggregations per signal."""
     d = load_table(spark, sf_dir, "documents")
-    w = _words()
+    # materialize the split once per row: the occurrence-count lambda
+    # references `w` per distinct word, which would otherwise re-split
+    # (lambda bodies defeat CSE — see text_fingerprint)
+    t = d.select("doc_id", _words().alias("w"))
+    w = F.col("w")
     n = F.size(w)
     top_n = F.array_max(
         F.transform(
@@ -386,7 +398,7 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top_frac = top_n * F.lit(1.0) / n
-    return d.select(
+    return t.select(
         "doc_id",
         n.alias("n_words"),
         F.round(1.0 - F.size(F.array_distinct(w)) * F.lit(1.0) / n, 4).alias(
