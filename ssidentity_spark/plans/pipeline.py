@@ -218,7 +218,16 @@ def pipe_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     xd = lambda x: x.cast("double")  # noqa: E731
-    s = F.array_max(F.transform(emb, lambda x: F.abs(xd(x))))
+    # materialize the absmax scale `s` BEFORE the per-element lambdas: CSE
+    # does not reach inside lambda bodies, so `x * 127.0 / s` with s as a
+    # raw array_max expression re-reduced the whole vector per element —
+    # O(dim²) per row (see SCALE.md r4, lambda-CSE)
+    t = e.select(
+        "vec_id",
+        emb,
+        F.array_max(F.transform(emb, lambda x: F.abs(xd(x)))).alias("s"),
+    )
+    s = F.col("s")
     dim = F.size(emb)
     qsum = F.aggregate(
         F.transform(emb, lambda x: F.round(xd(x) * 127.0 / s).cast("bigint")),
@@ -233,7 +242,7 @@ def pipe_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return e.select(
+    return t.select(
         "vec_id",
         F.round(s.cast("double"), 6).alias("scale"),
         F.when(s > 0, qsum).otherwise(F.lit(0).cast("bigint")).alias("q_checksum"),
@@ -298,7 +307,10 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOWN) and come out clean.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), r"\s+")
+    # split once into a materialized array (lambda bodies defeat CSE —
+    # slicing the raw split expression would re-split per gram)
+    t = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= _GRAM_N,
         F.transform(
@@ -306,7 +318,7 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, _GRAM_N))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    g = t.select("doc_id", F.explode(grams).alias("gram"))
     is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
     bench = g.filter(is_bench).select("gram").distinct()
     corpus = g.filter(~is_bench).distinct()
