@@ -17,6 +17,8 @@ history:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,3 +64,63 @@ def clean_documents_stream(
         .dropDuplicatesWithinWatermark(["fp"])
         .drop("fp")
     )
+
+
+MAX_BENCH_GRAMS = 1_000_000  # eval sets are small; guard the broadcast
+
+
+def decontaminate_stream(docs: DataFrame, bench_grams: DataFrame) -> DataFrame:
+    """Streaming benchmark decontamination: drop arriving documents that
+    share any word-5-gram with the held-out eval set (the streaming form of
+    ``plans/pipeline.py:pipe_decontaminate``).
+
+    Join-free by design: a doc-grain anti-join against a stream-derived
+    frame would be a stream-stream anti join (unsupported / stateful), so
+    the eval gram set — small and versioned, a model artifact exactly like
+    broadcast centroids — ships as a broadcast PYTHON SET probed inside an
+    Arrow-batched pandas UDF. Per-batch work is O(batch grams), zero
+    streaming state, and the documented "broadcast model" exception to the
+    no-Python-hot-path rule (operators/ivf.py assign is the same shape).
+    Gram construction matches the batch query hash-for-hash.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n = bench_grams.count()
+    if n > MAX_BENCH_GRAMS:
+        raise ValueError(
+            f"{n} benchmark grams exceed the broadcast cap {MAX_BENCH_GRAMS}; "
+            "decontaminate in batch (pipe_decontaminate) instead"
+        )
+    bench_set = {r.gram for r in bench_grams.select("gram").collect()}
+    bc = docs.sparkSession.sparkContext.broadcast(bench_set)
+
+    @pandas_udf("boolean")
+    def any_hit(grams: pd.Series) -> pd.Series:
+        s = bc.value
+        return grams.apply(lambda gs: any(g in s for g in gs))
+
+    t = docs.select("*", F.split(F.lower(F.col("text")), r"\s+").alias("w"))
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 4),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, 5))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.withColumn("g", grams).filter(~any_hit(F.col("g"))).drop("w", "g")
+
+
+def benchmark_gram_set(docs: DataFrame) -> DataFrame:
+    """Distinct word-5-gram hashes of an eval-set frame (static side for
+    ``decontaminate_stream``; same construction as the batch oracle)."""
+    t = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("w"))
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 4),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, 5))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select(F.explode(grams).alias("gram")).distinct()

@@ -437,3 +437,38 @@ def test_settings_edit_propagates_without_restart(spark, tmp_path):
     assert ("BBB", 6) in got2  # new list entry matched post-edit
     assert ("CCC", 7) not in [(m, t) for m, t in got2]
     assert ("BBB", 1) not in got2  # pre-edit batch was matched with old list
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """EXT-pipeline × J6: the stream-side decontamination gate (broadcast
+    eval-gram set probed in an Arrow UDF — no streaming state) passes and
+    drops exactly the documents the batch 5-gram-overlap query would."""
+    import datetime as dt
+
+    from ssidentity_spark.streaming.corpus import (
+        DOCS_STREAM_SCHEMA,
+        benchmark_gram_set,
+        decontaminate_stream,
+        read_document_stream,
+    )
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    # doc 1 shares the 5-gram "beta gamma delta epsilon zeta" → contaminated;
+    # doc 2 shares only 4 consecutive words → clean; doc 3 disjoint; doc 4
+    # shorter than 5 words → clean by construction
+    rows = [
+        (base, 1, "x beta gamma delta epsilon zeta y"),
+        (base, 2, "beta gamma delta epsilon X zeta eta theta iota"),
+        (base, 3, "one two three four five six seven"),
+        (base + dt.timedelta(minutes=1), 4, "alpha beta gamma"),
+    ]
+    src = str(tmp_path / "decon_src")
+    spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).coalesce(1).write.parquet(src)
+    bench = benchmark_gram_set(
+        spark.createDataFrame([(bench_text,)], "text STRING")
+    )
+    cleaned = decontaminate_stream(read_document_stream(spark, src), bench)
+    out = _run(cleaned, tmp_path, "decon")
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {2, 3, 4}
