@@ -341,7 +341,7 @@ def trilat_truth_observations(spark: SparkSession) -> tuple[DataFrame, dict[str,
 
 
 # ---------------------------------------------------------------------------
-# Real-format binary fixtures (FIXTURES.md §7): dependency-free generators
+# Real-format binary fixtures (FIXTURES.md §8): dependency-free generators
 # for the two header-described formats operators/multimodal.py decodes for
 # real — uncompressed 24-bit BMP and PCM WAV.
 # ---------------------------------------------------------------------------
