@@ -407,3 +407,44 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_frac, 4).alias("top_word_frac"),
         (top_frac > _TOP_WORD_MAX_FRAC).alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U6/A8 — corpus length profile (r4): the per-language size distribution
+# report every corpus intake publishes (exact percentiles over derived
+# word counts — pairs Spark `percentile` with DuckDB `quantile_cont` like
+# a8_exact_percentiles, but over a computed column with a group key).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_length_profile",
+    oracle="""
+    WITH w AS (
+      SELECT lang,
+             len(string_split_regex(lower(text), '\\s+')) AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_words, 0.50), 4) AS p50_words,
+           round(quantile_cont(n_words, 0.90), 4) AS p90_words,
+           round(quantile_cont(n_words, 0.99), 4) AS p99_words,
+           CAST(max(n_words) AS INTEGER) AS max_words
+    FROM w GROUP BY lang
+    """,
+    survey="U6,A6,A8",
+)
+def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One narrow projection (word count from a single split) + one shuffle
+    on the bounded-cardinality language key; the exact percentile sort
+    happens inside the per-group aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", F.size(_words()).alias("n_words"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_words", F.lit(0.50)), 4).alias("p50_words"),
+        F.round(F.percentile("n_words", F.lit(0.90)), 4).alias("p90_words"),
+        F.round(F.percentile("n_words", F.lit(0.99)), 4).alias("p99_words"),
+        F.max("n_words").alias("max_words"),
+    )

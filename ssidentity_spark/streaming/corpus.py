@@ -124,3 +124,43 @@ def benchmark_gram_set(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return t.select(F.explode(grams).alias("gram")).distinct()
+
+
+def quality_monitor_stream(
+    docs: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Windowed intake health report: per event-time window, how many
+    arriving documents each gate verdict claimed (ok / too_short /
+    too_long / stopword_lo / stopword_hi) — the alerting signal a corpus
+    intake publishes so a crawler regression (e.g. a boilerplate flood
+    flipping stopword ratios) pages someone instead of silently poisoning
+    the training set.
+
+    Same thresholds as ``clean_documents_stream``/``pipe_docs_clean``;
+    state is one count per (window, verdict) — bounded by the watermark,
+    independent of corpus size.
+    """
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.size(w)
+    )
+    verdict = (
+        F.when(F.size(w) < _MIN_WORDS, "too_short")
+        .when(F.size(w) > _MAX_WORDS, "too_long")
+        .when(stop_ratio < _STOP_LO, "stopword_lo")
+        .when(stop_ratio > _STOP_HI, "stopword_hi")
+        .otherwise("ok")
+    )
+    return (
+        docs.withColumn("verdict", verdict)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "verdict",
+            "n",
+        )
+    )

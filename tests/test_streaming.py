@@ -472,3 +472,43 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
     out = _run(cleaned, tmp_path, "decon")
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {2, 3, 4}
+
+
+def test_streaming_quality_monitor(spark, tmp_path):
+    """EXT-pipeline × T3: windowed verdict counts match the batch gates."""
+    import datetime as dt
+
+    from ssidentity_spark.streaming.corpus import (
+        DOCS_STREAM_SCHEMA,
+        quality_monitor_stream,
+    )
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    ok = "the quick brown fox jumps over a lazy dog"
+    chunks = [
+        [
+            (base, 1, ok),
+            (base + dt.timedelta(seconds=10), 2, "hi"),  # too_short
+            (base + dt.timedelta(seconds=20), 3, ok),
+            # next window: a no-stopword doc → stopword_lo
+            (base + dt.timedelta(minutes=6), 4, "alpha beta gamma delta epsilon zeta"),
+        ],
+        # far-future sentinel advances the watermark so both earlier
+        # windows close and emit (its own window stays open)
+        [(base + dt.timedelta(hours=2), 99, ok)],
+    ]
+    src = str(tmp_path / "qm_src")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(DOCS_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    mon = quality_monitor_stream(stream)
+    out = _run(mon, tmp_path, "qmon")
+    got = {
+        (r.window_start.minute, r.verdict): r.n
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(0, "ok"): 2, (0, "too_short"): 1, (5, "stopword_lo"): 1}
