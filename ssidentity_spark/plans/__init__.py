@@ -129,6 +129,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_trilateration",
 )
 
+# r5 ROTATION QUEUE (update DRIVER_VERIFIED_HISTORY from CORRECTNESS_r04
+# via tools/driver_history.py first): swap r4-green first-timers out for
+# the remaining never-driver-verified oracled queries — text_fingerprint,
+# sql_api_source_quality_rank, j3_active_customer_nations,
+# j2_supplier_volume, j1_brand_pricing, pivot_status_by_priority,
+# agg_percentiles, agg_min_max_by, j9_above_nation_avg — plus the late-r4
+# additions pipe_decontaminate, pipe_domain_mix, text_repetition_scores,
+# j5_asof_payload, corpus_length_profile. Keep the 9 bench headliners.
+
 # Queries hash-verified green by the driver in at least one prior round
 # (union of CORRECTNESS_r01..r03.json rows with hash_match=true). A query
 # may be parked past the window ONLY if it appears here — its green row is
