@@ -147,3 +147,48 @@ def test_extract_image_features_arrow_path(spark):
         for x in range(w)
     )
     assert got[2].mean_px == pytest.approx(total / (w * h * 3))
+
+
+# --- property tests: decoders vs independently-computed ground truth ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        w=st.integers(min_value=1, max_value=17),
+        h=st.integers(min_value=1, max_value=9),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_bmp_decode_roundtrip_property(w, h, seed):
+        """Any width (including non-multiple-of-4 strides) decodes to the
+        independently-computed channel mean."""
+        from ssidentity_spark.fixtures import build_bmp
+        from ssidentity_spark.operators.multimodal import decode_image
+
+        def px(x, y):
+            v = (x * 31 + y * 17 + seed) % 251
+            return (v, (v * 3) % 256, (v * 7) % 256)
+
+        bmp = build_bmp(w, h, pixel_fn=px)
+        total = sum(sum(px(x, y)) for y in range(h) for x in range(w))
+        got_w, got_h, got_mean = decode_image(bmp)
+        assert (got_w, got_h) == (w, h)
+        assert got_mean == pytest.approx(total / (w * h * 3))
+
+    @given(
+        n=st.integers(min_value=1, max_value=5000),
+        rate=st.sampled_from([8000, 16000, 22050, 44100]),
+        ch=st.integers(min_value=1, max_value=4),
+        bits=st.sampled_from([8, 16, 32]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_decode_roundtrip_property(n, rate, ch, bits):
+        from ssidentity_spark.fixtures import build_wav
+        from ssidentity_spark.operators.multimodal import decode_audio
+
+        assert decode_audio(build_wav(n, rate, ch, bits)) == (ch, rate, bits, n)
+
+except ImportError:  # pragma: no cover - hypothesis is in the env by contract
+    pass
