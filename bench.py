@@ -31,21 +31,22 @@ from ssidentity_spark.session import cpu_count, get_spark  # noqa: E402
 
 N_RUNS = 5
 
-# Recorded per-query seconds from the last completed round's BENCH artifact
-# (BENCH_r02.json, sf0.1 — r3's run crashed before timing) — emitted
-# alongside fresh numbers so each round's artifact carries its own
-# regression context (>1.3x flags a plan change). r02 numbers are best-of-3;
-# from r4 on these are medians-of-5.
+# Recorded per-query MEDIAN seconds from the last completed round's BENCH
+# artifact (BENCH_r04.json, sf0.1, median-of-5) — emitted alongside fresh
+# numbers so each round's artifact carries its own regression context
+# (>1.3x flags a plan change). The three r5 EXT-family headliners
+# (dedup_minhash_lsh_pairs, pipe_decontaminate, sim_ivfpq_rerank_topk) have
+# no prior entry: their first medians land in BENCH_r05 and seed r6's gate.
 PREV_ROUND = {
-    "dedup_exact": 0.244,
-    "flagship_hourly_top_types": 0.518,
-    "j1_region_revenue": 0.994,
-    "j4_range_join_funnel": 0.348,
-    "j9_q3_top_orders": 0.631,
-    "sim_topk_bruteforce": 0.611,
-    "text_token_stats": 0.291,
-    "tpch_q1_pricing_summary": 0.349,
-    "tpch_q6_forecast_revenue": 0.246,
+    "dedup_exact": 0.262,
+    "flagship_hourly_top_types": 0.490,
+    "j1_region_revenue": 1.119,
+    "j4_range_join_funnel": 0.337,
+    "j9_q3_top_orders": 0.657,
+    "sim_topk_bruteforce": 0.526,
+    "text_token_stats": 0.279,
+    "tpch_q1_pricing_summary": 0.370,
+    "tpch_q6_forecast_revenue": 0.205,
 }
 
 
@@ -90,18 +91,10 @@ def main() -> None:
         for name, t in timings.items()
         if name in PREV_ROUND
     }
-    # TRANSITION-ROUND gate: PREV_ROUND carries r02's best-of-3 numbers, so
-    # the like-for-like regression statistic this round is min-of-5 vs that
-    # best (median-vs-best systematically overstates by the noise floor).
-    # Once PREV_ROUND holds medians (r5+), switch the gate to `ratios`.
-    # Note also that the driver REGENERATED the testdata parquet in r3
-    # (timestamp columns became TIMESTAMP_NTZ), so prior-round numbers are
-    # not byte-identical inputs either.
-    gate_ratios = {
-        name: round(per_query[name]["min"] / PREV_ROUND[name], 2)
-        for name in timings
-        if name in PREV_ROUND
-    }
+    # r5+: PREV_ROUND holds medians-of-5, so the regression gate is the
+    # like-for-like median-vs-median ratio (the r4 transition round used
+    # min-of-5 vs r02's best-of-3 while the statistics differed).
+    gate_ratios = ratios
     print(
         json.dumps(
             {
@@ -112,9 +105,8 @@ def main() -> None:
                 "per_query": per_query,
                 "sf": sf,
                 "prev_round": PREV_ROUND,
-                "prev_round_stat": "best-of-3 (r02)",
+                "prev_round_stat": "median-of-5 (r04)",
                 "ratio_vs_prev": ratios,
-                "ratio_min_vs_prev_best": gate_ratios,
                 "regressions_over_1.3x": sorted(
                     n for n, r in gate_ratios.items() if r > 1.3
                 ),

@@ -12,10 +12,14 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,6 +58,43 @@ def fspl(rssi: int, freq: int) -> float:
     return round(10 ** ((27.55 - rssi - 20 * math.log10(freq)) / 20), 2)
 
 
+def _stable_hash(s: str) -> int:
+    """Process-independent string hash (zlib.crc32 is seedless and stable)."""
+    return zlib.crc32(s.encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# fixture snapshots — one parquet file BOTH correctness-gate engines read
+# (VERDICT r4 ask #3): Spark runs the plan over the snapshot, the DuckDB
+# oracle read_parquet()s the same path, so ref_* queries get real hash
+# oracles instead of rows-only checks. Timestamps are written at µs
+# precision (second-resolution data, lossless) as naive/NTZ values, exactly
+# like the driver testdata.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".fixture_snapshots",
+)
+
+
+def snapshot_fixture(name: str, pdf: pd.DataFrame) -> str:
+    """Write ``pdf`` to ``.fixture_snapshots/<name>.parquet``, return path."""
+    os.makedirs(SNAPSHOT_DIR, exist_ok=True)
+    path = os.path.join(SNAPSHOT_DIR, f"{name}.parquet")
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    schema = pa.schema(
+        [
+            pa.field(f.name, pa.timestamp("us"))
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in table.schema
+        ]
+    )
+    pq.write_table(table.cast(schema), path)
+    return path
+
+
 def observations_pdf(n_rows: int = 10_000) -> pd.DataFrame:
     """Bursty per-mac observation log over a 7-day window + golden rows."""
     rng = np.random.default_rng(SEED)
@@ -64,10 +105,13 @@ def observations_pdf(n_rows: int = 10_000) -> pd.DataFrame:
     rows = []
     for i in range(n_rows - len(GOLDEN_ROWS)):
         mac = macs[int(rng.integers(0, len(macs)))]
-        # 2-5 active-hour blocks per device, keyed off the mac hash
-        blocks = 2 + (hash(mac) % 4)
+        # 2-5 active-hour blocks per device, keyed off a STABLE mac hash
+        # (builtin hash() is salted per process — PYTHONHASHSEED — which
+        # silently made this fixture process-local; found in r5 when the
+        # snapshot-backed ref_* oracles exposed run-to-run count drift)
+        blocks = 2 + (_stable_hash(mac) % 4)
         block = int(rng.integers(0, blocks))
-        hour = (hash((mac, block)) % 24 + int(rng.integers(0, 3))) % 24
+        hour = (_stable_hash(f"{mac}:{block}") % 24 + int(rng.integers(0, 3))) % 24
         day = int(rng.integers(0, 7))
         ts = base + dt.timedelta(
             days=day, hours=hour, minutes=int(rng.integers(0, 60)),

@@ -97,6 +97,8 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, int]:
         if cid == b"fmt " and pos + 8 + 16 <= len(payload):
             fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
         elif cid == b"data":
+            if pos + 8 + size > len(payload):
+                raise NotImplementedError("truncated WAV data chunk")
             data_size = size
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:

@@ -50,93 +50,70 @@ from ssidentity_spark.registry import REGISTRY
 # Rows-only entries are admitted only where no oracled query can evidence
 # the row.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # flagship + TPC-H star-schema joins (tpch / tpch2)
+    # bench headliners (window rule: every bench=True query stays windowed
+    # so the perf artifact and the correctness artifact cover the same set).
+    # r5 adds three EXT-family headliners (VERDICT r4 ask #6).
     "flagship_hourly_top_types",
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "j1_region_revenue",
     "j9_q3_top_orders",
-    "j9_q5_local_supplier_volume",
-    "j8_cross_region_nation",
-    "w1_distribution_ranks",
-    "j9_q16_supplier_variety",
-    "tpch_q7_volume_shipping",
-    # third-wave TPC-H shapes (tpch3)
-    "tpch_q12_late_priority",
-    "tpch_q13_custdist",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # fourth-wave TPC-H shapes (tpch4)
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q21_waiting_suppliers",
-    # ROTATED IN r4: never-driver-verified TPC-H analogs (r1-r3 green slots
-    # a2/a4/pivot/a10/o3/o4/w3 parked on their CORRECTNESS history)
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "tpch_q11_important_value",
-    "tpch_q14_promo_share",
-    "tpch_q18_big_orders",
-    "tpch_q20_excess_suppliers",
-    "tpch_q4_priority_count",
-    "j9_q10_returned_revenue",
-    "j3_customers_without_orders",
-    # events analytics: exact percentiles NEW in r4 — the hash-matchable
-    # companion that upgrades A8 from rows-only (the GK sketch stays
-    # registered past the window as the bounded-memory variant)
-    "a8_exact_percentiles",
-    "agg_ordered_listagg",
-    "unpivot_customer_metrics",
-    # window functions: w2_event_gaps/w4_sessionize/j4/j5 crashed in r3 on
-    # the TIMESTAMP_NTZ testdata change (fixed: functions/timeutil.epoch_us)
-    # — kept windowed so the driver re-records them green before any parking
-    "w2_event_gaps",
-    "w4_sessionize",
-    # non-equi joins
     "j4_range_join_funnel",
-    "j5_asof_last_login",
-    # LLM-pipeline: dedup family (minhash/simhash/embedding pair-gen parked
-    # with r2+r3 driver-green rows; cc_clusters keeps the iterative-fixpoint
-    # oracle shape in the window)
     "dedup_exact",
-    "dedup_cc_clusters",
-    # LLM-pipeline: training-data preparation — split/stratify first-timers
-    # in, clean/quantize parked on r2+r3 green rows
-    "pipe_split_assign",
-    "pipe_stratified_sample",
-    # LLM-pipeline: similarity search — pinned-centroid IVF NEW in r4
-    # (hash-matchable twin of sim_ivf_topk), multiprobe LSH first-timer
+    "dedup_minhash_lsh_pairs",
     "sim_topk_bruteforce",
-    "sim_lsh_multiprobe",
-    "sim_ivf_pinned_topk",
-    # LLM-pipeline: text analysis — tfidf first-timer in, quality/langid/
-    # bigram parked on r2+r3 green rows
+    "sim_ivfpq_rerank_topk",
     "text_token_stats",
-    "text_tfidf_top_terms",
-    # LLM-pipeline: multimodal binary columns — frame-sample fan-out
-    # first-timer joins the decoded-features headliner
-    "mm_decoded_features",
-    "mm_frame_sample",
-    # scalar-function surface
-    "d1_fspl_distance",
-    "d7_date_funcs",
-    # SQL API surface — daily-type-summary first-timer joins the r1-green
-    # nation_order_stats
-    "sql_api_nation_order_stats",
-    "sql_api_daily_type_summary",
-    # reference sniffer pipeline (rows-only: no SQL-expressible oracle)
+    "pipe_decontaminate",
+    # ROTATED IN r5: the 13 remaining never-driver-verified oracled queries
+    # (VERDICT r4 ask #2 — after this round cumulative driver verification
+    # covers every oracled query in the registry)
+    "j5_asof_payload",
+    "text_fingerprint",
+    "text_repetition_scores",
+    "corpus_length_profile",
+    "pipe_domain_mix",
+    "sql_api_source_quality_rank",
+    "j3_active_customer_nations",
+    "j2_supplier_volume",
+    "j1_brand_pricing",
+    "pivot_status_by_priority",
+    "agg_percentiles",
+    "agg_min_max_by",
+    "j9_above_nation_avg",
+    # reference sniffer pipeline — r5 gives visits/companions/watchlist (and
+    # the parse-derivation columns) snapshot-backed DuckDB oracles
+    # (VERDICT r4 ask #3)
     "ref_parse_pipeline",
     "ref_trilateration",
+    "ref_trilateration_inputs",
+    "ref_visit_sessions",
+    "ref_companion_clusters",
+    "ref_watchlist_alerts",
+    # ANN distributed-trainer variant: rows-only by nature (k-means model),
+    # windowed so the driver artifact at least records its row evidence
+    "sim_ivf_topk_distributed",
+    # re-verification picks (all history-green): the r3 NTZ-breakage set,
+    # the r4 first-timer oracles, and >=1 query per module
+    "a8_exact_percentiles",
+    "w2_event_gaps",
+    "w4_sessionize",
+    "j5_asof_last_login",
+    "dedup_cc_clusters",
+    "sim_ivf_pinned_topk",
+    "sim_lsh_multiprobe",
+    "text_tfidf_top_terms",
+    "pipe_split_assign",
+    "mm_decoded_features",
+    "mm_frame_sample",
+    "d1_fspl_distance",
+    "d7_date_funcs",
+    "j9_q16_supplier_variety",
+    "w2_value_functions",
+    "tpch_q13_custdist",
+    "tpch_q12_late_priority",
+    "tpch_q15_top_supplier",
 )
-
-# r5 ROTATION QUEUE (update DRIVER_VERIFIED_HISTORY from CORRECTNESS_r04
-# via tools/driver_history.py first): swap r4-green first-timers out for
-# the remaining never-driver-verified oracled queries — text_fingerprint,
-# sql_api_source_quality_rank, j3_active_customer_nations,
-# j2_supplier_volume, j1_brand_pricing, pivot_status_by_priority,
-# agg_percentiles, agg_min_max_by, j9_above_nation_avg — plus the late-r4
-# additions pipe_decontaminate, pipe_domain_mix, text_repetition_scores,
-# j5_asof_payload, corpus_length_profile. Keep the 9 bench headliners.
 
 # Queries hash-verified green by the driver in at least one prior round
 # (union of CORRECTNESS_r01..r03.json rows with hash_match=true). A query
@@ -153,8 +130,10 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "a4_distinct_pairs",
         "a4_mac_key_rollup",
         "a6_value_stats",
+        "a8_exact_percentiles",
         "a9_cube_type_dow",
         "a9_rollup_type_hour",
+        "agg_ordered_listagg",
         "d1_fspl_distance",
         "d7_array_funcs",
         "d7_array_manipulation",
@@ -173,40 +152,57 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "dedup_simhash_pairs",
         "flagship_hourly_top_types",
         "j1_region_revenue",
+        "j3_customers_without_orders",
         "j4_range_join_funnel",
         "j5_asof_last_login",
         "j8_cross_region_nation",
+        "j9_q10_returned_revenue",
         "j9_q16_supplier_variety",
         "j9_q2_min_cost_supplier",
         "j9_q3_top_orders",
         "j9_q5_local_supplier_volume",
         "mm_binary_metadata",
         "mm_decoded_features",
+        "mm_frame_sample",
         "o1_global_sort_top",
         "o3_union_split",
         "o4_except_users",
         "o4_intersect_users",
         "pipe_docs_clean",
         "pipe_embed_quantize",
+        "pipe_split_assign",
+        "pipe_stratified_sample",
         "pivot_user_type_matrix",
+        "sim_ivf_pinned_topk",
         "sim_label_centroids",
         "sim_lsh_bucketed",
+        "sim_lsh_multiprobe",
         "sim_topk_bruteforce",
+        "sql_api_daily_type_summary",
         "sql_api_nation_order_stats",
         "text_bigram_profile",
         "text_langid",
         "text_quality",
+        "text_tfidf_top_terms",
         "text_token_stats",
+        "tpch_q11_important_value",
         "tpch_q12_late_priority",
         "tpch_q13_custdist",
+        "tpch_q14_promo_share",
         "tpch_q15_top_supplier",
         "tpch_q17_small_quantity_revenue",
+        "tpch_q18_big_orders",
         "tpch_q19_disjunctive_revenue",
         "tpch_q1_pricing_summary",
+        "tpch_q20_excess_suppliers",
         "tpch_q21_waiting_suppliers",
         "tpch_q22_global_sales_opportunity",
+        "tpch_q4_priority_count",
         "tpch_q6_forecast_revenue",
         "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_profit_by_nation",
+        "unpivot_customer_metrics",
         "w1_distribution_ranks",
         "w2_event_gaps",
         "w2_transitions",

@@ -187,6 +187,7 @@ def _spark_lsh_pairs(d: DataFrame) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_pairs",
+    bench=True,
     oracle=f"""
     WITH {_lsh_pairs_sql_ctes()}
     SELECT doc_a, doc_b FROM pairs

@@ -267,6 +267,7 @@ _GRAM_N = 5
 
 @register(
     "pipe_decontaminate",
+    bench=True,
     oracle=f"""
     WITH w AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
@@ -357,7 +358,7 @@ _CRAWL_KEEP_LT = "40"
     oracle=f"""
     WITH tagged AS (
       SELECT source,
-             CAST(substr(source, 4) AS INTEGER) % 2 = 0 AS curated,
+             TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0 AS curated,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_CRAWL_KEEP_LT}'
                AS in_slice
       FROM documents
@@ -376,7 +377,10 @@ def pipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep exactly the same documents. Output is the per-source audit a
     pipeline would alert on (kept counts vs targets)."""
     d = load_table(spark, sf_dir, "documents")
-    curated = F.substring("source", 4, 10).cast("int") % 2 == 0
+    # to-end-of-string slice, same as the oracle's substr(source, 4) —
+    # a bounded-length substring would silently diverge on long suffixes;
+    # TRY_CAST on the oracle side mirrors Spark's NULL-on-bad-cast
+    curated = F.expr("substring(source, 4)").cast("int") % 2 == 0
     in_slice = F.substring(_doc_hash(), 1, 2) < _CRAWL_KEEP_LT
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),

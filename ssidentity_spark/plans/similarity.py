@@ -499,6 +499,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivfpq_rerank_topk",
+    bench=True,
     oracle=None,  # iterative trainers — not SQL-expressible; recall bar
     # and candidate-stage containment are pinned in tests/test_pq.py
     survey="U5",

@@ -15,6 +15,7 @@ window must spend slots on them.
 
 from __future__ import annotations
 
+import os
 import sys
 
 from ssidentity_spark.plans import (
@@ -57,7 +58,8 @@ def test_history_matches_correctness_artifacts():
     """DRIVER_VERIFIED_HISTORY is a committed copy of the artifact union —
     regenerate with tools/driver_history.py when a new round's
     CORRECTNESS_r*.json lands."""
-    sys.path.insert(0, "tools")
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    sys.path.insert(0, tools_dir)
     from driver_history import driver_green_history
 
     assert DRIVER_VERIFIED_HISTORY == frozenset(driver_green_history())
@@ -128,6 +130,13 @@ def test_windowed_queries_prefer_oracles():
     sim_ivf_pinned_topk (VERDICT r2 asks #2 and #3)."""
     rows_only = {n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None}
     assert rows_only == {
-        "ref_parse_pipeline",  # binary 802.11 fixture frames, no duckdb view
-        "ref_trilateration",  # lstsq applyInPandas — truth-tested in pytest
+        # the numpy lstsq solve — its input aggregation is oracled by
+        # ref_trilateration_inputs; truth tests in test_trilateration.py
+        "ref_trilateration",
+        # trainer-based ANN (k-means / PQ codebooks) — not SQL-expressible;
+        # recall bars in tests/test_pq.py and tests/test_ivf.py are the
+        # evidence, and sim_ivf_pinned_topk hash-checks the assign/probe
+        # machinery with pinned centroids
+        "sim_ivf_topk_distributed",
+        "sim_ivfpq_rerank_topk",
     }
