@@ -417,6 +417,81 @@ def build_bmp(width: int, height: int, pixel_fn=None) -> bytes:
     )
 
 
+def build_png(
+    width: int,
+    height: int,
+    pixel_fn=None,
+    color_type: int = 2,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """8-bit non-interlaced PNG encoder (gray/RGB/RGBA) with per-row filter
+    selection — the independent inverse of operators.multimodal.decode_png,
+    so property tests can assert decode∘encode == identity across all five
+    filter types. ``pixel_fn(x, y)`` returns a channel tuple; defaults to a
+    deterministic gradient. ``row_filters[y]`` picks filter 0-4 per line
+    (default cycles through all five)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    if pixel_fn is None:
+        pixel_fn = lambda x, y: (  # noqa: E731
+            (x * 7) % 256,
+            (y * 11) % 256,
+            (x + y) % 256,
+            (x * y + 13) % 256,
+        )[:channels]
+    if row_filters is None:
+        row_filters = [y % 5 for y in range(height)]
+    stride = width * channels
+    prev = bytes(stride)
+    out = bytearray()
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            px = pixel_fn(x, y)
+            line.extend(int(v) & 0xFF for v in px[:channels])
+        f = row_filters[y]
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (line[i] - pred) & 0xFF
+        out.append(f)
+        out.extend(filt)
+        prev = bytes(line)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + tag
+            + data
+            + _struct.pack(">I", _zlib.crc32(tag + data))
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = _zlib.compress(bytes(out))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def build_wav(
     n_samples: int, sample_rate: int = 16000, channels: int = 1, bits: int = 16
 ) -> bytes:

@@ -1,11 +1,12 @@
 """Multimodal binary-column operators (BASELINE.json north star).
 
-``decode_image`` and ``decode_audio`` are REAL dependency-free decoders for
-the two classic header-described formats — uncompressed 24/32-bit BMP and
-PCM WAV — parsed straight from the byte layout (no codec library). Formats
-that genuinely need a codec (JPEG/PNG/MP3/…) still raise
-NotImplementedError; plug Pillow/libvips/ffmpeg into the same functions in
-production. ``fake_decode`` remains the deterministic stand-in the
+``decode_image``, ``decode_png`` and ``decode_audio`` are REAL
+dependency-free decoders: uncompressed 24/32-bit BMP and PCM WAV parsed
+straight from the byte layout, and 8-bit non-interlaced PNG via stdlib
+``zlib`` plus a full five-filter scanline unfilter loop. Formats that
+genuinely need a codec library (JPEG/MP3/…, palette/16-bit/interlaced
+PNG) raise NotImplementedError; plug Pillow/libvips/ffmpeg into the same
+functions in production. ``fake_decode`` remains the deterministic stand-in the
 DuckDB-oracled queries use (an oracle can't decode BMP), and
 ``extract_image_features`` runs the real BMP decoder through the identical
 Arrow/mapInPandas plumbing (pytest decodes generated fixture images to
@@ -21,6 +22,7 @@ bounded by (batch rows × max payload size).
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,15 +48,120 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> tuple[int, int, float]:
-    """Decode an uncompressed 24/32-bit BMP: (width, height, mean_channel).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Pure byte-layout parsing (BITMAPFILEHEADER + BITMAPINFOHEADER), no codec
-    library: pixel rows are ``width*bytes_pp`` BGR(A) runs padded to 4-byte
-    stride; the mean is over colour channels only (alpha excluded for
-    32-bit). Compressed BMP or any other format raises NotImplementedError —
-    that's where Pillow/libvips plugs in outside this container.
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """Reverse the per-scanline PNG filters (types 0-4, RFC 2083 §6)."""
+    stride = width * channels
+    out = bytearray()
+    prev: bytes | bytearray = bytes(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if len(line) != stride:
+            raise NotImplementedError("truncated PNG scanline data")
+        if ftype == 1:  # Sub: left neighbour (offset by one pixel)
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average of left and up (floor division)
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out.extend(line)
+        prev = line
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG with stdlib zlib:
+    (width, height, mean_channel).
+
+    Chunk walk (IHDR → IDAT* → IEND), ``zlib.decompress`` of the
+    concatenated IDAT stream, then per-scanline unfiltering (all five
+    filter types). Palette, 16-bit, and interlaced variants raise
+    NotImplementedError — the boundary where a full codec library plugs
+    in. Mean is over colour channels only (alpha excluded), matching the
+    BMP path's convention.
     """
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise NotImplementedError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT chunks")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if (
+        depth != 8
+        or color_type not in (0, 2, 6)
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or width == 0
+        or height == 0
+    ):
+        raise NotImplementedError(
+            "only 8-bit non-interlaced gray/RGB/RGBA PNG decodable"
+        )
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) != height * (width * channels + 1):
+        raise NotImplementedError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, width, height, channels)
+    if channels == 4:
+        total = sum(px) - sum(px[3::4])  # exclude alpha
+        denom = width * height * 3
+    else:
+        total = sum(px)
+        denom = width * height * channels
+    return width, height, total / denom
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Decode a supported still image: (width, height, mean_channel).
+
+    Dispatches on magic bytes — uncompressed 24/32-bit BMP (byte-layout
+    parse) or 8-bit non-interlaced PNG (stdlib zlib + unfilter,
+    ``decode_png``). JPEG and friends raise NotImplementedError — that's
+    where Pillow/libvips plugs in outside this container. BMP pixel rows
+    are ``width*bytes_pp`` BGR(A) runs padded to 4-byte stride; the mean
+    is over colour channels only (alpha excluded for 32-bit).
+    """
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if len(payload) < 54 or payload[:2] != b"BM":
         raise NotImplementedError("not an uncompressed BMP (codec libs absent)")
     pixel_off = struct.unpack_from("<I", payload, 10)[0]
@@ -185,6 +292,71 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_extract, schema=IMAGE_FEATURE_SCHEMA)
 
 
+PNG_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_px", LongType()),
+        StructField("n_px", LongType()),
+    ]
+)
+
+
+def png_roundtrip_features(df: DataFrame, width: int = 16, max_h: int = 16) -> DataFrame:
+    """(doc_id, text) → encode the text's bytes as a real grayscale PNG
+    (fixtures.build_png: stdlib zlib + all five scanline filters, cycling
+    per row), decode it back with ``decode_png``, and emit the recovered
+    pixel sum. Documents shorter than one row are dropped.
+
+    The output is integer-exact, so a SQL oracle can recompute sum_px
+    straight from the text bytes — hash-checking that the full
+    filter→deflate→inflate→unfilter loop preserves pixel content for
+    every document. Runs in the same Arrow ``mapInPandas`` plumbing as
+    the other decoders: payloads never transit the driver.
+    """
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ssidentity_spark.fixtures import build_png
+
+        for pdf in batches:
+            ids: list[int] = []
+            ws: list[int] = []
+            hs: list[int] = []
+            sums: list[int] = []
+            ns: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = min(len(b) // width, max_h)
+                if h == 0:
+                    continue
+                png = build_png(
+                    width,
+                    h,
+                    pixel_fn=lambda x, y, _b=b: (_b[y * width + x],),
+                    color_type=0,
+                )
+                got_w, got_h, mean = decode_png(png)
+                ids.append(int(doc_id))
+                ws.append(got_w)
+                hs.append(got_h)
+                # mean is total/denom of integers: denom*mean rounds back
+                # to the exact integer sum (safe far below 2**53)
+                sums.append(int(round(mean * got_w * got_h)))
+                ns.append(got_w * got_h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "sum_px": pd.Series(sums, dtype="int64"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_roundtrip, schema=PNG_ROUNDTRIP_SCHEMA)
+
+
 def resize_stub(df: DataFrame, max_px: int = 256) -> DataFrame:
     """Resize pipeline shape: binary in → binary out. The transform itself is
     the identity (no codec); schema/partitioning/batching are the real
@@ -253,10 +425,13 @@ __all__ = [
     "FRAME_SCHEMA",
     "IMAGE_FEATURE_SCHEMA",
     "decode_image",
+    "decode_png",
     "decode_audio",
     "fake_decode",
     "extract_features",
     "extract_image_features",
+    "png_roundtrip_features",
+    "PNG_ROUNDTRIP_SCHEMA",
     "resize_stub",
     "sample_frames",
 ]

@@ -106,12 +106,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipe_split_assign",
     "mm_decoded_features",
     "mm_frame_sample",
+    "mm_png_decode",
     "d1_fspl_distance",
     "d7_date_funcs",
     "j9_q16_supplier_variety",
     "w2_value_functions",
     "tpch_q13_custdist",
-    "tpch_q12_late_priority",
     "tpch_q15_top_supplier",
 )
 

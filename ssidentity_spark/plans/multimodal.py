@@ -2,12 +2,15 @@
 as opaque ``binary`` payloads with typed metadata, processed by Arrow-batched
 ``mapInPandas`` pipelines.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(ssidentity_spark.operators.multimodal: real libraries raise
-NotImplementedError; a deterministic fake decoder stands in). What IS real
-and tested: the binary column schema, the Arrow batch path, the mapInPandas
-signature/batching, and the partition strategy — i.e. everything Spark-side
-that a real codec would plug into.
+The container has no codec libraries, but three formats are decoded for
+real, dependency-free (ssidentity_spark.operators.multimodal): uncompressed
+BMP, PCM WAV, and — via stdlib zlib — 8-bit PNG (``mm_png_decode`` runs the
+full encode→deflate→inflate→unfilter loop under the driver's hash gate).
+Formats that genuinely need a codec (JPEG/MP3) raise NotImplementedError;
+a deterministic fake decoder stands in for the oracle-twin queries. What
+is real and tested throughout: the binary column schema, the Arrow batch
+path, the mapInPandas signature/batching, and the partition strategy —
+everything Spark-side that a real codec would plug into.
 
 The driver testdata has no binary columns, so payloads are derived
 deterministically from ``documents.text`` (utf-8 bytes): good enough to
@@ -92,6 +95,47 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return sample_frames(with_payload, frame_bytes=32, stride=4, pfx_bytes=8)
+
+
+@register(
+    "mm_png_decode",
+    # The oracle recomputes each document's pixel sum directly from the
+    # text bytes (hex-pair arithmetic), so the Spark side's PNG
+    # encode→deflate→inflate→unfilter→decode loop (operators.multimodal:
+    # decode_png, all five scanline filter types via fixtures.build_png)
+    # is hash-checked per document — integer-exact, no float rounding.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             upper(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, hx, least(n // 16, 16) AS h
+      FROM t WHERE n >= 16
+    )
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(list_aggregate(list_transform(range(0, CAST(16 * h AS BIGINT)), i ->
+             (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS BIGINT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS BIGINT), 1)) - 1
+           ), 'sum') AS BIGINT) AS sum_px,
+           CAST(16 * h AS BIGINT) AS n_px
+    FROM dims
+    """,
+    survey="EXT-multimodal,U1",
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compressed-image decode in the production Arrow path: each
+    document's bytes become an 8-bit grayscale PNG (stdlib zlib; scanline
+    filters cycle through all five types) which is decoded straight back —
+    proving the decoder against an independent SQL ground truth at the
+    driver gate, not just in pytest."""
+    from ssidentity_spark.operators.multimodal import png_roundtrip_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return png_roundtrip_features(d)
 
 
 @register(

@@ -120,9 +120,47 @@ def test_decoders_still_raise_on_compressed_formats():
     from ssidentity_spark.operators.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # jpeg
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x03" + b"\x00" * 64)  # mp3
+    # PNG is now decodable, but a signature with garbage chunks still raises
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_decode_png_known_images():
+    from ssidentity_spark.fixtures import build_png
+    from ssidentity_spark.operators.multimodal import decode_image
+
+    # solid mid-grey RGB 4x2 → mean exactly 100, regardless of row filters
+    png = build_png(4, 2, pixel_fn=lambda x, y: (100, 100, 100), color_type=2)
+    assert decode_image(png) == (4, 2, 100.0)
+    # grayscale: single channel mean
+    png = build_png(3, 3, pixel_fn=lambda x, y: (x * 10 + y,), color_type=0)
+    total = sum(x * 10 + y for y in range(3) for x in range(3))
+    w, h, m = decode_image(png)
+    assert (w, h) == (3, 3)
+    assert m == pytest.approx(total / 9)
+    # RGBA: alpha excluded from the mean
+    png = build_png(
+        2, 2, pixel_fn=lambda x, y: (10, 20, 30, 255), color_type=6
+    )
+    assert decode_image(png) == (2, 2, 20.0)
+
+
+def test_decode_png_rejects_truncation_and_variants():
+    from ssidentity_spark.fixtures import build_png
+    from ssidentity_spark.operators.multimodal import decode_png
+
+    png = build_png(8, 8)
+    with pytest.raises(NotImplementedError):
+        decode_png(png[: len(png) // 2])  # truncated chunk
+    # 16-bit depth flag in IHDR → unsupported variant must raise, not
+    # silently misdecode (IHDR data starts at byte 16; depth is byte 24)
+    mutated = bytearray(png)
+    mutated[24] = 16
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(mutated))
 
 
 def test_extract_image_features_arrow_path(spark):
@@ -131,10 +169,14 @@ def test_extract_image_features_arrow_path(spark):
     from ssidentity_spark.fixtures import build_bmp
     from ssidentity_spark.operators.multimodal import extract_image_features
 
+    from ssidentity_spark.fixtures import build_png
+
     rows = [
         (1, build_bmp(4, 2, pixel_fn=lambda x, y: (10, 20, 30))),
         (2, build_bmp(7, 5)),
         (3, build_bmp(1, 1, pixel_fn=lambda x, y: (255, 255, 255))),
+        # mixed-format batch: the dispatcher routes per payload
+        (4, build_png(4, 2, pixel_fn=lambda x, y: (10, 20, 30), color_type=2)),
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY").repartition(2)
     got = {r.doc_id: r for r in extract_image_features(df).collect()}
@@ -147,6 +189,7 @@ def test_extract_image_features_arrow_path(spark):
         for x in range(w)
     )
     assert got[2].mean_px == pytest.approx(total / (w * h * 3))
+    assert (got[4].width, got[4].height, got[4].mean_px) == (4, 2, 20.0)
 
 
 # --- property tests: decoders vs independently-computed ground truth ---
@@ -176,6 +219,40 @@ try:
         got_w, got_h, got_mean = decode_image(bmp)
         assert (got_w, got_h) == (w, h)
         assert got_mean == pytest.approx(total / (w * h * 3))
+
+    @given(
+        w=st.integers(min_value=1, max_value=17),
+        h=st.integers(min_value=1, max_value=9),
+        color_type=st.sampled_from([0, 2, 6]),
+        filters=st.lists(
+            st.integers(min_value=0, max_value=4), min_size=9, max_size=9
+        ),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_png_decode_roundtrip_property(w, h, color_type, filters, seed):
+        """decode∘encode == identity for every color type and any per-row
+        mix of the five scanline filter types — the unfilter loop is the
+        error-prone part, so filters are drawn adversarially."""
+        from ssidentity_spark.fixtures import build_png
+        from ssidentity_spark.operators.multimodal import decode_image
+
+        channels = {0: 1, 2: 3, 6: 4}[color_type]
+        color = 3 if channels == 4 else channels
+
+        def px(x, y):
+            v = (x * 31 + y * 17 + seed) % 251
+            return ((v, (v * 3) % 256, (v * 7) % 256, (v * 13) % 256))[:channels]
+
+        png = build_png(
+            w, h, pixel_fn=px, color_type=color_type, row_filters=filters[:h]
+        )
+        total = sum(
+            sum(px(x, y)[:color]) for y in range(h) for x in range(w)
+        )
+        got_w, got_h, got_mean = decode_image(png)
+        assert (got_w, got_h) == (w, h)
+        assert got_mean == pytest.approx(total / (w * h * color))
 
     @given(
         n=st.integers(min_value=1, max_value=5000),
