@@ -22,11 +22,21 @@ def connected_components(
     edges: DataFrame,
     src: str = "mac_a",
     dst: str = "mac_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """HashMin label propagation: every vertex adopts the smallest label in
     its neighborhood until fixpoint. Returns (vertex, component) where
-    component is the lexicographically smallest member id.
+    component is the lexicographically smallest member id. When ``stats``
+    is passed, records {"iterations": n} — the convergence count the scale
+    studies report (tools/dedup_blowup.py).
+
+    HashMin converges in O(component diameter) rounds; the r5 blow-up
+    study measured 18 rounds on chain-shaped 10-replica clusters, so the
+    default ceiling carries headroom (the fixpoint early-exit makes the
+    extra budget free on converged graphs). For adversarially long chains
+    at larger scale, swap in pointer-doubling (large-star/small-star,
+    O(log diameter)) — the per-iteration shuffle shape is identical.
     """
     spark = edges.sparkSession
     # undirected: symmetrize once
@@ -41,7 +51,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # candidate labels: own label + min neighbor label
         neighbor_min = (
             sym.join(labels, sym.v == labels.vertex)
@@ -67,6 +77,8 @@ def connected_components(
             .count()
         )
         labels = updated
+        if stats is not None:
+            stats["iterations"] = it + 1
         if changed == 0:
             break
     sym.unpersist()

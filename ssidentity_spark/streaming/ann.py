@@ -1,0 +1,173 @@
+"""Streaming ANN probe — score an unbounded stream of query embeddings
+against a static IVF-indexed corpus (the U5×T cell: the online-serving
+half of the similarity-search family, e.g. near-dup screening of arriving
+training documents against the indexed corpus).
+
+Division of labour, exactly like a production vector store:
+
+- The INDEX is batch-built and static per model version: corpus vectors
+  assigned to inverted cells (here the pinned-centroid assignment the
+  driver hash-verifies in ``sim_ivf_pinned_topk``). Re-indexing is a batch
+  job, not stream state.
+- The MODEL (centroids) is tiny and ships to the stream as literal
+  expressions — the same broadcast-model pattern as
+  ``streaming/corpus.decontaminate_stream``'s gram set. Per-query cell
+  selection is a pure JVM array expression (sort a model-sized array),
+  NOT a window rank — streams don't support row_number, and a rank over a
+  20-element literal array is driver-free anyway.
+- The probe is a stream-static equi-join on the cell id: each arriving
+  query touches only its ``n_probes`` cells' vectors, so per-batch work is
+  O(batch × corpus/k × n_probes), never O(batch × corpus).
+- Top-k per query is a watermarked windowed aggregation over the BOUNDED
+  candidate set (collect_list is capped by the probed cells' population);
+  state expires with the watermark.
+
+The whole pipeline is expression-only, so the SAME function runs on a
+batch DataFrame — tests/test_streaming.py pins stream ≡ batch on identical
+input (the operator contract the driver's batch gate extends to here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ssidentity_spark.io import load_table
+from ssidentity_spark.plans.similarity import (
+    N_PINNED_PROBES,
+    PINNED_CENT_MOD,
+    TOP_K,
+    _dot,
+    _norm_vec,
+)
+
+MAX_MODEL_CENTROIDS = 65_536  # literal-expression model ships in the plan
+
+
+def build_pinned_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, list[float], float]], DataFrame]:
+    """(centroid model, cell-indexed corpus) — the batch-built static side.
+
+    Centroids are the deterministic ``vec_id % PINNED_CENT_MOD == 0``
+    subset (the driver-hash-verified construction of sim_ivf_pinned_topk);
+    every corpus vector is assigned to its best cell once, batch-side.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    base = _norm_vec(em)
+    cent = base.filter(F.col("vec_id") % PINNED_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    rows = cent.collect()
+    if len(rows) > MAX_MODEL_CENTROIDS:
+        raise ValueError(
+            f"{len(rows)} centroids exceed the literal-model cap "
+            f"{MAX_MODEL_CENTROIDS}"
+        )
+    model = [(r.cid, list(r.cv), float(r.cnrm)) for r in rows]
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("cell_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cid"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
+    )
+    return model, cells
+
+
+def _model_literal(model: list[tuple[int, list[float], float]]):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                F.lit(cnrm).alias("cnrm"),
+            )
+            for cid, cv, cnrm in model
+        ]
+    )
+
+
+def probe_stream(
+    queries: DataFrame,
+    corpus_cells: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    n_probes: int = N_PINNED_PROBES,
+    k: int = TOP_K,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """(ts, query_id, embedding) stream → per-(window, query) top-k
+    neighbours from the probed cells. Works identically on a batch frame
+    (same expressions; the parity test relies on it).
+
+    Returns (win_start, query_id, rnk, neighbor_id, cos).
+    """
+    q = queries.withWatermark("ts", watermark) if queries.isStreaming else queries
+    qv = F.transform("embedding", lambda x: x.cast("double"))
+    q = q.select(
+        "ts",
+        F.col("query_id"),
+        qv.alias("qv"),
+        F.sqrt(F.aggregate(qv, F.lit(0.0), lambda a, x: a + x * x)).alias("qnrm"),
+    )
+    # model-sized array sort: per-query probe cells without a window rank
+    cell_scores = F.transform(
+        _model_literal(model),
+        lambda c: F.struct(
+            (
+                -F.round(
+                    _dot(F.col("qv"), c["cv"]) / (F.col("qnrm") * c["cnrm"]), 6
+                )
+            ).alias("neg_cos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(cell_scores), 1, n_probes), lambda s: s["cid"]
+    )
+    probed = q.select(
+        "ts", "query_id", "qv", "qnrm", F.explode(probe_cells).alias("cell")
+    )
+    cand = probed.join(corpus_cells, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "ts",
+        "query_id",
+        F.col("vec_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("cos"),
+    )
+    # bounded per-key state: candidates from <= n_probes cells
+    agg = scored.groupBy(F.window("ts", window).alias("win"), "query_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("cos")).alias("neg"), "vec_id"))
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return agg.select(
+        F.col("win.start").alias("win_start"),
+        "query_id",
+        F.posexplode("top").alias("pos", "t"),
+    ).select(
+        "win_start",
+        "query_id",
+        (F.col("pos") + 1).alias("rnk"),
+        F.col("t.vec_id").alias("neighbor_id"),
+        (-F.col("t.neg")).alias("cos"),
+    )

@@ -512,3 +512,52 @@ def test_streaming_quality_monitor(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(0, "ok"): 2, (0, "too_short"): 1, (5, "stopword_lo"): 1}
+
+
+def test_streaming_ann_probe_matches_batch(spark, tmp_path):
+    """U5 × T (the last empty EXT×streaming cell): an arriving query-vector
+    micro-batch scored against the static pinned-IVF index returns exactly
+    the top-k the identical batch pipeline computes on the same input —
+    the expression-only operator contract makes stream ≡ batch by
+    construction, and this pins it."""
+    import datetime as dt
+
+    from ssidentity_spark.streaming.ann import build_pinned_index, probe_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    model, cells = build_pinned_index(spark, sf_dir)
+    assert len(model) >= 1
+    cells = cells.cache()
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_rows = [
+        (base + dt.timedelta(seconds=int(r.vec_id)), int(r.vec_id), list(r.embedding))
+        for r in em.filter("vec_id < 10").collect()
+    ]
+    schema = "ts TIMESTAMP, query_id LONG, embedding ARRAY<FLOAT>"
+    src = str(tmp_path / "ann_src")
+    spark.createDataFrame(q_rows, schema).coalesce(1).write.parquet(src)
+    # far-future sentinel closes the first window under append mode
+    sentinel = [(base + dt.timedelta(hours=2), 999, q_rows[0][2])]
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(
+        src
+    )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got_path = _run(probe_stream(stream, cells, model), tmp_path, "ann_probe")
+    got = {
+        (r.query_id, r.rnk, r.neighbor_id, r.cos)
+        for r in spark.read.parquet(got_path).collect()
+    }
+
+    batch_q = spark.createDataFrame(q_rows, schema)
+    want = {
+        (r.query_id, r.rnk, r.neighbor_id, r.cos)
+        for r in probe_stream(batch_q, cells, model).collect()
+    }
+    cells.unpersist()
+    assert len(want) > 0
+    assert got == want

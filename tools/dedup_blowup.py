@@ -1,0 +1,149 @@
+"""Dedup at blow-up scale (VERDICT r4 ask #5): run the MinHash-LSH pair
+generation and connected-component clustering on a near-dup-PLANTED corpus
+grown 1×/3×/10×, and measure whether candidate volume tracks the planted
+duplicate structure (linear) or degenerates toward O(n²).
+
+Blow-up: ``factor`` replicas of the sf documents; replica r > 0 replaces
+every 10th word (offset by r) with a replica-unique token, so replicas of
+one original form a true near-dup cluster (pairwise 3-shingle Jaccard
+≈ 0.6-0.8 — above the 4-band×2-row LSH threshold) while documents from
+different originals stay unrelated. Planted structure: n_orig clusters of
+size ``factor``.
+
+Reported per factor:
+- candidate pairs vs the planted pair count and vs n(n-1)/2 (the O(n²)
+  ceiling a naive all-pairs join would scan);
+- planted-pair recall (candidates that connect two replicas of the same
+  original / planted pairs) and spurious pairs (cross-original);
+- max band-bucket population — the LSH join's fan-in bound, i.e. the skew
+  number that decides whether the bucket join survives 100 TB;
+- HashMin CC iterations to fixpoint + cluster count;
+- wall seconds for pair-gen and CC.
+
+Usage: python tools/dedup_blowup.py [sf_dir] [factors-csv]
+Prints a markdown table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ssidentity_spark.io import load_table
+from ssidentity_spark.operators.graph import connected_components
+from ssidentity_spark.plans.dedup import _spark_lsh_pairs, _spark_minhash, _spark_shingles
+from ssidentity_spark.session import cpu_count, get_spark
+
+OFFSET = 10_000_000  # replica doc_id namespace: doc_id + r * OFFSET
+
+
+def blowup(d: DataFrame, factor: int) -> DataFrame:
+    """factor near-dup replicas per document; replica 0 is the original."""
+    reps = [d.select("doc_id", "text")]
+    for r in range(1, factor):
+        words = F.split(F.lower(F.col("text")), r"\s+")
+        mutated = F.transform(
+            words,
+            lambda w, i: F.when(
+                (i + F.lit(r)) % 10 == 0, F.concat(F.lit(f"xr{r}tok"), i)
+            ).otherwise(w),
+        )
+        reps.append(
+            d.select(
+                (F.col("doc_id") + F.lit(r * OFFSET)).alias("doc_id"),
+                F.array_join(mutated, " ").alias("text"),
+            )
+        )
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def run(sf_dir: str, factor: int) -> dict:
+    spark = get_spark("dedup-blowup", cores=cpu_count())
+    d = blowup(load_table(spark, sf_dir, "documents"), factor).cache()
+    n = d.count()
+
+    t0 = time.perf_counter()
+    pairs = _spark_lsh_pairs(d).cache()
+    n_pairs = pairs.count()
+    t_pairs = time.perf_counter() - t0
+
+    # planted vs spurious: replicas of one original share doc_id % OFFSET
+    same_orig = (F.col("doc_a") % OFFSET) == (F.col("doc_b") % OFFSET)
+    n_planted_hit = pairs.filter(same_orig).count()
+    n_spurious = n_pairs - n_planted_hit
+    n_orig = d.filter(F.col("doc_id") < OFFSET).count()
+    n_planted = n_orig * factor * (factor - 1) // 2
+
+    # LSH fan-in bound: the largest single band-bucket population
+    sigs = _spark_minhash(_spark_shingles(d))
+    band_exprs = [
+        F.md5(F.concat(F.lit(f"{b}|"), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")))
+        for b in range(4)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_exprs)).alias("b", "band_key")
+    )
+    max_bucket = (
+        buckets.groupBy("b", "band_key")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+
+    t0 = time.perf_counter()
+    stats: dict = {}
+    comp = connected_components(pairs, src="doc_a", dst="doc_b", stats=stats)
+    n_clustered = comp.count()
+    n_clusters = comp.select("component").distinct().count()
+    t_cc = time.perf_counter() - t0
+
+    pairs.unpersist()
+    d.unpersist()
+    spark.stop()
+    return {
+        "factor": factor,
+        "n_docs": n,
+        "n_pairs": n_pairs,
+        "n_planted": n_planted,
+        "recall": n_planted_hit / n_planted if n_planted else float("nan"),
+        "spurious": n_spurious,
+        "pct_nsq": 100.0 * n_pairs / (n * (n - 1) / 2),
+        "max_bucket": max_bucket,
+        "cc_iters": stats.get("iterations", 0),
+        "n_clusters": n_clusters,
+        "n_clustered": n_clustered,
+        "t_pairs": t_pairs,
+        "t_cc": t_cc,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else [1, 3, 10])]
+    rows = [run(sf_dir, f) for f in factors]
+    print(
+        "| factor | docs | candidate pairs | planted pairs | planted recall "
+        "| spurious | % of n(n-1)/2 | max bucket | CC iters | clusters "
+        "| pair-gen s | CC s |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['factor']}× | {r['n_docs']:,} | {r['n_pairs']:,} "
+            f"| {r['n_planted']:,} | {r['recall']:.3f} | {r['spurious']:,} "
+            f"| {r['pct_nsq']:.4f}% | {r['max_bucket']} | {r['cc_iters']} "
+            f"| {r['n_clusters']:,} | {r['t_pairs']:.1f} | {r['t_cc']:.1f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
