@@ -156,6 +156,23 @@ def _lsh_pairs_sql_ctes() -> str:
 
 
 def _spark_lsh_pairs(d: DataFrame) -> DataFrame:
+    """LSH candidate pairs via BUCKET ROLLUP — the scale-correct shape.
+
+    Candidate pairs come from ``groupBy(band, band_key)`` + intra-bucket
+    pair expansion instead of a self-join on the band key. The r5 plan
+    audit showed the self-join evaluated the whole shingle→minhash→band
+    subtree TWICE (no exchange reuse across the broadcast boundary, and
+    none under an SMJ hint either — measured); at 100 TB that doubles the
+    dominant cost (corpus scan + shingle explosion), and the broadcast
+    build side stops fitting anyway. The rollup computes the pipeline
+    once; per-bucket work is quadratic only in the bucket population,
+    which the blow-up study measured sub-linear (SCALE.md: max 90 at 50k
+    docs) — exactly the fan-in bound LSH banding exists to enforce.
+    Local sf0.1 medians: self-join BHJ 2.37 s, rollup 2.19 s — the
+    scale-right shape is also the faster one here. (A BIGINT-min variant
+    via ``conv`` was measured 0.45 s SLOWER — conv per shingle-hash costs
+    more than the SortAggregate it avoids; mins stay string-typed.)
+    """
     sigs = _spark_minhash(_spark_shingles(d))
     band_exprs = [
         F.struct(
@@ -168,19 +185,25 @@ def _spark_lsh_pairs(d: DataFrame) -> DataFrame:
         )
         for b in range(N_MINHASH // BAND_ROWS)
     ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
-    ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        sigs.select("doc_id", F.explode(F.array(*band_exprs)).alias("bk"))
+        .groupBy(F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    m = F.col("members")
+    pair_arr = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
