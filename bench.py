@@ -106,6 +106,13 @@ def main() -> None:
                 "sf": sf,
                 "prev_round": PREV_ROUND,
                 "prev_round_stat": "median-of-5 (r04)",
+                # r5 widened the headline set 9 → 12 (EXT families:
+                # minhash-LSH, decontamination, IVFPQ+rerank), so the
+                # TOTAL is not comparable round-over-round — compare
+                # ratio_vs_prev per query; the 3 new names seed r6.
+                "headliners_added_r5": sorted(
+                    n for n in timings if n not in PREV_ROUND
+                ),
                 "ratio_vs_prev": ratios,
                 "regressions_over_1.3x": sorted(
                     n for n, r in gate_ratios.items() if r > 1.3

@@ -115,6 +115,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q15_top_supplier",
 )
 
+# r6 ROTATION QUEUE (after regenerating DRIVER_VERIFIED_HISTORY from
+# CORRECTNESS_r05 via tools/driver_history.py): if the r5 window went
+# green, every oracled query in the registry is driver-verified — no
+# first-timers remain, so r6's window rotates for REGRESSION breadth:
+# keep the 12 bench headliners + the ref_* family (the snapshot-oracle
+# machinery is new, re-record it), then fill with the least-recently
+# driver-verified green queries (r1/r2 vintages first: a1/a2/a3/o1/o3/o4,
+# d7_*, w2/w3 variants, sim_lsh_bucketed, text_quality/langid,
+# pipe_docs_clean/embed_quantize). Rows-only slots stay limited to
+# ref_trilateration + the trainer-based ANN variants.
+
 # Queries hash-verified green by the driver in at least one prior round
 # (union of CORRECTNESS_r01..r03.json rows with hash_match=true). A query
 # may be parked past the window ONLY if it appears here — its green row is
