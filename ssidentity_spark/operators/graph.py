@@ -34,9 +34,11 @@ def connected_components(
     HashMin converges in O(component diameter) rounds; the r5 blow-up
     study measured 18 rounds on chain-shaped 10-replica clusters, so the
     default ceiling carries headroom (the fixpoint early-exit makes the
-    extra budget free on converged graphs). For adversarially long chains
-    at larger scale, swap in pointer-doubling (large-star/small-star,
-    O(log diameter)) — the per-iteration shuffle shape is identical.
+    extra budget free on converged graphs). For graphs with unknown or
+    adversarial diameter use ``connected_components_star`` — O(log
+    diameter) rounds, measured 161 vs 9 on a 160-edge path (SCALE.md).
+    HashMin remains the default because shallow co-occurrence/near-dup
+    graphs converge in a handful of rounds at lower per-round cost.
     """
     spark = edges.sparkSession
     # undirected: symmetrize once
@@ -83,6 +85,104 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "mac_a",
+    dst: str = "mac_b",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    pointer-doubling counterpart to HashMin: converges in O(log diameter)
+    rounds instead of O(diameter), the difference the r5 blow-up study
+    measured on chain-shaped near-dup clusters (18 HashMin rounds at 10×;
+    see SCALE.md). Same relational building blocks — one keyed shuffle per
+    star phase, checkpoint-truncated — so the per-round cost matches
+    HashMin and the round COUNT is the win on long-chain graphs.
+
+    large-star: every node links its larger neighbors to the minimum of
+    its closed neighborhood; small-star: every node links its smaller-or-
+    equal neighbors likewise. The edge set converges to a star forest
+    whose centers are the component minima. Returns (vertex, component),
+    identical to ``connected_components`` (equivalence is pytest-pinned
+    on random graphs).
+    """
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        cur.select(F.col("u").alias("vertex"))
+        .unionByName(cur.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # closed neighborhood of u: neighbors over both directions + u
+        nbrs = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        with_self = nbrs.unionByName(
+            nbrs.select("u", F.col("u").alias("v")).distinct()
+        )
+        m = with_self.groupBy("u").agg(F.min("v").alias("m"))
+        joined = nbrs.join(m, "u")
+        if large:
+            # connect strictly larger neighbors to the neighborhood min
+            linked = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            # connect smaller-or-equal neighbors AND u itself to the min
+            linked = (
+                joined.filter(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .unionByName(
+                    m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+                )
+            )
+        linked = linked.select("a", "b")
+        return (
+            linked.filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+        )
+
+    for it in range(max_iter):
+        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        if stats is not None:
+            stats["iterations"] = it + 1
+        # fixpoint: the edge multiset stopped changing
+        if (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        ):
+            cur = nxt
+            break
+        cur = nxt
+    # converged: a star forest — every non-min vertex carries exactly one
+    # (vertex, min) edge; the min-agg is belt-and-braces if max_iter cut
+    # convergence short on an adversarial graph
+    comp = cur.groupBy(F.col("u").alias("vertex")).agg(
+        F.min("v").alias("component")
+    )
+    return (
+        vertices.join(comp, "vertex", "left")
+        .select(
+            "vertex", F.coalesce("component", F.col("vertex")).alias("component")
+        )
+    )
 
 
 def companion_clusters(obs: DataFrame, window: str = "30 seconds", min_cowindows: int = 2) -> DataFrame:

@@ -44,3 +44,62 @@ def test_companion_clusters(spark, observations):
         for r in rows:
             assert r.n_members == len(r.members)
             assert r.component == min(r.members)
+
+
+def test_star_cc_equivalent_to_hashmin_on_random_graphs(spark):
+    """Pointer-doubling (large-star/small-star) must produce the identical
+    (vertex, component-min) mapping as HashMin on arbitrary graphs."""
+    import random
+
+    from ssidentity_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (f"v{rng.randrange(n):03d}", f"v{rng.randrange(n):03d}")
+            for _ in range(70)
+        ]
+        df = spark.createDataFrame(edges, "mac_a STRING, mac_b STRING").filter(
+            "mac_a != mac_b"
+        )
+        want = {
+            (r.vertex, r.component)
+            for r in connected_components(df).collect()
+        }
+        got = {
+            (r.vertex, r.component)
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, f"trial {trial}: star != hashmin"
+
+
+def test_star_cc_logarithmic_rounds_on_long_path(spark):
+    """The motivating case from the r5 blow-up study: on a path graph
+    HashMin needs O(diameter) rounds while star-contraction needs
+    O(log diameter) — assert the measured gap, and that both agree."""
+    from ssidentity_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(80)]
+    df = spark.createDataFrame(path, "mac_a STRING, mac_b STRING")
+    hm_stats, st_stats = {}, {}
+    hm = {
+        (r.vertex, r.component)
+        for r in connected_components(df, max_iter=120, stats=hm_stats).collect()
+    }
+    st = {
+        (r.vertex, r.component)
+        for r in connected_components_star(df, stats=st_stats).collect()
+    }
+    assert hm == st
+    assert all(c == "p000" for _, c in st)  # one component, min-labeled
+    assert st_stats["iterations"] <= 10 < hm_stats["iterations"], (
+        f"star {st_stats['iterations']} rounds vs hashmin "
+        f"{hm_stats['iterations']} — expected log vs linear"
+    )
