@@ -2,9 +2,11 @@
 
 ``decode_image``, ``decode_png`` and ``decode_audio`` are REAL
 dependency-free decoders: uncompressed 24/32-bit BMP and PCM WAV parsed
-straight from the byte layout, and 8-bit non-interlaced PNG via stdlib
-``zlib`` plus a full five-filter scanline unfilter loop. Formats that
-genuinely need a codec library (JPEG/MP3/…, palette/16-bit/interlaced
+straight from the byte layout, 8-bit non-interlaced PNG via stdlib
+``zlib`` plus a full five-filter scanline unfilter loop, and baseline
+grayscale JPEG (operators/jpeg.py: segment walk, stream-described
+canonical Huffman tables, numpy IDCT). Formats that genuinely need a
+codec library (color/progressive JPEG, MP3, palette/16-bit/interlaced
 PNG) raise NotImplementedError; plug Pillow/libvips/ffmpeg into the same
 functions in production. ``fake_decode`` remains the deterministic stand-in the
 DuckDB-oracled queries use (an oracle can't decode BMP), and
@@ -154,14 +156,20 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
     """Decode a supported still image: (width, height, mean_channel).
 
     Dispatches on magic bytes — uncompressed 24/32-bit BMP (byte-layout
-    parse) or 8-bit non-interlaced PNG (stdlib zlib + unfilter,
-    ``decode_png``). JPEG and friends raise NotImplementedError — that's
-    where Pillow/libvips plugs in outside this container. BMP pixel rows
-    are ``width*bytes_pp`` BGR(A) runs padded to 4-byte stride; the mean
-    is over colour channels only (alpha excluded for 32-bit).
+    parse), 8-bit non-interlaced PNG (stdlib zlib + unfilter,
+    ``decode_png``), or baseline grayscale JPEG (numpy DCT + stream-
+    described Huffman tables, ``operators/jpeg.py``). Color JPEG and
+    other codec formats raise NotImplementedError — that's where
+    Pillow/libvips plugs in outside this container. BMP pixel rows are
+    ``width*bytes_pp`` BGR(A) runs padded to 4-byte stride; the mean is
+    over colour channels only (alpha excluded for 32-bit).
     """
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ssidentity_spark.operators.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(payload)
     if len(payload) < 54 or payload[:2] != b"BM":
         raise NotImplementedError("not an uncompressed BMP (codec libs absent)")
     pixel_off = struct.unpack_from("<I", payload, 10)[0]
