@@ -102,13 +102,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_cc_clusters",
     "sim_ivf_pinned_topk",
     "sim_lsh_multiprobe",
+    "sim_probe_batch",
     "text_tfidf_top_terms",
     "pipe_split_assign",
     "mm_decoded_features",
     "mm_frame_sample",
     "mm_png_decode",
     "d1_fspl_distance",
-    "d7_date_funcs",
     "j9_q16_supplier_variety",
     "w2_value_functions",
     "tpch_q13_custdist",

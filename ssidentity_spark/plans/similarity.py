@@ -565,3 +565,76 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
         .select("label", "dim_idx", "centroid_val")
     )
+
+
+@register(
+    "sim_probe_batch",
+    # Batch twin of the r5 STREAMING probe operator (streaming/ann.py:
+    # probe_stream): identical expressions run on a static frame with a
+    # constant event time, so this oracle puts the streaming pipeline's
+    # exact semantics — literal-model cell selection, probed-cell
+    # candidate join, bounded windowed top-k — under the driver hash
+    # gate; the stream ≡ batch parity test then extends that evidence to
+    # the streaming execution itself.
+    oracle=f"""
+    WITH {_DUCK_VEC}, cent AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % {PINNED_CENT_MOD} = 0
+    ), ranked AS (
+      SELECT vec_id, v, nrm, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cell_cos DESC, cid) AS rn
+      FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.cid,
+               round(list_sum(list_transform(generate_series(1, len(n.v)),
+                              i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6)
+                 AS cell_cos
+        FROM n CROSS JOIN cent c)
+    ), cells AS (
+      SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM ranked
+      WHERE vec_id < {N_QUERIES} AND rn <= {N_PINNED_PROBES}
+    ), cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+      JOIN cells q ON q.vec_id = p.query_id
+    )
+    SELECT '2024-05-01 12:00:00' AS win_start,
+           query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {TOP_K}
+    """,
+    survey="U5,T3",
+)
+def sim_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ANN probe's expressions on a batch frame — see
+    streaming/ann.py:probe_stream (U5×T). The query-side cell selection
+    runs against the literal centroid model (exactly what ships to the
+    stream), the candidate join touches only probed cells, and top-k is
+    the same bounded collect/sort aggregation; a constant event time
+    collapses the window to one pane so results align with the pinned-IVF
+    oracle formulation."""
+    from ssidentity_spark.streaming.ann import build_pinned_index, probe_stream
+
+    model, cells = build_pinned_index(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.lit("2024-05-01 12:00:00").cast("timestamp").alias("ts"),
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+    )
+    out = probe_stream(q, cells, model)
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "query_id",
+        F.col("rnk").cast("int").alias("rnk"),
+        "neighbor_id",
+        "cos",
+    )
