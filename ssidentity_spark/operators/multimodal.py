@@ -224,6 +224,112 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, int]:
     return channels, sample_rate, bits, data_size // block_align
 
 
+def decode_audio_samples(payload: bytes):
+    """Decode PCM WAV samples: (channels, rate, bits, numpy sample array).
+
+    Extends ``decode_audio``'s header walk with the actual sample data:
+    8-bit PCM is unsigned (per the WAV spec), 16/32-bit are signed
+    little-endian. Returns interleaved samples as int32."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload (codec libs absent)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            if pos + 8 + size > len(payload):
+                raise NotImplementedError("truncated WAV data chunk")
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunks")
+    audio_format, channels, sample_rate, _rate, block_align, bits = fmt
+    if audio_format != 1 or block_align == 0:
+        raise NotImplementedError("only integer PCM WAV decodable")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+    elif bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2"
+        ).astype(np.int32)
+    elif bits == 32:
+        samples = np.frombuffer(
+            data[: len(data) // 4 * 4], dtype="<i4"
+        ).astype(np.int32)
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported")
+    return channels, sample_rate, bits, samples
+
+
+def pcm_wav_from_samples(
+    data: bytes, sample_rate: int = 16000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Wrap raw little-endian PCM bytes in a minimal RIFF/WAVE container —
+    the encode half of the mm_wav_decode round trip."""
+    bytes_ps = bits // 8
+    block_align = channels * bytes_ps
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+WAV_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def wav_roundtrip_features(df: DataFrame, max_samples: int = 512) -> DataFrame:
+    """(doc_id, text) → wrap the text's bytes as 16-bit PCM WAV, decode the
+    samples back, emit integer-exact stats (count / sum / peak |sample|).
+    Same contract as ``png_roundtrip_features``: a SQL oracle recomputes
+    the stats from raw bytes, so the container walk + sample decode is
+    hash-checked per document through the production Arrow path."""
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            ns: list[int] = []
+            sums: list[int] = []
+            peaks: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = min(len(b) // 2, max_samples)
+                if n == 0:
+                    continue
+                wav = pcm_wav_from_samples(b[: n * 2])
+                _ch, _rate, _bits, samples = decode_audio_samples(wav)
+                ids.append(int(doc_id))
+                ns.append(int(samples.size))
+                sums.append(int(samples.sum()))
+                peaks.append(int(abs(samples).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_samples": pd.Series(sums, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_roundtrip, schema=WAV_ROUNDTRIP_SCHEMA)
+
+
 def fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic decode stand-in: 'dimensions' from the first two bytes.
 

@@ -104,10 +104,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_lsh_multiprobe",
     "sim_probe_batch",
     "text_tfidf_top_terms",
-    "pipe_split_assign",
     "mm_decoded_features",
     "mm_frame_sample",
     "mm_png_decode",
+    "mm_wav_decode",
     "d1_fspl_distance",
     "j9_q16_supplier_variety",
     "w2_value_functions",

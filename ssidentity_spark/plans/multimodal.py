@@ -138,6 +138,63 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_roundtrip_features(d)
 
 
+_HEXD = "'0123456789ABCDEF'"
+
+
+def _sql_byte(pos_expr: str) -> str:
+    """DuckDB expr: value 0-255 of the 0-based byte ``pos_expr`` of hx."""
+    return (
+        f"((strpos({_HEXD}, substr(hx, ({pos_expr}) * 2 + 1, 1)) - 1) * 16"
+        f" + strpos({_HEXD}, substr(hx, ({pos_expr}) * 2 + 2, 1)) - 1)"
+    )
+
+
+_SIGNED16 = (
+    f"(CASE WHEN {_sql_byte('i * 2')} + 256 * {_sql_byte('i * 2 + 1')} >= 32768 "
+    f"THEN {_sql_byte('i * 2')} + 256 * {_sql_byte('i * 2 + 1')} - 65536 "
+    f"ELSE {_sql_byte('i * 2')} + 256 * {_sql_byte('i * 2 + 1')} END)"
+)
+
+
+@register(
+    "mm_wav_decode",
+    # The audio analog of mm_png_decode: the oracle re-derives each
+    # document's 16-bit little-endian signed samples from the raw bytes
+    # (hex-pair arithmetic), so the Spark side's RIFF wrap → chunk walk →
+    # sample decode loop is hash-checked per document, integer-exact.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             upper(hex(encode(text))) AS hx,
+             least(octet_length(encode(text)) // 2, 512) AS n
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n,
+             list_transform(range(0, CAST(n AS BIGINT)), i -> {_SIGNED16}) AS sm
+      FROM t WHERE n >= 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_aggregate(sm, 'sum') AS BIGINT) AS sum_samples,
+           CAST(list_aggregate(list_transform(sm, x -> abs(x)), 'max') AS BIGINT)
+             AS peak
+    FROM d
+    """,
+    survey="EXT-multimodal,U1",
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio sample decode in the production Arrow path: each
+    document's bytes become 16-bit PCM in a RIFF/WAVE container
+    (operators.multimodal.pcm_wav_from_samples) and are decoded straight
+    back (decode_audio_samples) — count/sum/peak are integer-exact, so
+    the driver gate hash-checks the sample decode, not just the header
+    walk the r4 decoder covered."""
+    from ssidentity_spark.operators.multimodal import wav_roundtrip_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return wav_roundtrip_features(d)
+
+
 @register(
     "mm_decoded_features",
     oracle="""

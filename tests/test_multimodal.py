@@ -269,3 +269,37 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the env by contract
     pass
+
+
+def test_decode_audio_samples_roundtrip():
+    """Sample-level PCM decode against numpy ground truth, all PCM widths
+    (8-bit unsigned per spec, 16/32-bit signed LE)."""
+    import numpy as np
+
+    from ssidentity_spark.operators.multimodal import (
+        decode_audio_samples,
+        pcm_wav_from_samples,
+    )
+
+    rng = np.random.default_rng(5)
+    # 16-bit signed
+    want16 = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    ch, rate, bits, got = decode_audio_samples(
+        pcm_wav_from_samples(want16.tobytes(), 22050, 1, 16)
+    )
+    assert (ch, rate, bits) == (1, 22050, 16)
+    assert np.array_equal(got, want16.astype(np.int32))
+    # 8-bit unsigned
+    want8 = rng.integers(0, 256, size=100, dtype=np.uint8)
+    _, _, bits, got = decode_audio_samples(
+        pcm_wav_from_samples(want8.tobytes(), 8000, 1, 8)
+    )
+    assert bits == 8
+    assert np.array_equal(got, want8.astype(np.int32))
+    # 32-bit signed
+    want32 = rng.integers(-(2**31), 2**31, size=50, dtype=np.int32)
+    _, _, bits, got = decode_audio_samples(
+        pcm_wav_from_samples(want32.tobytes(), 44100, 1, 32)
+    )
+    assert bits == 32
+    assert np.array_equal(got, want32)
