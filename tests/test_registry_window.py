@@ -57,12 +57,40 @@ def test_every_module_has_a_windowed_query():
 def test_history_matches_correctness_artifacts():
     """DRIVER_VERIFIED_HISTORY is a committed copy of the artifact union —
     regenerate with tools/driver_history.py when a new round's
-    CORRECTNESS_r*.json lands."""
+    CORRECTNESS_r*.json lands.
+
+    Tolerance (ADVICE r4): the NEWEST artifact may be uncommitted — the
+    driver drops CORRECTNESS_r{N}.json between rounds, and the suite must
+    not go red in the gap before the next session regenerates. Staleness
+    beyond that (missing entries from older artifacts, or entries never
+    green in any artifact) still fails."""
+    import glob
+    import json
+
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     sys.path.insert(0, tools_dir)
     from driver_history import driver_green_history
 
-    assert DRIVER_VERIFIED_HISTORY == frozenset(driver_green_history())
+    union = frozenset(driver_green_history())
+    if DRIVER_VERIFIED_HISTORY == union:
+        return
+    # every committed entry must be evidenced by some artifact
+    assert DRIVER_VERIFIED_HISTORY <= union, (
+        f"committed history has entries no artifact evidences: "
+        f"{sorted(DRIVER_VERIFIED_HISTORY - union)}"
+    )
+    # anything uncommitted must come solely from the newest artifact
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))[-1]
+    with open(latest) as f:
+        newest_green = {
+            n for n, rec in json.load(f).items() if rec.get("hash_match")
+        }
+    stale = union - DRIVER_VERIFIED_HISTORY - newest_green
+    assert not stale, (
+        f"history stale beyond the newest artifact ({os.path.basename(latest)}); "
+        f"run tools/driver_history.py and commit: {sorted(stale)}"
+    )
 
 
 def test_every_batch_survey_row_has_driver_evidence():
