@@ -51,3 +51,36 @@ def test_two_sensor_centroid(spark):
     for r in rows:
         assert r.n_sensors == 2
         assert math.isfinite(r.lat) and math.isfinite(r.lon)
+
+
+def test_residual_norm_bound(spark):
+    """VERDICT r4 ask #9: a quantitative property on the solver itself —
+    the reported RMSE residual must (a) be finite and reasonably small on
+    clean-geometry fixtures (FSPL quantization noise only), and (b) be
+    the true RMSE of |distance(est, sensor) - measured_dist| recomputed
+    independently from the output position, so the solver can't report a
+    flattering number."""
+    import numpy as np
+
+    obs, _truth = trilat_truth_observations(spark)
+    est = {r.mac: r for r in trilaterate(obs, sensors_df(spark)).collect()}
+    per_sensor = (
+        obs.groupBy("mac", "sensor_id").agg(F.avg("dist").alias("d")).collect()
+    )
+    sensor_pos = {s[0]: (s[1], s[2]) for s in SENSORS}
+    by_mac: dict[str, list] = {}
+    for r in per_sensor:
+        by_mac.setdefault(r.mac, []).append((r.sensor_id, r.d))
+    for mac, rows in by_mac.items():
+        e = est[mac]
+        resid = [
+            _err_m(e.lat, e.lon, *sensor_pos[sid]) - d for sid, d in rows
+        ]
+        want_rmse = float(np.sqrt(np.mean(np.array(resid) ** 2)))
+        # quantization-level residuals on clean geometry
+        assert e.rmse_m < 120.0, (mac, e.rmse_m)
+        # reported == recomputed (rounding: trilaterate averages dists the
+        # same way; allow small numeric slack)
+        assert abs(e.rmse_m - want_rmse) < max(5.0, 0.05 * want_rmse), (
+            mac, e.rmse_m, want_rmse,
+        )
