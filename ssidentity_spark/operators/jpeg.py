@@ -179,6 +179,11 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        # set once a marker stops the fill: exactly ONE byte of 1-padding
+        # is allowed past end-of-entropy (spec: pad bits complete the last
+        # code); a decode that keeps asking after that is off the rails
+        # and must raise, not spin on endless 0xFF refills.
+        self.ended = False
 
     def _fill(self) -> None:
         while self.nbits <= 24 and self.pos < len(self.data):
@@ -189,12 +194,14 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1  # unstuff
                 else:
-                    # marker (EOI / restart) — treat as end of entropy data
+                    # marker (EOI / restart) — end of entropy data
                     self.pos -= 1
                     byte = None
             if byte is None:
-                self.acc = (self.acc << 8) | 0xFF  # 1-padding
-                self.nbits += 8
+                if not self.ended:
+                    self.acc = (self.acc << 8) | 0xFF  # 1-padding
+                    self.nbits += 8
+                    self.ended = True
                 break
             self.acc = (self.acc << 8) | byte
             self.nbits += 8

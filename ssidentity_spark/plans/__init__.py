@@ -41,18 +41,21 @@ from ssidentity_spark.registry import REGISTRY
 
 # The 50 queries the driver's correctness gate will record, in order.
 # Selection rule: >=1 query per module, every bench.py headline query, and —
-# round 3+ — ROTATION: queries the driver has hash-verified green in >=2
-# prior rounds park past the window (their CORRECTNESS_r*.json rows stand as
-# evidence) to make room for queries the driver has never seen. §2-row
-# coverage is therefore CUMULATIVE: window ∪ driver-green-history must cover
-# every batch-testable row (tests/test_registry_window.py enforces both the
-# cumulative cover and that each rotation adds first-time-verified queries).
-# Rows-only entries are admitted only where no oracled query can evidence
-# the row.
+# round 3+ — ROTATION. r6 policy shift (VERDICT r5 ask #8): after r5 every
+# oracled query is driver-verified at least once, so never-verified-first
+# rotation is retired in favour of STALENESS-ordered re-verification —
+# window = bench headliners + this round's new oracles (the trained-ANN
+# snapshot family + the closed-form trilateration solve, all first-time
+# hash candidates) + the ref_* snapshot-oracle family (machinery changed
+# this round, re-record it) + the least-recently driver-verified greens
+# (r1 vintage first, then r3 — none had been re-run under the driver since
+# their first green). §2-row coverage stays CUMULATIVE: window ∪
+# driver-green-history covers every batch-testable row
+# (tests/test_registry_window.py enforces it).
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed
-    # so the perf artifact and the correctness artifact cover the same set).
-    # r5 adds three EXT-family headliners (VERDICT r4 ask #6).
+    # so the perf artifact and the correctness artifact cover the same
+    # set). r6 adds mm_png_decode — the Arrow-decode headliner.
     "flagship_hourly_top_types",
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
@@ -65,69 +68,67 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivfpq_rerank_topk",
     "text_token_stats",
     "pipe_decontaminate",
-    # ROTATED IN r5: the 13 remaining never-driver-verified oracled queries
-    # (VERDICT r4 ask #2 — after this round cumulative driver verification
-    # covers every oracled query in the registry)
-    "j5_asof_payload",
-    "text_fingerprint",
-    "text_repetition_scores",
-    "corpus_length_profile",
-    "pipe_domain_mix",
-    "sql_api_source_quality_rank",
-    "j3_active_customer_nations",
-    "j2_supplier_volume",
-    "j1_brand_pricing",
-    "pivot_status_by_priority",
-    "agg_percentiles",
-    "agg_min_max_by",
-    "j9_above_nation_avg",
-    # reference sniffer pipeline — r5 gives visits/companions/watchlist (and
-    # the parse-derivation columns) snapshot-backed DuckDB oracles
-    # (VERDICT r4 ask #3)
-    "ref_parse_pipeline",
+    "mm_png_decode",
+    # FIRST-TIME hash candidates (r6): trained-model snapshot oracles for
+    # the ANN family (VERDICT r5 ask #1) + the closed-form 2x2
+    # normal-equation trilateration oracle (ask #2)
+    "sim_ivf_topk",
+    "sim_ivf_topk_distributed",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "ref_trilateration",
+    # reference sniffer pipeline — snapshot-oracle family, re-recorded
+    "ref_parse_pipeline",
     "ref_trilateration_inputs",
     "ref_visit_sessions",
     "ref_companion_clusters",
     "ref_watchlist_alerts",
-    # ANN distributed-trainer variant: rows-only by nature (k-means model),
-    # windowed so the driver artifact at least records its row evidence
-    "sim_ivf_topk_distributed",
-    # re-verification picks (all history-green): the r3 NTZ-breakage set,
-    # the r4 first-timer oracles, and >=1 query per module
-    "a8_exact_percentiles",
-    "w2_event_gaps",
-    "w4_sessionize",
-    "j5_asof_last_login",
-    "dedup_cc_clusters",
-    "sim_ivf_pinned_topk",
-    "sim_lsh_multiprobe",
-    "sim_probe_batch",
-    "text_tfidf_top_terms",
-    "mm_decoded_features",
-    "mm_frame_sample",
-    "mm_png_decode",
-    "mm_wav_decode",
-    "d1_fspl_distance",
-    "j9_q16_supplier_variety",
-    "w2_value_functions",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
+    # staleness rotation: the 22 r1-vintage greens (never re-verified
+    # since round 1) ...
+    "a1_user_interests",
+    "a2_active_hours",
+    "a3_network_tree",
+    "a4_mac_key_rollup",
+    "a6_value_stats",
+    "a9_cube_type_dow",
+    "a9_rollup_type_hour",
+    "d7_array_funcs",
+    "d7_array_manipulation",
+    "d7_from_json_struct",
+    "d7_json_extract",
+    "d7_math_funcs",
+    "d7_string_funcs",
+    "dedup_jaccard_topk",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "j9_q2_min_cost_supplier",
+    "mm_binary_metadata",
+    "o1_global_sort_top",
+    "o4_except_users",
+    "w2_transitions",
+    "w3_rolling_count_10min",
+    # ... then the oldest r3-vintage greens (alphabetical within equal age)
+    "a10_heavy_hitters",
+    "a2_habitual_hour",
+    # ... with the last three slots spent on the stalest member of each
+    # module the staleness order alone would have left unwindowed (the
+    # per-module coverage rule outranks strict age order)
+    "sql_api_daily_type_summary",
+    "tpch_q12_late_priority",
+    "tpch_q11_important_value",
 )
 
-# r6 ROTATION QUEUE (after regenerating DRIVER_VERIFIED_HISTORY from
-# CORRECTNESS_r05 via tools/driver_history.py): if the r5 window went
-# green, every oracled query in the registry is driver-verified — no
-# first-timers remain, so r6's window rotates for REGRESSION breadth:
-# keep the 12 bench headliners + the ref_* family (the snapshot-oracle
-# machinery is new, re-record it), then fill with the least-recently
-# driver-verified green queries (r1/r2 vintages first: a1/a2/a3/o1/o3/o4,
-# d7_*, w2/w3 variants, sim_lsh_bucketed, text_quality/langid,
-# pipe_docs_clean/embed_quantize). Rows-only slots stay limited to
-# ref_trilateration + the trainer-based ANN variants.
+# r7 ROTATION QUEUE (after regenerating DRIVER_VERIFIED_HISTORY from
+# CORRECTNESS_r06 via tools/driver_history.py): continue staleness-ordered
+# rotation — keep the bench headliners, then the remaining r3 vintage
+# (a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs,
+# o3_union_split, o4_intersect_users, pipe_docs_clean, pipe_embed_quantize,
+# pivot_user_type_matrix, sim_label_centroids, sim_lsh_bucketed,
+# text_bigram_profile, text_langid, text_quality, w3_rolling_avg_rows),
+# then the r4 vintage.
 
 # Queries hash-verified green by the driver in at least one prior round
-# (union of CORRECTNESS_r01..r03.json rows with hash_match=true). A query
+# (union of CORRECTNESS_r01..r05.json rows with hash_match=true). A query
 # may be parked past the window ONLY if it appears here — its green row is
 # the standing evidence — so rotation strictly grows the cumulative
 # driver-verified set. Regenerate via tools/driver_history.py.
@@ -144,7 +145,10 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "a8_exact_percentiles",
         "a9_cube_type_dow",
         "a9_rollup_type_hour",
+        "agg_min_max_by",
         "agg_ordered_listagg",
+        "agg_percentiles",
+        "corpus_length_profile",
         "d1_fspl_distance",
         "d7_array_funcs",
         "d7_array_manipulation",
@@ -162,11 +166,16 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "dedup_simhash",
         "dedup_simhash_pairs",
         "flagship_hourly_top_types",
+        "j1_brand_pricing",
         "j1_region_revenue",
+        "j2_supplier_volume",
+        "j3_active_customer_nations",
         "j3_customers_without_orders",
         "j4_range_join_funnel",
         "j5_asof_last_login",
+        "j5_asof_payload",
         "j8_cross_region_nation",
+        "j9_above_nation_avg",
         "j9_q10_returned_revenue",
         "j9_q16_supplier_variety",
         "j9_q2_min_cost_supplier",
@@ -175,25 +184,39 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "mm_binary_metadata",
         "mm_decoded_features",
         "mm_frame_sample",
+        "mm_png_decode",
+        "mm_wav_decode",
         "o1_global_sort_top",
         "o3_union_split",
         "o4_except_users",
         "o4_intersect_users",
+        "pipe_decontaminate",
         "pipe_docs_clean",
+        "pipe_domain_mix",
         "pipe_embed_quantize",
         "pipe_split_assign",
         "pipe_stratified_sample",
+        "pivot_status_by_priority",
         "pivot_user_type_matrix",
+        "ref_companion_clusters",
+        "ref_parse_pipeline",
+        "ref_trilateration_inputs",
+        "ref_visit_sessions",
+        "ref_watchlist_alerts",
         "sim_ivf_pinned_topk",
         "sim_label_centroids",
         "sim_lsh_bucketed",
         "sim_lsh_multiprobe",
+        "sim_probe_batch",
         "sim_topk_bruteforce",
         "sql_api_daily_type_summary",
         "sql_api_nation_order_stats",
+        "sql_api_source_quality_rank",
         "text_bigram_profile",
+        "text_fingerprint",
         "text_langid",
         "text_quality",
+        "text_repetition_scores",
         "text_tfidf_top_terms",
         "text_token_stats",
         "tpch_q11_important_value",

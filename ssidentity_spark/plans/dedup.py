@@ -34,6 +34,18 @@ BAND_ROWS = 2  # rows per LSH band → 4 bands
 HEX_LEN = 12  # 48-bit hash prefix (fits comfortably in BIGINT if needed)
 
 
+def band_key_expr(b: int):
+    """md5 over band ``b``'s BAND_ROWS minhash columns — the LSH bucket
+    key. Shared with tools/dedup_blowup.py so blow-up measurements always
+    probe the exact banding the production pair-gen uses (ADVICE r5)."""
+    return F.md5(
+        F.concat(
+            F.lit(f"{b}|"),
+            *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+        )
+    )
+
+
 def _words_col():
     return F.split(F.lower(F.col("text")), r"\s+")
 
@@ -175,14 +187,7 @@ def _spark_lsh_pairs(d: DataFrame) -> DataFrame:
     """
     sigs = _spark_minhash(_spark_shingles(d))
     band_exprs = [
-        F.struct(
-            F.lit(b).alias("b"),
-            F.md5(
-                F.concat(
-                    F.lit(f"{b}|"), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
-                )
-            ).alias("band_key"),
-        )
+        F.struct(F.lit(b).alias("b"), band_key_expr(b).alias("band_key"))
         for b in range(N_MINHASH // BAND_ROWS)
     ]
     buckets = (

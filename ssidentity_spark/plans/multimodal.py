@@ -125,6 +125,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dims
     """,
     survey="EXT-multimodal,U1",
+    # bench headliner (VERDICT r5 ask #5): the one Arrow/mapInPandas
+    # decode in the headline set, so a regression in the Python-worker
+    # path — batch sizing, Arrow serialization, the decoder itself — shows
+    # up in BENCH, not only in pytest.
+    bench=True,
 )
 def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real compressed-image decode in the production Arrow path: each

@@ -85,15 +85,94 @@ def ref_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ref_trilateration",
-    oracle=None,  # numpy lstsq — truth/collinear/2-sensor tests in pytest
+    # Closed-form least-squares oracle (VERDICT r5 ask #2): the solver's
+    # linearized system (operators/trilateration.py:_solve_group) has only
+    # 2 unknowns, so numpy's lstsq is — for the full-rank geometry this
+    # fixture guarantees (rank pinned by tests/test_trilateration.py) —
+    # exactly the 2×2 normal-equation solve p = (AᵀA)⁻¹Aᵀb, which IS SQL:
+    # sums of products per (mac, window) and a closed-form 2×2 inverse.
+    # DuckDB re-derives the local-meters frame (x/y offsets from the
+    # sensor-mean origin, mlon scaled by cos(lat₀)), the A·p=b rows
+    # (first-sensor circle subtracted, sensors ordered by sensor_id — the
+    # same order pandas' sorted groupby gives numpy), the solve, and the
+    # all-sensor RMSE, from the same obs + sensors snapshots. lat/lon are
+    # rounded to 4 dp and rmse to 1 dp on both engines, absorbing the
+    # SVD-vs-normal-equations float tail.
+    oracle=f"""
+    WITH o AS (SELECT * FROM read_parquet('{_snap("trilat_obs")}')),
+    s AS (SELECT * FROM read_parquet('{_snap("trilat_sensors")}')),
+    g AS (
+      SELECT o.mac, CAST(floor(epoch(o.ts) / 30) AS BIGINT) AS w,
+             o.sensor_id, s.lat AS s_lat, s.lon AS s_lon, avg(o.dist) AS d
+      FROM o JOIN s ON o.sensor_id = s.sensor_id
+      GROUP BY 1, 2, 3, 4, 5
+    ), c AS (
+      SELECT mac, w, avg(s_lat) AS lat0, avg(s_lon) AS lon0,
+             CAST(count(*) AS INTEGER) AS n
+      FROM g GROUP BY 1, 2
+    ), xy AS (
+      SELECT g.mac, g.w,
+             (g.s_lon - c.lon0) * (111320.0 * cos(radians(c.lat0))) AS x,
+             (g.s_lat - c.lat0) * 111320.0 AS y,
+             g.d,
+             row_number() OVER (PARTITION BY g.mac, g.w
+                                ORDER BY g.sensor_id) AS rn
+      FROM g JOIN c ON g.mac = c.mac AND g.w = c.w
+    ), ref AS (
+      SELECT mac, w, x AS x1, y AS y1, d AS d1 FROM xy WHERE rn = 1
+    ), ab AS (
+      SELECT xy.mac, xy.w,
+             2 * (x - x1) AS a1, 2 * (y - y1) AS a2,
+             (d1 * d1 - d * d) + (x * x - x1 * x1) + (y * y - y1 * y1) AS b
+      FROM xy JOIN ref ON xy.mac = ref.mac AND xy.w = ref.w
+      WHERE xy.rn > 1
+    ), ne AS (
+      SELECT mac, w,
+             sum(a1 * a1) AS sxx, sum(a1 * a2) AS sxy, sum(a2 * a2) AS syy,
+             sum(a1 * b) AS sxb, sum(a2 * b) AS syb
+      FROM ab GROUP BY 1, 2
+    ), sol AS (
+      SELECT mac, w,
+             (syy * sxb - sxy * syb) / (sxx * syy - sxy * sxy) AS px,
+             (sxx * syb - sxy * sxb) / (sxx * syy - sxy * sxy) AS py
+      FROM ne
+    ), res AS (
+      SELECT xy.mac, xy.w,
+             sqrt(avg(pow(sqrt((xy.x - p.px) * (xy.x - p.px)
+                             + (xy.y - p.py) * (xy.y - p.py)) - xy.d, 2)))
+               AS rmse
+      FROM xy JOIN sol p ON xy.mac = p.mac AND xy.w = p.w
+      GROUP BY 1, 2
+    )
+    SELECT c.mac,
+           round(c.lat0 + p.py / 111320.0, 4) AS lat,
+           round(c.lon0 + p.px / (111320.0 * cos(radians(c.lat0))), 4) AS lon,
+           c.n AS n_sensors,
+           round(r.rmse, 1) AS rmse_m
+    FROM c
+    JOIN sol p ON c.mac = p.mac AND c.w = p.w
+    JOIN res r ON c.mac = r.mac AND c.w = r.w
+    """,
     survey="U2,A5,J1",
 )
 def ref_trilateration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Known-truth observations → least-squares positions (ssidentity.c:35)."""
-    from ssidentity_spark.fixtures import sensors_df, trilat_truth_observations
+    from ssidentity_spark.fixtures import (
+        SENSORS,
+        sensors_df,
+        snapshot_fixture,
+        trilat_truth_observations,
+    )
     from ssidentity_spark.operators.trilateration import trilaterate
 
     obs, _ = trilat_truth_observations(spark)
+    import pandas as pd
+
+    snapshot_fixture("trilat_obs", obs.toPandas())
+    snapshot_fixture(
+        "trilat_sensors",
+        pd.DataFrame(list(SENSORS), columns=["sensor_id", "lat", "lon"]),
+    )
     est = trilaterate(obs, sensors_df(spark))
     return est.select(
         "mac",

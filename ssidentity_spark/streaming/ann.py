@@ -41,7 +41,14 @@ from ssidentity_spark.plans.similarity import (
     _norm_vec,
 )
 
-MAX_MODEL_CENTROIDS = 65_536  # literal-expression model ships in the plan
+# The model ships as a LITERAL array-of-structs expression in the plan
+# (every centroid element becomes a Catalyst literal), so the realistic
+# boundary is total literal scalars, not centroid count — tens of
+# thousands of full-embedding struct literals would blow up plan
+# size/codegen long before a count cap fired (ADVICE r5). 64k scalars ≈
+# 1k centroids at dim 64; past that, switch to a broadcast-joined model
+# table (build_pinned_index's `cent` side) instead of a literal.
+MAX_MODEL_SCALARS = 65_536
 
 
 def build_pinned_index(
@@ -61,10 +68,12 @@ def build_pinned_index(
         F.col("nrm").alias("cnrm"),
     )
     rows = cent.collect()
-    if len(rows) > MAX_MODEL_CENTROIDS:
+    n_scalars = sum(len(r.cv) + 2 for r in rows)  # cv elems + cid + cnrm
+    if n_scalars > MAX_MODEL_SCALARS:
         raise ValueError(
-            f"{len(rows)} centroids exceed the literal-model cap "
-            f"{MAX_MODEL_CENTROIDS}"
+            f"{len(rows)} centroids × dim would put {n_scalars} literal "
+            f"scalars in the plan, over the cap {MAX_MODEL_SCALARS}: use a "
+            "broadcast model table, not a literal-expression model"
         )
     model = [(r.cid, list(r.cv), float(r.cnrm)) for r in rows]
     scored = base.crossJoin(F.broadcast(cent)).select(

@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table
 from ssidentity_spark.operators.graph import connected_components
-from ssidentity_spark.plans.dedup import _spark_lsh_pairs, _spark_minhash, _spark_shingles
+from ssidentity_spark.plans.dedup import (
+    BAND_ROWS,
+    N_MINHASH,
+    _spark_lsh_pairs,
+    _spark_minhash,
+    _spark_shingles,
+    band_key_expr,
+)
 from ssidentity_spark.session import cpu_count, get_spark
 
 OFFSET = 10_000_000  # replica doc_id namespace: doc_id + r * OFFSET
@@ -83,12 +90,12 @@ def run(sf_dir: str, factor: int) -> dict:
     n_orig = d.filter(F.col("doc_id") < OFFSET).count()
     n_planted = n_orig * factor * (factor - 1) // 2
 
-    # LSH fan-in bound: the largest single band-bucket population
+    # LSH fan-in bound: the largest single band-bucket population.
+    # band_key_expr is the SAME expression production pair-gen uses
+    # (ADVICE r5: a hard-coded 4-band/mh{2b} copy here would silently
+    # measure the wrong banding if N_MINHASH/BAND_ROWS ever change).
     sigs = _spark_minhash(_spark_shingles(d))
-    band_exprs = [
-        F.md5(F.concat(F.lit(f"{b}|"), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")))
-        for b in range(4)
-    ]
+    band_exprs = [band_key_expr(b) for b in range(N_MINHASH // BAND_ROWS)]
     buckets = sigs.select(
         "doc_id", F.posexplode(F.array(*band_exprs)).alias("b", "band_key")
     )
