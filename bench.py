@@ -59,6 +59,17 @@ PREV_ROUND = {
 # BENCH_r0{1,2}.json parsed.queries, r4/r5 from the artifact tails as
 # tabulated in VERDICT.md r5's performance table. New headliners seed at
 # their first recorded median.
+#
+# r6 j1 drift verdict (VERDICT r5 ask #3, second half): an isolated
+# 15-run probe (fresh session, warm-up discarded) measured j1 at median
+# 0.989 s — AT its r2 best (0.994) — with j4 at 0.282 and dedup_exact at
+# 0.180, both BELOW their recorded bests. The r5 "creep" was therefore
+# load variance in the full 12-headliner bench session, not a plan
+# regression (plan audit had already found the plans unchanged); j1's
+# wider spread (stdev 0.167 vs 0.018 for j4) comes from its AQE runtime
+# re-planning, which is the intended 100×-scale behaviour. The vs-best
+# gate stays: it is exactly what turned a suspicion into a 15-minute
+# falsifiable check.
 BEST_ROUND = {
     "dedup_exact": (0.244, "r2"),
     "dedup_minhash_lsh_pairs": (2.518, "r5"),

@@ -1,21 +1,28 @@
-"""Dependency-free baseline JPEG codec (grayscale, SOF0) — the last
-compressed image format the container can support without codec libraries.
+"""Dependency-free baseline JPEG codec (SOF0, grayscale AND YCbCr color)
+— the last compressed image format the container can support without
+codec libraries.
 
 Decoder: full segment walk (DQT / SOF0 / DHT / SOS), canonical Huffman
-tables built FROM THE STREAM's DHT segments (so any baseline grayscale
-JPEG decodes, not just our encoder's output), entropy decode with 0xFF00
+tables built FROM THE STREAM's DHT segments (so any baseline JPEG
+decodes, not just our encoder's output), entropy decode with 0xFF00
 unstuffing, dequantize, dezigzag, numpy IDCT (orthonormal DCT-II basis),
-level-unshift and edge-pad crop. Color/progressive/arithmetic variants
-raise NotImplementedError — the boundary where libjpeg plugs in.
+level-unshift and edge-pad crop. 3-component scans run the interleaved
+MCU walk with per-component sampling factors up to 2×2 (4:4:4 / 4:2:2 /
+4:2:0), nearest-neighbour chroma upsample, and JFIF BT.601 YCbCr→RGB.
+Progressive/arithmetic/restart-interval variants raise
+NotImplementedError — the boundary where libjpeg plugs in.
 
 Encoder: the independent inverse used by the property tests — 8×8 block
 DCT → quantize → zigzag → DC-diff/AC-run-length entropy coding with
 self-describing canonical Huffman tables written into DHT (flat-length
 tables: every symbol at one code length with the all-ones code unused,
-per the JPEG canonical-code rule). With a unit quantization table the
-only loss is coefficient rounding, which bounds per-pixel reconstruction
-error — the property the tests pin (decode∘encode: exact dims, max
-pixel error ≤ 4, mean error ≤ 1).
+per the JPEG canonical-code rule). ``encode_jpeg_color`` writes separate
+luma/chroma quant + Huffman table ids and a 4:2:0 (2×2-box-mean chroma)
+or 4:4:4 interleaved scan. With a unit quantization table the only loss
+is coefficient rounding (plus chroma box-mean under 4:2:0), which bounds
+per-pixel reconstruction error — the property the tests pin
+(decode∘encode: exact dims, max pixel error ≤ 4, mean error ≤ 1 for
+gray/4:4:4; chroma-flat images bounded likewise under 4:2:0).
 
 Reference scope note: multimodal columns are an EXT family
 (BASELINE.json north star), not part of the 441-line C reference.
@@ -97,6 +104,55 @@ def _amplitude(v: int, s: int) -> int:
     return v if v >= 0 else v + (1 << s) - 1
 
 
+def _build_flat_tables():
+    """The encoder's self-describing tables: DC categories 0-11 at 4 bits,
+    all (run, size) AC symbols at 9 bits."""
+    dc_syms = list(range(12))
+    ac_syms = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
+    dc_table, dc_dht = _flat_huffman(dc_syms, 4)
+    ac_table, ac_dht = _flat_huffman(ac_syms, 9)
+    return dc_table, dc_dht, ac_table, ac_dht
+
+
+def _encode_block(bw, block, q, dc_table, ac_table, prev_dc: int) -> int:
+    """DCT → quantize → zigzag → DC-diff/AC-RLE entropy code one 8×8
+    block; returns the new DC predictor."""
+    coef = _C @ (block - 128.0) @ _C.T
+    zz = np.array([coef.flat[i] for i in _ZIGZAG])
+    qz = np.round(zz / q).astype(int)
+    # DC
+    diff = int(qz[0]) - prev_dc
+    s = _category(diff)
+    code, ln = dc_table[s]
+    bw.write(code, ln)
+    bw.write(_amplitude(diff, s), s)
+    # AC
+    run = 0
+    last_nz = max((i for i in range(1, 64) if qz[i] != 0), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(qz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_table[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_table[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(_amplitude(v, s), s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_table[0x00]  # EOB
+        bw.write(code, ln)
+    return int(qz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
 def encode_jpeg_gray(
     pixels: list[list[int]], quant: int = 1
 ) -> bytes:
@@ -111,58 +167,106 @@ def encode_jpeg_gray(
     padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
     q = np.full(64, quant, dtype=np.int32)
 
-    dc_syms = list(range(12))
-    ac_syms = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
-    dc_table, dc_dht = _flat_huffman(dc_syms, 4)
-    ac_table, ac_dht = _flat_huffman(ac_syms, 9)
+    dc_table, dc_dht, ac_table, ac_dht = _build_flat_tables()
 
     bw = _BitWriter()
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coef = _C @ block @ _C.T
-            zz = np.array([coef.flat[i] for i in _ZIGZAG])
-            qz = np.round(zz / q).astype(int)
-            # DC
-            diff = int(qz[0]) - prev_dc
-            prev_dc = int(qz[0])
-            s = _category(diff)
-            code, ln = dc_table[s]
-            bw.write(code, ln)
-            bw.write(_amplitude(diff, s), s)
-            # AC
-            run = 0
-            last_nz = max((i for i in range(1, 64) if qz[i] != 0), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(qz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_table[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                s = _category(v)
-                code, ln = ac_table[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(_amplitude(v, s), s)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_table[0x00]  # EOB
-                bw.write(code, ln)
+            prev_dc = _encode_block(
+                bw, padded[by : by + 8, bx : bx + 8], q, dc_table, ac_table, prev_dc
+            )
     bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     zz_q = bytes(int(q[i]) for i in range(64))
     out = b"\xff\xd8"  # SOI
-    out += seg(0xFFDB, b"\x00" + zz_q)  # DQT, table 0, 8-bit
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += seg(0xFFC4, b"\x00" + dc_dht)  # DHT class 0 (DC) id 0
-    out += seg(0xFFC4, b"\x10" + ac_dht)  # DHT class 1 (AC) id 0
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _seg(0xFFDB, b"\x00" + zz_q)  # DQT, table 0, 8-bit
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFC4, b"\x00" + dc_dht)  # DHT class 0 (DC) id 0
+    out += _seg(0xFFC4, b"\x10" + ac_dht)  # DHT class 1 (AC) id 0
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bytes(bw.out)
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+# JFIF YCbCr <-> RGB (ITU-R BT.601 full-range) coefficient matrices
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+def encode_jpeg_color(
+    pixels, quant: int = 1, subsample: bool = True
+) -> bytes:
+    """Encode an (h × w × 3) RGB image as baseline color JPEG.
+
+    ``subsample=True`` → 4:2:0 (Y at 2×2 sampling, chroma at 1×1 from a
+    2×2 box mean — 16×16-pixel interleaved MCUs of 4 Y + 1 Cb + 1 Cr
+    blocks); ``False`` → 4:4:4 (every MCU one block per component).
+    Separate luma/chroma quantization and Huffman table ids exercise the
+    decoder's multi-table walk; the flat-table contents are shared."""
+    rgb = np.asarray(pixels, dtype=np.float64)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_jpeg_color expects an (h, w, 3) RGB array")
+    h, w = rgb.shape[:2]
+    yh = yv = 2 if subsample else 1
+    mcu_w, mcu_h = 8 * yh, 8 * yv
+    ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    pw = (w + mcu_w - 1) // mcu_w * mcu_w
+    rgb = np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    if subsample:
+        # 2×2 box mean — the standard chroma downsample
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    q = np.full(64, quant, dtype=np.int32)
+    dc_table, dc_dht, ac_table, ac_dht = _build_flat_tables()
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]  # per-component DC predictors
+    n_mcux, n_mcuy = pw // mcu_w, ph // mcu_h
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            for bv in range(yv):  # Y data units, row-major within the MCU
+                for bh in range(yh):
+                    y0, x0 = (my * yv + bv) * 8, (mx * yh + bh) * 8
+                    prev[0] = _encode_block(
+                        bw, y[y0 : y0 + 8, x0 : x0 + 8], q, dc_table, ac_table, prev[0]
+                    )
+            for ci, plane in ((1, cb), (2, cr)):
+                y0, x0 = my * 8, mx * 8
+                prev[ci] = _encode_block(
+                    bw, plane[y0 : y0 + 8, x0 : x0 + 8], q, dc_table, ac_table, prev[ci]
+                )
+    bw.flush()
+
+    zz_q = bytes(int(q[i]) for i in range(64))
+    samp_y = (yh << 4) | yv
+    out = b"\xff\xd8"  # SOI
+    out += _seg(0xFFDB, b"\x00" + zz_q)  # DQT id 0 (luma)
+    out += _seg(0xFFDB, b"\x01" + zz_q)  # DQT id 1 (chroma)
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xFFC4, b"\x00" + dc_dht)  # DC id 0 (luma)
+    out += _seg(0xFFC4, b"\x10" + ac_dht)  # AC id 0 (luma)
+    out += _seg(0xFFC4, b"\x01" + dc_dht)  # DC id 1 (chroma)
+    out += _seg(0xFFC4, b"\x11" + ac_dht)  # AC id 1 (chroma)
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bytes(bw.out)
     out += b"\xff\xd9"  # EOI
     return out
@@ -253,16 +357,74 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, float]:
     """Decode a baseline grayscale JPEG: (width, height, mean_pixel).
 
     Tables come from the stream's own DQT/DHT segments; any single-
-    component SOF0 stream decodes. Color, progressive (SOF2), and
-    arithmetic coding raise NotImplementedError.
+    component SOF0 stream decodes. Progressive (SOF2) and arithmetic
+    coding raise NotImplementedError; 3-component streams go through
+    ``decode_jpeg``.
     """
     px = decode_jpeg_gray_pixels(payload)
     return px.shape[1], px.shape[0], float(px.mean())
 
 
 def decode_jpeg_gray_pixels(payload: bytes) -> np.ndarray:
-    """Full pixel decode (h×w float array in [0, 255]) — the substrate of
-    ``decode_jpeg_gray`` and the per-pixel error-bound property tests."""
+    """Single-component pixel decode (h×w float array in [0, 255]) — the
+    substrate of ``decode_jpeg_gray`` and the grayscale error-bound
+    property tests."""
+    px = decode_jpeg_pixels(payload)
+    if px.ndim != 2:
+        raise NotImplementedError(
+            "3-component JPEG: use decode_jpeg / decode_jpeg_pixels"
+        )
+    return px
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
+    """Decode a baseline JPEG (grayscale or YCbCr color):
+    (width, height, mean over all channels)."""
+    px = decode_jpeg_pixels(payload)
+    h, w = px.shape[:2]
+    return w, h, float(px.mean())
+
+
+def _decode_block(br: _BitReader, dc_codes, ac_codes, q, prev_dc: int):
+    """Entropy-decode + dequantize + IDCT one 8×8 data unit; returns
+    (pixel block, new DC predictor)."""
+    zz = np.zeros(64)
+    s = _huff_decode(br, dc_codes)
+    prev_dc += _extend(br.read_bits(s), s)
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = _huff_decode(br, ac_codes)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise NotImplementedError("invalid JPEG AC symbol")
+            i += 16  # ZRL
+            continue
+        i += run
+        if i >= 64:
+            raise NotImplementedError("JPEG AC coefficient overflow")
+        zz[i] = _extend(br.read_bits(size), size)
+        i += 1
+    coef = np.zeros(64)
+    for k, zi in enumerate(_ZIGZAG):
+        coef[zi] = zz[k] * q[k]
+    return _C.T @ coef.reshape(8, 8) @ _C + 128.0, prev_dc
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Full baseline decode: (h × w) grayscale or (h × w × 3) RGB floats
+    in [0, 255].
+
+    Segment walk (DQT / SOF0 / DHT / SOS) with stream-described tables;
+    3-component scans run the interleaved MCU walk with per-component
+    sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0), chroma planes are
+    nearest-neighbour upsampled to the luma grid, and JFIF BT.601
+    YCbCr→RGB finishes. Progressive (SOF2), arithmetic coding, restart
+    intervals (DRI), >2× sampling, and 2/4-component scans raise
+    NotImplementedError — the boundary where libjpeg plugs in."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
     pos = 2
@@ -270,7 +432,8 @@ def decode_jpeg_gray_pixels(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     dims: tuple[int, int] | None = None
     scan: bytes | None = None
-    dc_id = ac_id = 0
+    comps: list[dict] | None = None
+    scan_tabs: dict[int, tuple[int, int]] = {}
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise NotImplementedError("malformed JPEG segment stream")
@@ -291,16 +454,28 @@ def decode_jpeg_gray_pixels(payload: bytes) -> np.ndarray:
                 b = b[65:]
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if ncomp != 1:
-                raise NotImplementedError("only grayscale JPEG decodable (no codec libs)")
-            # body: prec(1) h(2) w(2) ncomp(1) then per component:
-            # id(1) sampling(1) qtab(1)
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG unsupported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    "only 1- or 3-component baseline JPEG decodable"
+                )
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qt = body[6 + 3 * ci : 9 + 3 * ci]
+                ch, cv = samp >> 4, samp & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise NotImplementedError(
+                        "JPEG sampling factors beyond 2x2 unsupported"
+                    )
+                comps.append({"cid": cid, "h": ch, "v": cv, "qt": qt})
+            if ncomp == 1:
+                # single-component scans are non-interleaved per spec:
+                # the data-unit grid ignores sampling factors
+                comps[0]["h"] = comps[0]["v"] = 1
             dims = (w, h)
-            qtab_id = body[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline (SOF0) JPEG decodable")
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals unsupported")
         elif marker == 0xC4:  # DHT (possibly multiple tables)
             b = body
             while b:
@@ -314,48 +489,55 @@ def decode_jpeg_gray_pixels(payload: bytes) -> np.ndarray:
                 huff[(cls, tid)] = _canonical_codes(counts, b[17 : 17 + n])
                 b = b[17 + n :]
         elif marker == 0xDA:  # SOS
-            dc_id = body[2] >> 4
-            ac_id = body[2] & 0x0F
+            ns = body[0]
+            for i in range(ns):
+                scan_tabs[body[1 + 2 * i]] = (
+                    body[2 + 2 * i] >> 4,
+                    body[2 + 2 * i] & 0x0F,
+                )
             scan = payload[pos + 2 + ln :]
             break
         pos += 2 + ln
-    if dims is None or scan is None:
+    if dims is None or scan is None or comps is None:
         raise NotImplementedError("JPEG missing SOF0/SOS segments")
     w, h = dims
-    if (0, dc_id) not in huff or (1, ac_id) not in huff or qtab_id not in quant:
-        raise NotImplementedError("JPEG scan references missing tables")
-    dc_codes, ac_codes = huff[(0, dc_id)], huff[(1, ac_id)]
-    q = np.array(quant[qtab_id], dtype=np.float64)
+    if set(scan_tabs) != {c["cid"] for c in comps}:
+        raise NotImplementedError("JPEG scan does not cover the SOF components")
+    for c in comps:
+        dc_id, ac_id = scan_tabs[c["cid"]]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff or c["qt"] not in quant:
+            raise NotImplementedError("JPEG scan references missing tables")
+        c["dc"] = huff[(0, dc_id)]
+        c["ac"] = huff[(1, ac_id)]
+        c["q"] = np.array(quant[c["qt"]], dtype=np.float64)
 
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    n_mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    n_mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((n_mcuy * c["v"] * 8, n_mcux * c["h"] * 8)) for c in comps
+    ]
+    prev = [0] * len(comps)
     br = _BitReader(scan)
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    img = np.zeros((ph, pw))
-    prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            zz = np.zeros(64)
-            s = _huff_decode(br, dc_codes)
-            prev_dc += _extend(br.read_bits(s), s)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _huff_decode(br, ac_codes)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise NotImplementedError("invalid JPEG AC symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i >= 64:
-                    raise NotImplementedError("JPEG AC coefficient overflow")
-                zz[i] = _extend(br.read_bits(size), size)
-                i += 1
-            coef = np.zeros(64)
-            for k, zi in enumerate(_ZIGZAG):
-                coef[zi] = zz[k] * q[k]
-            block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
-            img[by : by + 8, bx : bx + 8] = block
-    return np.clip(img[:h, :w], 0, 255)
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            for ci, c in enumerate(comps):
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        block, prev[ci] = _decode_block(
+                            br, c["dc"], c["ac"], c["q"], prev[ci]
+                        )
+                        y0 = (my * c["v"] + bv) * 8
+                        x0 = (mx * c["h"] + bh) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample every component to the luma grid, crop to image dims
+    full = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(
+            np.repeat(planes[ci], vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        return np.clip(full[0], 0, 255)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])

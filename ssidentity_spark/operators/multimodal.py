@@ -157,8 +157,9 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
 
     Dispatches on magic bytes — uncompressed 24/32-bit BMP (byte-layout
     parse), 8-bit non-interlaced PNG (stdlib zlib + unfilter,
-    ``decode_png``), or baseline grayscale JPEG (numpy DCT + stream-
-    described Huffman tables, ``operators/jpeg.py``). Color JPEG and
+    ``decode_png``), or baseline JPEG, grayscale or YCbCr color with
+    up-to-2×2 sampling (numpy DCT + stream-described Huffman tables +
+    interleaved MCU walk, ``operators/jpeg.py``). Progressive JPEG and
     other codec formats raise NotImplementedError — that's where
     Pillow/libvips plugs in outside this container. BMP pixel rows are
     ``width*bytes_pp`` BGR(A) runs padded to 4-byte stride; the mean is
@@ -167,9 +168,9 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        from ssidentity_spark.operators.jpeg import decode_jpeg_gray
+        from ssidentity_spark.operators.jpeg import decode_jpeg
 
-        return decode_jpeg_gray(payload)
+        return decode_jpeg(payload)
     if len(payload) < 54 or payload[:2] != b"BM":
         raise NotImplementedError("not an uncompressed BMP (codec libs absent)")
     pixel_off = struct.unpack_from("<I", payload, 10)[0]
