@@ -81,6 +81,10 @@ def connected_components(
         labels = updated
         if stats is not None:
             stats["iterations"] = it + 1
+            # distinguish "fixpoint at exactly max_iter" from "truncated
+            # mid-propagation" — the r6 30× blow-up hit the ceiling and
+            # the raw iteration count alone could not tell which
+            stats["converged"] = changed == 0
         if changed == 0:
             break
     sym.unpersist()
@@ -161,16 +165,17 @@ def connected_components_star(
 
     for it in range(max_iter):
         nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
-        if stats is not None:
-            stats["iterations"] = it + 1
         # fixpoint: the edge multiset stopped changing
-        if (
+        done = (
             nxt.count() == cur.count()
             and nxt.exceptAll(cur).limit(1).count() == 0
-        ):
-            cur = nxt
-            break
+        )
+        if stats is not None:
+            stats["iterations"] = it + 1
+            stats["converged"] = done
         cur = nxt
+        if done:
+            break
     # converged: a star forest — every non-min vertex carries exactly one
     # (vertex, min) edge; the min-agg is belt-and-braces if max_iter cut
     # convergence short on an adversarial graph

@@ -561,3 +561,156 @@ def test_streaming_ann_probe_matches_batch(spark, tmp_path):
     cells.unpersist()
     assert len(want) > 0
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# End-to-end soak (VERDICT r5 ask #7): multi-stage checkpointed pipelines
+# with a crash in the middle — until r5 each stage was only tested alone.
+# ---------------------------------------------------------------------------
+
+
+def test_multistage_pipeline_crash_resume_exactly_once(spark, tmp_path):
+    """Two chained checkpointed queries — stage A: observation stream →
+    stream-static watchlist join → parquet hits table; stage B: the hits
+    table AS A STREAM → stateful presence alerts → final alert table.
+
+    Crash scenario: after round 1, stage A processes a micro-batch that
+    stage B never sees before the "restart" (the process dies between
+    stages), more data lands while down, then both stages restart from
+    their own checkpoints. End-to-end exactly-once on the FINAL table:
+    one arrival per watchlisted device — a device re-seen across the
+    crash must not re-emit, a device first seen during the outage must
+    emit exactly once after recovery — and the off-watchlist device never
+    appears anywhere."""
+    from ssidentity_spark.streaming.alerts import presence_alerts
+
+    src = str(tmp_path / "obs_src")
+    hits_out = str(tmp_path / "hits_out")
+    ck_a = str(tmp_path / "ck_a")
+    alerts_out = str(tmp_path / "alerts_out")
+    ck_b = str(tmp_path / "ck_b")
+    wl = spark.createDataFrame([("AAA",), ("BBB",), ("CCC",)], "mac STRING")
+
+    def _append(spec):
+        df = spark.createDataFrame(_obs_rows(spec), schema=OBSERVATIONS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def _run_stage_a():
+        hits = watchlist_hits_stream(read_observation_stream(spark, src), wl)
+        q = (
+            hits.writeStream.format("parquet")
+            .option("path", hits_out)
+            .option("checkpointLocation", ck_a)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def _run_stage_b():
+        hits_stream = spark.readStream.schema(OBSERVATIONS_SCHEMA).parquet(hits_out)
+        alerts = presence_alerts(
+            hits_stream, gap="30 minutes", watermark="10 minutes"
+        )
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", alerts_out)
+            .option("checkpointLocation", ck_b)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # round 1: AAA + BBB (watchlisted) and XXX (not) arrive; both stages run
+    _append([(0, "AAA", "s1"), (1, "BBB", "s2"), (2, "XXX", "s3")])
+    _run_stage_a()
+    _run_stage_b()
+
+    # crash window: stage A advances on new data (AAA re-seen within its
+    # gap, CCC first seen) but the process dies before stage B runs
+    _append([(5, "AAA", "s1"), (8, "CCC", "s3")])
+    _run_stage_a()
+
+    # while fully down, more data lands (BBB re-seen, XXX again)
+    _append([(12, "BBB", "s2"), (13, "XXX", "s3")])
+
+    # full restart: both stages recover from their own checkpoints
+    _run_stage_a()
+    _run_stage_b()
+
+    hits = spark.read.parquet(hits_out).collect()
+    assert {r.mac for r in hits} == {"AAA", "BBB", "CCC"}  # XXX filtered
+    # stage A wrote each hit exactly once despite three restarts
+    assert len(hits) == 5
+
+    got = spark.read.parquet(alerts_out).collect()
+    arrivals = sorted(r.mac for r in got if r.alert_type == "arrival")
+    assert arrivals == ["AAA", "BBB", "CCC"], got
+    assert not [r for r in got if r.mac == "XXX"]
+
+
+def test_corpus_pipeline_crash_resume_exactly_once(spark, tmp_path):
+    """The composed corpus intake — ingest → quality/dedup clean →
+    benchmark decontamination — as ONE checkpointed query, crashed after
+    the first micro-batch and restarted with more data (including a
+    cross-restart duplicate and a contaminated document) waiting. The
+    final cleaned table must hold each surviving document exactly once."""
+    import datetime as dt
+
+    from ssidentity_spark.streaming.corpus import (
+        DOCS_STREAM_SCHEMA,
+        benchmark_gram_set,
+        clean_documents_stream,
+        decontaminate_stream,
+        read_document_stream,
+    )
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    good_a = "the quick brown fox jumps over a lazy dog"
+    good_b = "a stream of documents flows into the cleanup gate here"
+    dirty = "x alpha beta gamma delta epsilon zeta y is the problem here"
+    bench = benchmark_gram_set(
+        spark.createDataFrame(
+            [("alpha beta gamma delta epsilon zeta eta theta",)], "text STRING"
+        )
+    )
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "cleaned_out")
+    ck = str(tmp_path / "cleaned_ck")
+
+    def _append(rows):
+        spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def _run_once():
+        cleaned = decontaminate_stream(
+            clean_documents_stream(read_document_stream(spark, src)), bench
+        )
+        q = (
+            cleaned.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _append([(base, 1, good_a), (base, 2, "hi")])  # 2: too short
+    _run_once()  # crash after this micro-batch
+
+    _append(
+        [
+            (base + dt.timedelta(minutes=1), 3, good_a),  # dup of 1 across crash
+            (base + dt.timedelta(minutes=1), 4, good_b),
+            (base + dt.timedelta(minutes=2), 5, dirty),  # shares a bench 5-gram
+        ]
+    )
+    _run_once()  # restart from the same checkpoint
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # 1 survived round 1; its duplicate 3 must be suppressed by restored
+    # dedup state; 2 (quality), 5 (decontamination) never appear; 4 passes
+    assert got == [1, 4], got

@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table
-from ssidentity_spark.operators.graph import connected_components
+from ssidentity_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 from ssidentity_spark.plans.dedup import (
     BAND_ROWS,
     N_MINHASH,
@@ -113,6 +116,19 @@ def run(sf_dir: str, factor: int) -> dict:
     n_clusters = comp.select("component").distinct().count()
     t_cc = time.perf_counter() - t0
 
+    # pointer-doubling counterpart on the SAME pair set: O(log diameter)
+    # rounds — the r6 30× run drove HashMin into its 50-round ceiling
+    # (chain diameter grows with the replica factor), which is exactly the
+    # regime this variant exists for; cluster counts must agree when both
+    # converge
+    t0 = time.perf_counter()
+    star_stats: dict = {}
+    comp_star = connected_components_star(
+        pairs, src="doc_a", dst="doc_b", stats=star_stats
+    )
+    n_clusters_star = comp_star.select("component").distinct().count()
+    t_cc_star = time.perf_counter() - t0
+
     pairs.unpersist()
     d.unpersist()
     spark.stop()
@@ -126,10 +142,15 @@ def run(sf_dir: str, factor: int) -> dict:
         "pct_nsq": 100.0 * n_pairs / (n * (n - 1) / 2),
         "max_bucket": max_bucket,
         "cc_iters": stats.get("iterations", 0),
+        "cc_converged": stats.get("converged", False),
+        "star_iters": star_stats.get("iterations", 0),
+        "star_converged": star_stats.get("converged", False),
         "n_clusters": n_clusters,
+        "n_clusters_star": n_clusters_star,
         "n_clustered": n_clustered,
         "t_pairs": t_pairs,
         "t_cc": t_cc,
+        "t_cc_star": t_cc_star,
     }
 
 
@@ -139,16 +160,20 @@ def main() -> None:
     rows = [run(sf_dir, f) for f in factors]
     print(
         "| factor | docs | candidate pairs | planted pairs | planted recall "
-        "| spurious | % of n(n-1)/2 | max bucket | CC iters | clusters "
-        "| pair-gen s | CC s |"
+        "| spurious | % of n(n-1)/2 | max bucket | HashMin iters (conv) "
+        "| star iters (conv) | clusters (HashMin/star) "
+        "| pair-gen s | CC s (HashMin/star) |"
     )
     print("|---|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
+        hm = f"{r['cc_iters']}{'' if r['cc_converged'] else ' TRUNCATED'}"
+        st = f"{r['star_iters']}{'' if r['star_converged'] else ' TRUNCATED'}"
         print(
             f"| {r['factor']}× | {r['n_docs']:,} | {r['n_pairs']:,} "
             f"| {r['n_planted']:,} | {r['recall']:.3f} | {r['spurious']:,} "
-            f"| {r['pct_nsq']:.4f}% | {r['max_bucket']} | {r['cc_iters']} "
-            f"| {r['n_clusters']:,} | {r['t_pairs']:.1f} | {r['t_cc']:.1f} |"
+            f"| {r['pct_nsq']:.4f}% | {r['max_bucket']} | {hm} | {st} "
+            f"| {r['n_clusters']:,} / {r['n_clusters_star']:,} "
+            f"| {r['t_pairs']:.1f} | {r['t_cc']:.1f} / {r['t_cc_star']:.1f} |"
         )
 
 
