@@ -250,18 +250,26 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
-    graph (operators/graph.py HashMin label propagation — joins+aggs, one
-    shuffle per iteration, localCheckpoint plan truncation), then every
-    document keyed to its cluster's minimum doc_id; singletons are their
-    own canonical. This is the keep-one-per-cluster stage of a training-
-    data dedup pipeline; the DuckDB oracle computes the same fixpoint with
-    a recursive transitive-closure CTE, so the iterative algorithm is
-    hash-verified, not rows-only."""
-    from ssidentity_spark.operators.graph import connected_components
+    graph, then every document keyed to its cluster's minimum doc_id;
+    singletons are their own canonical. This is the keep-one-per-cluster
+    stage of a training-data dedup pipeline; the DuckDB oracle computes
+    the same fixpoint with a recursive transitive-closure CTE, so the
+    iterative algorithm is hash-verified, not rows-only.
+
+    r6: switched from HashMin to the pointer-doubling star algorithm
+    (operators/graph.py:connected_components_star). Near-dup replica
+    clusters are CHAIN-shaped (distant replicas connect only through
+    intermediates), so component diameter grows with duplication depth —
+    the r6 30× blow-up drove HashMin into its 50-round ceiling and it
+    returned an UNDER-MERGED clustering (4,432 clusters vs the converged
+    4,429), while star converged in 7 rounds at 5× less wall time
+    (SCALE.md). O(log diameter) is the correct asymptotic for a graph
+    whose diameter the pipeline does not control."""
+    from ssidentity_spark.operators.graph import connected_components_star
 
     d = load_table(spark, sf_dir, "documents")
     pairs = _spark_lsh_pairs(d)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+    comp = connected_components_star(pairs, src="doc_a", dst="doc_b").select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     return d.select("doc_id").join(comp, "doc_id", "left").select(
