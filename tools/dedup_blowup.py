@@ -76,7 +76,7 @@ def blowup(d: DataFrame, factor: int) -> DataFrame:
     return out
 
 
-def run(sf_dir: str, factor: int) -> dict:
+def run(sf_dir: str, factor: int, cc_mode: str = "both") -> dict:
     spark = get_spark("dedup-blowup", cores=cpu_count())
     d = blowup(load_table(spark, sf_dir, "documents"), factor).cache()
     n = d.count()
@@ -109,25 +109,31 @@ def run(sf_dir: str, factor: int) -> dict:
         .collect()[0]["m"]
     )
 
-    t0 = time.perf_counter()
     stats: dict = {}
-    comp = connected_components(pairs, src="doc_a", dst="doc_b", stats=stats)
-    n_clustered = comp.count()
-    n_clusters = comp.select("component").distinct().count()
-    t_cc = time.perf_counter() - t0
+    n_clustered = n_clusters = 0
+    t_cc = 0.0
+    if cc_mode in ("both", "hashmin"):
+        t0 = time.perf_counter()
+        comp = connected_components(pairs, src="doc_a", dst="doc_b", stats=stats)
+        n_clustered = comp.count()
+        n_clusters = comp.select("component").distinct().count()
+        t_cc = time.perf_counter() - t0
 
     # pointer-doubling counterpart on the SAME pair set: O(log diameter)
     # rounds — the r6 30× run drove HashMin into its 50-round ceiling
     # (chain diameter grows with the replica factor), which is exactly the
     # regime this variant exists for; cluster counts must agree when both
     # converge
-    t0 = time.perf_counter()
     star_stats: dict = {}
-    comp_star = connected_components_star(
-        pairs, src="doc_a", dst="doc_b", stats=star_stats
-    )
-    n_clusters_star = comp_star.select("component").distinct().count()
-    t_cc_star = time.perf_counter() - t0
+    n_clusters_star = 0
+    t_cc_star = 0.0
+    if cc_mode in ("both", "star"):
+        t0 = time.perf_counter()
+        comp_star = connected_components_star(
+            pairs, src="doc_a", dst="doc_b", stats=star_stats
+        )
+        n_clusters_star = comp_star.select("component").distinct().count()
+        t_cc_star = time.perf_counter() - t0
 
     pairs.unpersist()
     d.unpersist()
@@ -157,7 +163,11 @@ def run(sf_dir: str, factor: int) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else [1, 3, 10])]
-    rows = [run(sf_dir, f) for f in factors]
+    # optional third arg: which CC variant(s) to time — "both" (default),
+    # "star", or "hashmin". At 100× HashMin is known-truncating (see the
+    # 30× row); star-only keeps the run affordable.
+    cc_mode = sys.argv[3] if len(sys.argv) > 3 else "both"
+    rows = [run(sf_dir, f, cc_mode) for f in factors]
     print(
         "| factor | docs | candidate pairs | planted pairs | planted recall "
         "| spurious | % of n(n-1)/2 | max bucket | HashMin iters (conv) "
@@ -166,8 +176,16 @@ def main() -> None:
     )
     print("|---|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
-        hm = f"{r['cc_iters']}{'' if r['cc_converged'] else ' TRUNCATED'}"
-        st = f"{r['star_iters']}{'' if r['star_converged'] else ' TRUNCATED'}"
+        hm = (
+            f"{r['cc_iters']}{'' if r['cc_converged'] else ' TRUNCATED'}"
+            if r["cc_iters"]
+            else "—"
+        )
+        st = (
+            f"{r['star_iters']}{'' if r['star_converged'] else ' TRUNCATED'}"
+            if r["star_iters"]
+            else "—"
+        )
         print(
             f"| {r['factor']}× | {r['n_docs']:,} | {r['n_pairs']:,} "
             f"| {r['n_planted']:,} | {r['recall']:.3f} | {r['spurious']:,} "
