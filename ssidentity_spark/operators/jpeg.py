@@ -8,9 +8,10 @@ decodes, not just our encoder's output), entropy decode with 0xFF00
 unstuffing, dequantize, dezigzag, numpy IDCT (orthonormal DCT-II basis),
 level-unshift and edge-pad crop. 3-component scans run the interleaved
 MCU walk with per-component sampling factors up to 2×2 (4:4:4 / 4:2:2 /
-4:2:0), nearest-neighbour chroma upsample, and JFIF BT.601 YCbCr→RGB.
-Progressive/arithmetic/restart-interval variants raise
-NotImplementedError — the boundary where libjpeg plugs in.
+4:2:0), nearest-neighbour chroma upsample, and JFIF BT.601 YCbCr→RGB. Restart
+intervals (DRI/RSTn) are honoured: byte-align, DC-predictor reset per
+interval. Progressive/arithmetic variants raise NotImplementedError —
+the boundary where libjpeg plugs in.
 
 Encoder: the independent inverse used by the property tests — 8×8 block
 DCT → quantize → zigzag → DC-diff/AC-run-length entropy coding with
@@ -153,13 +154,24 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+def _emit_restart(bw: _BitWriter, n: int) -> None:
+    """Byte-align (1-padding per spec) and write the RSTn marker raw —
+    markers are never byte-stuffed."""
+    bw.flush()
+    bw.out.append(0xFF)
+    bw.out.append(0xD0 + (n % 8))
+
+
 def encode_jpeg_gray(
-    pixels: list[list[int]], quant: int = 1
+    pixels: list[list[int]], quant: int = 1, restart_interval: int = 0
 ) -> bytes:
     """Encode a row-major 8-bit grayscale image as baseline JPEG.
 
     ``quant`` fills the whole quantization table (1 = near-lossless:
-    rounding error only)."""
+    rounding error only). ``restart_interval > 0`` writes a DRI segment
+    and an RSTn marker every that-many MCUs (blocks, for the
+    single-component non-interleaved scan), resetting the DC predictor —
+    the recoverability feature real encoders emit."""
     h = len(pixels)
     w = len(pixels[0])
     img = np.array(pixels, dtype=np.float64)
@@ -171,8 +183,15 @@ def encode_jpeg_gray(
 
     bw = _BitWriter()
     prev_dc = 0
+    mcu_i = 0
+    rst = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                _emit_restart(bw, rst)
+                rst += 1
+                prev_dc = 0
+            mcu_i += 1
             prev_dc = _encode_block(
                 bw, padded[by : by + 8, bx : bx + 8], q, dc_table, ac_table, prev_dc
             )
@@ -184,6 +203,8 @@ def encode_jpeg_gray(
     out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += _seg(0xFFC4, b"\x00" + dc_dht)  # DHT class 0 (DC) id 0
     out += _seg(0xFFC4, b"\x10" + ac_dht)  # DHT class 1 (AC) id 0
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += bytes(bw.out)
     out += b"\xff\xd9"  # EOI
@@ -207,7 +228,7 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg_color(
-    pixels, quant: int = 1, subsample: bool = True
+    pixels, quant: int = 1, subsample: bool = True, restart_interval: int = 0
 ) -> bytes:
     """Encode an (h × w × 3) RGB image as baseline color JPEG.
 
@@ -237,8 +258,15 @@ def encode_jpeg_color(
     bw = _BitWriter()
     prev = [0, 0, 0]  # per-component DC predictors
     n_mcux, n_mcuy = pw // mcu_w, ph // mcu_h
+    mcu_i = 0
+    rst = 0
     for my in range(n_mcuy):
         for mx in range(n_mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                _emit_restart(bw, rst)
+                rst += 1
+                prev = [0, 0, 0]
+            mcu_i += 1
             for bv in range(yv):  # Y data units, row-major within the MCU
                 for bh in range(yh):
                     y0, x0 = (my * yv + bv) * 8, (mx * yh + bh) * 8
@@ -266,6 +294,8 @@ def encode_jpeg_color(
     out += _seg(0xFFC4, b"\x10" + ac_dht)  # AC id 0 (luma)
     out += _seg(0xFFC4, b"\x01" + dc_dht)  # DC id 1 (chroma)
     out += _seg(0xFFC4, b"\x11" + ac_dht)  # AC id 1 (chroma)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bytes(bw.out)
     out += b"\xff\xd9"  # EOI
@@ -323,6 +353,25 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def align_restart(self) -> None:
+        """Consume an RSTn marker at a restart-interval boundary: discard
+        the pad bits of the current byte (the encoder byte-aligns before
+        every marker, so nothing buffered is real data — _fill never reads
+        past a marker), then step over the two marker bytes."""
+        self.acc = 0
+        self.nbits = 0
+        self.ended = False
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise NotImplementedError(
+                "JPEG restart marker missing at interval boundary"
+            )
 
 
 def _canonical_codes(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
@@ -422,8 +471,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     3-component scans run the interleaved MCU walk with per-component
     sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0), chroma planes are
     nearest-neighbour upsampled to the luma grid, and JFIF BT.601
-    YCbCr→RGB finishes. Progressive (SOF2), arithmetic coding, restart
-    intervals (DRI), >2× sampling, and 2/4-component scans raise
+    YCbCr→RGB finishes. DRI/RSTn restart intervals are honoured
+    (byte-align + DC reset per interval). Progressive (SOF2), arithmetic
+    coding, >2× sampling, and 2/4-component scans raise
     NotImplementedError — the boundary where libjpeg plugs in."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
@@ -434,6 +484,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     scan: bytes | None = None
     comps: list[dict] | None = None
     scan_tabs: dict[int, tuple[int, int]] = {}
+    dri = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise NotImplementedError("malformed JPEG segment stream")
@@ -474,8 +525,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             dims = (w, h)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline (SOF0) JPEG decodable")
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart every `dri` MCUs
+            dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xC4:  # DHT (possibly multiple tables)
             b = body
             while b:
@@ -520,8 +571,16 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     ]
     prev = [0] * len(comps)
     br = _BitReader(scan)
+    mcu_i = 0
     for my in range(n_mcuy):
         for mx in range(n_mcux):
+            if dri and mcu_i and mcu_i % dri == 0:
+                # interval boundary: byte-align over the RSTn marker and
+                # reset every DC predictor (the point of restart markers —
+                # each interval decodes independently)
+                br.align_restart()
+                prev = [0] * len(comps)
+            mcu_i += 1
             for ci, c in enumerate(comps):
                 for bv in range(c["v"]):
                     for bh in range(c["h"]):

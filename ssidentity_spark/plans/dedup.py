@@ -167,7 +167,7 @@ def _lsh_pairs_sql_ctes() -> str:
     )"""
 
 
-def _spark_lsh_pairs(d: DataFrame) -> DataFrame:
+def _spark_lsh_pairs(d: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs via BUCKET ROLLUP — the scale-correct shape.
 
     Candidate pairs come from ``groupBy(band, band_key)`` + intra-bucket
@@ -177,14 +177,22 @@ def _spark_lsh_pairs(d: DataFrame) -> DataFrame:
     none under an SMJ hint either — measured); at 100 TB that doubles the
     dominant cost (corpus scan + shingle explosion), and the broadcast
     build side stops fitting anyway. The rollup computes the pipeline
-    once; per-bucket work is quadratic only in the bucket population,
-    which the blow-up study measured sub-linear (SCALE.md: max 90 at 50k
-    docs) — exactly the fan-in bound LSH banding exists to enforce.
-    Local sf0.1 medians: self-join BHJ 2.37 s, rollup 2.19 s — the
-    scale-right shape is also the faster one here. (A BIGINT-min variant
-    via ``conv`` was measured 0.45 s SLOWER — conv per shingle-hash costs
-    more than the SortAggregate it avoids; mins stay string-typed.)
-    """
+    once; per-bucket work is quadratic only in the bucket population —
+    which the blow-up study measured to track the largest NEAR-DUP FAMILY
+    (SCALE.md: 90 → 911 as the planted family grows 10 → 100 replicas),
+    not the corpus. Local sf0.1 medians: self-join BHJ 2.37 s, rollup
+    2.19 s — the scale-right shape is also the faster one here. (A
+    BIGINT-min variant via ``conv`` was measured 0.45 s SLOWER — conv per
+    shingle-hash costs more than the SortAggregate it avoids; mins stay
+    string-typed.)
+
+    ``max_bucket`` is the degenerate-bucket guardrail for corpora whose
+    hottest family outgrows partition scale (boilerplate/templated text
+    putting millions of docs in one band bucket → a quadratic blow-up no
+    cluster survives): buckets wider than the cap are DROPPED, trading
+    recall on the pathological family for a bounded plan — the standard
+    production LSH mitigation. Default ``None`` keeps exact semantics
+    (the registered query's oracle computes ALL pairs)."""
     sigs = _spark_minhash(_spark_shingles(d))
     band_exprs = [
         F.struct(F.lit(b).alias("b"), band_key_expr(b).alias("band_key"))
@@ -196,6 +204,8 @@ def _spark_lsh_pairs(d: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
         .filter(F.size("members") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket)
     m = F.col("members")
     pair_arr = F.flatten(
         F.transform(

@@ -51,22 +51,12 @@ from ssidentity_spark.plans.similarity import (
 MAX_MODEL_SCALARS = 65_536
 
 
-def build_pinned_index(
-    spark: SparkSession, sf_dir: str
+def _index_from_centroids(
+    base: DataFrame, cent: DataFrame
 ) -> tuple[list[tuple[int, list[float], float]], DataFrame]:
-    """(centroid model, cell-indexed corpus) — the batch-built static side.
-
-    Centroids are the deterministic ``vec_id % PINNED_CENT_MOD == 0``
-    subset (the driver-hash-verified construction of sim_ivf_pinned_topk);
-    every corpus vector is assigned to its best cell once, batch-side.
-    """
-    em = load_table(spark, sf_dir, "embeddings")
-    base = _norm_vec(em)
-    cent = base.filter(F.col("vec_id") % PINNED_CENT_MOD == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
+    """Shared index construction: collect the (capped) literal model and
+    assign every corpus vector to its best cell by the same rounded
+    cosine + cid tiebreak the stream-side probe uses."""
     rows = cent.collect()
     n_scalars = sum(len(r.cv) + 2 for r in rows)  # cv elems + cid + cnrm
     if n_scalars > MAX_MODEL_SCALARS:
@@ -92,6 +82,53 @@ def build_pinned_index(
         .select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
     )
     return model, cells
+
+
+def build_pinned_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, list[float], float]], DataFrame]:
+    """(centroid model, cell-indexed corpus) — the batch-built static side.
+
+    Centroids are the deterministic ``vec_id % PINNED_CENT_MOD == 0``
+    subset (the driver-hash-verified construction of sim_ivf_pinned_topk);
+    every corpus vector is assigned to its best cell once, batch-side.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    base = _norm_vec(em)
+    cent = base.filter(F.col("vec_id") % PINNED_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    return _index_from_centroids(base, cent)
+
+
+def build_trained_index(
+    spark: SparkSession, sf_dir: str, k: int = 16, iters: int = 3
+) -> tuple[list[tuple[int, list[float], float]], DataFrame]:
+    """Same contract as ``build_pinned_index`` but with a Lloyd's-TRAINED
+    centroid model (operators/ivf.py:train_centroids) — the production
+    path when no natural corpus-subset centroid set exists. The trained
+    matrix becomes a (cid, cv, cnrm) frame and flows through the identical
+    cosine cell assignment, so probe_stream serves either index without
+    knowing which trainer built it (a model version swap is a new index
+    build + query restart, exactly like rolling a new embedding model)."""
+    from ssidentity_spark.operators.ivf import train_centroids
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = _norm_vec(em)
+    cents = train_centroids(em, k=k, iters=iters)
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    ).select(
+        "cid",
+        "cv",
+        F.sqrt(
+            F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("cnrm"),
+    )
+    return _index_from_centroids(base, cent)
 
 
 def _model_literal(model: list[tuple[int, list[float], float]]):

@@ -111,6 +111,43 @@ def test_color_roundtrip_420_smooth_and_odd_dims():
     assert m == pytest.approx(float(rgb.mean()), abs=1.0)
 
 
+def test_restart_interval_roundtrip():
+    """DRI/RSTn: the encoder byte-aligns and resets DC predictors every
+    ``restart_interval`` MCUs; the decoder must consume the markers and
+    reset identically — any slip shows up as corrupted DC chains (gross
+    pixel error), so the tight rounding bound is the detector."""
+    rng = np.random.default_rng(31)
+    px = _rand_img(rng, 28, 20)  # 4×3 blocks
+    plain = encode_jpeg_gray(px, quant=1)
+    for ri in (1, 2, 3, 7):
+        payload = encode_jpeg_gray(px, quant=1, restart_interval=ri)
+        assert payload != plain and b"\xff\xdd" in payload
+        got = decode_jpeg_gray_pixels(payload)
+        assert got.shape == (20, 28)
+        assert np.abs(got - np.array(px, dtype=float)).max() <= 4.0
+    rgb = np.repeat(
+        np.repeat(rng.integers(0, 256, size=(9, 11, 3)), 2, axis=0), 2, axis=1
+    )
+    for ri in (1, 2):
+        got = decode_jpeg_pixels(
+            encode_jpeg_color(rgb, quant=1, subsample=True, restart_interval=ri)
+        )
+        assert np.abs(got - rgb).max() <= 4.0
+
+
+def test_missing_restart_marker_raises():
+    """A DRI segment promising markers the stream does not contain must
+    fail loudly, not desync silently."""
+    rng = np.random.default_rng(32)
+    px = _rand_img(rng, 24, 16)
+    plain = encode_jpeg_gray(px, quant=1)  # no RSTn markers in the scan
+    # splice a DRI(1) segment in front of SOS
+    sos = plain.index(b"\xff\xda")
+    spoofed = plain[:sos] + b"\xff\xdd\x00\x04\x00\x01" + plain[sos:]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray_pixels(spoofed)
+
+
 def test_gray_api_rejects_color_stream():
     rgb = np.full((8, 8, 3), 90)
     payload = encode_jpeg_color(rgb)

@@ -199,3 +199,31 @@ def test_top_ssids(observations, duck):
            ORDER BY d DESC, n DESC, ssid LIMIT 5""",
     )
     assert got == want
+
+
+def test_lsh_pairs_bucket_cap(spark):
+    """The degenerate-bucket guardrail: a templated 'family' whose
+    replicas all share band buckets is dropped when its bucket width
+    exceeds max_bucket, while unrelated near-dup pairs survive — bounded
+    per-bucket work at the cost of recall on the pathological family
+    only. Default (no cap) still emits everything."""
+    from ssidentity_spark.plans.dedup import _spark_lsh_pairs
+
+    fam = "the same templated boilerplate sentence repeated across docs"
+    rows = [(i, fam + f" v{i % 2}") for i in range(10)]  # big family
+    rows += [
+        (100, "a genuinely unique pair of documents about spark scaling"),
+        (101, "a genuinely unique pair of documents about spark scaling!"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    full = _spark_lsh_pairs(d)
+    capped = _spark_lsh_pairs(d, max_bucket=4)
+    full_pairs = {(r.doc_a, r.doc_b) for r in full.collect()}
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in full_pairs and (100, 101) in capped_pairs
+    fam_full = {p for p in full_pairs if p[0] < 100 and p[1] < 100}
+    fam_capped = {p for p in capped_pairs if p[0] < 100 and p[1] < 100}
+    assert len(fam_full) > 0
+    assert len(fam_capped) < len(fam_full)  # wide buckets dropped
+    assert capped_pairs <= full_pairs  # cap only removes, never invents

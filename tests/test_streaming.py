@@ -714,3 +714,49 @@ def test_corpus_pipeline_crash_resume_exactly_once(spark, tmp_path):
     # 1 survived round 1; its duplicate 3 must be suppressed by restored
     # dedup state; 2 (quality), 5 (decontamination) never appear; 4 passes
     assert got == [1, 4], got
+
+
+def test_streaming_ann_probe_trained_index_matches_batch(spark, tmp_path):
+    """The trained-centroid index (build_trained_index — Lloyd's k-means
+    model instead of the pinned corpus subset) serves probe_stream through
+    the identical expressions: stream output ≡ batch output on the same
+    queries, and the model honours the literal-scalar cap contract."""
+    import datetime as dt
+
+    from ssidentity_spark.streaming.ann import build_trained_index, probe_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    model, cells = build_trained_index(spark, sf_dir, k=8, iters=2)
+    assert len(model) == 8
+    cells = cells.cache()
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_rows = [
+        (base + dt.timedelta(seconds=int(r.vec_id)), int(r.vec_id), list(r.embedding))
+        for r in em.filter("vec_id < 6").collect()
+    ]
+    schema = "ts TIMESTAMP, query_id LONG, embedding ARRAY<FLOAT>"
+    src = str(tmp_path / "tq_src")
+    spark.createDataFrame(q_rows, schema).coalesce(1).write.parquet(src)
+    # far-future sentinel closes the first window under append mode
+    sentinel = [(base + dt.timedelta(hours=2), 999, q_rows[0][2])]
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got_path = _run(probe_stream(stream, cells, model), tmp_path, "t_ann_probe")
+    got = {
+        (r.query_id, r.rnk, r.neighbor_id, r.cos)
+        for r in spark.read.parquet(got_path).collect()
+    }
+    batch_q = spark.createDataFrame(q_rows, schema)
+    want = {
+        (r.query_id, r.rnk, r.neighbor_id, r.cos)
+        for r in probe_stream(batch_q, cells, model).collect()
+    }
+    cells.unpersist()
+    assert len(want) > 0
+    assert got == want
