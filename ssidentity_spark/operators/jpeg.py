@@ -10,8 +10,10 @@ level-unshift and edge-pad crop. 3-component scans run the interleaved
 MCU walk with per-component sampling factors up to 2×2 (4:4:4 / 4:2:2 /
 4:2:0), nearest-neighbour chroma upsample, and JFIF BT.601 YCbCr→RGB. Restart
 intervals (DRI/RSTn) are honoured: byte-align, DC-predictor reset per
-interval. Progressive/arithmetic variants raise NotImplementedError —
-the boundary where libjpeg plugs in.
+interval. SOF2 streams dispatch to the progressive codec
+(operators/jpeg_progressive.py — spectral selection + successive
+approximation); arithmetic coding raises NotImplementedError — the
+boundary where libjpeg plugs in.
 
 Encoder: the independent inverse used by the property tests — 8×8 block
 DCT → quantize → zigzag → DC-diff/AC-run-length entropy coding with
@@ -472,9 +474,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0), chroma planes are
     nearest-neighbour upsampled to the luma grid, and JFIF BT.601
     YCbCr→RGB finishes. DRI/RSTn restart intervals are honoured
-    (byte-align + DC reset per interval). Progressive (SOF2), arithmetic
-    coding, >2× sampling, and 2/4-component scans raise
-    NotImplementedError — the boundary where libjpeg plugs in."""
+    (byte-align + DC reset per interval); SOF2 streams dispatch to the
+    progressive decoder. Arithmetic coding, >2× sampling, and
+    2/4-component scans raise NotImplementedError — the boundary where
+    libjpeg plugs in."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
     pos = 2
@@ -523,8 +526,16 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 # the data-unit grid ignores sampling factors
                 comps[0]["h"] = comps[0]["v"] = 1
             dims = (w, h)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline (SOF0) JPEG decodable")
+        elif marker == 0xC2:  # SOF2 → the progressive decoder owns it
+            from ssidentity_spark.operators.jpeg_progressive import (
+                decode_progressive_pixels,
+            )
+
+            return decode_progressive_pixels(payload)
+        elif marker in (0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline (SOF0) or progressive (SOF2) JPEG decodable"
+            )
         elif marker == 0xDD:  # DRI: restart every `dri` MCUs
             dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xC4:  # DHT (possibly multiple tables)

@@ -3,11 +3,12 @@
 ``decode_image``, ``decode_png`` and ``decode_audio`` are REAL
 dependency-free decoders: uncompressed 24/32-bit BMP and PCM WAV parsed
 straight from the byte layout, 8-bit non-interlaced PNG via stdlib
-``zlib`` plus a full five-filter scanline unfilter loop, and baseline
-grayscale JPEG (operators/jpeg.py: segment walk, stream-described
-canonical Huffman tables, numpy IDCT). Formats that genuinely need a
-codec library (color/progressive JPEG, MP3, palette/16-bit/interlaced
-PNG) raise NotImplementedError; plug Pillow/libvips/ffmpeg into the same
+``zlib`` plus a full five-filter scanline unfilter loop, and JPEG —
+baseline gray/color with restart intervals (operators/jpeg.py) AND
+progressive SOF2 with spectral selection + successive approximation
+(operators/jpeg_progressive.py). Formats that genuinely need a codec
+library (arithmetic-coded JPEG, MP3, palette/16-bit/interlaced PNG)
+raise NotImplementedError; plug Pillow/libvips/ffmpeg into the same
 functions in production. ``fake_decode`` remains the deterministic stand-in the
 DuckDB-oracled queries use (an oracle can't decode BMP), and
 ``extract_image_features`` runs the real BMP decoder through the identical
@@ -157,10 +158,12 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
 
     Dispatches on magic bytes — uncompressed 24/32-bit BMP (byte-layout
     parse), 8-bit non-interlaced PNG (stdlib zlib + unfilter,
-    ``decode_png``), or baseline JPEG, grayscale or YCbCr color with
-    up-to-2×2 sampling (numpy DCT + stream-described Huffman tables +
-    interleaved MCU walk, ``operators/jpeg.py``). Progressive JPEG and
-    other codec formats raise NotImplementedError — that's where
+    ``decode_png``), or JPEG — baseline AND progressive (SOF2),
+    grayscale or YCbCr color with up-to-2×2 sampling (numpy DCT +
+    stream-described Huffman tables + interleaved MCU walk + the
+    successive-approximation scan protocol, ``operators/jpeg*.py``).
+    Arithmetic-coded JPEG, MP3, and other codec formats raise
+    NotImplementedError — that's where
     Pillow/libvips plugs in outside this container. BMP pixel rows are
     ``width*bytes_pp`` BGR(A) runs padded to 4-byte stride; the mean is
     over colour channels only (alpha excluded for 32-bit).
