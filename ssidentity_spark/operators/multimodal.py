@@ -92,20 +92,59 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
     return bytes(out)
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float]:
-    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG with stdlib zlib:
-    (width, height, mean_channel).
+# Adam7 interlace passes: (x_start, x_step, y_start, y_step)
+_ADAM7 = (
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
 
-    Chunk walk (IHDR → IDAT* → IEND), ``zlib.decompress`` of the
+
+def _png_sum_pixels(
+    px: bytes, n_px: int, color_type: int, depth: int, palette: bytes
+) -> tuple[float, int]:
+    """(sum of colour-channel values scaled to 0-255, count of summed
+    samples) for one unfiltered pixel run. Alpha excluded throughout."""
+    if color_type == 3:  # palette indices → RGB triples
+        total = 0
+        for idx in px:
+            base = 3 * idx
+            if base + 3 > len(palette):
+                raise NotImplementedError("PNG palette index out of range")
+            total += palette[base] + palette[base + 1] + palette[base + 2]
+        return float(total), n_px * 3
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    if depth == 16:  # big-endian 16-bit samples, scaled to the 0-255 range
+        vals = struct.unpack(f">{len(px) // 2}H", px)
+        if channels == 4:
+            total = sum(v for i, v in enumerate(vals) if i % 4 != 3)
+            return total / 257.0, n_px * 3
+        return sum(vals) / 257.0, n_px * channels
+    if channels == 4:
+        return float(sum(px) - sum(px[3::4])), n_px * 3
+    return float(sum(px)), n_px * channels
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Decode a PNG with stdlib zlib: (width, height, mean_channel).
+
+    Chunk walk (IHDR → PLTE? → IDAT* → IEND), ``zlib.decompress`` of the
     concatenated IDAT stream, then per-scanline unfiltering (all five
-    filter types). Palette, 16-bit, and interlaced variants raise
+    filter types). Supported: 8-bit gray/RGB/palette/RGBA and 16-bit
+    gray/RGB/RGBA, non-interlaced AND Adam7-interlaced (each of the 7
+    sub-images is its own filtered run). Sub-byte palette depths raise
     NotImplementedError — the boundary where a full codec library plugs
-    in. Mean is over colour channels only (alpha excluded), matching the
-    BMP path's convention.
+    in. Mean is over colour channels only (alpha excluded; 16-bit
+    samples scaled to the 0-255 range), matching the BMP path.
     """
     if payload[:8] != _PNG_SIG:
         raise NotImplementedError("not a PNG payload")
     pos, ihdr, idat = 8, None, bytearray()
+    palette = b""
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
@@ -114,6 +153,8 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
             raise NotImplementedError("truncated PNG chunk")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            palette = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -124,32 +165,57 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, comp, filt, interlace = ihdr[8:13]
+    ok = (depth == 8 and color_type in (0, 2, 3, 6)) or (
+        depth == 16 and color_type in (0, 2, 6)
+    )
     if (
-        depth != 8
-        or color_type not in (0, 2, 6)
+        not ok
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
         or width == 0
         or height == 0
     ):
         raise NotImplementedError(
-            "only 8-bit non-interlaced gray/RGB/RGBA PNG decodable"
+            "only 8-bit gray/RGB/palette/RGBA or 16-bit gray/RGB/RGBA PNG "
+            "decodable"
         )
-    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    if color_type == 3 and (not palette or len(palette) % 3):
+        raise NotImplementedError("palette PNG missing a valid PLTE chunk")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    bypp = channels * (depth // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise NotImplementedError(f"corrupt PNG IDAT stream: {e}") from e
-    if len(raw) != height * (width * channels + 1):
-        raise NotImplementedError("PNG pixel data size mismatch")
-    px = _png_unfilter(raw, width, height, channels)
-    if channels == 4:
-        total = sum(px) - sum(px[3::4])  # exclude alpha
-        denom = width * height * 3
-    else:
-        total = sum(px)
-        denom = width * height * channels
+
+    total = 0.0
+    denom = 0
+    if interlace == 0:
+        if len(raw) != height * (width * bypp + 1):
+            raise NotImplementedError("PNG pixel data size mismatch")
+        px = _png_unfilter(raw, width, height, bypp)
+        t, d = _png_sum_pixels(px, width * height, color_type, depth, palette)
+        total += t
+        denom += d
+    else:  # Adam7: 7 independent filtered sub-images
+        off = 0
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * bypp + 1)
+            chunk = raw[off : off + need]
+            if len(chunk) != need:
+                raise NotImplementedError("PNG interlaced data size mismatch")
+            off += need
+            px = _png_unfilter(chunk, pw, ph, bypp)
+            t, d = _png_sum_pixels(px, pw * ph, color_type, depth, palette)
+            total += t
+            denom += d
+        if off != len(raw):
+            raise NotImplementedError("PNG interlaced data size mismatch")
     return width, height, total / denom
 
 

@@ -303,3 +303,89 @@ def test_decode_audio_samples_roundtrip():
     )
     assert bits == 32
     assert np.array_equal(got, want32)
+
+
+# ---------------------------------------------------------------------------
+# r6 PNG variants: palette, 16-bit, Adam7 interlace (decode_png)
+# ---------------------------------------------------------------------------
+
+
+def _png_wrap(width, height, depth, color_type, interlace, raw, plte=b""):
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return _s.pack(">I", len(data)) + body + _s.pack(">I", _z.crc32(body))
+
+    ihdr = _s.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_png_palette():
+    from ssidentity_spark.operators.multimodal import decode_png
+
+    plte = bytes([10, 20, 30, 200, 100, 0])  # two palette entries
+    # 4x2 image alternating the two entries, filter 0 rows
+    raw = b"\x00" + bytes([0, 1, 0, 1]) + b"\x00" + bytes([1, 0, 1, 0])
+    w, h, m = decode_png(_png_wrap(4, 2, 8, 3, 0, raw, plte))
+    assert (w, h) == (4, 2)
+    assert m == pytest.approx((sum([10, 20, 30]) + sum([200, 100, 0])) / 6)
+
+
+def test_decode_png_16bit_gray_and_rgba():
+    import struct as _s
+
+    from ssidentity_spark.operators.multimodal import decode_png
+
+    # 3x1 16-bit gray: values v*257 scale back to v exactly
+    vals = [0, 128, 255]
+    raw = b"\x00" + b"".join(_s.pack(">H", v * 257) for v in vals)
+    w, h, m = decode_png(_png_wrap(3, 1, 16, 0, 0, raw))
+    assert (w, h) == (3, 1)
+    assert m == pytest.approx(sum(vals) / 3)
+    # 1x1 16-bit RGBA: alpha must be excluded
+    raw = b"\x00" + _s.pack(">HHHH", 100 * 257, 50 * 257, 30 * 257, 9999)
+    w, h, m = decode_png(_png_wrap(1, 1, 16, 6, 0, raw))
+    assert m == pytest.approx((100 + 50 + 30) / 3)
+
+
+def test_decode_png_adam7_interlaced():
+    from ssidentity_spark.operators.multimodal import decode_png
+
+    # 9x9 grayscale gradient, interlaced: every pixel appears in exactly
+    # one Adam7 pass, so the mean must equal the plain-raster mean
+    width = height = 9
+    px = {(x, y): (x * 17 + y * 5) % 256 for x in range(width) for y in range(height)}
+    passes = (
+        (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+    )
+    raw = bytearray()
+    for x0, dx, y0, dy in passes:
+        xs = list(range(x0, width, dx))
+        ys = list(range(y0, height, dy))
+        if not xs or not ys:
+            continue
+        for y in ys:
+            raw.append(0)  # filter type 0
+            raw.extend(px[(x, y)] for x in xs)
+    w, h, m = decode_png(_png_wrap(width, height, 8, 0, 1, bytes(raw)))
+    assert (w, h) == (width, height)
+    expected = sum(px.values()) / (width * height)
+    assert m == pytest.approx(expected)
+
+
+def test_decode_png_still_rejects_unsupported():
+    from ssidentity_spark.operators.multimodal import decode_png
+
+    # sub-byte palette depth stays out of scope
+    with pytest.raises(NotImplementedError):
+        decode_png(_png_wrap(4, 1, 4, 3, 0, b"\x00\x01\x02", b"\x01\x02\x03"))
+    # palette image without PLTE
+    with pytest.raises(NotImplementedError):
+        decode_png(_png_wrap(2, 1, 8, 3, 0, b"\x00\x00\x01"))
