@@ -109,7 +109,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "w3_rolling_count_10min",
     # ... then the oldest r3-vintage greens (alphabetical within equal age)
     "a10_heavy_hitters",
-    "a2_habitual_hour",
+    # NEW in r6: corpus-LM quality scoring (CCNet-style unigram logprob)
+    # — a first-time hash candidate, so it takes a window slot
+    # (a2_habitual_hour parks to history; r7 queue)
+    "text_unigram_logprob",
     # ... with the last three slots spent on the stalest member of each
     # module the staleness order alone would have left unwindowed (the
     # per-module coverage rule outranks strict age order)

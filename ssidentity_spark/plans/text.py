@@ -448,3 +448,72 @@ def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_words", F.lit(0.99)), 4).alias("p99_words"),
         F.max("n_words").alias("max_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U6/X3 — corpus-LM quality scoring: the CCNet-style filtering signal.
+# A unigram language model is fit on the corpus itself (add-one smoothing
+# over the observed vocabulary), and every document is scored by its
+# average token log-probability — low scores flag gibberish / boilerplate
+# / wrong-language text for the cleanup gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), c AS (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+    vocab AS (SELECT count(*) AS v FROM c)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * ln((c.c + 1.0) / (tot.n + vocab.v)))
+                 / sum(tf.tf), 6) AS avg_logprob
+    FROM tf JOIN c USING (term) CROSS JOIN tot CROSS JOIN vocab
+    GROUP BY tf.doc_id
+    """,
+    survey="U6,X3,A6",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability under a corpus-fit
+    add-one-smoothed model: p(t) = (count(t)+1)/(N+V).
+
+    Plan shape at 100 TB: tokens pre-aggregate to (doc, term, tf) grain
+    (one doc×term shuffle with map-side combine), the model is one
+    term-keyed shuffle over that SAME frame (never re-tokenizing), and
+    the two scalars (corpus size N, vocab V) are 1-row broadcasts. The
+    scoring join is term-keyed on the tf grain — token occurrences never
+    shuffle twice — and the final doc rollup weights each term's logprob
+    by tf, so avg = Σ tf·ln p / Σ tf without a token-grain pass. Rounded
+    to 6 dp before the hash compare; scores are O(-10..-4) so last-ulp
+    summation skew sits ~7 orders below the rounding step."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_words()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    tot = c.agg(F.sum("c").cast("long").alias("n"))
+    vocab = c.agg(F.count(F.lit(1)).alias("v"))
+    logp = F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+    return (
+        tf.join(c, "term")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * logp) / F.sum("tf"), 6
+            ).alias("avg_logprob"),
+        )
+    )
