@@ -240,6 +240,11 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
         from ssidentity_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ssidentity_spark.operators.gif import decode_gif
+
+        w, h, _n_frames, mean = decode_gif(payload)
+        return w, h, mean
     if len(payload) < 54 or payload[:2] != b"BM":
         raise NotImplementedError("not an uncompressed BMP (codec libs absent)")
     pixel_off = struct.unpack_from("<I", payload, 10)[0]
@@ -266,73 +271,96 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
     return width, n_rows, mean
 
 
-def decode_audio(payload: bytes) -> tuple[int, int, int, int]:
-    """Decode a PCM WAV header: (channels, sample_rate, bits, n_samples).
+_WAV_PCM, _WAV_FLOAT, _WAV_EXTENSIBLE = 1, 3, 0xFFFE
 
-    RIFF chunk walk (fmt + data), integer PCM only; compressed audio raises
-    NotImplementedError — that's where soundfile/ffmpeg plugs in outside
-    this container.
-    """
+
+def _wav_walk(payload: bytes):
+    """RIFF chunk walk → (fmt_code, channels, rate, block_align, bits,
+    data bytes). WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves to the real
+    format from the SubFormat GUID's leading 16-bit code."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload (codec libs absent)")
-    pos, fmt, data_size = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"fmt " and pos + 8 + 16 <= len(payload):
             fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
-        elif cid == b"data":
-            if pos + 8 + size > len(payload):
-                raise NotImplementedError("truncated WAV data chunk")
-            data_size = size
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data_size is None:
-        raise NotImplementedError("WAV missing fmt/data chunks")
-    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
-    if audio_format != 1 or block_align == 0:
-        raise NotImplementedError("only integer PCM WAV decodable")
-    return channels, sample_rate, bits, data_size // block_align
-
-
-def decode_audio_samples(payload: bytes):
-    """Decode PCM WAV samples: (channels, rate, bits, numpy sample array).
-
-    Extends ``decode_audio``'s header walk with the actual sample data:
-    8-bit PCM is unsigned (per the WAV spec), 16/32-bit are signed
-    little-endian. Returns interleaved samples as int32."""
-    import numpy as np
-
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise NotImplementedError("not a RIFF/WAVE payload (codec libs absent)")
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
-            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            fmt_body = payload[pos + 8 : pos + 8 + size]
         elif cid == b"data":
             if pos + 8 + size > len(payload):
                 raise NotImplementedError("truncated WAV data chunk")
             data = payload[pos + 8 : pos + 8 + size]
-        pos += 8 + size + (size & 1)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise NotImplementedError("WAV missing fmt/data chunks")
-    audio_format, channels, sample_rate, _rate, block_align, bits = fmt
-    if audio_format != 1 or block_align == 0:
-        raise NotImplementedError("only integer PCM WAV decodable")
+    code, channels, rate, _byte_rate, block_align, bits = fmt
+    if code == _WAV_EXTENSIBLE:
+        # 16B base + cbSize(2) + validBits(2) + channelMask(4) + GUID(16)
+        if len(fmt_body) < 40:
+            raise NotImplementedError("truncated WAVE_FORMAT_EXTENSIBLE fmt")
+        code = struct.unpack_from("<H", fmt_body, 24)[0]
+    if code not in (_WAV_PCM, _WAV_FLOAT) or block_align == 0:
+        raise NotImplementedError(
+            "only integer-PCM or IEEE-float WAV decodable (codec libs absent)"
+        )
+    return code, channels, rate, block_align, bits, data
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode a WAV header: (channels, sample_rate, bits, n_samples).
+
+    RIFF chunk walk (fmt + data): integer PCM (8/16/24/32-bit), IEEE
+    float (32/64-bit), and WAVE_FORMAT_EXTENSIBLE wrappers of either.
+    Compressed audio (MP3 et al.) raises NotImplementedError — that's
+    where soundfile/ffmpeg plugs in outside this container.
+    """
+    _code, channels, rate, block_align, bits, data = _wav_walk(payload)
+    return channels, rate, bits, len(data) // block_align
+
+
+def decode_audio_samples(payload: bytes):
+    """Decode WAV samples: (channels, rate, bits, numpy sample array).
+
+    Extends ``decode_audio``'s header walk with the actual sample data:
+    8-bit PCM is unsigned (per the WAV spec); 16/24/32-bit are signed
+    little-endian (24-bit widened via a padded int32 view); integer
+    formats return int32, IEEE float returns float64."""
+    import numpy as np
+
+    code, channels, rate, block_align, bits, data = _wav_walk(payload)
+    if code == _WAV_FLOAT:
+        if bits == 32:
+            samples = np.frombuffer(
+                data[: len(data) // 4 * 4], dtype="<f4"
+            ).astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8")
+        else:
+            raise NotImplementedError(f"{bits}-bit float WAV unsupported")
+        return channels, rate, bits, samples
     if bits == 8:
         samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
     elif bits == 16:
         samples = np.frombuffer(
             data[: len(data) // 2 * 2], dtype="<i2"
         ).astype(np.int32)
+    elif bits == 24:
+        n = len(data) // 3
+        raw = np.frombuffer(data[: n * 3], dtype=np.uint8).reshape(n, 3)
+        # widen 3-byte LE to 4-byte LE with the sign byte on top, then
+        # arithmetic-shift back down
+        wide = np.zeros((n, 4), dtype=np.uint8)
+        wide[:, 1:] = raw
+        samples = wide.view("<i4").reshape(n) >> 8
+        samples = samples.astype(np.int32)
     elif bits == 32:
         samples = np.frombuffer(
             data[: len(data) // 4 * 4], dtype="<i4"
         ).astype(np.int32)
     else:
         raise NotImplementedError(f"{bits}-bit PCM unsupported")
-    return channels, sample_rate, bits, samples
+    return channels, rate, bits, samples
 
 
 def pcm_wav_from_samples(

@@ -389,3 +389,81 @@ def test_decode_png_still_rejects_unsupported():
     # palette image without PLTE
     with pytest.raises(NotImplementedError):
         decode_png(_png_wrap(2, 1, 8, 3, 0, b"\x00\x00\x01"))
+
+
+# ---------------------------------------------------------------------------
+# r6 WAV variants: 24-bit PCM, IEEE float, WAVE_FORMAT_EXTENSIBLE
+# ---------------------------------------------------------------------------
+
+
+def _wav_wrap(fmt_body: bytes, data: bytes) -> bytes:
+    import struct as _s
+
+    chunks = b"fmt " + _s.pack("<I", len(fmt_body)) + fmt_body
+    if len(fmt_body) & 1:
+        chunks += b"\x00"
+    chunks += b"data" + _s.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_audio_24bit_pcm():
+    import struct as _s
+
+    from ssidentity_spark.operators.multimodal import (
+        decode_audio,
+        decode_audio_samples,
+    )
+
+    vals = [0, 1, -1, 8_388_607, -8_388_608, 123_456, -654_321]
+    data = b"".join(_s.pack("<i", v)[:3] for v in vals)
+    fmt = _s.pack("<HHIIHH", 1, 1, 16000, 16000 * 3, 3, 24)
+    payload = _wav_wrap(fmt, data)
+    assert decode_audio(payload) == (1, 16000, 24, len(vals))
+    ch, rate, bits, samples = decode_audio_samples(payload)
+    assert list(samples) == vals
+
+
+def test_decode_audio_ieee_float():
+    import struct as _s
+
+    from ssidentity_spark.operators.multimodal import decode_audio_samples
+
+    vals = [0.0, 0.5, -0.25, 1.0, -1.0]
+    data = b"".join(_s.pack("<f", v) for v in vals)
+    fmt = _s.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    ch, rate, bits, samples = decode_audio_samples(_wav_wrap(fmt, data))
+    assert (ch, rate, bits) == (1, 8000, 32)
+    assert samples.dtype.kind == "f"
+    assert list(samples) == vals
+
+
+def test_decode_audio_extensible_pcm():
+    import struct as _s
+
+    from ssidentity_spark.operators.multimodal import (
+        decode_audio,
+        decode_audio_samples,
+    )
+
+    vals = [100, -200, 300, -400]  # stereo 16-bit → 2 frames
+    data = b"".join(_s.pack("<h", v) for v in vals)
+    # WAVE_FORMAT_EXTENSIBLE: base fmt + cbSize=22 + validBits +
+    # channelMask + SubFormat GUID (leading code 1 = PCM)
+    guid = _s.pack("<H", 1) + b"\x00\x00" + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = _s.pack("<HHIIHHHHI", 0xFFFE, 2, 44100, 44100 * 4, 4, 16, 22, 16, 3) + guid
+    payload = _wav_wrap(fmt, data)
+    assert decode_audio(payload) == (2, 44100, 16, 2)
+    _, _, _, samples = decode_audio_samples(payload)
+    assert list(samples) == vals
+
+
+def test_decode_audio_rejects_compressed():
+    import struct as _s
+
+    from ssidentity_spark.operators.multimodal import decode_audio
+
+    fmt = _s.pack("<HHIIHH", 85, 1, 44100, 0, 1, 0)  # MP3-in-WAV
+    with pytest.raises(NotImplementedError):
+        decode_audio(_wav_wrap(fmt, b"\x00\x01"))
