@@ -569,6 +569,80 @@ def png_roundtrip_features(df: DataFrame, width: int = 16, max_h: int = 16) -> D
     return df.mapInPandas(_roundtrip, schema=PNG_ROUNDTRIP_SCHEMA)
 
 
+GIF_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sum_px", LongType()),
+        StructField("n_px", LongType()),
+    ]
+)
+
+
+def gif_roundtrip_features(
+    df: DataFrame, width: int = 16, max_h: int = 8
+) -> DataFrame:
+    """(doc_id, text) → encode the text's bytes as a real two-frame GIF
+    animation over the identity grayscale palette (operators/gif.py:
+    LZW + 256-entry GCT), decode it back with ``decode_gif``, and emit
+    the recovered pixel sum. Frames are 16 × h with h = min(bytes//32,
+    max_h); documents shorter than one two-frame row pair are dropped.
+
+    GIF-LZW is lossless and the palette is identity, so sum_px equals
+    the plain byte sum over the consumed 2·16·h bytes — a SQL oracle
+    recomputes it from the text's hex encoding, hash-checking the whole
+    LZW encode→decode loop per document through the same Arrow
+    ``mapInPandas`` plumbing as the other decoders."""
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ssidentity_spark.operators.gif import decode_gif, encode_gif
+
+        palette = [(i, i, i) for i in range(256)]
+        for pdf in batches:
+            ids: list[int] = []
+            ws: list[int] = []
+            hs: list[int] = []
+            fs: list[int] = []
+            sums: list[int] = []
+            ns: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = min(len(b) // (2 * width), max_h)
+                if h == 0:
+                    continue
+                frames = [
+                    [
+                        list(b[f * width * h + y * width : f * width * h + (y + 1) * width])
+                        for y in range(h)
+                    ]
+                    for f in range(2)
+                ]
+                payload = encode_gif(frames, palette)
+                got_w, got_h, n_frames, mean = decode_gif(payload)
+                n_px = n_frames * got_w * got_h
+                ids.append(int(doc_id))
+                ws.append(got_w)
+                hs.append(got_h)
+                fs.append(n_frames)
+                # identity palette: mean·3n/3 = the exact integer byte sum
+                sums.append(int(round(mean * n_px)))
+                ns.append(n_px)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(fs, dtype="int32"),
+                    "sum_px": pd.Series(sums, dtype="int64"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_roundtrip, schema=GIF_ROUNDTRIP_SCHEMA)
+
+
 def resize_stub(df: DataFrame, max_px: int = 256) -> DataFrame:
     """Resize pipeline shape: binary in → binary out. The transform itself is
     the identity (no codec); schema/partitioning/batching are the real

@@ -107,12 +107,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "o4_except_users",
     "w2_transitions",
     "w3_rolling_count_10min",
-    # ... then the oldest r3-vintage greens (alphabetical within equal age)
-    "a10_heavy_hitters",
-    # NEW in r6: corpus-LM quality scoring (CCNet-style unigram logprob)
-    # — a first-time hash candidate, so it takes a window slot
-    # (a2_habitual_hour parks to history; r7 queue)
+    # NEW in r6 (first-time hash candidates take the last r3-vintage
+    # slots; a10_heavy_hitters + a2_habitual_hour park to history — both
+    # lead the r7 queue):
+    # corpus-LM quality scoring (CCNet-style unigram logprob) ...
     "text_unigram_logprob",
+    # ... and the GIF-LZW roundtrip under the Arrow path
+    "mm_gif_decode",
     # ... with the last three slots spent on the stalest member of each
     # module the staleness order alone would have left unwindowed (the
     # per-module coverage rule outranks strict age order)
@@ -124,8 +125,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # r7 ROTATION QUEUE (after regenerating DRIVER_VERIFIED_HISTORY from
 # CORRECTNESS_r06 via tools/driver_history.py): continue staleness-ordered
 # rotation — keep the bench headliners, then the remaining r3 vintage
-# (a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs,
-# o3_union_split, o4_intersect_users, pipe_docs_clean, pipe_embed_quantize,
+# (a10_heavy_hitters, a2_habitual_hour, a4_distinct_pairs,
+# dedup_embedding_cosine, dedup_simhash_pairs, o3_union_split,
+# o4_intersect_users, pipe_docs_clean, pipe_embed_quantize,
 # pivot_user_type_matrix, sim_label_centroids, sim_lsh_bucketed,
 # text_bigram_profile, text_langid, text_quality, w3_rolling_avg_rows),
 # then the r4 vintage.

@@ -143,6 +143,50 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_roundtrip_features(d)
 
 
+@register(
+    "mm_gif_decode",
+    # Like mm_png_decode's oracle: each document's pixel sum is
+    # recomputed directly from the text bytes (hex-pair arithmetic) —
+    # GIF-LZW is lossless and the palette is identity grayscale, so the
+    # Spark side's LZW encode→container→decode loop (operators/gif.py)
+    # is hash-checked per document, integer-exact, including the
+    # two-frame animation walk.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             upper(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, hx, least(n // 32, 8) AS h
+      FROM t WHERE n >= 32
+    )
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(2 AS INTEGER) AS n_frames,
+           CAST(list_aggregate(list_transform(range(0, CAST(32 * h AS BIGINT)), i ->
+             (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS BIGINT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS BIGINT), 1)) - 1
+           ), 'sum') AS BIGINT) AS sum_px,
+           CAST(32 * h AS BIGINT) AS n_px
+    FROM dims
+    """,
+    survey="EXT-multimodal,U1",
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real palette-image/animation decode in the production Arrow path:
+    each document's bytes become a two-frame GIF over the identity
+    grayscale palette (full LZW encode with variable-width code growth)
+    which is decoded straight back — proving the codec against an
+    independent SQL ground truth at the driver gate, not just in
+    pytest."""
+    from ssidentity_spark.operators.multimodal import gif_roundtrip_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gif_roundtrip_features(d)
+
+
 _HEXD = "'0123456789ABCDEF'"
 
 
