@@ -83,9 +83,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_visit_sessions",
     "ref_companion_clusters",
     "ref_watchlist_alerts",
-    # staleness rotation: the 22 r1-vintage greens (never re-verified
+    # NEW in r6: the composed intake pipeline (clean → decontaminate →
+    # split as one plan) — a first-time hash candidate; a1_user_interests
+    # parks to history to make room (analytics stays multiply covered)
+    "pipe_end_to_end",
+    # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
-    "a1_user_interests",
     "a2_active_hours",
     "a3_network_tree",
     "a4_mac_key_rollup",

@@ -388,3 +388,131 @@ def pipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-pipeline capstone — the whole intake pipeline as ONE declarative
+# plan: quality/dedup gate → benchmark decontamination → deterministic
+# split assignment. Each stage is individually hash-verified above
+# (pipe_docs_clean / pipe_decontaminate / pipe_split_assign); this query
+# verifies their COMPOSITION — filter ordering, the survivors-only gram
+# scan, and the anti-join — under the same driver gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_end_to_end",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\\s+') AS w,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), r AS (
+      SELECT doc_id, w,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank
+      FROM t
+    ), ok AS (
+      SELECT doc_id, w FROM r
+      WHERE dup_rank = 1
+        AND len(w) BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+        AND CAST(len(list_filter(w, x -> list_contains({list(_STOPWORDS)}, x)))
+                 AS DOUBLE) / len(w) BETWEEN {_STOP_LO} AND {_STOP_HI}
+    ), bench AS (
+      SELECT DISTINCT unnest(list_transform(
+               generate_series(1, greatest(len(w) - {_GRAM_N - 1}, 0)),
+               i -> md5(array_to_string(list_slice(w, i, i + {_GRAM_N - 1}), ' '))
+             )) AS gram
+      FROM t WHERE doc_id % {_BENCH_MOD} = {_BENCH_REM}
+    ), corpus AS (
+      SELECT doc_id, w FROM ok WHERE doc_id % {_BENCH_MOD} <> {_BENCH_REM}
+    ), cg AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(w) - {_GRAM_N - 1}, 0)),
+               i -> md5(array_to_string(list_slice(w, i, i + {_GRAM_N - 1}), ' '))
+             )) AS gram
+      FROM corpus
+    ), contaminated AS (
+      SELECT DISTINCT cg.doc_id FROM cg JOIN bench ON cg.gram = bench.gram
+    )
+    SELECT c.doc_id,
+           CASE WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_LT}'
+                  THEN 'train'
+                WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < '{_VAL_LT}'
+                  THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(c.w) AS INTEGER) AS n_words
+    FROM corpus c LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+    WHERE ct.doc_id IS NULL
+    """,
+    survey="EXT-pipeline,EXT-dedup,J3,X1,X3,X5",
+)
+def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean → decontaminate → split, composed: survivors of the quality
+    /dedup gate (non-benchmark slice) that share no word-5-gram with the
+    held-out eval set, each carrying its deterministic hash-split.
+
+    Scale shape of the composition: ONE corpus scan feeds the
+    fingerprint window and the downstream gram explode (the gate runs
+    BEFORE gram generation, so rejected documents never pay the
+    explode); the bench gram table stays eval-set-sized and broadcasts
+    into the probe join; contamination removal is a doc-keyed anti-join;
+    the split is a narrow map. Total: two keyed shuffles (fingerprint,
+    gram) plus the broadcast — the same budget as the worst single
+    stage, not the sum of all three."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.size(w)
+    )
+    ranked = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.size(w).alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        F.row_number()
+        .over(Window.partitionBy(fp).orderBy("doc_id"))
+        .alias("dup_rank"),
+    )
+    ok = ranked.filter(
+        (F.col("dup_rank") == 1)
+        & F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+        & F.col("stop_ratio").between(_STOP_LO, _STOP_HI)
+    )
+    wcol = F.col("w")
+    grams = F.when(
+        F.size(wcol) >= _GRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wcol) - (_GRAM_N - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(wcol, i, _GRAM_N))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
+    bench_grams = (
+        d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        .filter(is_bench)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    corpus = ok.filter(~is_bench)
+    contaminated = (
+        corpus.select("doc_id", F.explode(grams).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        corpus.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.when(prefix < _TRAIN_LT, "train")
+            .when(prefix < _VAL_LT, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.col("n_words").cast("int").alias("n_words"),
+        )
+    )
