@@ -245,6 +245,10 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
 
         w, h, _n_frames, mean = decode_gif(payload)
         return w, h, mean
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from ssidentity_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     if len(payload) < 54 or payload[:2] != b"BM":
         raise NotImplementedError("not an uncompressed BMP (codec libs absent)")
     pixel_off = struct.unpack_from("<I", payload, 10)[0]
