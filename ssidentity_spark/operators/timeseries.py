@@ -1,0 +1,133 @@
+"""Time-series regularization: bucket downsample + gap-fill + linear
+interpolation ("hypertable rollup" family).
+
+Reference impetus: the sniffer's observation stream is an irregular
+time-series per device (one row per captured probe, /root/reference/
+ssidentity.c:83-117), and every declared analytic over it — habitual
+movements, active hours, distance tracking (README.md:15-18) — wants a
+regular grid: "what was the signal level at each interval", including
+intervals with no probe. This operator turns the irregular (key, ts, value)
+stream into a dense per-key grid with linearly interpolated values.
+
+Spark-first design, no UDFs anywhere:
+
+1. **Downsample** — one hash-shuffle on (key, bucket); the per-bucket mean
+   is computed as exact DECIMAL sum ÷ count so both engines (and any two
+   cluster runs with different partition orders) produce the bit-identical
+   double regardless of float summation order.
+2. **Dense grid** — per-key min/max bucket (tiny agg), then
+   `sequence()` + `explode()`: output is linear in grid size, never a
+   cross join. The grid joins back to observations on (key, bucket) —
+   co-partitioned with the downsample shuffle.
+3. **Interpolation** — two window passes per key (`last(ignorenulls)`
+   looking back, `first(ignorenulls)` looking forward) recover the
+   bracketing observed points; the fill is the exact linear blend
+   ``prev + (next - prev) * frac`` written with a fixed operation order so
+   the IEEE result is deterministic. Grid edges clamp to the nearest
+   observed value.
+
+Scale: every stage is a narrow expression or a single keyed shuffle; state
+per key is O(grid length). At 100 TB the grid explode is the dominant
+output — it is generated distributed (per-key rows fan out on executors,
+nothing touches the driver) and AQE re-splits any skewed key's post-explode
+partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ssidentity_spark.functions.timeutil import epoch_s
+
+
+def bucketize(ts_col: Column | str, bucket_secs: int) -> Column:
+    """Epoch-second bucket floor — matches DuckDB
+    ``CAST(floor(epoch(ts) / n) * n AS BIGINT)`` exactly (both floor the
+    true epoch; flooring the whole-second epoch first is equivalent for
+    any bucket >= 1 s)."""
+    return (
+        F.floor(epoch_s(ts_col) / F.lit(float(bucket_secs))) * bucket_secs
+    ).cast("long")
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    val: str,
+    bucket_secs: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Downsample ``val`` to ``bucket_secs`` means per ``key``, densify to
+    the key's full [min, max] bucket range, and linearly interpolate the
+    gaps. Returns (key, bucket, value_interp, gap_filled) — ``bucket`` is
+    the epoch-second grid point, ``gap_filled`` marks rows that had no
+    observation.
+    """
+    # 1. downsample — exact decimal sum / count, then ONE double division:
+    # bit-deterministic across partition orders and engines
+    obs = (
+        df.select(
+            F.col(key),
+            bucketize(ts, bucket_secs).alias("bucket"),
+            F.col(val).cast("decimal(20,2)").alias("v"),
+        )
+        .groupBy(key, "bucket")
+        .agg(
+            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("obs_val")
+        )
+    )
+
+    # 2. dense grid — per-key span, then a distributed sequence explode
+    span = obs.groupBy(key).agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        key,
+        F.explode(
+            F.sequence("b0", "b1", F.lit(bucket_secs).cast("long"))
+        ).alias("bucket"),
+    )
+    dense = grid.join(obs, [key, "bucket"], "left")
+
+    # 3. bracketing observed points via ignore-nulls windows
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    observed_bucket = F.when(
+        F.col("obs_val").isNotNull(), F.col("bucket")
+    )
+    braketed = dense.select(
+        key,
+        "bucket",
+        "obs_val",
+        F.last("obs_val", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(observed_bucket, ignorenulls=True).over(w_prev).alias("pb"),
+        F.first("obs_val", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(observed_bucket, ignorenulls=True).over(w_next).alias("nb"),
+    )
+
+    frac = (F.col("bucket") - F.col("pb")).cast("double") / (
+        F.col("nb") - F.col("pb")
+    ).cast("double")
+    blend = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    value = (
+        F.when(F.col("obs_val").isNotNull(), F.col("obs_val"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(blend)
+    )
+    return braketed.select(
+        key,
+        "bucket",
+        F.round(value, round_dp).alias("value_interp"),
+        F.col("obs_val").isNull().alias("gap_filled"),
+    )

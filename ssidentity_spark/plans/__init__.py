@@ -32,6 +32,7 @@ from ssidentity_spark.plans import (  # noqa: F401
     similarity,
     sqlapi,
     text,
+    timeseries,
     tpch,
     tpch2,
     tpch3,
@@ -87,6 +88,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # split as one plan) — a first-time hash candidate; a1_user_interests
     # parks to history to make room (analytics stays multiply covered)
     "pipe_end_to_end",
+    # NEW in r6: hypertable-style gap-fill + linear interpolation — a
+    # first-time hash candidate (d7_math_funcs parks to history; the d7
+    # scalar family keeps three other windowed members)
+    "ts_gapfill_interpolate",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a2_active_hours",
@@ -99,7 +104,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d7_array_manipulation",
     "d7_from_json_struct",
     "d7_json_extract",
-    "d7_math_funcs",
     "d7_string_funcs",
     "dedup_jaccard_topk",
     "dedup_minhash_signatures",

@@ -1,0 +1,77 @@
+"""Unit semantics for operators/timeseries.resample_interpolate.
+
+The driver-gate hash check (ts_gapfill_interpolate) proves engine
+equivalence; these tests pin the SEMANTICS on hand-built series where the
+expected grid is computable by eye.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from ssidentity_spark.operators.timeseries import resample_interpolate
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    # key "a": observations in minute-buckets 0, 3 (two rows), 6 → grid
+    # 0..6 with gaps at 1,2,4,5. key "b": single observation (degenerate).
+    rows = [
+        ("a", _ts(0), 10.0),
+        ("a", _ts(3), 40.0),
+        ("a", _ts(3), 50.0),  # same bucket → mean 45.0
+        ("a", _ts(6), 60.0),
+        ("b", _ts(2), 7.0),
+    ]
+    return spark.createDataFrame(rows, "key string, ts timestamp, value double")
+
+
+def _result_map(df):
+    return {(r["key"], r["bucket"]): r for r in df.collect()}
+
+
+def test_linear_fill_between_observed_points(series):
+    out = resample_interpolate(series, "key", "ts", "value", 60)
+    m = _result_map(out)
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    # observed buckets pass through untouched
+    assert m[("a", base + 0)]["value_interp"] == 10.0
+    assert m[("a", base + 180)]["value_interp"] == 45.0  # in-bucket mean
+    assert m[("a", base + 360)]["value_interp"] == 60.0
+    # gaps: linear blend between (0 → 10.0) and (180 → 45.0)
+    assert m[("a", base + 60)]["value_interp"] == pytest.approx(10 + 35 / 3)
+    assert m[("a", base + 120)]["value_interp"] == pytest.approx(10 + 70 / 3)
+    # and between (180 → 45.0) and (360 → 60.0)
+    assert m[("a", base + 240)]["value_interp"] == pytest.approx(50.0)
+    assert m[("a", base + 300)]["value_interp"] == pytest.approx(55.0)
+
+
+def test_gap_flag_and_grid_density(series):
+    out = resample_interpolate(series, "key", "ts", "value", 60)
+    a = [r for r in out.collect() if r["key"] == "a"]
+    assert len(a) == 7  # dense: every minute 0..6
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    flags = {r["bucket"] - base: r["gap_filled"] for r in a}
+    assert [flags[s] for s in (0, 60, 120, 180, 240, 300, 360)] == [
+        False, True, True, False, True, True, False,
+    ]
+
+
+def test_single_observation_key_degenerates_to_point(series):
+    out = resample_interpolate(series, "key", "ts", "value", 60)
+    b = [r for r in out.collect() if r["key"] == "b"]
+    assert len(b) == 1 and b[0]["value_interp"] == 7.0
+    assert b[0]["gap_filled"] is False
+
+
+def test_plan_is_jvm_only(series):
+    # no Python nodes anywhere: downsample, grid explode, windows are all
+    # native expressions — the 100 TB contract for this operator
+    plan = resample_interpolate(series, "key", "ts", "value", 60)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
