@@ -201,3 +201,74 @@ def companion_clusters(obs: DataFrame, window: str = "30 seconds", min_cowindows
         F.sort_array(F.collect_list("vertex")).alias("members"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 6,
+    damping: float = 0.85,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Weighted PageRank by plain joins + aggregations, fixed ``iters``
+    power-iteration rounds (the relational formulation — no graph engine).
+
+    Reference impetus: README.md:15 ranks "things that can be correlated";
+    the influence ranking over the device co-observation graph is the
+    natural next analytic after connected components (A3 network tree).
+
+    Per round: one join of the edge list with the current rank vector on
+    ``src`` (shuffle on src — co-partitioned across rounds since the edge
+    list is cached with that partitioning), one aggregation on ``dst``,
+    plus a scalar dangling-mass aggregate (1-row broadcast, handles sinks
+    exactly). Rank state is one row per vertex — never materialized on the
+    driver. Fixed iteration count (not convergence-tested) keeps the
+    computation a pure static DAG both engines can replay bit-for-bit up
+    to float summation order; the final ``round(round_dp)`` absorbs that
+    tail. Plans are checkpoint-truncated per round like
+    :func:`connected_components`.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    e = e.repartition("src").cache()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("wout")).cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()  # scalar cardinality — model-sized driver read
+    ew = e.join(out_w, "src")
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("wout")).alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + damping
+                    * (F.coalesce("m", F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+        )
+        # truncate the lineage so the plan doesn't grow round-over-round
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("rank", round_dp).alias("rank"))

@@ -25,6 +25,7 @@ from ssidentity_spark.plans import (  # noqa: F401
     analytics,
     dedup,
     extras,
+    graph,
     multimodal,
     pipeline,
     reference_pipeline,
@@ -92,6 +93,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # first-time hash candidate (d7_math_funcs parks to history; the d7
     # scalar family keeps three other windowed members)
     "ts_gapfill_interpolate",
+    # NEW in r6: fixed-iteration PageRank on the user-transition graph —
+    # first-time hash candidate (d7_from_json_struct parks to history)
+    "graph_pagerank",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a2_active_hours",
@@ -102,7 +106,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a9_rollup_type_hour",
     "d7_array_funcs",
     "d7_array_manipulation",
-    "d7_from_json_struct",
     "d7_json_extract",
     "d7_string_funcs",
     "dedup_jaccard_topk",
