@@ -432,6 +432,47 @@ def wav_roundtrip_features(df: DataFrame, max_samples: int = 512) -> DataFrame:
     return df.mapInPandas(_roundtrip, schema=WAV_ROUNDTRIP_SCHEMA)
 
 
+def flac_roundtrip_features(df: DataFrame, max_samples: int = 512) -> DataFrame:
+    """(doc_id, text) → interpret the text's bytes as 16-bit LE samples,
+    compress them through the real FLAC encoder (operators.flac), decode
+    the stream back, emit integer-exact stats. The SAME byte-math oracle
+    as ``wav_roundtrip_features`` verifies it — so the entire bit-level
+    chain (Rice codes, fixed predictors, CRCs, MD5) is hash-checked per
+    document against an engine that never sees FLAC."""
+    import numpy as np
+
+    from ssidentity_spark.operators.flac import decode_flac, encode_flac
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            ns: list[int] = []
+            sums: list[int] = []
+            peaks: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = min(len(b) // 2, max_samples)
+                if n == 0:
+                    continue
+                samples = np.frombuffer(b[: n * 2], dtype="<i2").tolist()
+                blob = encode_flac(samples)
+                _rate, _bits, out = decode_flac(blob)
+                ids.append(int(doc_id))
+                ns.append(len(out))
+                sums.append(int(sum(out)))
+                peaks.append(int(max(abs(v) for v in out)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_samples": pd.Series(sums, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_roundtrip, schema=WAV_ROUNDTRIP_SCHEMA)
+
+
 def fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic decode stand-in: 'dimensions' from the first two bytes.
 

@@ -96,6 +96,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # NEW in r6: fixed-iteration PageRank on the user-transition graph —
     # first-time hash candidate (d7_from_json_struct parks to history)
     "graph_pagerank",
+    # NEW in r6: Rice-coded FLAC compress→decompress under the hash gate
+    # (dedup_simhash parks to history; dedup keeps four windowed members)
+    "mm_flac_decode",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a2_active_hours",
@@ -110,7 +113,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d7_string_funcs",
     "dedup_jaccard_topk",
     "dedup_minhash_signatures",
-    "dedup_simhash",
     "j9_q2_min_cost_supplier",
     "mm_binary_metadata",
     "o1_global_sort_top",

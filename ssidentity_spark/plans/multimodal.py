@@ -245,6 +245,43 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_flac_decode",
+    # Identical byte-math oracle to mm_wav_decode — deliberately: FLAC is
+    # lossless, so compress→decompress must reproduce the exact samples
+    # the oracle derives from raw bytes. A single wrong Rice bit, CRC,
+    # predictor coefficient, or UTF-8 frame number breaks the hash.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             upper(hex(encode(text))) AS hx,
+             least(octet_length(encode(text)) // 2, 512) AS n
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n,
+             list_transform(range(0, CAST(n AS BIGINT)), i -> {_SIGNED16}) AS sm
+      FROM t WHERE n >= 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_aggregate(sm, 'sum') AS BIGINT) AS sum_samples,
+           CAST(list_aggregate(list_transform(sm, x -> abs(x)), 'max') AS BIGINT)
+             AS peak
+    FROM d
+    """,
+    survey="EXT-multimodal,U1",
+)
+def mm_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real COMPRESSED audio codec in the production Arrow path: each
+    document's bytes become 16-bit samples, Rice-coded through the
+    dependency-free FLAC encoder (operators/flac.py), decoded back with
+    CRC-8/CRC-16/MD5 verification, and reduced to integer-exact stats."""
+    from ssidentity_spark.operators.multimodal import flac_roundtrip_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return flac_roundtrip_features(d)
+
+
+@register(
     "mm_decoded_features",
     oracle="""
     SELECT doc_id,
