@@ -31,6 +31,7 @@ from ssidentity_spark.plans import (  # noqa: F401
     reference_pipeline,
     scalars,
     similarity,
+    sources,
     sqlapi,
     text,
     timeseries,
@@ -99,6 +100,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # NEW in r6: Rice-coded FLAC compress→decompress under the hash gate
     # (dedup_simhash parks to history; dedup keeps four windowed members)
     "mm_flac_decode",
+    # NEW in r6: cross-format Avro container roundtrip — first-time hash
+    # candidate (dedup_minhash_signatures parks; dedup keeps three
+    # windowed members incl. both bench headliners)
+    "src_avro_roundtrip",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a2_active_hours",
@@ -112,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d7_json_extract",
     "d7_string_funcs",
     "dedup_jaccard_topk",
-    "dedup_minhash_signatures",
     "j9_q2_min_cost_supplier",
     "mm_binary_metadata",
     "o1_global_sort_top",
