@@ -1,0 +1,114 @@
+"""Warehouse MERGE (upsert + delete) and SCD2 effective-dating — the batch
+"DB upload" surface (reference S5: ssidentity.c:102-113 appends each parsed
+record into the SQLite table; at fleet scale that append stream becomes a
+changelog that must be MERGEd into dimensions).
+
+``merge_upsert`` is the relational MERGE INTO: one full-outer join on the
+key (sort-merge at scale; AQE broadcasts when the changelog is small —
+the common case for dimension maintenance), then pure expression logic per
+clause. No driver traffic, no iteration: exactly one shuffle per side on
+the merge key, the same shape Delta/Iceberg copy-on-write planners
+produce.
+
+``scd2_history`` turns an event/changelog stream into type-2 slowly
+changing dimension rows (valid_from / valid_to / is_current) with one
+window pass per key — consecutive duplicate values collapsed first so
+rows represent *changes*, not observations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    set_cols: dict[str, Column],
+    delete_when: Column | None = None,
+    change_key: str | None = None,
+) -> DataFrame:
+    """MERGE ``changes`` into ``base`` on ``key``:
+
+    - matched + ``delete_when``          → row dropped
+    - matched otherwise                  → ``set_cols`` expressions applied
+    - not matched (change without base)  → inserted from ``set_cols``
+    - base row with no change            → kept verbatim
+
+    ``set_cols`` maps output column → expression over the joined row
+    (base columns and change columns both in scope, as ``b.x`` / ``c.x``).
+    Every non-key output column must appear in ``set_cols`` or in
+    ``base``. ``change_key`` names the key column on the changes side
+    when it differs from ``key``.
+    """
+    ck = change_key or key
+    b = base.alias("b")
+    c = changes.alias("c")
+    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{ck}"), "full_outer")
+    matched = F.col(f"b.{key}").isNotNull() & F.col(f"c.{ck}").isNotNull()
+    insert_only = F.col(f"b.{key}").isNull()
+    has_change = F.col(f"c.{ck}").isNotNull()
+
+    if delete_when is not None:
+        joined = joined.where(~(matched & delete_when))
+
+    out_cols = [
+        F.coalesce(F.col(f"b.{key}"), F.col(f"c.{ck}")).alias(key)
+    ]
+    for name in base.columns:
+        if name == key:
+            continue
+        if name in set_cols:
+            out_cols.append(
+                F.when(has_change, set_cols[name])
+                .otherwise(F.col(f"b.{name}"))
+                .alias(name)
+            )
+        else:
+            out_cols.append(F.col(f"b.{name}").alias(name))
+    for name, expr in set_cols.items():
+        if name not in base.columns:
+            out_cols.append(F.when(has_change, expr).alias(name))
+    out_cols.append(
+        F.when(insert_only, F.lit("inserted"))
+        .when(matched, F.lit("updated"))
+        .otherwise(F.lit("kept"))
+        .alias("merge_action")
+    )
+    return joined.select(*out_cols)
+
+
+def scd2_history(
+    df: DataFrame, key: str, ts: str, value: str
+) -> DataFrame:
+    """Changelog → SCD2 rows: one row per (key, value-run) with
+    ``valid_from`` (first ts of the run), ``valid_to`` (start of the next
+    run, null while current) and ``is_current``. Two window passes on the
+    key — run detection then range closure — both on the same partitioning
+    so the second reuses the first's shuffle."""
+    w = Window.partitionBy(key).orderBy(ts)
+    runs = (
+        df.select(key, ts, value)
+        .withColumn(
+            "chg",
+            F.when(
+                F.lag(value).over(w).isNull()
+                | (F.lag(value).over(w) != F.col(value)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("run_id", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .where(F.col("chg") == 1)
+    )
+    w2 = Window.partitionBy(key).orderBy("run_id")
+    return runs.select(
+        key,
+        F.col(value).alias("value"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.lead(ts).over(w2).isNull().alias("is_current"),
+    )

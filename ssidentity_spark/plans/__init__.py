@@ -104,16 +104,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # candidate (dedup_minhash_signatures parks; dedup keeps three
     # windowed members incl. both bench headliners)
     "src_avro_roundtrip",
+    # NEW in r6: correlation matrix, MERGE upsert, SCD2 effective-dating
+    # (a9_cube_type_dow / d7_array_manipulation / a4_mac_key_rollup park
+    # to history; each family keeps windowed siblings)
+    "a11_type_correlation",
+    "s5_merge_upsert",
+    "s5_scd2_history",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a2_active_hours",
     "a3_network_tree",
-    "a4_mac_key_rollup",
     "a6_value_stats",
-    "a9_cube_type_dow",
     "a9_rollup_type_hour",
     "d7_array_funcs",
-    "d7_array_manipulation",
     "d7_json_extract",
     "d7_string_funcs",
     "dedup_jaccard_topk",

@@ -99,3 +99,93 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iters=_ITERS, damping=_DAMPING)
     return ranks.select(F.col("node").alias("user_id"), "rank")
+
+
+@register(
+    "a11_type_correlation",
+    # Pearson correlation between event types' hourly activity profiles.
+    # Determinism: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    # Σy²) are sums of INTEGER counts — bit-exact on any engine and any
+    # partition order — and r is then ONE fixed-order double expression,
+    # so unlike corr()-style streaming covariance there is no float
+    # summation tail to absorb. round(6) guards only the final formula.
+    oracle="""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), hours AS (SELECT DISTINCT hr FROM hc),
+    types AS (SELECT DISTINCT event_type FROM hc),
+    dense AS (
+      SELECT t.event_type, h.hr, coalesce(hc.c, 0) AS c
+      FROM types t CROSS JOIN hours h
+      LEFT JOIN hc ON hc.event_type = t.event_type AND hc.hr = h.hr
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(a.c) AS sx, sum(b.c) AS sy,
+             sum(a.c * b.c) AS sxy,
+             sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy
+      FROM dense a JOIN dense b
+        ON a.hr = b.hr AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS pearson_r
+    FROM pairs
+    """,
+    survey="A1,J9,EXT-graph",
+)
+def a11_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's literal ask — "things that can be
+    correlated" (README.md:15) — as a dense correlation matrix: which
+    event types rise and fall together hour-by-hour. Scale shape: the
+    hourly rollup is one shuffle; the type×type pairing joins on the hour
+    key only across a TYPES-sized dimension (bounded, e.g. protocol/SSID
+    cardinality), never on raw events."""
+    e = load_table(spark, sf_dir, "events")
+    hc = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    hours = hc.select("hr").distinct()
+    types = hc.select("event_type").distinct()
+    dense = (
+        types.crossJoin(hours)
+        .join(hc, ["event_type", "hr"], "left")
+        .select("event_type", "hr", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    a = dense.alias("a")
+    b = dense.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.c").alias("sx"),
+            F.sum("b.c").alias("sy"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("sxy"),
+            F.sum(F.col("a.c") * F.col("a.c")).alias("sxx"),
+            F.sum(F.col("b.c") * F.col("b.c")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    r_num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    r_den = F.sqrt(
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return pairs.select(
+        "type_a", "type_b", "n", F.round(r_num / r_den, 6).alias("pearson_r")
+    )

@@ -93,3 +93,137 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
         "note",
     )
+
+
+# ---------------------------------------------------------------------------
+# The upload half of the intake surface (reference S5: each parsed record
+# is INSERTed into SQLite, ssidentity.c:102-113 — at fleet scale that
+# append stream is a changelog MERGEd into maintained dimensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s5_merge_upsert",
+    # MERGE INTO semantics verified clause-by-clause: updates (order
+    # rollup applied to acctbal), inserts (synthetic new keys), deletes
+    # (custkey % 97 tombstones), kept rows. Spend is an exact DECIMAL sum
+    # cast to double once, so the update arithmetic is bit-deterministic.
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(20,2))) AS spend
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT 10000000 + o_orderkey, CAST(1 AS BIGINT),
+             CAST(o_totalprice AS DECIMAL(20,2))
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ), j AS (
+      SELECT b.c_custkey AS bk, ch.custkey AS ck,
+             b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment,
+             ch.n_orders, ch.spend
+      FROM customer b FULL OUTER JOIN ch ON b.c_custkey = ch.custkey
+    )
+    SELECT coalesce(bk, ck) AS c_custkey,
+           CASE WHEN ck IS NOT NULL
+                THEN coalesce(c_name, 'cust#' || ck) ELSE c_name
+           END AS c_name,
+           CASE WHEN ck IS NOT NULL
+                THEN coalesce(c_nationkey, -1) ELSE c_nationkey
+           END AS c_nationkey,
+           CASE WHEN ck IS NOT NULL
+                THEN coalesce(c_acctbal, 0.0) + CAST(spend AS DOUBLE)
+                ELSE c_acctbal
+           END AS c_acctbal,
+           CASE WHEN ck IS NOT NULL
+                THEN coalesce(c_mktsegment, 'NEW') ELSE c_mktsegment
+           END AS c_mktsegment,
+           CASE WHEN ck IS NOT NULL THEN n_orders END AS n_orders,
+           CASE WHEN bk IS NULL THEN 'inserted'
+                WHEN ck IS NOT NULL THEN 'updated'
+                ELSE 'kept' END AS merge_action
+    FROM j
+    WHERE NOT (bk IS NOT NULL AND ck IS NOT NULL AND ck % 97 = 0)
+    """,
+    survey="S5,J3,A7",
+)
+def s5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension maintenance as one declarative MERGE: apply the order
+    changelog to the customer dimension (update balances, insert unknown
+    keys, drop tombstoned keys, keep the rest), one full-outer sort-merge
+    join on the key."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rollup = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("spend"),
+    )
+    synthetic = orders.where("o_orderkey % 1000 = 0").select(
+        (F.lit(10000000) + F.col("o_orderkey")).alias("custkey"),
+        F.lit(1).cast("long").alias("n_orders"),
+        F.col("o_totalprice").cast("decimal(20,2)").alias("spend"),
+    )
+    changes = rollup.unionByName(synthetic)
+    merged = merge_upsert(
+        cust,
+        changes,
+        key="c_custkey",
+        set_cols={
+            "c_name": F.coalesce(
+                F.col("b.c_name"),
+                F.concat(F.lit("cust#"), F.col("c.custkey").cast("string")),
+            ),
+            "c_nationkey": F.coalesce(F.col("b.c_nationkey"), F.lit(-1)),
+            "c_acctbal": F.coalesce(F.col("b.c_acctbal"), F.lit(0.0))
+            + F.col("c.spend").cast("double"),
+            "c_mktsegment": F.coalesce(F.col("b.c_mktsegment"), F.lit("NEW")),
+            "n_orders": F.col("c.n_orders"),
+        },
+        delete_when=F.col("c.custkey") % 97 == 0,
+        change_key="custkey",
+    )
+    return merged
+
+
+@register(
+    "s5_scd2_history",
+    # Type-2 dimension rows from the event changelog: runs of equal
+    # event_type per user, effective-dated. DuckDB recomputes the run
+    # detection + closure with its own window engine.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), r AS (
+      SELECT user_id, ts, event_type, chg,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_id
+      FROM s
+    ), f AS (SELECT * FROM r WHERE chg = 1)
+    SELECT user_id,
+           event_type AS value,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM f
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+    """,
+    survey="S5,W2,W4",
+)
+def s5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's event_type as a slowly changing attribute: collapse
+    consecutive repeats into effective-dated SCD2 rows (the warehouse form
+    of the reference's 'habitual movements' tracking, README.md:16)."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.merge import scd2_history
+
+    e = load_table(spark, sf_dir, "events")
+    return scd2_history(e, "user_id", "ts", "event_type")

@@ -1,0 +1,72 @@
+"""operators/merge: MERGE clause semantics + SCD2 run collapsing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ssidentity_spark.operators.merge import merge_upsert, scd2_history
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, bal double",
+    )
+
+
+def _changes(spark):
+    # 1: update, 3: delete (flagged), 9: insert; 2 untouched
+    return spark.createDataFrame(
+        [(1, 5.0, False), (3, 0.0, True), (9, 7.0, False)],
+        "id long, delta double, tomb boolean",
+    )
+
+
+def test_merge_all_four_clauses(spark):
+    out = merge_upsert(
+        _base(spark),
+        _changes(spark),
+        key="id",
+        set_cols={
+            "name": F.coalesce(F.col("b.name"), F.lit("new")),
+            "bal": F.coalesce(F.col("b.bal"), F.lit(0.0)) + F.col("c.delta"),
+        },
+        delete_when=F.col("c.tomb"),
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 9}  # 3 deleted
+    assert rows[1]["merge_action"] == "updated" and rows[1]["bal"] == 15.0
+    assert rows[2]["merge_action"] == "kept" and rows[2]["bal"] == 20.0
+    assert rows[9]["merge_action"] == "inserted"
+    assert rows[9]["name"] == "new" and rows[9]["bal"] == 7.0
+
+
+def test_merge_without_deletes_keeps_matched(spark):
+    out = merge_upsert(
+        _base(spark),
+        _changes(spark),
+        key="id",
+        set_cols={"bal": F.coalesce(F.col("b.bal"), F.lit(0.0))},
+    )
+    assert {r["id"] for r in out.collect()} == {1, 2, 3, 9}
+
+
+def test_scd2_collapses_runs_and_dates_them(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=m), v)
+        for m, v in [(0, "x"), (1, "x"), (2, "y"), (3, "y"), (4, "x")]
+    ] + [(2, t0, "z")]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, v string")
+    hist = scd2_history(df, "uid", "ts", "v").collect()
+    u1 = sorted(
+        (r for r in hist if r["uid"] == 1), key=lambda r: r["valid_from"]
+    )
+    assert [r["value"] for r in u1] == ["x", "y", "x"]
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    (u2,) = [r for r in hist if r["uid"] == 2]
+    assert u2["value"] == "z" and u2["is_current"] and u2["valid_to"] is None
