@@ -3,6 +3,12 @@
 record into the SQLite table; at fleet scale that append stream becomes a
 changelog that must be MERGEd into dimensions).
 
+Relationship to operators/maintenance.py: that module is the WRITE path
+(replace-by-key upsert + crash-safe swap + partition-scoped overwrite);
+this one is the full MERGE *semantics* — per-clause update/insert/delete
+expressions with a hash-gated oracle (``s5_merge_upsert``) — whose output
+you would hand to maintenance's writers.
+
 ``merge_upsert`` is the relational MERGE INTO: one full-outer join on the
 key (sort-merge at scale; AQE broadcasts when the changelog is small —
 the common case for dimension maintenance), then pure expression logic per
