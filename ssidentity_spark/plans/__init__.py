@@ -110,11 +110,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a11_type_correlation",
     "s5_merge_upsert",
     "s5_scd2_history",
+    # NEW in r6: the md5-deterministic sketches — Count-Min and HLL under
+    # the hash gate for the first time (a2_active_hours + a6_value_stats
+    # park to history)
+    "a8_countmin_estimates",
+    "a8_hll_distinct",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
-    "a2_active_hours",
     "a3_network_tree",
-    "a6_value_stats",
     "a9_rollup_type_hour",
     "d7_array_funcs",
     "d7_json_extract",

@@ -824,3 +824,110 @@ def j5_asof_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof.us").alias("login_us"),
         F.col("asof.eid").alias("login_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A8 (r6) — sketches UNDER the hash gate: md5-derived Count-Min and HLL
+# whose every bit both engines reproduce (operators/sketches.py). The
+# engine-native sketches above stay registered as the production path;
+# these prove the algorithms, not just the row counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a8_countmin_estimates",
+    oracle="""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+      SELECT j,
+             CAST(('0x' || substr(md5(k || '#' || j), 1, 8)) AS BIGINT)
+               % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ev CROSS JOIN js GROUP BY 1, 2
+    ), truth AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS true_cnt FROM ev GROUP BY 1
+    ), probe AS (
+      SELECT t.k, t.true_cnt, js.j,
+             CAST(('0x' || substr(md5(t.k || '#' || js.j), 1, 8)) AS BIGINT)
+               % 512 AS bucket
+      FROM truth t CROSS JOIN js
+    )
+    SELECT CAST(p.k AS BIGINT) AS user_id,
+           p.true_cnt,
+           min(c.c) AS cms_est,
+           min(c.c) - p.true_cnt AS overcount
+    FROM probe p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY 1, 2
+    """,
+    survey="A8,A10,A7",
+)
+def a8_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (d=4, w=512) with its one-sided error
+    visible: per-user point estimate next to the true count. The sketch is
+    d·w counter rows no matter the input size — the bounded-memory
+    heavy-hitter path for an unbounded capture stream (ssidentity.c:23-26);
+    estimates join the 2048-row sketch by broadcast."""
+    from ssidentity_spark.operators.sketches import cms_point_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_point_estimates(ev, "user_id")
+
+
+@register(
+    "a8_hll_distinct",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ), b AS (
+      SELECT event_type, h % 512 AS bucket, h >> 9 AS rest FROM ev
+    ), regs AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN rest = 0 THEN 52
+                      ELSE 52 - length(bin(rest)) END) AS rho
+      FROM b GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type,
+             sum(CAST(1 AS BIGINT) << CAST(52 - rho AS INTEGER)) AS sp,
+             CAST(count(*) AS BIGINT) AS np
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT event_type,
+             8.497699123215257e+20
+               / CAST(sp + (512 - np) * (CAST(1 AS BIGINT) << 52) AS DOUBLE)
+               AS e_raw,
+             512 - np AS v
+      FROM agg
+    ), ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(CASE WHEN e.e_raw <= 1280.0 AND e.v > 0
+                      THEN 512.0 * ln(512.0 / CAST(e.v AS DOUBLE))
+                      ELSE e.e_raw END, 4) AS hll_est,
+           ex.exact_users
+    FROM est e JOIN ex ON e.event_type = ex.event_type
+    """,
+    survey="A8,A7",
+)
+def a8_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-users per event type with every bit chosen
+    explicitly (m=512 registers, md5 hash, EXACT integer harmonic sum) —
+    the same estimator approx_count_distinct runs, but reproducible by
+    DuckDB so the driver hash-checks the sketch algorithm itself. Register
+    state is max-mergeable → map-side combine carries the shuffle."""
+    from ssidentity_spark.operators.sketches import hll_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimates(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "hll_est", "exact_users"
+    )
