@@ -81,6 +81,8 @@ def _pagerank_oracle(iters: int, damping: float) -> str:
     "graph_pagerank",
     oracle=_pagerank_oracle(_ITERS, _DAMPING),
     survey="EXT-graph,A3,J9",
+    bench=True,  # r6 headliner: the iterative join+agg shape (seeds its
+    # baseline this round)
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Influence ranking of users in the daily transition graph: 6 rounds

@@ -75,6 +75,8 @@ _BUCKET = 4 * 3600  # 4-hour grid: ~37% bucket occupancy at sf0.01 — the
     FROM br
     """,
     survey="EXT-timeseries,A1,W3",
+    bench=True,  # r6 headliner: the output-bound grid/window shape no
+    # other headliner exercises (seeds its baseline this round)
 )
 def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Irregular event values → dense 4-hour grid with linear fill, for a
