@@ -95,12 +95,11 @@ def cms_point_estimates(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def hll_estimates(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
-    """Per-group HLL distinct estimate: (group, hll_est). Register state is
-    m rows per group; the harmonic denominator Σ 2^(52-ρ) is summed as an
-    exact BIGINT (empty registers contribute 2^52 each), so the only float
-    ops are one division and — in the small-range branch — one log, both
-    single fixed-order expressions DuckDB reproduces."""
+def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """The mergeable half of the estimator: (group, bucket, rho) register
+    maxima. Pure expressions + one max-aggregation, so the same function
+    serves batch AND Structured Streaming inputs
+    (streaming/sketches.py) — stream ≡ batch by construction."""
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -114,7 +113,16 @@ def hll_estimates(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     rho = F.when(F.col("rest") == 0, F.lit(HLL_REST_BITS)).otherwise(
         F.lit(HLL_REST_BITS) - F.length(F.bin("rest"))
     )
-    regs = b.groupBy(group_col, "bucket").agg(F.max(rho).alias("rho"))
+    return b.groupBy(group_col, "bucket").agg(F.max(rho).alias("rho"))
+
+
+def hll_estimates(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HLL distinct estimate: (group, hll_est). Register state is
+    m rows per group; the harmonic denominator Σ 2^(52-ρ) is summed as an
+    exact BIGINT (empty registers contribute 2^52 each), so the only float
+    ops are one division and — in the small-range branch — one log, both
+    single fixed-order expressions DuckDB reproduces."""
+    regs = hll_registers(df, group_col, key_col)
     agg = regs.groupBy(group_col).agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_REST_BITS} - rho AS INT))")

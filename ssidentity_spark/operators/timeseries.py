@@ -105,7 +105,7 @@ def resample_interpolate(
     observed_bucket = F.when(
         F.col("obs_val").isNotNull(), F.col("bucket")
     )
-    braketed = dense.select(
+    bracketed = dense.select(
         key,
         "bucket",
         "obs_val",
@@ -125,7 +125,7 @@ def resample_interpolate(
         .when(F.col("nv").isNull(), F.col("pv"))
         .otherwise(blend)
     )
-    return braketed.select(
+    return bracketed.select(
         key,
         "bucket",
         F.round(value, round_dp).alias("value_interp"),

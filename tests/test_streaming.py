@@ -760,3 +760,61 @@ def test_streaming_ann_probe_trained_index_matches_batch(spark, tmp_path):
     cells.unpersist()
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_sketches_match_batch(spark, tmp_path):
+    """Sketch state over a stream == sketch over the batch union of its
+    micro-batches: CMS counters add, HLL registers max — both exactly.
+    State cardinality is fixed (d·w / groups·m) with NO watermark: the
+    bounded-state argument is structural, not configured."""
+    from ssidentity_spark.operators.sketches import cms_counters, hll_registers
+    from ssidentity_spark.streaming.sketches import (
+        cms_counters_stream,
+        hll_registers_stream,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("ts", "user_id", "event_type")
+    )
+    src = str(tmp_path / "sketch_src")
+    # three micro-batch files
+    for i in range(3):
+        ev.where(f"user_id % 3 = {i}").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+
+    cms_q = (
+        cms_counters_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cms_sketch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    hll_q = (
+        hll_registers_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hll_sketch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    cms_q.awaitTermination(120)
+    hll_q.awaitTermination(120)
+
+    got_cms = sorted(map(tuple, spark.table("cms_sketch").collect()))
+    want_cms = sorted(
+        map(tuple, cms_counters(ev, F.col("user_id").cast("string")).collect())
+    )
+    assert got_cms == want_cms
+
+    got_hll = sorted(map(tuple, spark.table("hll_sketch").collect()))
+    want_hll = sorted(
+        map(tuple, hll_registers(ev, "event_type", "user_id").collect())
+    )
+    assert got_hll == want_hll
+    assert len(got_cms) <= 4 * 512  # state ceiling, structural
