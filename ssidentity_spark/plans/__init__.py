@@ -115,11 +115,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # park to history)
     "a8_countmin_estimates",
     "a8_hll_distinct",
+    # NEW in r6: incremental view maintenance — merged partials proven
+    # bit-identical to a full recompute (d7_array_funcs parks; d7 keeps
+    # two windowed members)
+    "ivm_daily_rollup",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a3_network_tree",
     "a9_rollup_type_hour",
-    "d7_array_funcs",
     "d7_json_extract",
     "d7_string_funcs",
     "dedup_jaccard_topk",

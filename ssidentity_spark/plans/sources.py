@@ -227,3 +227,44 @@ def s5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return scd2_history(e, "user_id", "ts", "event_type")
+
+
+@register(
+    "ivm_daily_rollup",
+    # The oracle is a FULL recompute — the merged incremental state must
+    # be bit-identical to it (exact decimal partials make that possible;
+    # no rounding anywhere in this query).
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(*)
+             AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    survey="S5,A7,A6",
+)
+def ivm_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance proven equal to recompute: the per-user
+    rollup is built as day-1-20 state, then two increments (days 21-25,
+    days 26+) merged in — only algebraic partials ever stored, history
+    never re-scanned (operators/incremental.py)."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.incremental import (
+        merge_partials,
+        readout,
+        rollup_partials,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    state = rollup_partials(e.where(day <= 20), ["user_id"], "value")
+    for lo, hi in ((21, 25), (26, 31)):
+        inc = rollup_partials(
+            e.where((day >= lo) & (day <= hi)), ["user_id"], "value"
+        )
+        state = merge_partials(state, inc, ["user_id"])
+    return readout(state, ["user_id"])

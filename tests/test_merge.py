@@ -70,3 +70,30 @@ def test_scd2_collapses_runs_and_dates_them(spark):
     assert [r["is_current"] for r in u1] == [False, False, True]
     (u2,) = [r for r in hist if r["uid"] == 2]
     assert u2["value"] == "z" and u2["is_current"] and u2["valid_to"] is None
+
+
+def test_ivm_merge_is_order_invariant(spark):
+    """Any increment order (and any split granularity) converges to the
+    same state — the algebraic property incremental maintenance rests on."""
+    from ssidentity_spark.operators.incremental import (
+        merge_partials,
+        readout,
+        rollup_partials,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    day = F.dayofmonth("ts")
+
+    def build(splits):
+        state = rollup_partials(ev.where(splits[0]), ["user_id"], "value")
+        for cond in splits[1:]:
+            state = merge_partials(
+                state, rollup_partials(ev.where(cond), ["user_id"], "value"),
+                ["user_id"],
+            )
+        return sorted(map(tuple, readout(state, ["user_id"]).collect()))
+
+    whole = build([day >= 1])
+    daily_fwd = build([day == d for d in range(1, 31)])
+    daily_rev = build([day == d for d in range(30, 0, -1)])
+    assert whole == daily_fwd == daily_rev
