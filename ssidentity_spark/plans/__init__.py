@@ -119,6 +119,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # bit-identical to a full recompute (d7_array_funcs parks; d7 keeps
     # two windowed members)
     "ivm_daily_rollup",
+    # NEW in r6: the z-order bit-interleave primitive (mm_binary_metadata
+    # parks; mm keeps three decode queries windowed)
+    "zorder_key",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a3_network_tree",
@@ -127,7 +130,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d7_string_funcs",
     "dedup_jaccard_topk",
     "j9_q2_min_cost_supplier",
-    "mm_binary_metadata",
     "o1_global_sort_top",
     "o4_except_users",
     "w2_transitions",

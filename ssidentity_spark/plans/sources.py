@@ -268,3 +268,39 @@ def ivm_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = merge_partials(state, inc, ["user_id"])
     return readout(state, ["user_id"])
+
+
+def _zorder_oracle() -> str:
+    from ssidentity_spark.functions.zorder import morton_key_sql
+
+    z = morton_key_sql("user_id", "dayofmonth(ts)", 16)
+    return f"""
+    SELECT event_id, user_id,
+           CAST(dayofmonth(ts) AS BIGINT) AS day,
+           {z} AS zkey
+    FROM events
+    WHERE event_id % 20 = 0
+    """
+
+
+@register(
+    "zorder_key",
+    # exact integer bit-interleave — both engines reproduce every bit
+    oracle=_zorder_oracle(),
+    survey="S2,O1,EXT-sources",
+)
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (user_id, day) — the write-path clustering key that
+    makes min/max row-group pruning work for BOTH dimensions of the
+    reference's (MAC, time-window) box queries (README.md:16-18). The
+    measured pruning win lives in tools/zorder_study.py + SCALE.md."""
+    from ssidentity_spark.functions.zorder import morton_key
+    from ssidentity_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events").where("event_id % 20 = 0")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.dayofmonth("ts").cast("long").alias("day"),
+        morton_key(F.col("user_id"), F.dayofmonth("ts"), 16).alias("zkey"),
+    )

@@ -227,3 +227,39 @@ def test_lsh_pairs_bucket_cap(spark):
     assert len(fam_full) > 0
     assert len(fam_capped) < len(fam_full)  # wide buckets dropped
     assert capped_pairs <= full_pairs  # cap only removes, never invents
+
+
+def test_morton_key_matches_python_reference(spark):
+    from ssidentity_spark.functions.zorder import morton_key
+
+    def py_morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(0, 0), (1, 0), (0, 1), (255, 17), (1000, 29), (65535, 65535)]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", morton_key(F.col("x"), F.col("y"), 16).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == py_morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_scaled_morton_localizes_both_dimensions(spark):
+    # points close in BOTH dims get closer keys than points close in only
+    # one — the property that makes min/max pruning work per row group
+    from ssidentity_spark.functions.zorder import morton_key_scaled
+
+    df = spark.createDataFrame(
+        [(10, 2), (11, 2), (10, 29), (1400, 2)], "u long, d long"
+    ).select(
+        "u", "d",
+        morton_key_scaled(F.col("u"), 1500, F.col("d"), 31, 11).alias("z"),
+    )
+    z = {(r["u"], r["d"]): r["z"] for r in df.collect()}
+    near = abs(z[(10, 2)] - z[(11, 2)])
+    far_day = abs(z[(10, 2)] - z[(10, 29)])
+    far_user = abs(z[(10, 2)] - z[(1400, 2)])
+    assert near < far_day and near < far_user
