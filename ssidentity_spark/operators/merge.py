@@ -118,3 +118,36 @@ def scd2_history(
         F.lead(ts).over(w2).alias("valid_to"),
         F.lead(ts).over(w2).isNull().alias("is_current"),
     )
+
+
+def apply_cdc_log(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Compact an (out-of-order) CDC changelog to final state: latest
+    change per key wins, a terminal delete removes the key.
+
+    The third warehouse-merge primitive next to ``merge_upsert`` (one
+    change per key vs a base table) and ``scd2_history`` (keep every
+    version): here a batch carries MANY changes per key — a Debezium/
+    binlog feed replayed from object storage — and arrival order means
+    nothing; only the sequence columns define "latest". One shuffle on
+    the key; the window's rank prunes everything but the survivor, so
+    map-side the sort is per-key-group and state never exceeds the
+    partition. Audit column ``n_changes`` keeps the compaction honest.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    ranked = changes.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "n_changes",
+        F.count(F.lit(1)).over(Window.partitionBy(*key_cols)).cast("long"),
+    )
+    return (
+        ranked.where(F.col("_rn") == 1)
+        .where(F.col(op_col) != delete_op)
+        .drop("_rn")
+    )

@@ -122,16 +122,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # NEW in r6: the z-order bit-interleave primitive (mm_binary_metadata
     # parks; mm keeps three decode queries windowed)
     "zorder_key",
+    # NEW in r6: Bloom-filter join pruning — first-time hash candidate;
+    # the oracle is the PLAIN join, so the green row proves the map-side
+    # pre-filter changed nothing (d7_string_funcs parks to history; d7
+    # keeps d7_json_extract + d7_date_funcs coverage via history)
+    "j10_bloom_pruned_join",
+    # NEW in r6: CDC changelog compaction (latest-wins + tombstones) —
+    # first-time hash candidate (o4_except_users parks to history; the O4
+    # §2 row stays covered by its history-green rows and the module keeps
+    # many windowed analytics siblings)
+    "s5_cdc_apply",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a3_network_tree",
     "a9_rollup_type_hour",
     "d7_json_extract",
-    "d7_string_funcs",
     "dedup_jaccard_topk",
     "j9_q2_min_cost_supplier",
     "o1_global_sort_top",
-    "o4_except_users",
     "w2_transitions",
     "w3_rolling_count_10min",
     # NEW in r6 (first-time hash candidates take the last r3-vintage

@@ -931,3 +931,51 @@ def a8_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "hll_est", "exact_users"
     )
+
+
+# ---------------------------------------------------------------------------
+# J10 (r6) — Bloom-filter join pruning: a selective dim key set, too big to
+# ship as rows but tiny as a bitmap, filters the fact scan map-side BEFORE
+# the shuffle. Result is identical to the plain join (the join removes the
+# Bloom false positives), so the oracle is the plain SQL join — the hash
+# gate proves the pruning changed nothing. Reference impetus: the
+# watchlist-flagging TODO (ssidentity.c:33-37) — "is this MAC in the known
+# set" against an unbounded capture stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j10_bloom_pruned_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN (SELECT c_custkey FROM customer
+          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderpriority
+    """,
+    survey="J1,J2,A1",
+)
+def j10_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to a selective customer subset through a Bloom
+    pre-filter (operators/bloom.py): the bitmap (8 KiB) is built from the
+    surviving c_custkey set with bounded driver traffic, the fact side is
+    filtered by a pure JVM membership expression inside the scan stage,
+    and the real join then removes false positives — bit-identical to the
+    plain join, which is what the oracle checks. At 100 TB this is the
+    shuffle-volume lever when the dim key set outgrows a rows broadcast."""
+    from ssidentity_spark.operators.bloom import bloom_pruned_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000))
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = bloom_pruned_join(orders, "o_custkey", cust, "c_custkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -304,3 +304,52 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").cast("long").alias("day"),
         morton_key(F.col("user_id"), F.dayofmonth("ts"), 16).alias("zkey"),
     )
+
+
+@register(
+    "s5_cdc_apply",
+    # Latest-wins compaction of a CDC feed: DuckDB replays the same
+    # window rank. The audit count keeps every key's change volume in the
+    # hash, so a lost change row breaks the gate even when the survivor
+    # row happens to be right.
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_changes
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           round(value, 4) AS last_value,
+           n_changes
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    survey="S5,W1",
+)
+def s5_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event stream replayed as an out-of-order CDC changelog for a
+    per-user profile table: (ts, event_id) is the change sequence,
+    ``error`` is the tombstone op, and ``apply_cdc_log`` compacts the
+    batch to final state — latest change wins, tombstoned keys dropped,
+    per-key change count kept as the audit column. Arrival order is
+    irrelevant by construction (the sequence defines "latest"), which the
+    shuffled-input property test pins."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.merge import apply_cdc_log
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    final = apply_cdc_log(
+        e, key_cols=["user_id"], seq_cols=["ts", "event_id"], op_col="op"
+    )
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+        "n_changes",
+    )

@@ -1,0 +1,95 @@
+"""Bloom-filter join pruning (operators/bloom.py): membership guarantees,
+false-positive rate vs theory, join-result equivalence, and the
+plan-shape contract (membership test stays JVM-side)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssidentity_spark.operators.bloom import (
+    BLOOM_K,
+    BLOOM_M_BITS,
+    bloom_pruned_join,
+    build_bloom,
+    might_contain,
+)
+
+
+@pytest.fixture(scope="module")
+def dim_fact(spark):
+    dim = spark.range(0, 2048).select((F.col("id") * 13 + 7).alias("key"))
+    fact = spark.range(0, 60000).select(
+        (F.col("id") % 40000).alias("fkey"), (F.col("id") % 97).alias("v")
+    )
+    return dim.cache(), fact.cache()
+
+
+def test_no_false_negatives(spark, dim_fact):
+    dim, _ = dim_fact
+    words = build_bloom(dim, "key")
+    # every inserted key must test positive
+    n_neg = dim.where(~might_contain(words, F.col("key"))).count()
+    assert n_neg == 0
+
+
+def test_false_positive_rate_near_theory(spark, dim_fact):
+    dim, _ = dim_fact
+    words = build_bloom(dim, "key")
+    n = dim.count()
+    # probe keys disjoint from the inserted set (inserted are 13a+7 ≡ 7 mod 13)
+    probes = spark.range(0, 50000).select((F.col("id") * 13).alias("key"))
+    fp = probes.where(might_contain(words, F.col("key"))).count()
+    rate = fp / 50000
+    theory = (1 - math.exp(-BLOOM_K * n / BLOOM_M_BITS)) ** BLOOM_K
+    # generous band: within 3x of theory and absolutely small
+    assert rate <= max(3 * theory, 1e-3), (rate, theory)
+
+
+def test_join_result_identical_to_plain_join(spark, dim_fact):
+    dim, fact = dim_fact
+    pruned = (
+        bloom_pruned_join(fact, "fkey", dim, "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    plain = (
+        fact.join(dim, fact["fkey"] == dim["key"])
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    assert pruned.exceptAll(plain).count() == 0
+    assert plain.exceptAll(pruned).count() == 0
+
+
+def test_membership_expression_is_jvm_only(spark, dim_fact):
+    dim, fact = dim_fact
+    words = build_bloom(dim, "key")
+    plan = (
+        fact.where(might_contain(words, F.col("fkey")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pruning_is_selective(spark, dim_fact):
+    """The point of the operator: far fewer fact rows reach the join than
+    the full scan, and never fewer than the true matches."""
+    dim, fact = dim_fact
+    words = build_bloom(dim, "key")
+    n_pass = fact.where(might_contain(words, F.col("fkey"))).count()
+    n_true = fact.join(dim, fact["fkey"] == dim["key"], "left_semi").count()
+    n_total = fact.count()
+    assert n_true <= n_pass < 0.25 * n_total, (n_true, n_pass, n_total)
+
+
+def test_build_rejects_bad_geometry(spark, dim_fact):
+    dim, _ = dim_fact
+    with pytest.raises(ValueError):
+        build_bloom(dim, "key", m_bits=1000)  # not a power of two
+    with pytest.raises(ValueError):
+        build_bloom(dim, "key", m_bits=1 << 22)  # beyond literal-plan cap

@@ -97,3 +97,49 @@ def test_ivm_merge_is_order_invariant(spark):
     daily_fwd = build([day == d for d in range(1, 31)])
     daily_rev = build([day == d for d in range(30, 0, -1)])
     assert whole == daily_fwd == daily_rev
+
+
+def test_cdc_apply_latest_wins_and_tombstones(spark):
+    from ssidentity_spark.operators.merge import apply_cdc_log
+
+    rows = [
+        # key 1: U then U — latest (seq 3) wins
+        (1, 1, "U", "a"),
+        (1, 3, "U", "b"),
+        # key 2: U then terminal D — key dropped
+        (2, 1, "U", "x"),
+        (2, 9, "D", None),
+        # key 3: D then a LATER U — resurrection wins
+        (3, 2, "D", None),
+        (3, 5, "U", "back"),
+    ]
+    df = spark.createDataFrame(rows, "k int, seq int, op string, v string")
+    out = {
+        r["k"]: (r["v"], r["n_changes"])
+        for r in apply_cdc_log(df, ["k"], ["seq"], "op").collect()
+    }
+    assert out == {1: ("b", 2), 3: ("back", 2)}
+
+
+def test_cdc_apply_is_arrival_order_invariant(spark):
+    """The sequence defines 'latest' — a shuffled replay of the same log
+    compacts to the identical final state."""
+    import random
+
+    from ssidentity_spark.operators.merge import apply_cdc_log
+
+    rows = [
+        (k, seq, "D" if (k * 7 + seq) % 11 == 0 else "U", f"v{k}-{seq}")
+        for k in range(20)
+        for seq in range(15)
+    ]
+    shuffled = rows[:]
+    random.Random(42).shuffle(shuffled)
+    schema = "k int, seq int, op string, v string"
+    a = apply_cdc_log(
+        spark.createDataFrame(rows, schema).repartition(8), ["k"], ["seq"], "op"
+    )
+    b = apply_cdc_log(
+        spark.createDataFrame(shuffled, schema).repartition(3), ["k"], ["seq"], "op"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
