@@ -132,6 +132,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2 row stays covered by its history-green rows and the module keeps
     # many windowed analytics siblings)
     "s5_cdc_apply",
+    # NEW in r6: day-bucketed interval sweep line (max concurrency) —
+    # first-time hash candidate (w3_rolling_count_10min parks to history;
+    # W3 stays covered by its green rows and w2_transitions below)
+    "w5_max_concurrency",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a3_network_tree",
@@ -141,7 +145,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j9_q2_min_cost_supplier",
     "o1_global_sort_top",
     "w2_transitions",
-    "w3_rolling_count_10min",
     # NEW in r6 (first-time hash candidates take the last r3-vintage
     # slots; a10_heavy_hitters + a2_habitual_hour park to history — both
     # lead the r7 queue):

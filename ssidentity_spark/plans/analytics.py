@@ -979,3 +979,81 @@ def j10_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 (r6) — interval overlap / max concurrency: the occupancy question
+# ("how many devices present AT ONCE", README.md:16-17) answered with a
+# BUCKETED sweep line — the global-ORDER-BY sweep is a single-partition
+# trap at scale; clipping sessions to days makes the sweep per-day
+# parallel with no cross-bucket state (operators/intervals.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w5_max_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), iv AS (
+      SELECT min(ts) AS s_start, max(ts) AS s_end
+      FROM sess GROUP BY user_id, session_id
+    ), seg AS (
+      SELECT unnest(generate_series(date_trunc('day', s_start),
+                                    date_trunc('day', s_end),
+                                    INTERVAL 1 DAY)) AS bucket_ts,
+             s_start, s_end
+      FROM iv
+    ), clipped AS (
+      SELECT bucket_ts,
+             greatest(s_start, bucket_ts) AS t_in,
+             least(s_end, bucket_ts + INTERVAL 1 DAY) AS t_out
+      FROM seg
+    ), deltas AS (
+      SELECT bucket_ts, t_in AS t, 1 AS delta FROM clipped
+      UNION ALL
+      SELECT bucket_ts, t_out AS t, -1 AS delta FROM clipped
+    ), swept AS (
+      SELECT bucket_ts,
+             sum(delta) OVER (PARTITION BY bucket_ts
+                              ORDER BY t ASC, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    )
+    SELECT bucket_ts,
+           CAST(count(*) / 2 AS BIGINT) AS n_segments,
+           CAST(max(conc) AS BIGINT) AS max_concurrent
+    FROM swept GROUP BY bucket_ts
+    """,
+    survey="W4,W3,A2",
+)
+def w5_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day maximum simultaneous sessions: sessionize (same 30-min gap
+    as w4), then the day-bucketed sweep line. Ties resolve starts-first
+    (closed intervals) and the per-bucket partial-sum multiset is
+    order-invariant, so the max is deterministic cross-engine."""
+    from ssidentity_spark.operators.intervals import max_concurrency_by_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    return max_concurrency_by_bucket(iv, "s_start", "s_end", "day")

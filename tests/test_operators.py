@@ -263,3 +263,75 @@ def test_scaled_morton_localizes_both_dimensions(spark):
     far_day = abs(z[(10, 2)] - z[(10, 29)])
     far_user = abs(z[(10, 2)] - z[(1400, 2)])
     assert near < far_day and near < far_user
+
+
+# --- interval sweep line (operators/intervals.py) -------------------------
+
+
+def _iv_df(spark, rows):
+    return spark.createDataFrame(rows, "s_start timestamp, s_end timestamp")
+
+
+def test_max_concurrency_known_answer(spark):
+    import datetime as dt
+
+    from ssidentity_spark.operators.intervals import max_concurrency_by_bucket
+
+    d = dt.datetime(2026, 3, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (d + 1 * h, d + 4 * h),   # |----|
+        (d + 2 * h, d + 5 * h),   #   |----|   overlap of 3 in [2h,4h]
+        (d + 3 * h, d + 3 * h + dt.timedelta(minutes=30)),
+        (d + 10 * h, d + 11 * h),  # isolated
+    ]
+    out = max_concurrency_by_bucket(_iv_df(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["max_concurrent"] == 3 and out[0]["n_segments"] == 4
+
+
+def test_max_concurrency_boundary_spanner_counts_in_both_days(spark):
+    import datetime as dt
+
+    from ssidentity_spark.operators.intervals import max_concurrency_by_bucket
+
+    d1 = dt.datetime(2026, 3, 1, 23, 0)
+    d2 = dt.datetime(2026, 3, 2, 2, 0)
+    out = {
+        r["bucket_ts"]: (r["n_segments"], r["max_concurrent"])
+        for r in max_concurrency_by_bucket(_iv_df(spark, [(d1, d2)])).collect()
+    }
+    assert out == {
+        dt.datetime(2026, 3, 1): (1, 1),
+        dt.datetime(2026, 3, 2): (1, 1),
+    }
+
+
+def test_max_concurrency_touching_intervals_are_concurrent(spark):
+    import datetime as dt
+
+    from ssidentity_spark.operators.intervals import max_concurrency_by_bucket
+
+    d = dt.datetime(2026, 3, 1)
+    h = dt.timedelta(hours=1)
+    # end of first == start of second: starts-first tie order → concurrent
+    rows = [(d + 1 * h, d + 2 * h), (d + 2 * h, d + 3 * h)]
+    out = max_concurrency_by_bucket(_iv_df(spark, rows)).collect()
+    assert out[0]["max_concurrent"] == 2
+
+
+def test_max_concurrency_partitioning_invariant(spark):
+    import datetime as dt
+    import random
+
+    from ssidentity_spark.operators.intervals import max_concurrency_by_bucket
+
+    rng = random.Random(7)
+    base = dt.datetime(2026, 3, 1)
+    rows = []
+    for _ in range(300):
+        s = base + dt.timedelta(minutes=rng.randrange(0, 60 * 24 * 5))
+        rows.append((s, s + dt.timedelta(minutes=rng.randrange(1, 600))))
+    a = max_concurrency_by_bucket(_iv_df(spark, rows).repartition(13))
+    b = max_concurrency_by_bucket(_iv_df(spark, rows).coalesce(1))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
