@@ -766,3 +766,75 @@ __all__ = [
     "resize_stub",
     "sample_frames",
 ]
+
+
+AVI_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("sum_px", LongType()),
+        StructField("n_px", LongType()),
+    ]
+)
+
+
+def avi_roundtrip_features(
+    df: DataFrame, width: int = 8, height: int = 4, max_frames: int = 6
+) -> DataFrame:
+    """(doc_id, text) → pack the text's bytes into uncompressed-DIB video
+    frames, write a complete AVI container (operators/avi.py: RIFF hdrl +
+    movi + idx1), walk it back, and keyframe-sample every 2nd frame.
+
+    DIB frames are lossless, so the sampled-frame pixel sum equals a
+    plain byte sum over the even frames' source ranges — a SQL oracle
+    recomputes it from the text's hex encoding, putting the whole
+    container write→walk→BGR-unpack loop under the driver hash gate.
+    Documents shorter than two frames are dropped. Same Arrow
+    ``mapInPandas`` plumbing as every decoder here; payloads never
+    transit the driver."""
+    frame_px = width * height
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ssidentity_spark.operators.avi import build_avi, sample_frames
+
+        for pdf in batches:
+            ids: list[int] = []
+            ws: list[int] = []
+            hs: list[int] = []
+            nf: list[int] = []
+            ns: list[int] = []
+            sums: list[int] = []
+            npx: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n_frames = min(len(b) // frame_px, max_frames)
+                if n_frames < 2:
+                    continue
+                frames = [
+                    b[f * frame_px : (f + 1) * frame_px] for f in range(n_frames)
+                ]
+                payload = build_avi(frames, width, height, fps=25, codec="DIB ")
+                got_w, got_h, got_n, got_s, sum_px, n_px = sample_frames(payload, 2)
+                ids.append(int(doc_id))
+                ws.append(got_w)
+                hs.append(got_h)
+                nf.append(got_n)
+                ns.append(got_s)
+                sums.append(sum_px)
+                npx.append(n_px)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(nf, dtype="int32"),
+                    "n_sampled": pd.Series(ns, dtype="int32"),
+                    "sum_px": pd.Series(sums, dtype="int64"),
+                    "n_px": pd.Series(npx, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_roundtrip, schema=AVI_ROUNDTRIP_SCHEMA)

@@ -136,10 +136,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # first-time hash candidate (w3_rolling_count_10min parks to history;
     # W3 stays covered by its green rows and w2_transitions below)
     "w5_max_concurrency",
+    # NEW in r6: the AVI video-container walk (RIFF hdrl/movi/idx1 →
+    # DIB frame decode → keyframe sample) — first-time hash candidate
+    # (a9_rollup_type_hour parks to history; A9 keeps green rows and
+    # pivot siblings in history)
+    "mm_avi_frames",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a3_network_tree",
-    "a9_rollup_type_hour",
     "d7_json_extract",
     "dedup_jaccard_topk",
     "j9_q2_min_cost_supplier",

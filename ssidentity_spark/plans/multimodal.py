@@ -299,3 +299,53 @@ def mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_features(with_payload)
+
+
+@register(
+    "mm_avi_frames",
+    # Like mm_png_decode / mm_gif_decode: the oracle recomputes the
+    # sampled-frame pixel sum straight from the text bytes (hex-pair
+    # arithmetic). Frames are 8x4 (32 bytes); sampling takes the even
+    # frames, so sampled byte j maps to source offset (j//32)*64 + j%32.
+    # A wrong header, a dropped movi chunk, a bottom-up/BGR unpack slip,
+    # or an off-by-one in the keyframe stride all break the hash.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             upper(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, hx,
+             least(n // 32, 6) AS n_frames,
+             (least(n // 32, 6) + 1) // 2 AS n_sampled
+      FROM t WHERE n >= 64
+    )
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_sampled AS INTEGER) AS n_sampled,
+           CAST(list_aggregate(list_transform(range(0, CAST(n_sampled * 32 AS BIGINT)), j ->
+             (strpos('0123456789ABCDEF',
+                substr(hx, CAST(((j // 32) * 64 + j % 32) * 2 + 1 AS BIGINT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF',
+                substr(hx, CAST(((j // 32) * 64 + j % 32) * 2 + 2 AS BIGINT), 1)) - 1
+           ), 'sum') AS BIGINT) AS sum_px,
+           CAST(n_sampled * 32 AS BIGINT) AS n_px
+    FROM dims
+    """,
+    survey="EXT-multimodal,U1",
+)
+def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video-container frame sampling in the Arrow path: each
+    document's bytes become uncompressed-DIB frames inside a complete
+    AVI (RIFF hdrl/movi/idx1, operators/avi.py), which is walked back and
+    keyframe-sampled every 2nd frame — the container write→parse→sample
+    loop proven against an independent SQL ground truth at the driver
+    gate. The MJPG variant (per-frame baseline JPEG through
+    operators/jpeg.py) is pinned by pytest round-trip properties."""
+    from ssidentity_spark.operators.multimodal import avi_roundtrip_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return avi_roundtrip_features(d)
