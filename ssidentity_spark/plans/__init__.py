@@ -141,13 +141,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (a9_rollup_type_hour parks to history; A9 keeps green rows and
     # pivot siblings in history)
     "mm_avi_frames",
+    # NEW in r6: weight-proportional priority sampling (transcendental-
+    # free so the boundary is bit-stable cross-engine) — first-time hash
+    # candidate (o1_global_sort_top parks to history; O1/O2 stay covered
+    # by green rows and the windowed j9_q3 TakeOrdered)
+    "pipe_weighted_sample",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a3_network_tree",
     "d7_json_extract",
     "dedup_jaccard_topk",
     "j9_q2_min_cost_supplier",
-    "o1_global_sort_top",
     "w2_transitions",
     # NEW in r6 (first-time hash candidates take the last r3-vintage
     # slots; a10_heavy_hitters + a2_habitual_hour park to history — both

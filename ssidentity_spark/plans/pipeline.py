@@ -516,3 +516,48 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_words").cast("int").alias("n_words"),
         )
     )
+
+
+@register(
+    "pipe_weighted_sample",
+    # Priority sampling (Duffield–Lund–Thorup): priority q_i = w_i/u_i,
+    # keep the k largest ⇔ keep the k SMALLEST u_i/w_i. u_i is the
+    # md5-of-doc_id 60-bit slice — deterministic, reproducible, and the
+    # sort key uses ONLY +,*,/ on doubles (IEEE-exact, so both engines
+    # compute the same bit pattern; no transcendentals whose libm
+    # rounding could flip a boundary row). doc_id tiebreaker pins the
+    # order fully. The oracle replays the identical arithmetic.
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) + 1 AS DOUBLE) / n_chars AS inv_priority
+      FROM documents WHERE n_chars > 0
+    )
+    ORDER BY inv_priority ASC, doc_id ASC
+    LIMIT 200
+    """,
+    survey="X2,O2",
+)
+def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus sampling without replacement: longer
+    (higher-weight) documents are more likely kept, inclusion probability
+    ≈ min(1, k·w/ΣW) — the importance-sampling step that up-weights
+    high-quality documents when shrinking a 100 TB corpus to a training
+    budget. Plan shape: no global sort — ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject (per-partition top-k, driver merges k rows per
+    partition); the Horvitz–Thompson estimator property is pinned in
+    tests/test_sampling.py."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        + 1
+    ).cast("double")
+    return (
+        d.withColumn("inv_priority", u / F.col("n_chars"))
+        .orderBy(F.col("inv_priority").asc(), F.col("doc_id").asc())
+        .select("doc_id", "lang", "n_chars")
+        .limit(200)
+    )
