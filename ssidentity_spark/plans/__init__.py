@@ -146,13 +146,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # candidate (o1_global_sort_top parks to history; O1/O2 stay covered
     # by green rows and the windowed j9_q3 TakeOrdered)
     "pipe_weighted_sample",
+    # NEW in r6: BPE tokenizer training + tokenization under the hash
+    # gate — the oracle replays all 6 training rounds as unrolled CTEs
+    # (dedup_jaccard_topk and w2_transitions park to history; dedup keeps
+    # both bench headliners, W2 stays covered by green rows, and
+    # j9_q2_min_cost_supplier stays windowed as extras' module anchor)
+    "text_bpe_train",
+    "text_bpe_tokenize",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "a3_network_tree",
     "d7_json_extract",
-    "dedup_jaccard_topk",
     "j9_q2_min_cost_supplier",
-    "w2_transitions",
     # NEW in r6 (first-time hash candidates take the last r3-vintage
     # slots; a10_heavy_hitters + a2_habitual_hour park to history — both
     # lead the r7 queue):

@@ -517,3 +517,159 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (r6) — the corpus-scale half of building a
+# tokenizer, run as relational rounds (operators/bpe.py) and hash-gated
+# against a DuckDB oracle that replays ALL k training rounds as unrolled
+# CTEs (the graph_pagerank oracle pattern). The canonical double-space
+# symbol form makes merge application a plain left-to-right replace with
+# identical semantics in both engines.
+# ---------------------------------------------------------------------------
+
+_BPE_K = 6
+
+_BPE_VOCAB_CTE = r"""
+WITH words AS (
+  SELECT w AS word FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+  ) WHERE regexp_full_match(w, '[a-z]+') AND len(w) BETWEEN 1 AND 12
+), v0 AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w> ' AS s0,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM words GROUP BY word
+)"""
+
+
+def _bpe_stage(i: int) -> str:
+    return f"""
+p{i} AS (
+  SELECT split_part(p, ' ', 1) AS lhs, split_part(p, ' ', 2) AS rhs,
+         CAST(sum(cnt) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS p,
+           cnt
+    FROM (SELECT string_split(trim(s{i}), '  ') AS t, cnt FROM v{i})
+  ) GROUP BY 1, 2
+), b{i} AS (
+  SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1
+), v{i + 1} AS (
+  SELECT replace(s{i}, ' ' || lhs || '  ' || rhs || ' ',
+                 ' ' || lhs || rhs || ' ') AS s{i + 1}, cnt
+  FROM v{i}, b{i}
+)"""
+
+
+_BPE_TRAIN_ORACLE = (
+    _BPE_VOCAB_CTE
+    + ","
+    + ",".join(_bpe_stage(i) for i in range(_BPE_K))
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS it, lhs, rhs, c AS pair_count FROM b{i}"
+        for i in range(_BPE_K)
+    )
+)
+
+
+@register(
+    "text_bpe_train",
+    oracle=_BPE_TRAIN_ORACLE,
+    survey="U6,A1,O2",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 6 BPE merges from the documents corpus: one
+    corpus→vocab aggregation, then 6 rounds of distributed pair-count →
+    deterministic top-1 merge → narrow merge-apply, checkpoint-truncated
+    per round. The oracle replays the entire training loop in SQL, so
+    the hash gate covers the training ALGORITHM — pair extraction,
+    weighted counts, tie rule, and the boundary-safe merge application."""
+    from ssidentity_spark.operators.bpe import bpe_train, word_vocab
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = word_vocab(docs)
+    table, _merges = bpe_train(spark, vocab, k=_BPE_K)
+    return table
+
+
+_BPE_TOKENIZE_ORACLE = (
+    _BPE_VOCAB_CTE
+    + ","
+    + ",".join(_bpe_stage(i) for i in range(_BPE_K))
+    + r""",
+doc_words AS (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+    FROM documents
+  ) WHERE regexp_full_match(w, '[a-z]+') AND len(w) BETWEEN 1 AND 12
+), doc_spaced AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w> ' AS s,
+         len(word) + 1 AS n_syms
+  FROM doc_words
+), applied AS (
+  SELECT doc_id, n_syms,
+         replace(replace(replace(replace(replace(replace(s,
+           (SELECT ' '||lhs||'  '||rhs||' ' FROM b0), (SELECT ' '||lhs||rhs||' ' FROM b0)),
+           (SELECT ' '||lhs||'  '||rhs||' ' FROM b1), (SELECT ' '||lhs||rhs||' ' FROM b1)),
+           (SELECT ' '||lhs||'  '||rhs||' ' FROM b2), (SELECT ' '||lhs||rhs||' ' FROM b2)),
+           (SELECT ' '||lhs||'  '||rhs||' ' FROM b3), (SELECT ' '||lhs||rhs||' ' FROM b3)),
+           (SELECT ' '||lhs||'  '||rhs||' ' FROM b4), (SELECT ' '||lhs||rhs||' ' FROM b4)),
+           (SELECT ' '||lhs||'  '||rhs||' ' FROM b5), (SELECT ' '||lhs||rhs||' ' FROM b5)) AS s
+  FROM doc_spaced
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_symbols_before,
+       CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS n_tokens,
+       round(CAST(sum(n_syms) AS DOUBLE)
+             / sum(len(string_split(trim(s), '  '))), 4) AS compression
+FROM applied GROUP BY doc_id
+"""
+)
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=_BPE_TOKENIZE_ORACLE,
+    survey="U6,D7",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the merges learned by
+    ``text_bpe_train`` (trained in the same query — train on the corpus,
+    apply to the corpus) and report per-document token counts and the
+    symbol→token compression ratio. The merge chain is k literal
+    replaces — pure JVM expressions; the oracle re-trains AND re-applies
+    in SQL, so a drift anywhere in the loop breaks the hash."""
+    from ssidentity_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+        token_count,
+        word_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = word_vocab(docs.select("text"))
+    _table, merges = bpe_train(spark, vocab, k=_BPE_K)
+
+    w = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    doc_words = docs.select("doc_id", w).where(
+        F.col("word").rlike("^[a-z]+$") & (F.length("word") <= 12)
+    )
+    spaced = F.concat(
+        F.lit(" "), F.regexp_replace("word", "(.)", "$1  "), F.lit("</w> ")
+    )
+    applied = doc_words.select(
+        "doc_id",
+        (F.length("word") + 1).alias("n_syms"),
+        bpe_apply(spaced, merges).alias("s"),
+    )
+    return applied.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_syms").cast("long").alias("n_symbols_before"),
+        F.sum(token_count(F.col("s"))).cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("n_syms").cast("double") / F.sum(token_count(F.col("s"))), 4
+        ).alias("compression"),
+    )
