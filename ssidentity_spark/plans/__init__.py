@@ -153,9 +153,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # j9_q2_min_cost_supplier stays windowed as extras' module anchor)
     "text_bpe_train",
     "text_bpe_tokenize",
+    # NEW in r6: GROUPING SETS lattice + equi-depth histogram profiling
+    # (a3_network_tree and sql_api_daily_type_summary park to history;
+    # sql_api_grouping_sets anchors the sqlapi module in their place)
+    "sql_api_grouping_sets",
+    "a12_equidepth_histogram",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
-    "a3_network_tree",
     "d7_json_extract",
     "j9_q2_min_cost_supplier",
     # NEW in r6 (first-time hash candidates take the last r3-vintage
@@ -168,7 +172,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ... with the last three slots spent on the stalest member of each
     # module the staleness order alone would have left unwindowed (the
     # per-module coverage rule outranks strict age order)
-    "sql_api_daily_type_summary",
     "tpch_q12_late_priority",
     "tpch_q11_important_value",
 )

@@ -1057,3 +1057,46 @@ def w5_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
     )
     return max_concurrency_by_bucket(iv, "s_start", "s_end", "day")
+
+
+# ---------------------------------------------------------------------------
+# A12 (r6) — equi-depth histogram: the data-profiling primitive (optimizer
+# statistics, drift monitors) — per-key value distribution in B
+# equal-population buckets. ntile is row-number-based, so the unique
+# (value, event_id) order makes bucket assignment deterministic
+# cross-engine even with duplicate values.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a12_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             ntile(8) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM b GROUP BY event_type, bucket
+    """,
+    survey="A8,A6,W1",
+)
+def a12_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight equal-population value buckets per event type with exact
+    boundaries — what an optimizer stores as column statistics and what a
+    drift monitor compares release-over-release. One window shuffle on
+    the (bounded-cardinality) type key; at 100 TB swap ntile for
+    approx_percentile boundaries and this plan loses the window entirely
+    (documented trade: exact-rank vs mergeable-sketch)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    b = ev.withColumn("bucket", F.ntile(8).over(w))
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )

@@ -112,3 +112,42 @@ def sql_api_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@register(
+    "sql_api_grouping_sets",
+    # GROUPING SETS with grouping_id disambiguation — the A9 rollup/cube
+    # family's general form (arbitrary aggregation lattices in ONE pass:
+    # Catalyst expands to a single Expand + hash-agg, NOT one scan per
+    # set). DuckDB runs the identical ANSI construct.
+    oracle="""
+    SELECT event_type,
+           CAST(isodow(ts) AS INTEGER) AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS v_sum,
+           CAST(GROUPING(event_type) * 2 + GROUPING(isodow(ts)) AS BIGINT)
+             AS gid
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, isodow(ts)), (event_type),
+                            (isodow(ts)), ())
+    """,
+    survey="A9,A7",
+)
+def sql_api_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping lattice in one scan: (type × dow), type-only,
+    dow-only, and grand total, disambiguated by grouping_id. At 100 TB
+    this is one Expand (4× row multiplier) + one shuffle — always
+    cheaper than four scans of the fact table."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(weekday(ts) + 1 AS INT) AS dow,
+               count(*) AS n,
+               round(sum(value), 2) AS v_sum,
+               CAST(grouping_id(event_type, weekday(ts) + 1) AS BIGINT) AS gid
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, weekday(ts) + 1), (event_type),
+                                (weekday(ts) + 1), ())
+        """
+    )
