@@ -1,0 +1,157 @@
+"""10x blow-up probe for the second r6 operator wave (sweep line, CDC
+compaction, Bloom-pruned join, priority sampling, BPE training, AVI
+decode). Method as the first-wave probe (SCALE.md): replicate sf0.1
+inputs 10x with key offsets that preserve per-key density and join
+structure; best-of-2 warm timings, noop sink, local[32].
+
+Usage: python tools/wave2_blowup.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+sys.path.insert(0, ".")
+
+from ssidentity_spark.io import load_table  # noqa: E402
+from ssidentity_spark.session import get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def blow_up(df: DataFrame, offsets: dict[str, int]) -> DataFrame:
+    """Union COPIES shifted replicas: per-key structure preserved, key
+    spaces disjoint across replicas."""
+    parts = []
+    for c in range(COPIES):
+        cur = df
+        for col, step in offsets.items():
+            cur = cur.withColumn(col, F.col(col) + F.lit(c * step))
+        parts.append(cur)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(label: str, build):
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        df = build()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{label}: {best:.2f} s")
+    return best
+
+
+def main() -> None:
+    spark = get_spark("wave2-blowup", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev1 = load_table(spark, SF_DIR, "events").cache()
+    ev1.count()
+    ev10 = blow_up(ev1, {"user_id": 10_000, "event_id": 1_000_000_000}).cache()
+    ev10.count()
+    docs1 = load_table(spark, SF_DIR, "documents").cache()
+    docs1.count()
+    docs10 = blow_up(docs1, {"doc_id": 10_000_000}).cache()
+    docs10.count()
+    orders1 = load_table(spark, SF_DIR, "orders").cache()
+    cust1 = load_table(spark, SF_DIR, "customer").cache()
+    orders1.count(), cust1.count()
+    orders10 = blow_up(
+        orders1, {"o_orderkey": 100_000_000, "o_custkey": 10_000_000}
+    ).cache()
+    cust10 = blow_up(cust1, {"c_custkey": 10_000_000}).cache()
+    orders10.count(), cust10.count()
+
+    from pyspark.sql import Window
+
+    from ssidentity_spark.functions.timeutil import epoch_us
+    from ssidentity_spark.operators.bloom import bloom_pruned_join
+    from ssidentity_spark.operators.bpe import bpe_train, word_vocab
+    from ssidentity_spark.operators.intervals import max_concurrency_by_bucket
+    from ssidentity_spark.operators.merge import apply_cdc_log
+    from ssidentity_spark.operators.multimodal import avi_roundtrip_features
+
+    def w5(ev):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
+        sess = ev.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        ).withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        iv = sess.groupBy("user_id", "session_id").agg(
+            F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+        )
+        return max_concurrency_by_bucket(iv, "s_start", "s_end", "day")
+
+    def cdc(ev):
+        e = ev.withColumn(
+            "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+        )
+        return apply_cdc_log(e, ["user_id"], ["ts", "event_id"], "op")
+
+    def bloom(orders, cust):
+        dim = cust.filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+        ).select("c_custkey")
+        j = bloom_pruned_join(orders, "o_custkey", dim, "c_custkey")
+        return j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("r")
+        )
+
+    def sample(docs):
+        u = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            + 1
+        ).cast("double")
+        return (
+            docs.where(F.col("n_chars") > 0)
+            .withColumn("ip", u / F.col("n_chars"))
+            .orderBy(F.col("ip").asc(), F.col("doc_id").asc())
+            .select("doc_id")
+            .limit(200)
+        )
+
+    for label, one, ten, fn in [
+        ("w5_max_concurrency", ev1, ev10, w5),
+        ("s5_cdc_apply", ev1, ev10, cdc),
+        ("pipe_weighted_sample", docs1, docs10, sample),
+        ("mm_avi_frames", docs1, docs10, avi_roundtrip_features),
+    ]:
+        a = timed(f"{label} sf0.1", lambda: fn(one))
+        b = timed(f"{label} x10", lambda: fn(ten))
+        print(f"  -> scaling {b / a:.1f}x")
+
+    a = timed("j10_bloom sf0.1", lambda: bloom(orders1, cust1))
+    b = timed("j10_bloom x10", lambda: bloom(orders10, cust10))
+    print(f"  -> scaling {b / a:.1f}x")
+
+    # BPE: train 6 merges (the collect loop breaks the single-plan timing
+    # pattern — time the whole call)
+    for label, d in [("text_bpe_train sf0.1", docs1), ("text_bpe_train x10", docs10)]:
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            table, _ = bpe_train(spark, word_vocab(d.select("text")), k=6)
+            table.collect()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{label}: {best:.2f} s")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
