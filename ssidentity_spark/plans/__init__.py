@@ -158,6 +158,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sql_api_grouping_sets anchors the sqlapi module in their place)
     "sql_api_grouping_sets",
     "a12_equidepth_histogram",
+    # NEW in r6: triple cross-format gate — ORC + CSV (RFC 4180
+    # multiline) + JSONL round-trips meeting in one join
+    # (text_unigram_logprob parks to history; text keeps token_stats and
+    # both BPE queries windowed; q11/q12 stay as tpch4/tpch3 anchors)
+    "src_interchange_roundtrip",
     # staleness rotation: the r1-vintage greens (never re-verified
     # since round 1) ...
     "d7_json_extract",
@@ -165,15 +170,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # NEW in r6 (first-time hash candidates take the last r3-vintage
     # slots; a10_heavy_hitters + a2_habitual_hour park to history — both
     # lead the r7 queue):
-    # corpus-LM quality scoring (CCNet-style unigram logprob) ...
-    "text_unigram_logprob",
     # ... and the GIF-LZW roundtrip under the Arrow path
     "mm_gif_decode",
+    "tpch_q12_late_priority",
+    "tpch_q11_important_value",
     # ... with the last three slots spent on the stalest member of each
     # module the staleness order alone would have left unwindowed (the
     # per-module coverage rule outranks strict age order)
-    "tpch_q12_late_priority",
-    "tpch_q11_important_value",
 )
 
 # r7 ROTATION QUEUE (after regenerating DRIVER_VERIFIED_HISTORY from

@@ -353,3 +353,71 @@ def s5_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("last_value"),
         "n_changes",
     )
+
+
+@register(
+    "src_interchange_roundtrip",
+    # Triple cross-format gate: the SAME rows go out as ORC, CSV
+    # (RFC 4180 quoting, multiline text), and JSON-lines, come back
+    # through three independent readers, and meet in one join — each
+    # format contributes its own md5(text), so a corruption in ANY
+    # writer/reader path (quote escaping, newline handling, unicode,
+    # type round-trip) breaks the hash. The oracle reads only the
+    # untouched parquet.
+    oracle="""
+    SELECT doc_id, lang, source, n_chars,
+           md5(text) AS orc_md5,
+           md5(text) AS csv_md5,
+           md5(text) AS json_md5
+    FROM documents
+    """,
+    survey="S4,S2,EXT-sources",
+)
+def src_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC + CSV + JSONL (Spark-native writers into the
+    snapshot area) → three independent scans with explicit schemas →
+    three-way join on doc_id. CSV is the adversarial one: free text with
+    commas/quotes/newlines under RFC 4180 double-quote escaping and
+    multiLine read — exactly what a real 100 TB intake meets."""
+    from ssidentity_spark.io import load_table
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(SNAPSHOT_DIR, f"interchange_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    orc_dir, csv_dir, json_dir = (
+        os.path.join(root, d) for d in ("orc", "csv", "jsonl")
+    )
+    base.write.mode("overwrite").orc(orc_dir)
+    base.write.mode("overwrite").options(
+        header=True, quote='"', escape='"', escapeQuotes=True
+    ).csv(csv_dir)
+    base.write.mode("overwrite").json(json_dir)
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    orc = spark.read.schema(schema).orc(orc_dir)
+    csv = spark.read.schema(schema).options(
+        header=True, quote='"', escape='"', multiLine=True
+    ).csv(csv_dir)
+    jsn = spark.read.schema(schema).json(json_dir)
+
+    o = orc.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5(F.encode("text", "UTF-8")).alias("orc_md5"),
+    )
+    c = csv.select(
+        F.col("doc_id").alias("c_id"),
+        F.md5(F.encode("text", "UTF-8")).alias("csv_md5"),
+    )
+    j = jsn.select(
+        F.col("doc_id").alias("j_id"),
+        F.md5(F.encode("text", "UTF-8")).alias("json_md5"),
+    )
+    return (
+        o.join(c, o.doc_id == c.c_id)
+        .join(j, o.doc_id == j.j_id)
+        .select("doc_id", "lang", "source", "n_chars",
+                "orc_md5", "csv_md5", "json_md5")
+    )
