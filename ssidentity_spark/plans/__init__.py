@@ -180,14 +180,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # r7 ROTATION QUEUE (after regenerating DRIVER_VERIFIED_HISTORY from
-# CORRECTNESS_r06 via tools/driver_history.py): continue staleness-ordered
-# rotation — keep the bench headliners, then the remaining r3 vintage
+# CORRECTNESS_r06 via tools/driver_history.py). FIRST the r6 queries that
+# never fit the 50-slot window and so have only LOCAL gate evidence:
+# text_unigram_logprob, graph_triangles. THEN staleness-ordered rotation —
+# keep the bench headliners, then the remaining r3 vintage
 # (a10_heavy_hitters, a2_habitual_hour, a4_distinct_pairs,
 # dedup_embedding_cosine, dedup_simhash_pairs, o3_union_split,
 # o4_intersect_users, pipe_docs_clean, pipe_embed_quantize,
 # pivot_user_type_matrix, sim_label_centroids, sim_lsh_bucketed,
 # text_bigram_profile, text_langid, text_quality, w3_rolling_avg_rows),
-# then the r4 vintage.
+# then the r4 vintage, then the r1-vintage slots this round displaced
+# (d7_string_funcs, o4_except_users, w3_rolling_count_10min,
+# a9_rollup_type_hour, o1_global_sort_top, dedup_jaccard_topk,
+# w2_transitions, a3_network_tree, sql_api_daily_type_summary,
+# tpch_q12's tpch3 sibling rotation).
 
 # Queries hash-verified green by the driver in at least one prior round
 # (union of CORRECTNESS_r01..r05.json rows with hash_match=true). A query

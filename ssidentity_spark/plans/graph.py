@@ -191,3 +191,92 @@ def a11_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "type_a", "type_b", "n", F.round(r_num / r_den, 6).alias("pearson_r")
     )
+
+
+@register(
+    "graph_triangles",
+    # Canonical ordered triangle counting: undirected edges stored once
+    # as (u < v), wedges joined on the middle vertex (the ordering means
+    # each triangle is generated exactly once as a < b < c), closed by a
+    # semi-join back to the edge set. DuckDB replays the identical joins.
+    oracle="""
+    WITH tr AS (
+      SELECT user_id AS src, nxt AS dst FROM (
+        SELECT user_id,
+               lead(user_id) OVER (
+                 PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+      ) WHERE nxt IS NOT NULL AND nxt <> user_id
+    ), e AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM tr
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           n_triangles,
+           round(3.0 * n_triangles /
+                 (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+             AS clustering_coeff
+    FROM tri
+    """,
+    survey="A3,J9,A7",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the user
+    co-transition graph — the companion-detection signal (README.md:18:
+    who moves together) in its graph-metric form. Edges are canonical
+    (u < v) so each triangle is counted once; the wedge join's skew lever
+    at 100 TB is degree-ordered edge orientation (orient toward the
+    higher-degree endpoint, bounding wedge fan-out by sqrt(m)) —
+    documented here, unnecessary at the transition graph's degree
+    distribution. Three shuffles: edge dedup, wedge join, closure join."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    tr = spark.sql(_EDGES_SQL).select("src", "dst")
+    e = tr.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )

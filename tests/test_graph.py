@@ -103,3 +103,35 @@ def test_star_cc_logarithmic_rounds_on_long_path(spark):
         f"star {st_stats['iterations']} rounds vs hashmin "
         f"{hm_stats['iterations']} — expected log vs linear"
     )
+
+
+# --- triangle counting (plans/graph.py:graph_triangles internals) ---------
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: 2 triangles; wedges from degrees (3,3,2,2):
+    3+3+1+1 = 8; clustering 3*2/8 = 0.75."""
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]  # K4 minus (3,4)
+    e = spark.createDataFrame(edges, "u int, v int")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    assert tri == 2
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .count()
+    )
+    wedges = deg.agg(
+        (F.sum(F.col("count") * (F.col("count") - 1)) / 2).alias("w")
+    ).collect()[0]["w"]
+    assert wedges == 8
