@@ -818,3 +818,137 @@ def test_streaming_sketches_match_batch(spark, tmp_path):
     )
     assert got_hll == want_hll
     assert len(got_cms) <= 4 * 512  # state ceiling, structural
+
+
+def test_streaming_cdc_matches_batch_with_out_of_order_batches(spark, tmp_path):
+    """Streaming CDC materialization ≡ batch apply_cdc_log, with changes
+    delivered out-of-order ACROSS micro-batches: a newer sequence lands
+    first, a stale older update for a TOMBSTONED key arrives a batch
+    later (must not resurrect — tombstone state is retained until the
+    watermark passes its sequence time)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.merge import apply_cdc_log
+    from ssidentity_spark.streaming.cdc import cdc_latest_state_stream
+
+    base = dt.datetime(2026, 3, 1, 12, 0, 0)
+
+    def row(uid, minute, eid, op, etype, val):
+        return (uid, base + dt.timedelta(minutes=minute), eid, op, etype, val)
+
+    schema = (
+        "user_id long, ts timestamp, event_id long, op string, "
+        "event_type string, value double"
+    )
+    # all stale rows stay within the 10-min watermark lag, so the ENGINE
+    # accepts them and it is the operator's sequence guard (not the
+    # late-row filter) that must reject them
+    chunks = [
+        # batch 1: key 1 newest-first (seq 30 before 25 ever arrives);
+        # key 2 gets its tombstone FIRST (wm after this batch: 31-10=21)
+        [row(1, 30, 103, "U", "view", 3.0), row(2, 31, 201, "D", "error", 0.0)],
+        # batch 2: stale but NOT late — key 1 seq 25 (older, must not
+        # win), key 2 seq 28 (older than the tombstone, must NOT
+        # resurrect: the tombstone state is still retained at wm 21)
+        [row(1, 25, 101, "U", "click", 1.0), row(2, 28, 200, "U", "click", 2.0)],
+        # batch 3: key 1 advances for real; key 3 appears
+        [row(1, 50, 104, "U", "purchase", 9.0), row(3, 35, 300, "U", "signup", 7.0)],
+    ]
+
+    src = str(tmp_path / "cdc_src")
+    out = str(tmp_path / "cdc_out")
+    ck = str(tmp_path / "cdc_ck")
+    all_rows = []
+    for chunk in chunks:
+        all_rows.extend(chunk)
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            cdc_latest_state_stream(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    updates = spark.read.parquet(out)
+    # materialize: latest emitted update per key, deletes applied
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("seq_ms").desc(), F.col("seq_id").desc()
+    )
+    final = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & ~F.col("is_deleted"))
+        .select("user_id", "last_type", "last_value")
+    )
+    batch = apply_cdc_log(
+        spark.createDataFrame(all_rows, schema),
+        ["user_id"],
+        ["ts", "event_id"],
+        "op",
+    ).select("user_id", F.col("event_type").alias("last_type"),
+             F.col("value").alias("last_value"))
+    got = {r["user_id"]: (r["last_type"], r["last_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["last_type"], r["last_value"]) for r in batch.collect()}
+    assert got == want == {1: ("purchase", 9.0), 3: ("signup", 7.0)}
+    # the stale batch-2 rows must not have emitted ANY update
+    assert updates.where(F.col("seq_id").isin(101, 200)).count() == 0
+
+
+def test_streaming_cdc_tombstone_state_expires_after_watermark(spark, tmp_path):
+    """The live-population invariant: once the watermark passes a
+    tombstone's sequence time its state row is dropped (event-time
+    timeout), so the store tracks live keys only."""
+    import datetime as dt
+
+    from ssidentity_spark.streaming.cdc import cdc_latest_state_stream
+
+    base = dt.datetime(2026, 3, 1, 12, 0, 0)
+    schema = (
+        "user_id long, ts timestamp, event_id long, op string, "
+        "event_type string, value double"
+    )
+
+    def row(uid, minute, eid, op):
+        return (uid, base + dt.timedelta(minutes=minute), eid, op, "t", 1.0)
+
+    src = str(tmp_path / "exp_src")
+    out = str(tmp_path / "exp_out")
+    ck = str(tmp_path / "exp_ck")
+    chunks = [
+        [row(1, 0, 1, "U"), row(2, 1, 2, "D")],  # key 2 tombstoned at t=1
+        # watermark jumps to 100-10=90 >> 1 → key 2's tombstone times out
+        [row(1, 100, 3, "U")],
+        # one more batch so the timeout (evaluated at batch start against
+        # the PREVIOUS watermark) has definitely fired
+        [row(1, 101, 4, "U")],
+    ]
+    last_q = None
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            cdc_latest_state_stream(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        last_q = q
+    progress = last_q.lastProgress
+    n_state = progress["stateOperators"][0]["numRowsTotal"]
+    assert n_state == 1, progress["stateOperators"]  # only key 1 lives
