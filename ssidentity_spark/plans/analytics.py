@@ -1100,3 +1100,84 @@ def a12_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A13 (r6) — ANALYZE-style table profile: per-column stats in ONE pass
+# (the warehouse's ANALYZE TABLE / optimizer-statistics job). Long-form
+# output with a uniform string schema so heterogeneous column types share
+# one result table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a13_analyze_profile",
+    oracle="""
+    SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+           CAST(min(event_id) AS VARCHAR) AS min_v,
+           CAST(max(event_id) AS VARCHAR) AS max_v
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           CAST(round(min(value), 4) AS VARCHAR),
+           CAST(round(max(value), 4) AS VARCHAR)
+    FROM events
+    """,
+    survey="A8,A6,A7",
+)
+def a13_analyze_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics for the events table — count / nulls / exact NDV
+    / min / max per column — computed in ONE aggregation (Catalyst
+    expands the multi-distinct into a single Expand + two-phase agg, not
+    one scan per column). At 100 TB the exact NDVs swap for HLL sketches
+    (the a8 family) and the plan loses the Expand; the single-scan shape
+    is the point either way."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("event_id").cast("long").alias("nn_event_id"),
+        F.countDistinct("event_id").cast("long").alias("ndv_event_id"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.count("user_id").cast("long").alias("nn_user_id"),
+        F.countDistinct("user_id").cast("long").alias("ndv_user_id"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+        F.count("event_type").cast("long").alias("nn_event_type"),
+        F.countDistinct("event_type").cast("long").alias("ndv_event_type"),
+        F.min("event_type").alias("min_event_type"),
+        F.max("event_type").alias("max_event_type"),
+        F.count("value").cast("long").alias("nn_value"),
+        F.countDistinct("value").cast("long").alias("ndv_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+    rows = []
+    for c in ("event_id", "user_id", "event_type", "value"):
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n").alias("n"),
+                (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"ndv_{c}").alias("ndv"),
+                F.col(f"min_{c}").cast("string").alias("min_v"),
+                F.col(f"max_{c}").cast("string").alias("max_v"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
