@@ -957,6 +957,9 @@ def a8_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority
     """,
     survey="J1,J2,A1",
+    # bench headliner (r6 wave 2): covers the bloom build's bounded
+    # collect + the pruned join — a regression in either shows in BENCH
+    bench=True,
 )
 def j10_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders joined to a selective customer subset through a Bloom
@@ -1035,6 +1038,9 @@ def j10_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM swept GROUP BY bucket_ts
     """,
     survey="W4,W3,A2",
+    # bench headliner (r6 wave 2): the sweep-line plan family — two
+    # window partitionings + a bucket agg — wasn't represented in BENCH
+    bench=True,
 )
 def w5_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day maximum simultaneous sessions: sessionize (same 30-min gap

@@ -84,3 +84,48 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator itself is cohort-agnostic)."""
     e = load_table(spark, sf_dir, "events").where("user_id % 5 = 0")
     return resample_interpolate(e, "user_id", "ts", "value", _BUCKET)
+
+
+@register(
+    "ts_ema",
+    # The fold runs in the SAME order with the SAME IEEE double ops in
+    # both engines (sorted struct list → left fold, seed = first value),
+    # so the result is bit-identical before the cosmetic round.
+    oracle="""
+    SELECT user_id,
+           round(list_reduce(list_transform(l, s -> s.v),
+                             (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ema,
+           CAST(len(l) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id,
+             list_sort(list(struct_pack(ts := ts, eid := event_id,
+                                        v := value))) AS l
+      FROM events GROUP BY user_id
+    )
+    """,
+    survey="W2,W3,A6",
+)
+def ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (α=0.9 decay) of
+    the value series — the order-RECURSIVE aggregation: acc = 0.9·acc +
+    0.1·x cannot map-side combine, so the honest distributed shape is a
+    per-key ordered fold (one shuffle on the key; per-key state is the
+    key's history array — the same bound any sessionization carries). At
+    100 TB the two escape hatches are (a) the streaming form — O(1)
+    state per key, fold across micro-batches — and (b) truncated EMA
+    (α^k < ε after k ≈ 130 terms at α=0.9 → ROWS BETWEEN k PRECEDING
+    window), trading ε error for bounded memory."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.transform(arr, lambda s: s["value"])
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.9) + x * F.lit(0.1),
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(ema, 6).alias("ema"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -335,3 +335,23 @@ def test_max_concurrency_partitioning_invariant(spark):
     a = max_concurrency_by_bucket(_iv_df(spark, rows).repartition(13))
     b = max_concurrency_by_bucket(_iv_df(spark, rows).coalesce(1))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ema_fold_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, value double")
+    arr = F.sort_array(F.collect_list(F.struct("event_id", "value")))
+    vs = F.transform(arr, lambda s: s["value"])
+    ema = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1),
+        lambda acc, x: acc * F.lit(0.9) + x * F.lit(0.1),
+    )
+    got = df.groupBy("user_id").agg(ema.alias("ema")).collect()[0]["ema"]
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = acc * 0.9 + v * 0.1
+    assert got == acc  # same fold order, same IEEE ops → bit-equal
