@@ -1,0 +1,96 @@
+"""Streaming per-key EMA — the O(1)-state form of ``ts_ema``.
+
+The batch operator folds each key's full history; on an unbounded stream
+the same recursion carries as two numbers of state per key (the running
+EMA and the last-applied sequence), which is the whole point: the
+order-recursive aggregation that can't map-side combine in batch becomes
+a trivially bounded stateful operator when the stream delivers in order.
+
+Ordering contract: rows are folded in (ts, event_id) order WITHIN each
+micro-batch (sorted before the fold), and rows at-or-below the
+last-applied sequence are dropped — a recursive statistic cannot absorb
+a late row retroactively without replaying history, so cross-batch
+disorder is resolved by the watermark upstream (late rows die there) and
+by the sequence guard here (exactly-once replay safety: re-delivered
+micro-batches re-fold nothing). Stream ≡ batch parity therefore holds
+for in-order delivery and is pinned by test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+EMA_ALPHA = 0.9  # same decay as the batch ts_ema query
+
+EMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ema", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+EMA_STATE_SCHEMA = StructType(
+    [
+        StructField("ema", DoubleType()),
+        StructField("n", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("last_id", LongType()),
+    ]
+)
+
+
+def _ema_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.assign(_ms=rows["ts"].astype("int64") // 1_000_000).sort_values(
+        ["_ms", "event_id"], kind="mergesort"
+    )
+    if state.exists:
+        ema, n, last_ms, last_id = state.get
+    else:
+        ema, n, last_ms, last_id = 0.0, 0, -1, -1
+    for ms, eid, val in zip(rows["_ms"], rows["event_id"], rows["value"]):
+        ms, eid, val = int(ms), int(eid), float(val)
+        if (ms, eid) <= (last_ms, last_id):
+            continue  # replay / stale — recursive state can't rewind
+        ema = val if n == 0 else ema * EMA_ALPHA + val * (1.0 - EMA_ALPHA)
+        n += 1
+        last_ms, last_id = ms, eid
+    state.update((ema, n, last_ms, last_id))
+    yield pd.DataFrame(
+        {"user_id": [int(key[0])], "ema": [ema], "n_events": [n]}
+    )
+
+
+def ema_stream(changes: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """(user_id, ts, event_id, value) stream → append-only per-batch
+    snapshots of each touched key's running EMA."""
+    return (
+        changes.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ema_fn,
+            outputStructType=EMA_OUTPUT_SCHEMA,
+            stateStructType=EMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -952,3 +952,63 @@ def test_streaming_cdc_tombstone_state_expires_after_watermark(spark, tmp_path):
     progress = last_q.lastProgress
     n_state = progress["stateOperators"][0]["numRowsTotal"]
     assert n_state == 1, progress["stateOperators"]  # only key 1 lives
+
+
+def test_streaming_ema_matches_batch_fold(spark, tmp_path):
+    """O(1)-state streaming EMA ≡ the batch ordered fold for in-order
+    delivery across micro-batches, and replayed rows fold nothing (the
+    sequence guard)."""
+    import datetime as dt
+
+    from ssidentity_spark.streaming.ema import ema_stream
+
+    base = dt.datetime(2026, 4, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+
+    series = {1: [3.0, 1.0, 4.0, 1.0, 5.0], 2: [9.0, 2.0, 6.0]}
+    rows = []
+    for uid, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((uid, base + dt.timedelta(minutes=i), 100 * uid + i, v))
+    rows.sort(key=lambda r: r[1])
+    # three in-order chunks; the middle chunk REPLAYS the first (guard)
+    chunks = [rows[:3], rows[:3] + rows[3:5], rows[5:]]
+
+    src = str(tmp_path / "ema_src")
+    out = str(tmp_path / "ema_out")
+    ck = str(tmp_path / "ema_ck")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            ema_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    from pyspark.sql import functions as F
+
+    snaps = spark.read.parquet(out)
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy(F.col("n_events").desc())
+    final = {
+        r["user_id"]: (r["ema"], r["n_events"])
+        for r in snaps.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    expect = {}
+    for uid, vals in series.items():
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = acc * 0.9 + v * 0.1
+        expect[uid] = (acc, len(vals))
+    assert final == expect
