@@ -124,9 +124,48 @@ def main() -> None:
             .limit(200)
         )
 
+    def ema(ev):
+        arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+        vals = F.transform(arr, lambda s: s["value"])
+        e = F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: acc * F.lit(0.9) + x * F.lit(0.1),
+        )
+        return ev.groupBy("user_id").agg(F.round(e, 6).alias("ema"))
+
+    def triangles(ev):
+        ev.createOrReplaceTempView("events")
+        tr = spark.sql(
+            """
+            SELECT user_id AS src, nxt AS dst FROM (
+              SELECT user_id,
+                     lead(user_id) OVER (
+                       PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id
+                     ) AS nxt
+              FROM events
+            ) WHERE nxt IS NOT NULL AND nxt <> user_id
+            """
+        )
+        e = tr.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        ).distinct()
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        return (
+            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+
     for label, one, ten, fn in [
         ("w5_max_concurrency", ev1, ev10, w5),
         ("s5_cdc_apply", ev1, ev10, cdc),
+        ("ts_ema", ev1, ev10, ema),
+        ("graph_triangles", ev1, ev10, triangles),
         ("pipe_weighted_sample", docs1, docs10, sample),
         ("mm_avi_frames", docs1, docs10, avi_roundtrip_features),
     ]:
