@@ -421,3 +421,55 @@ def src_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars",
                 "orc_md5", "csv_md5", "json_md5")
     )
+
+
+@register(
+    "src_versioned_timetravel",
+    # The oracle reads the untouched parquet; the Spark side rebuilds the
+    # table as THREE committed snapshots (append half, append the rest,
+    # overwrite with a subset) and answers from a TIME-TRAVEL read of v1
+    # plus the tip — so a broken commit, a lost append, a non-atomic
+    # overwrite, or a wrong manifest resolution all break the hash.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           (doc_id % 7 = 0) AS in_tip
+    FROM documents
+    """,
+    survey="S2,S5,X1",
+)
+def src_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table (operators/tablelog.py) under the gate:
+    v0 = even doc_ids, v1 = append the odd ones, v2 = OVERWRITE with the
+    doc_id%7 subset. The result reads v1 by version pin (time travel:
+    the full corpus, exactly reproducible after the overwrite) and marks
+    each row's membership in the tip snapshot — reproducible training
+    sets over a mutating table, which is the property the whole corpus
+    pipeline rests on."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        read_versioned,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"versioned_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(base.where("doc_id % 2 = 0"), path, "append")
+    v1 = write_versioned(base.where("doc_id % 2 = 1"), path, "append")
+    write_versioned(base.where("doc_id % 7 = 0"), path, "overwrite")
+
+    full = read_versioned(spark, path, v1).select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5")
+    )
+    tip = read_versioned(spark, path).select(
+        F.col("doc_id").alias("t_id"), F.lit(True).alias("in_tip")
+    )
+    return (
+        full.join(tip, full.doc_id == tip.t_id, "left")
+        .select(
+            "doc_id",
+            "text_md5",
+            F.coalesce("in_tip", F.lit(False)).alias("in_tip"),
+        )
+    )

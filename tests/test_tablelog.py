@@ -1,0 +1,106 @@
+"""Snapshot-versioned tables (operators/tablelog.py): atomic commits,
+time travel, snapshot isolation, optimistic-concurrency conflicts, crash
+invisibility, and vacuum safety."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssidentity_spark.operators.tablelog import (
+    VersionConflict,
+    _commit,
+    history,
+    latest_version,
+    read_versioned,
+    vacuum,
+    write_versioned,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = write_versioned(_df(spark, 0, 10), path, "append")
+    v1 = write_versioned(_df(spark, 10, 15), path, "append")
+    v2 = write_versioned(_df(spark, 100, 103), path, "overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert read_versioned(spark, path, 0).count() == 10
+    assert read_versioned(spark, path, 1).count() == 15  # append accumulated
+    assert read_versioned(spark, path).count() == 3  # overwrite replaced
+    hist = history(path)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[2]["operation"] == "overwrite"
+
+
+def test_snapshot_isolation_reader_pinned_across_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    pinned = read_versioned(spark, path)  # tip = v0, resolved NOW
+    write_versioned(_df(spark, 10, 50), path, "append")
+    # the pinned DataFrame still reads v0's file list
+    assert pinned.count() == 10
+    assert read_versioned(spark, path).count() == 50
+
+
+def test_version_conflict_and_retry(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import _read_manifest
+
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 5), path, "append")
+    # simulate a racing writer that already took v1 (carrying v0 forward,
+    # as a correct full-list append manifest must)
+    v0_files = _read_manifest(path, 0)["files"]
+    _commit(path, 1, v0_files, "append")
+    with pytest.raises(VersionConflict):
+        _commit(path, 1, v0_files, "append")
+    # write_versioned retries past the conflict and lands on v2, built on
+    # the RACING writer's snapshot — the lost-update hazard is gone
+    v = write_versioned(_df(spark, 5, 8), path, "append")
+    assert v == 2
+    assert read_versioned(spark, path).count() == 8
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    """Crash contract: parquet bytes without a manifest never surface."""
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 7), path, "append")
+    # a crashed writer left staged data but no commit
+    _df(spark, 1000, 2000).write.parquet(os.path.join(path, "data", "crashed"))
+    assert read_versioned(spark, path).count() == 7
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    write_versioned(_df(spark, 100, 103), path, "overwrite")
+    write_versioned(_df(spark, 103, 105), path, "append")
+    deleted = vacuum(path, keep_latest=2)
+    # v0's files are referenced by no retained manifest → gone
+    assert deleted, "expected v0 data files to be deleted"
+    assert latest_version(path) == 2
+    # retained versions still read whole
+    assert read_versioned(spark, path, 1).count() == 3
+    assert read_versioned(spark, path, 2).count() == 5
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, path, 0)
+
+
+def test_manifest_is_valid_json_with_full_file_list(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 4), path, "append")
+    write_versioned(_df(spark, 4, 8), path, "append")
+    with open(os.path.join(path, "_log", "v00000001.json")) as f:
+        m = json.load(f)
+    assert m["parent"] == 0 and m["operation"] == "append"
+    assert all(f.endswith(".parquet") for f in m["files"])
+    # full-list manifests: v1 includes v0's files
+    with open(os.path.join(path, "_log", "v00000000.json")) as f:
+        m0 = json.load(f)
+    assert set(m0["files"]) <= set(m["files"])
