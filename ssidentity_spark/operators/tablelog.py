@@ -73,13 +73,20 @@ class VersionConflict(Exception):
     retry (optimistic concurrency's contract)."""
 
 
-def _commit(path: str, version: int, files: list[str], operation: str) -> None:
+def _commit(
+    path: str,
+    version: int,
+    files: list[str],
+    operation: str,
+    meta: dict | None = None,
+) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
     manifest = {
         "version": version,
         "operation": operation,
         "files": sorted(files),
         "parent": version - 1 if version > 0 else None,
+        **(meta or {}),
     }
     try:
         # atomic create-exclusive IS the transaction: exactly one writer
@@ -93,7 +100,11 @@ def _commit(path: str, version: int, files: list[str], operation: str) -> None:
 
 
 def write_versioned(
-    df: DataFrame, path: str, mode: str = "append", max_retries: int = 5
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    max_retries: int = 5,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot; returns the committed version.
 
@@ -121,7 +132,7 @@ def write_versioned(
         else:
             files = list(new_files)
         try:
-            _commit(path, version, files, mode)
+            _commit(path, version, files, mode, meta=meta)
             return version
         except VersionConflict:
             continue
@@ -172,3 +183,47 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
                     deleted.append(f)
         os.remove(_manifest_path(path, v))
     return sorted(set(deleted))
+
+
+def committed_batch_ids(path: str) -> set[int]:
+    """Stream batch ids already durable in the log (see
+    ``versioned_stream_sink``)."""
+    out = set()
+    for v in _versions(path):
+        b = _read_manifest(path, v).get("batch_id")
+        if b is not None:
+            out.add(int(b))
+    return out
+
+
+def versioned_stream_sink(stream_df: DataFrame, path: str, checkpoint: str):
+    """Structured-Streaming sink into the versioned table, exactly-once.
+
+    foreachBatch's replay contract: after a crash between the data write
+    and Spark's own commit record, the SAME batch_id re-runs. Each
+    manifest records its batch_id, so the replayed batch finds itself
+    already durable and no-ops — the transaction log itself is the
+    idempotence ledger (the same design Delta's streaming writer uses:
+    txn version per stream batch). Every micro-batch lands as one atomic
+    append version; a reader pinning any version sees a consistent
+    prefix of the stream."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        sink_batch(batch, batch_id, path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sink_batch(batch: DataFrame, batch_id: int, path: str) -> int | None:
+    """One stream micro-batch → one append version, idempotent on
+    batch_id. Returns the committed version, or None for a replay."""
+    if int(batch_id) in committed_batch_ids(path):
+        return None  # replayed batch — already committed, exactly-once
+    return write_versioned(
+        batch, path, "append", meta={"batch_id": int(batch_id)}
+    )

@@ -146,3 +146,41 @@ def test_copy_on_write_merge_composition(spark, tmp_path):
     assert got == {1: ("a", 10.0), 2: ("b", 25.0), 4: ("new", 40.0)}
     # time travel: the pre-merge dimension is still exactly reproducible
     assert read_versioned(spark, path, 0).count() == 3
+
+
+def test_streaming_sink_exactly_once_across_replay(spark, tmp_path):
+    """Micro-batches land as atomic append versions; a replayed batch_id
+    (the crash-between-write-and-commit case foreachBatch re-runs)
+    no-ops because the manifest ledger already carries it."""
+    from ssidentity_spark.operators.tablelog import (
+        committed_batch_ids,
+        versioned_stream_sink,
+    )
+
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    schema = "k long"
+
+    for lo, hi in [(0, 10), (10, 25)]:
+        _df(spark, lo, hi).coalesce(1).write.mode("append").parquet(src)
+        q = versioned_stream_sink(
+            spark.readStream.schema(schema).parquet(src), path, ck
+        )
+        q.awaitTermination(180)
+
+    assert read_versioned(spark, path).count() == 25
+    n_versions = len(history(path))
+    batch_ids = committed_batch_ids(path)
+    assert batch_ids  # manifests carry their batch ids
+
+    # replay an already-committed batch through the PRODUCTION sink path
+    from ssidentity_spark.operators.tablelog import sink_batch
+
+    assert sink_batch(_df(spark, 0, 10), min(batch_ids), path) is None
+    assert len(history(path)) == n_versions
+    assert read_versioned(spark, path).count() == 25
+    # a genuinely new batch id commits
+    new_v = sink_batch(_df(spark, 25, 30), max(batch_ids) + 1, path)
+    assert new_v == n_versions
+    assert read_versioned(spark, path).count() == 30
