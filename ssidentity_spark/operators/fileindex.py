@@ -1,0 +1,121 @@
+"""File-level Bloom index: point-lookup data skipping for parquet tables.
+
+Z-order (functions/zorder.py) prunes row groups for BOX predicates via
+min/max stats; the complementary gap is the POINT lookup — "show me
+everything MAC X ever did" (the reference's core interactive query,
+README.md:15-19) — where min/max stats on a high-cardinality key are
+useless unless the file happens to be sorted by exactly that key. The
+lakehouse answer (parquet's own optional bloom filters, Hudi's bloom
+index) is a tiny per-file Bloom bitmap of the key values: a reader
+consults kilobytes of index to skip terabytes of files, with zero false
+negatives by construction.
+
+Same deterministic md5-slice hash family as operators/bloom.py, computed
+JVM-side at index-build time and replayed in plain Python at lookup time
+(the two are pinned equal by test). The index is a JSON sidecar under
+``_index/`` — per file, ``m_bits/64`` long words; driver traffic is
+index-sized, never data-sized.
+
+THE measured lesson (tests + SCALE.md): index selectivity is a property
+of LAYOUT, not of the index — on randomly-ordered data every file
+contains nearly every key and nothing skips; after clustering
+(repartitionByRange on the key — or a z-order write for multi-dim) the
+same index skips all but one file. Write-path clustering and read-path
+indexing are two halves of one design.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssidentity_spark.operators.bloom import bloom_positions
+
+INDEX_M_BITS = 1 << 13  # 8 Kib / file — holds ~1k keys at ~3% fp
+INDEX_K = 4
+_INDEX_FILE = os.path.join("_index", "bloom.json")
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    m_bits: int = INDEX_M_BITS,
+    k: int = INDEX_K,
+) -> dict[str, list[int]]:
+    """Scan the table once, computing each data file's key bitmap
+    (positions JVM-side via the shared hash family; OR-folding on the
+    driver over index-sized traffic), and write the sidecar."""
+    df = spark.read.parquet(path)
+    rows = (
+        df.select(
+            F.input_file_name().alias("f"),
+            F.explode(F.array(*bloom_positions(F.col(key), m_bits, k))).alias(
+                "pos"
+            ),
+        )
+        .groupBy("f")
+        .agg(F.collect_set("pos").alias("positions"))
+        .collect()
+    )
+    index: dict[str, list[int]] = {}
+    for r in rows:
+        words = [0] * (m_bits // 64)
+        for pos in r["positions"]:
+            words[pos // 64] |= 1 << (pos % 64)
+        rel = os.path.relpath(r["f"].removeprefix("file://"), path)
+        index[rel] = words
+    sidecar = os.path.join(path, _INDEX_FILE)
+    os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+    with open(sidecar + ".tmp", "w") as f:
+        json.dump({"key": key, "m_bits": m_bits, "k": k, "files": index}, f)
+    os.replace(sidecar + ".tmp", sidecar)  # crash-safe swap
+    return index
+
+
+def _py_positions(value, m_bits: int, k: int) -> list[int]:
+    """Python replica of bloom_positions — pinned equal by test."""
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{s}#{j}".encode()).hexdigest()[:15], 16) % m_bits
+        for j in range(1, k + 1)
+    ]
+
+
+def point_lookup_files(path: str, value) -> list[str]:
+    """Files that MIGHT contain ``value`` (no false negatives)."""
+    with open(os.path.join(path, _INDEX_FILE)) as f:
+        idx = json.load(f)
+    m_bits, k = idx["m_bits"], idx["k"]
+    out = []
+    for rel, words in idx["files"].items():
+        ok = True
+        for pos in _py_positions(value, m_bits, k):
+            if not (words[pos // 64] >> (pos % 64)) & 1:
+                ok = False
+                break
+        if ok:
+            out.append(rel)
+    return sorted(out)
+
+
+def point_lookup(
+    spark: SparkSession, path: str, key: str, value
+) -> tuple[DataFrame, int, int]:
+    """→ (rows for key=value, files read, files total). Result is
+    IDENTICAL to a full-scan filter — the index only skips files that
+    provably cannot match; the residual filter removes bloom FPs."""
+    with open(os.path.join(path, _INDEX_FILE)) as f:
+        n_total = len(json.load(f)["files"])
+    files = point_lookup_files(path, value)
+    if not files:
+        df = spark.read.parquet(path).where(F.col(key) == F.lit(value)).limit(0)
+        return df, 0, n_total
+    df = spark.read.parquet(
+        *[os.path.join(path, rel) for rel in files]
+    ).where(F.col(key) == F.lit(value))
+    return df, len(files), n_total
