@@ -1187,3 +1187,112 @@ def a13_analyze_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# W6 (r6) — ordered-funnel progression (windowFunnel): how far did each
+# user get through signup → view → purchase, with every later step inside
+# W of the FIRST step? Another order-recursive per-key statistic (like
+# ts_ema): the fold runs over the sorted event array with identical IEEE/
+# integer ops in both engines. State is encoded in the ELEMENT's struct
+# shape (t ↦ chain start, s ↦ level) because DuckDB's list_reduce seeds
+# from the first element — a prepended zero struct is the init on both
+# sides. Greedy-first-chain semantics (the first signup anchors the
+# funnel), a documented simplification of ClickHouse's multi-candidate
+# windowFunnel.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_W_US = 3_600_000_000  # 60 min
+
+
+@register(
+    "w6_funnel_progression",
+    oracle=f"""
+    WITH fe AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id AS eid,
+             CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+                             WHEN 'purchase' THEN 3 END AS s
+      FROM events
+      WHERE event_type IN ('signup', 'view', 'purchase')
+    ), folded AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend(
+                 struct_pack(t := CAST(0 AS BIGINT),
+                             eid := CAST(0 AS BIGINT), s := 0),
+                 list_sort(list(struct_pack(t := t, eid := eid, s := s)))
+               ),
+               (acc, e) -> CASE
+                 WHEN acc.s = 0 AND e.s = 1
+                   THEN struct_pack(t := e.t, eid := CAST(0 AS BIGINT), s := 1)
+                 WHEN e.s = acc.s + 1 AND e.t <= acc.t + {_FUNNEL_W_US}
+                   THEN struct_pack(t := acc.t, eid := CAST(0 AS BIGINT),
+                                    s := acc.s + 1)
+                 ELSE acc END
+             ) AS st
+      FROM fe GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(st.s AS INTEGER) AS funnel_level,
+           CAST(st.t AS BIGINT) AS funnel_start_us
+    FROM folded
+    """,
+    survey="W4,J4,W2",
+)
+def w6_funnel_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel level (0-3) under greedy-first-chain semantics:
+    the first signup anchors the chain; each next step must land within
+    60 min of that anchor. One keyed shuffle; the fold is per-key-local
+    array work — the same shape that lets ts_ema stay bit-deterministic
+    cross-engine."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "view", "purchase")
+    )
+    step = (
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "view", 2)
+        .otherwise(3)
+    )
+    fe = ev.select(
+        "user_id",
+        F.struct(
+            epoch_us("ts").alias("t"),
+            F.col("event_id").alias("eid"),
+            step.alias("s"),
+        ).alias("e"),
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("t"),
+        F.lit(0).cast("long").alias("eid"),
+        F.lit(0).cast("int").alias("s"),
+    )
+
+    def merge(acc, e):
+        start = F.struct(
+            e["t"].alias("t"), F.lit(0).cast("long").alias("eid"),
+            F.lit(1).cast("int").alias("s"),
+        )
+        advance = F.struct(
+            acc["t"].alias("t"), F.lit(0).cast("long").alias("eid"),
+            (acc["s"] + 1).cast("int").alias("s"),
+        )
+        return (
+            F.when((acc["s"] == 0) & (e["s"] == 1), start)
+            .when(
+                (e["s"] == acc["s"] + 1)
+                & (e["t"] <= acc["t"] + F.lit(_FUNNEL_W_US)),
+                advance,
+            )
+            .otherwise(acc)
+        )
+
+    folded = fe.groupBy("user_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("e")), zero, merge
+        ).alias("st")
+    )
+    return folded.select(
+        "user_id",
+        F.col("st.s").cast("int").alias("funnel_level"),
+        F.col("st.t").cast("long").alias("funnel_start_us"),
+    )

@@ -355,3 +355,46 @@ def test_ema_fold_matches_python_reference(spark):
     for v in vals[1:]:
         acc = acc * 0.9 + v * 0.1
     assert got == acc  # same fold order, same IEEE ops → bit-equal
+
+
+# --- windowFunnel (plans/analytics.py:w6_funnel_progression) --------------
+
+
+def test_funnel_levels_known_sequences(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    from ssidentity_spark.plans.analytics import w6_funnel_progression
+
+    base = dt.datetime(2026, 5, 1, 12, 0, 0)
+
+    def ev(uid, minute, eid, etype):
+        return (eid, base + dt.timedelta(minutes=minute), uid, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: full chain inside the hour → level 3
+        ev(1, 0, 1, "signup"), ev(1, 10, 2, "view"), ev(1, 20, 3, "purchase"),
+        # user 2: purchase BEFORE view → chain stalls at 1... then view at
+        # 30 → level 2; the early purchase must not count
+        ev(2, 0, 10, "signup"), ev(2, 5, 11, "purchase"), ev(2, 30, 12, "view"),
+        # user 3: view arrives 90 min after the anchoring signup → expired
+        ev(3, 0, 20, "signup"), ev(3, 90, 21, "view"),
+        # user 4: no signup at all → level 0
+        ev(4, 0, 30, "view"), ev(4, 1, 31, "purchase"),
+        # user 5: FIRST signup anchors; the second (later) signup must not
+        # re-anchor, so the view at 70 min is expired → level 1
+        ev(5, 0, 40, "signup"), ev(5, 65, 41, "signup"), ev(5, 70, 42, "view"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in w6_funnel_progression(spark, sf_dir).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
