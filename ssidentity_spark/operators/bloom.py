@@ -35,6 +35,7 @@ centroid collect (operators/ivf.py).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,12 +76,6 @@ def build_bloom(
     """
     if m_bits % 64 or m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two and a multiple of 64")
-    if m_bits > MAX_LITERAL_BITS:
-        raise ValueError(
-            f"m_bits={m_bits} exceeds MAX_LITERAL_BITS={MAX_LITERAL_BITS}; "
-            "a literal-array bitmap this large belongs in a broadcast join, "
-            "not a Catalyst expression"
-        )
     pos_rows = (
         dim.select(
             F.explode(F.array(*bloom_positions(F.col(key), m_bits, k))).alias("pos")
@@ -99,7 +94,15 @@ def might_contain(
     words: list[int], key: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
 ) -> Column:
     """Membership test as a pure JVM Column expression (codegen-friendly):
-    all k bits set ⇒ maybe-member; any bit clear ⇒ definitely absent."""
+    all k bits set ⇒ maybe-member; any bit clear ⇒ definitely absent.
+    Refuses bitmaps past MAX_LITERAL_BITS — use
+    ``might_contain_broadcast`` there (the expression-tree cost of the
+    literal array is the constraint, not the bitmap itself)."""
+    if m_bits > MAX_LITERAL_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds MAX_LITERAL_BITS={MAX_LITERAL_BITS}; "
+            "use might_contain_broadcast for large bitmaps"
+        )
     bitmap = F.array(*[F.lit(w) for w in words])
     checks = []
     for pos in bloom_positions(key, m_bits, k):
@@ -131,3 +134,47 @@ def bloom_pruned_join(
     words = build_bloom(dim, dim_key, m_bits, k)
     pruned = fact.where(might_contain(words, F.col(fact_key), m_bits, k))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")
+
+
+def might_contain_broadcast(
+    spark,
+    words: list[int],
+    key: Column,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> Column:
+    """The large-bitmap form: the words ship ONCE per executor as a Spark
+    broadcast (a 128 MiB bitmap at m=2^30 broadcasts in seconds), and the
+    membership test runs as a vectorized Arrow pandas_udf over numpy —
+    the documented upgrade path past MAX_LITERAL_BITS. Semantics are
+    identical to ``might_contain`` (pinned by test); the trade is the
+    Python-worker hop, which the bitmap size, not the row count, decides
+    — at 10^5+ distinct dim keys the literal expression tree is the
+    bigger cost."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    arr = np.array([w & 0xFFFFFFFFFFFFFFFF for w in words], dtype=np.uint64)
+    bc = spark.sparkContext.broadcast(arr)
+
+    @pandas_udf("boolean")
+    def _member(keys: pd.Series) -> pd.Series:
+        import hashlib
+
+        bitmap = bc.value
+        out = []
+        for v in keys:
+            ok = True
+            s = str(v)
+            for j in range(1, k + 1):
+                pos = (
+                    int(hashlib.md5(f"{s}#{j}".encode()).hexdigest()[:15], 16)
+                    % m_bits
+                )
+                if not (int(bitmap[pos // 64]) >> (pos % 64)) & 1:
+                    ok = False
+                    break
+            out.append(ok)
+        return pd.Series(out)
+
+    return _member(key.cast("string"))

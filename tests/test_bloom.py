@@ -91,5 +91,35 @@ def test_build_rejects_bad_geometry(spark, dim_fact):
     dim, _ = dim_fact
     with pytest.raises(ValueError):
         build_bloom(dim, "key", m_bits=1000)  # not a power of two
+    # large bitmaps BUILD fine; only the literal-expression path refuses
     with pytest.raises(ValueError):
-        build_bloom(dim, "key", m_bits=1 << 22)  # beyond literal-plan cap
+        might_contain([0] * ((1 << 22) // 64), F.col("key"), m_bits=1 << 22)
+
+
+def test_broadcast_membership_matches_literal(spark, dim_fact):
+    from ssidentity_spark.operators.bloom import might_contain_broadcast
+
+    dim, fact = dim_fact
+    words = build_bloom(dim, "key")
+    a = fact.where(might_contain(words, F.col("fkey"))).select("fkey")
+    b = fact.where(
+        might_contain_broadcast(spark, words, F.col("fkey"))
+    ).select("fkey")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_large_bitmap_goes_broadcast(spark, dim_fact):
+    from ssidentity_spark.operators.bloom import (
+        MAX_LITERAL_BITS,
+        might_contain_broadcast,
+    )
+
+    dim, _ = dim_fact
+    big_m = MAX_LITERAL_BITS * 4  # 2^22 bits — beyond the literal cap
+    words = build_bloom(dim, "key", m_bits=big_m)
+    with pytest.raises(ValueError):
+        might_contain(words, F.col("key"), m_bits=big_m)
+    n_neg = dim.where(
+        ~might_contain_broadcast(spark, words, F.col("key"), m_bits=big_m)
+    ).count()
+    assert n_neg == 0  # no false negatives through the broadcast path
