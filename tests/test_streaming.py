@@ -1012,3 +1012,74 @@ def test_streaming_ema_matches_batch_fold(spark, tmp_path):
             acc = acc * 0.9 + v * 0.1
         expect[uid] = (acc, len(vals))
     assert final == expect
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """O(1)-state streaming funnel ≡ the batch fold (w6) for in-order
+    delivery, including the semantics corners: out-of-order steps don't
+    count, expired anchors stall, later signups don't re-anchor."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ssidentity_spark.plans.analytics import w6_funnel_progression
+    from ssidentity_spark.streaming.funnel import funnel_stream
+
+    base = dt.datetime(2026, 5, 1, 12, 0, 0)
+
+    def ev(uid, minute, eid, etype):
+        return (eid, base + dt.timedelta(minutes=minute), uid, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1, "signup"), ev(1, 10, 2, "view"), ev(1, 20, 3, "purchase"),
+        ev(2, 0, 10, "signup"), ev(2, 5, 11, "purchase"), ev(2, 30, 12, "view"),
+        ev(3, 0, 20, "signup"), ev(3, 90, 21, "view"),
+        ev(4, 0, 30, "view"), ev(4, 1, 31, "purchase"),
+        ev(5, 0, 40, "signup"), ev(5, 65, 41, "signup"), ev(5, 70, 42, "view"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # batch ground truth
+    pdf = pd.DataFrame(rows, columns=cols)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    want = {
+        r["user_id"]: (r["funnel_level"], r["funnel_start_us"])
+        for r in w6_funnel_progression(spark, str(tmp_path)).collect()
+    }
+
+    # stream the same rows in two in-order chunks
+    rows.sort(key=lambda r: (r[1], r[0]))
+    src = str(tmp_path / "fsrc")
+    out = str(tmp_path / "fout")
+    ck = str(tmp_path / "fck")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    for chunk in (rows[:6], rows[6:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            funnel_stream(spark.readStream.schema(schema).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("funnel_level").desc())
+    got = {
+        r["user_id"]: (r["funnel_level"], r["funnel_start_us"])
+        for r in spark.read.parquet(out)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert got == want
