@@ -46,11 +46,19 @@ def build_bloom_index(
     key: str,
     m_bits: int = INDEX_M_BITS,
     k: int = INDEX_K,
+    files: list[str] | None = None,
 ) -> dict[str, list[int]]:
     """Scan the table once, computing each data file's key bitmap
     (positions JVM-side via the shared hash family; OR-folding on the
-    driver over index-sized traffic), and write the sidecar."""
-    df = spark.read.parquet(path)
+    driver over index-sized traffic), and write the sidecar.
+
+    ``files`` restricts the scan to an explicit (path-relative) file
+    list — how a VERSIONED table indexes exactly its manifest's files,
+    never orphaned staging data (see operators/managed.py)."""
+    if files is not None:
+        df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    else:
+        df = spark.read.parquet(path)
     rows = (
         df.select(
             F.input_file_name().alias("f"),

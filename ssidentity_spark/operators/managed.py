@@ -1,0 +1,104 @@
+"""Managed tables: the storage pieces composed into one write/read path.
+
+The reference's entire storage story is "INSERT each packet into SQLite,
+query it later by MAC" (ssidentity.c:102-113, README.md:15-19). At
+100 TB that splits into write-path decisions this repo built separately
+— CLUSTER so stats and indexes can skip (zorder.py / repartitionByRange),
+COMMIT atomically with time travel (tablelog.py), INDEX for point
+lookups (fileindex.py) — and this module is the composition: one call
+writes a clustered, versioned, bloom-indexed snapshot; one call answers
+"everything key X ever did" touching only the files that can matter,
+against any pinned version.
+
+The per-version index sidecar lives at ``_index/bloom-v{N}.json`` and is
+built from exactly the manifest's file list (never orphaned staging
+data). Lookups intersect {manifest files} ∩ {bloom-passing files} — both
+index- and manifest-sized driver traffic, data-sized work only for the
+surviving files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssidentity_spark.operators.fileindex import (
+    INDEX_K,
+    INDEX_M_BITS,
+    _py_positions,
+    build_bloom_index,
+)
+from ssidentity_spark.operators.tablelog import (
+    _read_manifest,
+    latest_version,
+    write_versioned,
+)
+
+
+def _index_path(path: str, version: int) -> str:
+    return os.path.join(path, "_index", f"bloom-v{version:08d}.json")
+
+
+def write_managed(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    cluster_key: str,
+    mode: str = "append",
+    n_files: int = 16,
+    m_bits: int = INDEX_M_BITS,
+) -> int:
+    """Cluster → commit → index, returning the committed version."""
+    clustered = df.repartitionByRange(n_files, cluster_key).sortWithinPartitions(
+        cluster_key
+    )
+    version = write_versioned(clustered, path, mode)
+    files = _read_manifest(path, version)["files"]
+    index = build_bloom_index(
+        spark, path, cluster_key, m_bits=m_bits, files=files
+    )
+    # re-point the sidecar at the per-version location (the generic
+    # builder wrote _index/bloom.json; keep both valid JSON, version wins)
+    with open(_index_path(path, version), "w") as f:
+        json.dump(
+            {"key": cluster_key, "m_bits": m_bits, "k": INDEX_K, "files": index},
+            f,
+        )
+    return version
+
+
+def managed_point_lookup(
+    spark: SparkSession,
+    path: str,
+    value,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """→ (rows with key = value in the pinned snapshot, files read,
+    files in snapshot). Identical to filtering a full snapshot read —
+    the index only removes files that provably cannot match."""
+    v = latest_version(path) if version is None else version
+    manifest_files = set(_read_manifest(path, v)["files"])
+    with open(_index_path(path, v)) as f:
+        idx = json.load(f)
+    key, m_bits, k = idx["key"], idx["m_bits"], idx["k"]
+    positions = _py_positions(value, m_bits, k)
+    survivors = []
+    for rel, words in idx["files"].items():
+        if rel not in manifest_files:
+            continue
+        if all((words[p // 64] >> (p % 64)) & 1 for p in positions):
+            survivors.append(rel)
+    if not survivors:
+        empty = (
+            spark.read.parquet(*[os.path.join(path, f) for f in manifest_files])
+            .where(F.col(key) == F.lit(value))
+            .limit(0)
+        )
+        return empty, 0, len(manifest_files)
+    df = spark.read.parquet(
+        *[os.path.join(path, f) for f in sorted(survivors)]
+    ).where(F.col(key) == F.lit(value))
+    return df, len(survivors), len(manifest_files)

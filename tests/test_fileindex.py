@@ -80,3 +80,46 @@ def test_clustering_is_what_makes_the_index_selective(spark, tmp_path, table):
     n_clust = len(point_lookup_files(p_clust, 123))
     assert n_rand >= 14  # random: essentially no skipping
     assert n_clust <= 2  # clustered: all but ~one file skipped
+
+
+# --- managed tables (operators/managed.py) --------------------------------
+
+
+def test_managed_write_lookup_and_time_travel(spark, tmp_path):
+    """The composition contract: clustered + versioned + indexed writes;
+    point lookups touch ~1 file and equal a full-snapshot filter; old
+    versions stay queryable with their own index."""
+    from ssidentity_spark.operators.managed import (
+        managed_point_lookup,
+        write_managed,
+    )
+    from ssidentity_spark.operators.tablelog import read_versioned
+
+    path = str(tmp_path / "obs")
+    # observation-shaped: mac-keyed event rows
+    def obs(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 200).alias("mac_key"),
+            (F.col("id")).alias("seq"),
+            (F.col("id") % 7).cast("double").alias("rssi"),
+        )
+
+    v0 = write_managed(spark, obs(0, 20_000), path, "mac_key")
+    v1 = write_managed(spark, obs(20_000, 50_000), path, "mac_key")
+    assert (v0, v1) == (0, 1)
+
+    for mac in (0, 123, 199):
+        got, n_read, n_total = managed_point_lookup(spark, path, mac)
+        want = read_versioned(spark, path).where(F.col("mac_key") == mac)
+        assert got.count() == want.count() > 0
+        assert (
+            got.agg(F.sum("seq")).collect() == want.agg(F.sum("seq")).collect()
+        )
+        # clustered layout: the lookup touches a small fraction of files
+        assert n_read <= 4 and n_total >= 16
+
+    # time travel: v0's index answers against v0's snapshot only
+    got0, n_read0, n_total0 = managed_point_lookup(spark, path, 123, version=0)
+    want0 = read_versioned(spark, path, 0).where(F.col("mac_key") == 123)
+    assert got0.count() == want0.count() == 100
+    assert n_total0 == 16 and n_read0 <= 2
