@@ -473,3 +473,50 @@ def src_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_tip", F.lit(False)).alias("in_tip"),
         )
     )
+
+
+@register(
+    "src_managed_lookup",
+    # The full storage composition under the gate: clustered write →
+    # atomic versioned commit → per-version bloom index → point lookups
+    # answered from index-surviving files only. The oracle filters the
+    # untouched parquet, so a wrong cluster boundary, a manifest that
+    # lost a file, or an index false NEGATIVE all break the hash.
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id IN (3, 77, 142)
+    GROUP BY user_id
+    """,
+    survey="S2,S4,O2",
+)
+def src_managed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → managed table (cluster by user_id + versioned commit +
+    bloom index), then three point lookups answered through the index;
+    the reference's 'everything MAC X ever did' query shape
+    (README.md:15-19) against the composed storage path."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.managed import (
+        managed_point_lookup,
+        write_managed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"managed_events_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_managed(spark, ev, path, "user_id")
+
+    parts = []
+    for uid in (3, 77, 142):
+        df, _read, _total = managed_point_lookup(spark, path, uid)
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
