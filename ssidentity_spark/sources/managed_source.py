@@ -1,0 +1,193 @@
+"""``spark.read.format("managed_table")`` — the versioned/indexed table
+(operators/tablelog.py + fileindex.py) as a first-class Spark data source
+via the Spark 4 Python Data Source API (pyspark.sql.datasource).
+
+What the integration buys over the helper functions:
+
+- the table participates in ordinary query planning — users write
+  ``spark.read.format("managed_table").option("version", 3).load(path)``
+  and compose filters/projections like any source;
+- **filter pushdown** (`pushFilters`, Spark 4.1): an ``EqualTo`` on the
+  table's index key is consumed for FILE PRUNING against the per-version
+  bloom index before partitions are planned — the scan never opens files
+  that provably cannot match. The filter is also returned to Spark as
+  partially-pushed (the API's contract for approximate pruning) so the
+  engine re-applies it exactly — bloom false positives cost I/O, never
+  correctness;
+- one :class:`InputPartition` per surviving data file → Spark schedules
+  file-parallel reads; each task streams Arrow record batches
+  (``read()`` yielding pyarrow batches is the zero-copy path).
+
+Version semantics: an explicit ``.option("version", N)`` is a pinned
+snapshot — stable across later commits, the reproducibility contract.
+An unpinned read resolves the tip manifest PER ACTION (the Python data
+source constructs its reader at execution time), i.e. the familiar
+read-a-directory behaviour; use the version option (or
+``tablelog.read_versioned``, which resolves at call time) when isolation
+across actions matters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ssidentity_spark.operators.fileindex import _py_positions
+from ssidentity_spark.operators.tablelog import (
+    _read_manifest,
+    latest_version,
+)
+
+FORMAT_NAME = "managed_table"
+
+
+def _index_sidecar(path: str, version: int) -> str:
+    return os.path.join(path, "_index", f"bloom-v{version:08d}.json")
+
+
+class ManagedTableDataSource(DataSource):
+    """Entry point: resolves the pinned version and infers the schema
+    from the snapshot's own parquet footers (no user schema needed)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _resolve(self) -> tuple[str, int]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("managed_table requires .load(path)")
+        v = self.options.get("version")
+        version = latest_version(path) if v is None else int(v)
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        return path, version
+
+    def schema(self) -> StructType:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import (
+            BinaryType,
+            BooleanType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        path, version = self._resolve()
+        files = _read_manifest(path, version)["files"]
+        if not files:
+            raise FileNotFoundError(f"version {version} at {path} is empty")
+        arrow = pq.read_schema(os.path.join(path, files[0]))
+
+        # direct arrow→spark map (no session needed — schema() runs off
+        # the driver's SQL context in the Python data source worker)
+        def conv(t: pa.DataType):
+            if pa.types.is_int64(t):
+                return LongType()
+            if pa.types.is_int32(t):
+                return IntegerType()
+            if pa.types.is_float64(t):
+                return DoubleType()
+            if pa.types.is_float32(t):
+                return FloatType()
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return StringType()
+            if pa.types.is_boolean(t):
+                return BooleanType()
+            if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                return BinaryType()
+            if pa.types.is_timestamp(t):
+                return TimestampType() if t.tz else TimestampNTZType()
+            raise TypeError(f"managed_table: unmapped arrow type {t}")
+
+        return StructType(
+            [StructField(f.name, conv(f.type), True) for f in arrow]
+        )
+
+    def reader(self, schema: StructType) -> "ManagedTableReader":
+        path, version = self._resolve()
+        return ManagedTableReader(path, version, schema)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, rel_file: str):
+        self.rel_file = rel_file
+
+
+class ManagedTableReader(DataSourceReader):
+    def __init__(self, path: str, version: int, schema: StructType):
+        self.path = path
+        self.version = version
+        self.schema_names = [f.name for f in schema.fields]
+        self.files = list(_read_manifest(path, version)["files"])
+        self.index = None
+        sidecar = _index_sidecar(path, version)
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                self.index = json.load(f)
+        self.pruned_value = None  # set by pushFilters
+
+    def pushFilters(self, filters: list[Filter]):
+        for flt in filters:
+            if (
+                self.index is not None
+                and isinstance(flt, EqualTo)
+                and len(flt.attribute) == 1
+                and flt.attribute[0] == self.index["key"]
+                and self.pruned_value is None
+            ):
+                self.pruned_value = flt.value
+            # every filter goes back to Spark: bloom pruning is
+            # approximate (fp possible), so the engine must re-apply —
+            # the "partially pushed" contract
+            yield flt
+
+    def partitions(self):
+        files = self.files
+        if self.pruned_value is not None and self.index is not None:
+            m_bits, k = self.index["m_bits"], self.index["k"]
+            pos = _py_positions(self.pruned_value, m_bits, k)
+            manifest = set(files)
+            files = [
+                rel
+                for rel, words in self.index["files"].items()
+                if rel in manifest
+                and all((words[p // 64] >> (p % 64)) & 1 for p in pos)
+            ]
+        if not files:
+            # bloom pruned everything — one empty partition (Spark calls
+            # read(None) when partitions() is empty, so keep one marker)
+            return [_FilePartition(None)]
+        return [_FilePartition(rel) for rel in sorted(files)]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        if partition is None or partition.rel_file is None:
+            return
+        table = pq.read_table(
+            os.path.join(self.path, partition.rel_file),
+            columns=self.schema_names,
+        )
+        yield from table.to_batches()
+
+
+def register(spark) -> None:
+    # runtime-settable in Spark 4.1; required for pushFilters to be called
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ManagedTableDataSource)
