@@ -227,3 +227,30 @@ def sink_batch(batch: DataFrame, batch_id: int, path: str) -> int | None:
     return write_versioned(
         batch, path, "append", meta={"batch_id": int(batch_id)}
     )
+
+
+def commit_files(
+    path: str,
+    new_files: list[str],
+    mode: str = "append",
+    meta: dict | None = None,
+    max_retries: int = 5,
+) -> int:
+    """Commit ALREADY-STAGED (path-relative) data files as a new version —
+    the primitive under write_versioned and the data-source stream writer
+    (whose executors stage files themselves)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    for _ in range(max_retries):
+        parent = latest_version(path)
+        version = 0 if parent is None else parent + 1
+        if mode == "append" and parent is not None:
+            files = _read_manifest(path, parent)["files"] + list(new_files)
+        else:
+            files = list(new_files)
+        try:
+            _commit(path, version, files, mode, meta=meta)
+            return version
+        except VersionConflict:
+            continue
+    raise VersionConflict(f"gave up after {max_retries} retries at {path}")

@@ -35,9 +35,11 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -123,6 +125,14 @@ class ManagedTableDataSource(DataSource):
         path, version = self._resolve()
         return ManagedTableReader(path, version, schema)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("managed_table requires .start(path)")
+        if overwrite:
+            raise ValueError("managed_table stream sink is append-only")
+        return ManagedTableStreamWriter(path, schema)
+
 
 class _FilePartition(InputPartition):
     def __init__(self, rel_file: str):
@@ -191,3 +201,70 @@ def register(spark) -> None:
     # runtime-settable in Spark 4.1; required for pushFilters to be called
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ManagedTableDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write side: df.writeStream.format("managed_table").start() — each
+# micro-batch's executor tasks stage parquet parts and report them as
+# commit messages; the driver's commit() turns the batch into ONE atomic
+# append version (manifest batch_id = idempotence ledger, as in
+# tablelog.versioned_stream_sink); abort() deletes the staged parts, so
+# a failed batch leaves garbage bytes, never visible rows — Spark's sink
+# commit protocol and the transaction log reinforcing each other.
+# ---------------------------------------------------------------------------
+
+
+class _StagedFiles(WriterCommitMessage):
+    def __init__(self, rel_file):
+        self.rel_file = rel_file
+
+
+class ManagedTableStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.field_names = list(schema.fieldNames())
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _StagedFiles(None)
+        data = {c: [r[c] for r in rows] for c in self.field_names}
+        rel = os.path.join("data", "stream", f"{uuid.uuid4().hex}.parquet")
+        full = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(pa.table(data), full)
+        return _StagedFiles(rel)
+
+    def _staged(self, messages) -> list[str]:
+        return [m.rel_file for m in messages if m is not None and m.rel_file]
+
+    def commit(self, messages, batchId: int) -> None:
+        from ssidentity_spark.operators.tablelog import (
+            commit_files,
+            committed_batch_ids,
+        )
+
+        files = self._staged(messages)
+        if int(batchId) in committed_batch_ids(self.path):
+            # replayed batch: already durable — drop this attempt's stage
+            for rel in files:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except FileNotFoundError:
+                    pass
+            return
+        commit_files(
+            self.path, files, "append", meta={"batch_id": int(batchId)}
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for rel in self._staged(messages):
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except FileNotFoundError:
+                pass

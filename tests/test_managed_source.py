@@ -94,3 +94,65 @@ def test_version_pin_is_isolation_boundary(spark, table):
     )
     assert pinned.count() == 40_000  # same snapshot after the commit
     assert spark.read.format("managed_table").load(table).count() == 40_010
+
+
+def test_stream_writer_lands_atomic_versions(spark, tmp_path):
+    """df.writeStream.format('managed_table'): each micro-batch = one
+    atomic append version with its batch_id in the manifest; reads
+    through the format see the committed prefix; a replayed batch
+    (commit called again with a committed id) no-ops and cleans its
+    stage."""
+    import os
+
+    from ssidentity_spark.operators.tablelog import (
+        committed_batch_ids,
+        history,
+    )
+    from ssidentity_spark.sources.managed_source import (
+        ManagedTableStreamWriter,
+        _StagedFiles,
+    )
+
+    src = str(tmp_path / "wsrc")
+    path = str(tmp_path / "wt")
+    ck = str(tmp_path / "wck")
+    schema = "k long, v double"
+    register(spark)
+
+    total = 0
+    for lo, hi in [(0, 500), (500, 1200)]:
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 9).cast("double").alias("v")
+        ).coalesce(2).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("managed_table")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start(path)
+        )
+        q.awaitTermination(180)
+        total = hi
+        got = spark.read.format("managed_table").load(path)
+        assert got.count() == total
+    assert committed_batch_ids(path)
+    n_versions = len(history(path))
+
+    # simulate the crash-replay: commit() again with an already-committed
+    # batch id and a freshly staged file — must no-op and remove the stage
+    w = ManagedTableStreamWriter(path, spark.read.format("managed_table").load(path).schema)
+    stale_rel = os.path.join("data", "stream", "replayed.parquet")
+    os.makedirs(os.path.join(path, "data", "stream"), exist_ok=True)
+    with open(os.path.join(path, stale_rel), "wb") as f:
+        f.write(b"not-a-real-parquet")
+    w.commit([_StagedFiles(stale_rel)], min(committed_batch_ids(path)))
+    assert len(history(path)) == n_versions
+    assert not os.path.exists(os.path.join(path, stale_rel))
+    assert spark.read.format("managed_table").load(path).count() == total
+
+    # abort drops staged files
+    with open(os.path.join(path, stale_rel), "wb") as f:
+        f.write(b"junk")
+    w.abort([_StagedFiles(stale_rel)], 999)
+    assert not os.path.exists(os.path.join(path, stale_rel))
