@@ -183,7 +183,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # CORRECTNESS_r06 via tools/driver_history.py). FIRST the r6 queries that
 # never fit the 50-slot window and so have only LOCAL gate evidence:
 # text_unigram_logprob, graph_triangles, a13_analyze_profile, ts_ema,
-# src_versioned_timetravel, w6_funnel_progression, src_managed_lookup.
+# src_versioned_timetravel, w6_funnel_progression, src_managed_lookup,
+# src_datasource_scan.
 # THEN
 # staleness-ordered rotation —
 # keep the bench headliners, then the remaining r3 vintage

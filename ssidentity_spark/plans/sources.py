@@ -520,3 +520,41 @@ def src_managed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "src_datasource_scan",
+    # The Python Data Source under the gate: the table is written through
+    # the managed path and read back ONLY through
+    # spark.read.format("managed_table") — schema inference, manifest
+    # resolution, partition-per-file Arrow reads, and the worker-side
+    # type mapping all sit between the parquet bytes and this result.
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    survey="S4,S2,A1",
+)
+def src_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → managed table → full scan through the registered
+    ``managed_table`` format (Spark 4 Python Data Source API) → cohort
+    aggregate. A drift in the format's schema mapping, manifest
+    resolution, or Arrow batch path breaks the hash."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.managed import write_managed
+    from ssidentity_spark.sources.managed_source import register as register_ds
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"ds_events_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_managed(spark, ev, path, "user_id")
+    register_ds(spark)
+    t = spark.read.format("managed_table").load(path)
+    return t.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
