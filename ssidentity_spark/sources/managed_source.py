@@ -35,6 +35,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     EqualTo,
     Filter,
@@ -124,6 +125,12 @@ class ManagedTableDataSource(DataSource):
     def reader(self, schema: StructType) -> "ManagedTableReader":
         path, version = self._resolve()
         return ManagedTableReader(path, version, schema)
+
+    def streamReader(self, schema: StructType) -> "ManagedTableStreamReader":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("managed_table requires .load(path)")
+        return ManagedTableStreamReader(path, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         path = self.options.get("path")
@@ -268,3 +275,69 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
                 os.remove(os.path.join(self.path, rel))
             except FileNotFoundError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming READ side: spark.readStream.format("managed_table") — the
+# transaction log is a natural streaming source because offsets ARE
+# version numbers: an offset {"version": N} means "snapshots <= N
+# consumed", latestOffset is the tip, and the incremental read between
+# two offsets is the manifest DIFF (files each append version added).
+# One InputPartition per new file → parallel catch-up. Overwrite
+# versions break append-only semantics, so encountering one inside the
+# consumed range fails loudly (the same contract Delta's streaming
+# source enforces) instead of silently replaying rewritten data.
+# ---------------------------------------------------------------------------
+
+
+class ManagedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.schema_names = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}  # consume the full history first, then tail
+
+    def latestOffset(self) -> dict:
+        v = latest_version(self.path)
+        return {"version": -1 if v is None else v}
+
+    def _new_files(self, start_v: int, end_v: int) -> list[str]:
+        out: list[str] = []
+        prev: set[str] = (
+            set(_read_manifest(self.path, start_v)["files"])
+            if start_v >= 0
+            else set()
+        )
+        for v in range(start_v + 1, end_v + 1):
+            m = _read_manifest(self.path, v)
+            cur = set(m["files"])
+            if m.get("operation") == "overwrite" or not prev <= cur:
+                raise ValueError(
+                    f"version {v} at {self.path} is not append-only "
+                    "(overwrite/replaced files) — the streaming source "
+                    "requires an append-only history"
+                )
+            out.extend(sorted(cur - prev))
+            prev = cur
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        files = self._new_files(int(start["version"]), int(end["version"]))
+        if not files:
+            return [_FilePartition(None)]
+        return [_FilePartition(rel) for rel in files]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        if partition is None or partition.rel_file is None:
+            return
+        table = pq.read_table(
+            os.path.join(self.path, partition.rel_file),
+            columns=self.schema_names,
+        )
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint

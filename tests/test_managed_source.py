@@ -156,3 +156,107 @@ def test_stream_writer_lands_atomic_versions(spark, tmp_path):
         f.write(b"junk")
     w.abort([_StagedFiles(stale_rel)], 999)
     assert not os.path.exists(os.path.join(path, stale_rel))
+
+
+def test_stream_reader_tails_versions_exactly_once(spark, tmp_path):
+    """spark.readStream.format('managed_table'): offsets are version
+    numbers, the incremental read is the manifest diff — restarting on
+    the same checkpoint after new commits delivers ONLY the new rows."""
+    from ssidentity_spark.operators.tablelog import write_versioned
+
+    path = str(tmp_path / "rt")
+    out = str(tmp_path / "rout")
+    ck = str(tmp_path / "rck")
+    register(spark)
+
+    def commit(lo, hi):
+        write_versioned(
+            spark.range(lo, hi).select(F.col("id").alias("k")), path, "append"
+        )
+
+    seen = []
+    for lo, hi in [(0, 100), (100, 250), (250, 300)]:
+        commit(lo, hi)
+        q = (
+            spark.readStream.format("managed_table")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(out)
+        assert got.count() == hi  # cumulative, no duplicates
+        seen.append(hi)
+    assert spark.read.parquet(out).agg(F.sum("k")).collect()[0][0] == sum(
+        range(300)
+    )
+
+
+def test_stream_reader_rejects_overwrite_history(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import write_versioned
+
+    path = str(tmp_path / "ow")
+    out = str(tmp_path / "oout")
+    ck = str(tmp_path / "ock")
+    register(spark)
+    write_versioned(
+        spark.range(0, 10).select(F.col("id").alias("k")), path, "append"
+    )
+    write_versioned(
+        spark.range(0, 3).select(F.col("id").alias("k")), path, "overwrite"
+    )
+    q = (
+        spark.readStream.format("managed_table")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only"):
+        q.awaitTermination(180)
+        raise RuntimeError("query should have failed")  # pragma: no cover
+
+
+def test_table_to_table_streaming_hop(spark, tmp_path):
+    """The medallion pattern end-to-end: readStream from managed table A
+    (version-offset tailing) → transform → writeStream into managed
+    table B (atomic version per micro-batch) — both ends of the format,
+    exactly-once across sequential runs."""
+    from ssidentity_spark.operators.tablelog import write_versioned
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ck = str(tmp_path / "hck")
+    register(spark)
+
+    for lo, hi in [(0, 200), (200, 500)]:
+        write_versioned(
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            bronze,
+            "append",
+        )
+        q = (
+            spark.readStream.format("managed_table")
+            .load(bronze)
+            .where(F.col("k") % 2 == 0)  # the "transform"
+            .writeStream.format("managed_table")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start(silver)
+        )
+        q.awaitTermination(180)
+
+    got = spark.read.format("managed_table").load(silver)
+    assert got.count() == 250  # even k in [0, 500)
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(
+        2 * k for k in range(0, 500, 2)
+    )
