@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
@@ -125,6 +126,12 @@ class ManagedTableDataSource(DataSource):
     def reader(self, schema: StructType) -> "ManagedTableReader":
         path, version = self._resolve()
         return ManagedTableReader(path, version, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "ManagedTableWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("managed_table requires .save(path)")
+        return ManagedTableWriter(path, schema, overwrite)
 
     def streamReader(self, schema: StructType) -> "ManagedTableStreamReader":
         path = self.options.get("path")
@@ -341,3 +348,48 @@ class ManagedTableStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint
+
+
+# ---------------------------------------------------------------------------
+# Batch write side: df.write.format("managed_table").mode(...).save(path)
+# — same stage-then-commit shape as the stream writer, minus the batch-id
+# ledger (batch writes are not replayed by an engine protocol); mode maps
+# to the transaction log's append/overwrite commit.
+# ---------------------------------------------------------------------------
+
+
+class ManagedTableWriter(DataSourceWriter):
+    def __init__(self, path: str, schema: StructType, overwrite: bool):
+        self.path = path
+        self.field_names = list(schema.fieldNames())
+        self.mode = "overwrite" if overwrite else "append"
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _StagedFiles(None)
+        data = {c: [r[c] for r in rows] for c in self.field_names}
+        rel = os.path.join("data", "batch", f"{uuid.uuid4().hex}.parquet")
+        full = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(pa.table(data), full)
+        return _StagedFiles(rel)
+
+    def commit(self, messages) -> None:
+        from ssidentity_spark.operators.tablelog import commit_files
+
+        files = [m.rel_file for m in messages if m is not None and m.rel_file]
+        commit_files(self.path, files, self.mode)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.rel_file:
+                try:
+                    os.remove(os.path.join(self.path, m.rel_file))
+                except FileNotFoundError:
+                    pass

@@ -260,3 +260,33 @@ def test_table_to_table_streaming_hop(spark, tmp_path):
     assert got.agg(F.sum("v")).collect()[0][0] == sum(
         2 * k for k in range(0, 500, 2)
     )
+
+
+def test_batch_writer_append_and_overwrite(spark, tmp_path):
+    """df.write.format('managed_table'): mode maps to the log's
+    append/overwrite commit; every write is one atomic version and old
+    versions stay readable."""
+    from ssidentity_spark.operators.tablelog import history
+
+    path = str(tmp_path / "bw")
+    register(spark)
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    df.write.format("managed_table").mode("append").save(path)
+    spark.range(100, 130).select(F.col("id").alias("k")).write.format(
+        "managed_table"
+    ).mode("append").save(path)
+    assert spark.read.format("managed_table").load(path).count() == 130
+    spark.range(0, 7).select(F.col("id").alias("k")).write.format(
+        "managed_table"
+    ).mode("overwrite").save(path)
+    assert spark.read.format("managed_table").load(path).count() == 7
+    # time travel across the overwrite
+    assert (
+        spark.read.format("managed_table").option("version", 1).load(path).count()
+        == 130
+    )
+    assert [h["operation"] for h in history(path)] == [
+        "append",
+        "append",
+        "overwrite",
+    ]
