@@ -33,6 +33,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from urllib.parse import unquote, urlparse
+
 from ssidentity_spark.operators.bloom import bloom_positions
 
 INDEX_M_BITS = 1 << 13  # 8 Kib / file — holds ~1k keys at ~3% fp
@@ -47,6 +49,7 @@ def build_bloom_index(
     m_bits: int = INDEX_M_BITS,
     k: int = INDEX_K,
     files: list[str] | None = None,
+    write_sidecar: bool = True,
 ) -> dict[str, list[int]]:
     """Scan the table once, computing each data file's key bitmap
     (positions JVM-side via the shared hash family; OR-folding on the
@@ -59,6 +62,18 @@ def build_bloom_index(
         df = spark.read.parquet(*[os.path.join(path, f) for f in files])
     else:
         df = spark.read.parquet(path)
+    # the Python lookup side hashes str(value); Spark's cast-to-string
+    # renders doubles/booleans differently ('1.0E20' vs '1e+20'), which
+    # would turn into bloom FALSE NEGATIVES — so the index key must be a
+    # type whose renderings agree
+    kt = df.schema[key].dataType.simpleString()
+    if kt not in ("tinyint", "smallint", "int", "bigint", "string"):
+        raise TypeError(
+            f"bloom index key must be integral or string, got {kt}: "
+            "float/bool renderings differ between the JVM index build "
+            "and the Python lookup, breaking the no-false-negative "
+            "guarantee"
+        )
     rows = (
         df.select(
             F.input_file_name().alias("f"),
@@ -75,14 +90,39 @@ def build_bloom_index(
         words = [0] * (m_bits // 64)
         for pos in r["positions"]:
             words[pos // 64] |= 1 << (pos % 64)
-        rel = os.path.relpath(r["f"].removeprefix("file://"), path)
-        index[rel] = words
-    sidecar = os.path.join(path, _INDEX_FILE)
-    os.makedirs(os.path.dirname(sidecar), exist_ok=True)
-    with open(sidecar + ".tmp", "w") as f:
-        json.dump({"key": key, "m_bits": m_bits, "k": k, "files": index}, f)
-    os.replace(sidecar + ".tmp", sidecar)  # crash-safe swap
+        index[_uri_to_rel(r["f"], path)] = words
+    if write_sidecar:
+        sidecar = os.path.join(path, _INDEX_FILE)
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar + ".tmp", "w") as f:
+            json.dump(
+                {"key": key, "m_bits": m_bits, "k": k, "files": index}, f
+            )
+        os.replace(sidecar + ".tmp", sidecar)  # crash-safe swap
     return index
+
+
+def _uri_to_rel(name: str, path: str) -> str:
+    """input_file_name() returns a URI (file:///..., percent-encoded);
+    the sidecar keys must match the manifest's plain relative paths."""
+    parsed = urlparse(name)
+    local = unquote(parsed.path) if parsed.scheme else name
+    return os.path.relpath(local, os.path.abspath(path))
+
+
+def bloom_survivors(index: dict, value, restrict=None) -> list[str]:
+    """Files in ``index`` that MIGHT contain ``value`` (no false
+    negatives), optionally intersected with ``restrict`` — THE membership
+    probe, shared by point_lookup, the managed-table lookup, and the
+    managed_table data source partition pruning."""
+    m_bits, k = index["m_bits"], index["k"]
+    pos = _py_positions(value, m_bits, k)
+    return sorted(
+        rel
+        for rel, words in index["files"].items()
+        if (restrict is None or rel in restrict)
+        and all((words[p // 64] >> (p % 64)) & 1 for p in pos)
+    )
 
 
 def _py_positions(value, m_bits: int, k: int) -> list[int]:
@@ -98,17 +138,7 @@ def point_lookup_files(path: str, value) -> list[str]:
     """Files that MIGHT contain ``value`` (no false negatives)."""
     with open(os.path.join(path, _INDEX_FILE)) as f:
         idx = json.load(f)
-    m_bits, k = idx["m_bits"], idx["k"]
-    out = []
-    for rel, words in idx["files"].items():
-        ok = True
-        for pos in _py_positions(value, m_bits, k):
-            if not (words[pos // 64] >> (pos % 64)) & 1:
-                ok = False
-                break
-        if ok:
-            out.append(rel)
-    return sorted(out)
+    return bloom_survivors(idx, value)
 
 
 def point_lookup(

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ssidentity_spark.operators.fileindex import (
     INDEX_K,
     INDEX_M_BITS,
-    _py_positions,
+    bloom_survivors,
     build_bloom_index,
 )
 from ssidentity_spark.operators.tablelog import (
@@ -57,11 +57,33 @@ def write_managed(
     )
     version = write_versioned(clustered, path, mode)
     files = _read_manifest(path, version)["files"]
-    index = build_bloom_index(
-        spark, path, cluster_key, m_bits=m_bits, files=files
+    # INCREMENTAL index: the parent version's per-file bitmaps are
+    # immutable — reuse them and scan only the files this commit added,
+    # so an append costs O(delta) index I/O, not O(table)
+    parent_index: dict[str, list[int]] = {}
+    if mode == "append" and version > 0:
+        prev_sidecar = _index_path(path, version - 1)
+        if os.path.exists(prev_sidecar):
+            with open(prev_sidecar) as f:
+                prev = json.load(f)
+            if prev["key"] == cluster_key and prev["m_bits"] == m_bits:
+                parent_index = prev["files"]
+    new_files = [f for f in files if f not in parent_index]
+    new_index = (
+        build_bloom_index(
+            spark,
+            path,
+            cluster_key,
+            m_bits=m_bits,
+            files=new_files,
+            write_sidecar=False,
+        )
+        if new_files
+        else {}
     )
-    # re-point the sidecar at the per-version location (the generic
-    # builder wrote _index/bloom.json; keep both valid JSON, version wins)
+    index = {rel: parent_index[rel] for rel in files if rel in parent_index}
+    index.update(new_index)
+    os.makedirs(os.path.dirname(_index_path(path, version)), exist_ok=True)
     with open(_index_path(path, version), "w") as f:
         json.dump(
             {"key": cluster_key, "m_bits": m_bits, "k": INDEX_K, "files": index},
@@ -83,14 +105,8 @@ def managed_point_lookup(
     manifest_files = set(_read_manifest(path, v)["files"])
     with open(_index_path(path, v)) as f:
         idx = json.load(f)
-    key, m_bits, k = idx["key"], idx["m_bits"], idx["k"]
-    positions = _py_positions(value, m_bits, k)
-    survivors = []
-    for rel, words in idx["files"].items():
-        if rel not in manifest_files:
-            continue
-        if all((words[p // 64] >> (p % 64)) & 1 for p in positions):
-            survivors.append(rel)
+    key = idx["key"]
+    survivors = bloom_survivors(idx, value, restrict=manifest_files)
     if not survivors:
         empty = (
             spark.read.parquet(*[os.path.join(path, f) for f in manifest_files])

@@ -88,15 +88,24 @@ def _commit(
         "parent": version - 1 if version > 0 else None,
         **(meta or {}),
     }
+    # crash-atomic AND exclusive: the manifest is fully written to a tmp
+    # file first, then os.link() publishes it — link is atomic and fails
+    # with FileExistsError if v{N} exists, so a crash mid-write leaves
+    # only an invisible tmp (never a truncated manifest that would wedge
+    # latest_version), and exactly one racing writer can publish v{N}
+    tmp = _manifest_path(path, version) + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        # atomic create-exclusive IS the transaction: exactly one writer
-        # can create v{N}; a racing writer raises and must retry on v{N+1}
-        with open(_manifest_path(path, version), "x") as f:
-            json.dump(manifest, f, indent=1)
+        os.link(tmp, _manifest_path(path, version))
     except FileExistsError as e:
         raise VersionConflict(
             f"version {version} already committed at {path}"
         ) from e
+    finally:
+        os.unlink(tmp)
 
 
 def write_versioned(
@@ -124,19 +133,7 @@ def write_versioned(
         for n in os.listdir(stage)
         if n.endswith(".parquet")
     ]
-    for _ in range(max_retries):
-        parent = latest_version(path)
-        version = 0 if parent is None else parent + 1
-        if mode == "append" and parent is not None:
-            files = _read_manifest(path, parent)["files"] + new_files
-        else:
-            files = list(new_files)
-        try:
-            _commit(path, version, files, mode, meta=meta)
-            return version
-        except VersionConflict:
-            continue
-    raise VersionConflict(f"gave up after {max_retries} retries at {path}")
+    return commit_files(path, new_files, mode, meta=meta, max_retries=max_retries)
 
 
 def read_versioned(
@@ -186,8 +183,17 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
 
 
 def committed_batch_ids(path: str) -> set[int]:
-    """Stream batch ids already durable in the log (see
-    ``versioned_stream_sink``)."""
+    """Stream batch ids already durable in the log. The tip manifest
+    carries the cumulative ledger (``batch_ids``), so this is one JSON
+    read per call — not an O(versions) history scan, which would make
+    stream-commit cost quadratic over a query's lifetime. Falls back to
+    the full scan for logs written before the ledger existed."""
+    tip = latest_version(path)
+    if tip is None:
+        return set()
+    m = _read_manifest(path, tip)
+    if "batch_ids" in m:
+        return {int(b) for b in m["batch_ids"]}
     out = set()
     for v in _versions(path):
         b = _read_manifest(path, v).get("batch_id")
@@ -244,12 +250,21 @@ def commit_files(
     for _ in range(max_retries):
         parent = latest_version(path)
         version = 0 if parent is None else parent + 1
+        parent_m = _read_manifest(path, parent) if parent is not None else {}
         if mode == "append" and parent is not None:
-            files = _read_manifest(path, parent)["files"] + list(new_files)
+            files = parent_m["files"] + list(new_files)
         else:
             files = list(new_files)
+        # the cumulative stream-batch ledger rides every manifest so the
+        # idempotence check is one tip read; it survives overwrites (it
+        # is about stream replay, not data)
+        ledger = [int(b) for b in parent_m.get("batch_ids", [])]
+        full_meta = dict(meta or {})
+        if full_meta.get("batch_id") is not None:
+            ledger = sorted(set(ledger) | {int(full_meta["batch_id"])})
+        full_meta["batch_ids"] = ledger
         try:
-            _commit(path, version, files, mode, meta=meta)
+            _commit(path, version, files, mode, meta=full_meta)
             return version
         except VersionConflict:
             continue

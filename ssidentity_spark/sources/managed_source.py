@@ -45,7 +45,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ssidentity_spark.operators.fileindex import _py_positions
+from ssidentity_spark.operators.fileindex import bloom_survivors
 from ssidentity_spark.operators.tablelog import (
     _read_manifest,
     latest_version,
@@ -184,15 +184,9 @@ class ManagedTableReader(DataSourceReader):
     def partitions(self):
         files = self.files
         if self.pruned_value is not None and self.index is not None:
-            m_bits, k = self.index["m_bits"], self.index["k"]
-            pos = _py_positions(self.pruned_value, m_bits, k)
-            manifest = set(files)
-            files = [
-                rel
-                for rel, words in self.index["files"].items()
-                if rel in manifest
-                and all((words[p // 64] >> (p % 64)) & 1 for p in pos)
-            ]
+            files = bloom_survivors(
+                self.index, self.pruned_value, restrict=set(files)
+            )
         if not files:
             # bloom pruned everything — one empty partition (Spark calls
             # read(None) when partitions() is empty, so keep one marker)
@@ -233,10 +227,41 @@ class _StagedFiles(WriterCommitMessage):
         self.rel_file = rel_file
 
 
+def _arrow_schema(field_specs):
+    """Spark (name, simpleString) pairs → explicit pyarrow schema, so
+    staged parts carry the DECLARED types — never pa.table inference,
+    which types an all-null column as null and widens int32 to int64,
+    corrupting the table's schema contract."""
+    import pyarrow as pa
+
+    m = {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    fields = []
+    for name, simple in field_specs:
+        if simple not in m:
+            raise TypeError(f"managed_table writer: unmapped type {simple}")
+        fields.append(pa.field(name, m[simple]))
+    return pa.schema(fields)
+
+
 class ManagedTableStreamWriter(DataSourceStreamWriter):
     def __init__(self, path: str, schema: StructType):
         self.path = path
         self.field_names = list(schema.fieldNames())
+        self.field_specs = [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ]
 
     def write(self, iterator):
         import uuid
@@ -251,7 +276,7 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
         rel = os.path.join("data", "stream", f"{uuid.uuid4().hex}.parquet")
         full = os.path.join(self.path, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(pa.table(data), full)
+        pq.write_table(pa.table(data, schema=_arrow_schema(self.field_specs)), full)
         return _StagedFiles(rel)
 
     def _staged(self, messages) -> list[str]:
@@ -362,6 +387,9 @@ class ManagedTableWriter(DataSourceWriter):
     def __init__(self, path: str, schema: StructType, overwrite: bool):
         self.path = path
         self.field_names = list(schema.fieldNames())
+        self.field_specs = [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ]
         self.mode = "overwrite" if overwrite else "append"
 
     def write(self, iterator):
@@ -377,7 +405,7 @@ class ManagedTableWriter(DataSourceWriter):
         rel = os.path.join("data", "batch", f"{uuid.uuid4().hex}.parquet")
         full = os.path.join(self.path, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(pa.table(data), full)
+        pq.write_table(pa.table(data, schema=_arrow_schema(self.field_specs)), full)
         return _StagedFiles(rel)
 
     def commit(self, messages) -> None:

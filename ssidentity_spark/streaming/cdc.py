@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 CDC_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("seq_ms", LongType()),
+        StructField("seq_us", LongType()),
         StructField("seq_id", LongType()),
         StructField("last_type", StringType()),
         StructField("last_value", DoubleType()),
@@ -57,7 +57,7 @@ CDC_OUTPUT_SCHEMA = StructType(
 
 CDC_STATE_SCHEMA = StructType(
     [
-        StructField("seq_ms", LongType()),
+        StructField("seq_us", LongType()),
         StructField("seq_id", LongType()),
         StructField("op", StringType()),
         StructField("last_type", StringType()),
@@ -83,16 +83,26 @@ def _cdc_fn(
     rows = pd.concat(list(pdfs), ignore_index=True)
     if rows.empty:
         return
-    ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+    # full microsecond precision — the batch operator orders by the raw
+    # (ts, event_id), so the stream's sequence must too or same-ms events
+    # resolve differently across the two
+    ts_us = (rows["ts"].astype("int64") // 1_000).to_numpy()
     ids = rows["event_id"].to_numpy()
     # batch-local winner by (ts, event_id)
-    best_i = max(range(len(rows)), key=lambda i: (ts_ms[i], ids[i]))
-    b_seq = (int(ts_ms[best_i]), int(ids[best_i]))
+    best_i = max(range(len(rows)), key=lambda i: (ts_us[i], ids[i]))
+    b_seq = (int(ts_us[best_i]), int(ids[best_i]))
 
     if state.exists:
-        s_ms, s_id, _s_op, _s_type, _s_val = state.get
-        if (s_ms, s_id) >= b_seq:
-            return  # stale replay — state already newer; emit nothing
+        s_us, s_id, s_op, _s_type, _s_val = state.get
+        if (s_us, s_id) >= b_seq:
+            # stale replay — state already newer; emit nothing, but a
+            # tombstone must RE-ARM its event-time timeout: GroupState
+            # clears the timeout on every invocation, so returning
+            # without setting it again would leak the tombstone forever
+            if s_op == "D":
+                state.update((s_us, s_id, s_op, _s_type, _s_val))
+                state.setTimeoutTimestamp(s_us // 1_000 + 1)
+            return
     new_op = str(rows.loc[best_i, "op"])
     new_type = str(rows.loc[best_i, "event_type"])
     new_val = float(rows.loc[best_i, "value"])
@@ -101,11 +111,11 @@ def _cdc_fn(
     # timeout once the watermark passes their sequence time
     state.update((b_seq[0], b_seq[1], new_op, new_type, new_val))
     if new_op == "D":
-        state.setTimeoutTimestamp(b_seq[0] + 1)
+        state.setTimeoutTimestamp(b_seq[0] // 1_000 + 1)  # timeout is ms
     yield pd.DataFrame(
         {
             "user_id": [int(key[0])],
-            "seq_ms": [b_seq[0]],
+            "seq_us": [b_seq[0]],
             "seq_id": [b_seq[1]],
             "last_type": [new_type],
             "last_value": [new_val],

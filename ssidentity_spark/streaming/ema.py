@@ -46,7 +46,7 @@ EMA_STATE_SCHEMA = StructType(
     [
         StructField("ema", DoubleType()),
         StructField("n", LongType()),
-        StructField("last_ms", LongType()),
+        StructField("last_us", LongType()),
         StructField("last_id", LongType()),
     ]
 )
@@ -60,21 +60,23 @@ def _ema_fn(
     rows = pd.concat(list(pdfs), ignore_index=True)
     if rows.empty:
         return
-    rows = rows.assign(_ms=rows["ts"].astype("int64") // 1_000_000).sort_values(
-        ["_ms", "event_id"], kind="mergesort"
+    # full microsecond precision: the guard key must equal the sort key,
+    # or distinct events inside a coarser bucket get dropped/reordered
+    rows = rows.assign(_us=rows["ts"].astype("int64") // 1_000).sort_values(
+        ["_us", "event_id"], kind="mergesort"
     )
     if state.exists:
-        ema, n, last_ms, last_id = state.get
+        ema, n, last_us, last_id = state.get
     else:
-        ema, n, last_ms, last_id = 0.0, 0, -1, -1
-    for ms, eid, val in zip(rows["_ms"], rows["event_id"], rows["value"]):
-        ms, eid, val = int(ms), int(eid), float(val)
-        if (ms, eid) <= (last_ms, last_id):
+        ema, n, last_us, last_id = 0.0, 0, -1, -1
+    for us, eid, val in zip(rows["_us"], rows["event_id"], rows["value"]):
+        us, eid, val = int(us), int(eid), float(val)
+        if (us, eid) <= (last_us, last_id):
             continue  # replay / stale — recursive state can't rewind
         ema = val if n == 0 else ema * EMA_ALPHA + val * (1.0 - EMA_ALPHA)
         n += 1
-        last_ms, last_id = ms, eid
-    state.update((ema, n, last_ms, last_id))
+        last_us, last_id = us, eid
+    state.update((ema, n, last_us, last_id))
     yield pd.DataFrame(
         {"user_id": [int(key[0])], "ema": [ema], "n_events": [n]}
     )

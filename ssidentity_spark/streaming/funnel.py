@@ -41,7 +41,7 @@ FUNNEL_STATE_SCHEMA = StructType(
     [
         StructField("level", IntegerType()),
         StructField("t0", LongType()),
-        StructField("last_ms", LongType()),
+        StructField("last_us", LongType()),
         StructField("last_id", LongType()),
     ]
 )
@@ -59,21 +59,23 @@ def _funnel_fn(
         ["_us", "event_id"], kind="mergesort"
     )
     if state.exists:
-        level, t0, last_ms, last_id = state.get
+        level, t0, last_us, last_id = state.get
     else:
-        level, t0, last_ms, last_id = 0, 0, -1, -1
+        level, t0, last_us, last_id = 0, 0, -1, -1
     for us, eid, etype in zip(rows["_us"], rows["event_id"], rows["event_type"]):
         us, eid = int(us), int(eid)
-        ms = us // 1_000
-        if (ms, eid) <= (last_ms, last_id):
+        # replay guard at FULL microsecond precision — the same (us, eid)
+        # order the fold sorts by; a coarser key would drop or reorder
+        # distinct events sharing a coarser timestamp bucket
+        if (us, eid) <= (last_us, last_id):
             continue  # replayed micro-batch — already folded
         s = _STEPS.get(str(etype), 0)
         if level == 0 and s == 1:
             level, t0 = 1, us
         elif s == level + 1 and us <= t0 + FUNNEL_W_US:
             level += 1
-        last_ms, last_id = ms, eid
-    state.update((level, t0, last_ms, last_id))
+        last_us, last_id = us, eid
+    state.update((level, t0, last_us, last_id))
     yield pd.DataFrame(
         {
             "user_id": [int(key[0])],

@@ -290,3 +290,16 @@ def test_batch_writer_append_and_overwrite(spark, tmp_path):
         "append",
         "overwrite",
     ]
+
+
+def test_writer_preserves_declared_types_for_all_null_batch(spark, tmp_path):
+    """An all-null column must land with its DECLARED type, not pyarrow's
+    inferred null type (which would wedge later schema inference)."""
+    path = str(tmp_path / "nulls")
+    register(spark)
+    spark.createDataFrame(
+        [(1, None), (2, None)], "k long, v double"
+    ).write.format("managed_table").mode("append").save(path)
+    r = spark.read.format("managed_table").load(path)
+    assert r.schema.simpleString() == "struct<k:bigint,v:double>"
+    assert r.where(F.col("v").isNull()).count() == 2

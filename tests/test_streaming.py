@@ -883,7 +883,7 @@ def test_streaming_cdc_matches_batch_with_out_of_order_batches(spark, tmp_path):
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(
-        F.col("seq_ms").desc(), F.col("seq_id").desc()
+        F.col("seq_us").desc(), F.col("seq_id").desc()
     )
     final = (
         updates.withColumn("rn", F.row_number().over(w))
@@ -926,6 +926,10 @@ def test_streaming_cdc_tombstone_state_expires_after_watermark(spark, tmp_path):
     ck = str(tmp_path / "exp_ck")
     chunks = [
         [row(1, 0, 1, "U"), row(2, 1, 2, "D")],  # key 2 tombstoned at t=1
+        # a STALE change for the tombstoned key: the invocation clears the
+        # GroupState timeout, so the guard path must RE-ARM it or the
+        # tombstone leaks forever (the reviewed regression)
+        [row(2, 0, 1, "U")],
         # watermark jumps to 100-10=90 >> 1 → key 2's tombstone times out
         [row(1, 100, 3, "U")],
         # one more batch so the timeout (evaluated at batch start against

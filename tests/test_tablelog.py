@@ -184,3 +184,22 @@ def test_streaming_sink_exactly_once_across_replay(spark, tmp_path):
     new_v = sink_batch(_df(spark, 25, 30), max(batch_ids) + 1, path)
     assert new_v == n_versions
     assert read_versioned(spark, path).count() == 30
+
+
+def test_interrupted_commit_leaves_no_truncated_manifest(spark, tmp_path):
+    """The crash-atomicity contract after the tmp+link fix: a writer
+    killed mid-manifest leaves only an invisible .tmp file — never a
+    truncated v{N}.json that would wedge latest_version/reads."""
+    import os
+
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 5), path, "append")
+    # simulate the crash artifact: a partial tmp from a dead writer
+    stray = os.path.join(path, "_log", "v00000001.json.tmp-99999")
+    with open(stray, "w") as f:
+        f.write('{"version": 1, "files": [')  # truncated JSON
+    assert latest_version(path) == 0  # tmp is invisible to the log
+    assert read_versioned(spark, path).count() == 5
+    # and the version number is still committable
+    v = write_versioned(_df(spark, 5, 9), path, "append")
+    assert v == 1 and read_versioned(spark, path).count() == 9
