@@ -997,14 +997,14 @@ def j10_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w5_max_concurrency",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     ), iv AS (

@@ -89,16 +89,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     of damped weighted power iteration, dangling mass redistributed
     uniformly (the exact PageRank recurrence, not the simplified
     no-sink variant)."""
-    e = load_table(spark, sf_dir, "events")
-    day_w = Window.partitionBy(F.col("ts").cast("date")).orderBy(
-        "ts", "event_id"
-    )
-    edges = (
-        e.select("user_id", F.lead("user_id").over(day_w).alias("nxt"))
-        .where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))
-        .groupBy(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
+    # ONE source of truth for the edge derivation: the same _EDGES_SQL
+    # the oracles and graph_triangles run (a hand-built DataFrame twin
+    # here previously risked silently diverging from the shared SQL)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    edges = spark.sql(_EDGES_SQL)
     ranks = pagerank(edges, iters=_ITERS, damping=_DAMPING)
     return ranks.select(F.col("node").alias("user_id"), "rank")
 

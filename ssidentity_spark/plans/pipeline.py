@@ -379,8 +379,9 @@ def pipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # to-end-of-string slice, same as the oracle's substr(source, 4) —
     # a bounded-length substring would silently diverge on long suffixes;
-    # TRY_CAST on the oracle side mirrors Spark's NULL-on-bad-cast
-    curated = F.expr("substring(source, 4)").cast("int") % 2 == 0
+    # try_cast matches the oracle's TRY_CAST: NULL on a non-numeric
+    # suffix instead of an ANSI CAST_INVALID_INPUT crash (Spark 4 default)
+    curated = F.expr("try_cast(substring(source, 4) AS int)") % 2 == 0
     in_slice = F.substring(_doc_hash(), 1, 2) < _CRAWL_KEEP_LT
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),

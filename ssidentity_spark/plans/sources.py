@@ -53,7 +53,13 @@ _N_SHARDS = 4
 def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → sharded deflate Avro container files (the
     from-scratch writer) → distributed Avro scan (binaryFile + Arrow
-    block decode) → per-row projection with text md5."""
+    block decode) → per-row projection with text md5.
+
+    The shard WRITE side materializes rows on the driver via to_pylist —
+    bounded at the gate's SFs (<=5k docs) but an exception to the
+    payloads-never-transit-the-driver discipline; the streaming upgrade
+    is per-shard pyarrow record batches (the READ side is already
+    distributed). Noted so the trade is explicit."""
     import pyarrow.parquet as pq
 
     from ssidentity_spark.operators.avro import read_avro, write_avro
@@ -366,9 +372,9 @@ def s5_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # untouched parquet.
     oracle="""
     SELECT doc_id, lang, source, n_chars,
-           md5(text) AS orc_md5,
-           md5(text) AS csv_md5,
-           md5(text) AS json_md5
+           md5(text || ',"' || chr(10) || 'adv') AS orc_md5,
+           md5(text || ',"' || chr(10) || 'adv') AS csv_md5,
+           md5(text || ',"' || chr(10) || 'adv') AS json_md5
     FROM documents
     """,
     survey="S4,S2,EXT-sources",
@@ -381,8 +387,14 @@ def src_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiLine read — exactly what a real 100 TB intake meets."""
     from ssidentity_spark.io import load_table
 
+    # the corpus text contains no commas/quotes/newlines, which would
+    # make the RFC 4180 claim vacuous — so every row gets an adversarial
+    # suffix (comma + double-quote + newline) BEFORE the format round
+    # trips, and the oracle hashes the same suffixed text
     base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars"
+        "doc_id",
+        F.concat(F.col("text"), F.lit(',"\n' + "adv")).alias("text"),
+        "lang", "source", "n_chars",
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(SNAPSHOT_DIR, f"interchange_{tag}")

@@ -9,12 +9,13 @@ Usage: python tools/wave2_blowup.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 from pyspark.sql import DataFrame, functions as F
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ssidentity_spark.io import load_table  # noqa: E402
 from ssidentity_spark.session import get_spark  # noqa: E402
@@ -23,14 +24,24 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 COPIES = 10
 
 
-def blow_up(df: DataFrame, offsets: dict[str, int]) -> DataFrame:
+def blow_up(
+    df: DataFrame, offsets: dict[str, int], shift_ts_days: int = 0
+) -> DataFrame:
     """Union COPIES shifted replicas: per-key structure preserved, key
-    spaces disjoint across replicas."""
+    spaces disjoint across replicas. ``shift_ts_days`` also offsets the
+    event-time per replica — REQUIRED for time-window/sequence operators:
+    without it the replicas' identical timestamps interleave inside the
+    original windows (e.g. the day-partitioned transition lead()), which
+    measures a structurally collapsed graph, not a 10x instance."""
     parts = []
     for c in range(COPIES):
         cur = df
         for col, step in offsets.items():
             cur = cur.withColumn(col, F.col(col) + F.lit(c * step))
+        if shift_ts_days and "ts" in df.columns:
+            cur = cur.withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {c * shift_ts_days} DAYS")
+            )
         parts.append(cur)
     out = parts[0]
     for p in parts[1:]:
@@ -56,7 +67,12 @@ def main() -> None:
 
     ev1 = load_table(spark, SF_DIR, "events").cache()
     ev1.count()
-    ev10 = blow_up(ev1, {"user_id": 10_000, "event_id": 1_000_000_000}).cache()
+    # 40-day shift per replica: the events span ~30 days, so replicas
+    # occupy disjoint day ranges and window/sequence operators see a
+    # genuine 10x instance (not interleaved ties)
+    ev10 = blow_up(
+        ev1, {"user_id": 10_000, "event_id": 1_000_000_000}, shift_ts_days=40
+    ).cache()
     ev10.count()
     docs1 = load_table(spark, SF_DIR, "documents").cache()
     docs1.count()
