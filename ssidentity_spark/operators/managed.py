@@ -118,3 +118,53 @@ def managed_point_lookup(
         *[os.path.join(path, f) for f in sorted(survivors)]
     ).where(F.col(key) == F.lit(value))
     return df, len(survivors), len(manifest_files)
+
+
+def vacuum_managed(
+    path: str, keep_latest: int = 1, min_orphan_age_s: float = 3600.0
+) -> dict[str, list[str]]:
+    """Vacuum the managed table: drop old snapshots via the transaction
+    log's vacuum, then the maintenance the log layer can't do itself —
+    delete index sidecars of dropped versions and any staged data file
+    referenced by NO retained manifest (crashed/aborted writers leave
+    these; they are invisible to readers but accumulate bytes).
+
+    ``min_orphan_age_s`` is the concurrency guard: a LIVE writer's
+    freshly staged files are also unreferenced until its commit lands,
+    so only orphans older than the retention age are deleted — the same
+    race every lakehouse vacuum handles with a retention period."""
+    import time
+
+    from ssidentity_spark.operators.tablelog import _versions, vacuum
+
+    deleted_data = vacuum(path, keep_latest=keep_latest)
+    retained = set(_versions(path))
+
+    dropped_sidecars: list[str] = []
+    index_dir = os.path.join(path, "_index")
+    if os.path.isdir(index_dir):
+        for name in os.listdir(index_dir):
+            if name.startswith("bloom-v") and name.endswith(".json"):
+                v = int(name[len("bloom-v"):-len(".json")])
+                if v not in retained:
+                    os.remove(os.path.join(index_dir, name))
+                    dropped_sidecars.append(name)
+
+    referenced: set[str] = set()
+    for v in retained:
+        referenced.update(_read_manifest(path, v)["files"])
+    orphans: list[str] = []
+    cutoff = time.time() - min_orphan_age_s
+    data_dir = os.path.join(path, "data")
+    for dirpath, _dirs, names in os.walk(data_dir):
+        for name in names:
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, path)
+            if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                os.remove(full)
+                orphans.append(rel)
+    return {
+        "data": sorted(deleted_data),
+        "sidecars": sorted(dropped_sidecars),
+        "orphans": sorted(orphans),
+    }

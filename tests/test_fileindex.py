@@ -123,3 +123,43 @@ def test_managed_write_lookup_and_time_travel(spark, tmp_path):
     want0 = read_versioned(spark, path, 0).where(F.col("mac_key") == 123)
     assert got0.count() == want0.count() == 100
     assert n_total0 == 16 and n_read0 <= 2
+
+
+def test_vacuum_managed_cleans_sidecars_and_orphans(spark, tmp_path):
+    import os
+
+    from ssidentity_spark.operators.managed import (
+        managed_point_lookup,
+        vacuum_managed,
+        write_managed,
+    )
+
+    path = str(tmp_path / "vm")
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    write_managed(spark, df, path, "k")
+    write_managed(spark, df.select("k", (F.col("v") + 10_000).alias("v")), path, "k")
+    write_managed(spark, df.limit(100), path, "k", mode="overwrite")
+    # a crashed writer's orphan bytes
+    orphan = os.path.join(path, "data", "stream", "dead.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+
+    # a freshly staged file survives the default retention guard
+    assert vacuum_managed(path, keep_latest=3)["orphans"] == []
+    out = vacuum_managed(path, keep_latest=2, min_orphan_age_s=0)
+    # v1 is an APPEND carrying v0's files forward, so retained manifests
+    # still reference them — correctly NOT deleted; only the dropped
+    # version's sidecar and the crashed writer's orphan go
+    assert out["data"] == []
+    assert "bloom-v00000000.json" in out["sidecars"]
+    assert any("dead.parquet" in o for o in out["orphans"])
+    # retained versions still answer point lookups with their own index
+    got, n_read, _ = managed_point_lookup(spark, path, 7, version=1)
+    assert got.count() == 200 and n_read >= 1
+    got2, _, _ = managed_point_lookup(spark, path, 7)  # tip (overwrite)
+    assert got2.count() == 2  # ids 7, 57 in limit(100)... verify below
+    # exact check: tip has ids 0..99 -> k==7 for ids 7, 57
+    assert {r["v"] for r in got2.collect()} == {7, 57}
