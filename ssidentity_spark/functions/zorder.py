@@ -68,8 +68,17 @@ def morton_key_scaled(
     the curve cover both dimensions evenly (the same normalization
     Delta/Iceberg apply via range-partition ids before interleaving)."""
     top = (1 << bits) - 1
-    xn = (x.cast("long") * top / F.lit(max(x_max, 1))).cast("long")
-    yn = (y.cast("long") * top / F.lit(max(y_max, 1))).cast("long")
+    # clamp into [0, top]: out-of-range inputs would otherwise overflow
+    # the bit budget and WRAP through morton_key's mask onto the opposite
+    # end of the curve, silently destroying the clustering
+    xn = F.greatest(
+        F.lit(0),
+        F.least(F.lit(top), (x.cast("long") * top / F.lit(max(x_max, 1))).cast("long")),
+    )
+    yn = F.greatest(
+        F.lit(0),
+        F.least(F.lit(top), (y.cast("long") * top / F.lit(max(y_max, 1))).cast("long")),
+    )
     return morton_key(xn, yn, bits)
 
 

@@ -130,6 +130,10 @@ class _BitReader:
         return v
 
     def read_signed(self, nbits: int) -> int:
+        if nbits == 0:
+            # legal escaped-Rice partition with raw_bits=0: all residuals
+            # are zero (1 << -1 would raise otherwise)
+            return 0
         v = self.read(nbits)
         return v - (1 << nbits) if v >= 1 << (nbits - 1) else v
 
@@ -272,7 +276,11 @@ def encode_flac(samples: list[int], sample_rate: int = 16000, bps: int = 16) -> 
     blocks = [samples[i : i + _MAX_BLOCK] for i in range(0, n, _MAX_BLOCK)]
 
     si = _BitWriter()
-    si.write(min(len(b) for b in blocks), 16)
+    # spec: min/max blocksize EXCLUDE the (possibly short) final block —
+    # a 4097-sample stream must not advertise min-blocksize 1 (< the
+    # 16-sample floor strict decoders enforce)
+    full_blocks = blocks[:-1] if len(blocks) > 1 else blocks
+    si.write(min(len(b) for b in full_blocks), 16)
     si.write(max(len(b) for b in blocks), 16)
     si.write(0, 24)  # min frame size unknown
     si.write(0, 24)  # max frame size unknown

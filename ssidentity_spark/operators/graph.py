@@ -114,18 +114,21 @@ def connected_components_star(
     identical to ``connected_components`` (equivalence is pytest-pinned
     on random graphs).
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     cur = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # vertex set from the UNFILTERED edges: a vertex whose only edges are
+    # self-loops must still appear (as its own singleton component), or
+    # this function disagrees with connected_components on such graphs
     vertices = (
-        cur.select(F.col("u").alias("vertex"))
-        .unionByName(cur.select(F.col("v").alias("vertex")))
+        raw.select(F.col("u").alias("vertex"))
+        .unionByName(raw.select(F.col("v").alias("vertex")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -30,13 +30,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # the stored-state schema: one row per key with mergeable partials
-_PARTIALS = ("n_events", "sum_value", "min_value", "max_value")
+# (n_values counts non-null values — the AVG denominator; n_events
+# counts rows — dividing the null-skipping sum by it would deflate the
+# average of any key whose log contains NULL values)
+_PARTIALS = ("n_events", "n_values", "sum_value", "min_value", "max_value")
 
 
 def rollup_partials(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     """Aggregate a slice of the log into mergeable partial state."""
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.count(value).alias("n_values"),
         F.sum(F.col(value).cast("decimal(20,2)")).alias("sum_value"),
         F.min(value).alias("min_value"),
         F.max(value).alias("max_value"),
@@ -52,6 +56,7 @@ def merge_partials(state: DataFrame, increment: DataFrame, keys: list[str]) -> D
         .groupBy(*keys)
         .agg(
             F.sum("n_events").alias("n_events"),
+            F.sum("n_values").alias("n_values"),
             F.sum("sum_value").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
@@ -66,7 +71,7 @@ def readout(state: DataFrame, keys: list[str]) -> DataFrame:
         *keys,
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
-        (F.col("sum_value").cast("double") / F.col("n_events")).alias(
+        (F.col("sum_value").cast("double") / F.col("n_values")).alias(
             "avg_value"
         ),
         "min_value",

@@ -58,7 +58,12 @@ def merge_upsert(
     has_change = F.col(f"c.{ck}").isNotNull()
 
     if delete_when is not None:
-        joined = joined.where(~(matched & delete_when))
+        # SQL MERGE semantics: an UNKNOWN (NULL) delete condition is
+        # not-deleted — the row falls through to the update clause.
+        # Without the coalesce, where(~NULL) silently DROPS the row.
+        joined = joined.where(
+            ~(matched & F.coalesce(delete_when, F.lit(False)))
+        )
 
     out_cols = [
         F.coalesce(F.col(f"b.{key}"), F.col(f"c.{ck}")).alias(key)
@@ -99,11 +104,17 @@ def scd2_history(
         df.select(key, ts, value)
         .withColumn(
             "chg",
+            # null-safe comparison: lag != value is NULL (not TRUE) when
+            # either side is NULL, which would both miss transitions INTO
+            # NULL and fabricate run boundaries after them
             F.when(
-                F.lag(value).over(w).isNull()
-                | (F.lag(value).over(w) != F.col(value)),
+                F.row_number().over(w) == 1,
                 F.lit(1),
-            ).otherwise(F.lit(0)),
+            )
+            .when(
+                ~F.lag(value).over(w).eqNullSafe(F.col(value)), F.lit(1)
+            )
+            .otherwise(F.lit(0)),
         )
         .withColumn("run_id", F.sum("chg").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -75,15 +75,43 @@ def resample_interpolate(
         )
         .groupBy(key, "bucket")
         .agg(
-            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("obs_val")
+            # count("v") (nulls excluded) — dividing the null-skipping
+            # sum by a count-all deflates the mean of any bucket holding
+            # NULL observations; AVG semantics on both engines
+            (F.sum("v").cast("double") / F.count("v")).alias("obs_val")
         )
     )
 
-    # 2. dense grid — per-key span, then a distributed sequence explode
+    # 2. dense grid — per-key span, then a distributed sequence explode.
+    # sequence() materializes ONE array per key inside a single task
+    # before explode, so a pathological span (a device seen in January
+    # and December at 1-second buckets) would allocate the whole grid in
+    # one row — guard it with a hard cap and a clear error; the
+    # documented upgrade for longer spans is chunking the span into
+    # coarse segments first (explode days, then seconds within a day),
+    # which keeps every generated array bounded.
+    max_grid = 10_000_000
     span = obs.groupBy(key).agg(
         F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
     )
-    grid = span.select(
+    guarded = span.withColumn(
+        "_grid_n", (F.col("b1") - F.col("b0")) / bucket_secs + 1
+    ).withColumn(
+        "_grid_ok",
+        F.when(F.col("_grid_n") <= max_grid, True).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "resample_interpolate: per-key grid exceeds "
+                        f"{max_grid} buckets for key "
+                    ),
+                    F.col(key).cast("string"),
+                    F.lit(" — cap the span or chunk by coarse segment"),
+                )
+            )
+        ),
+    )
+    grid = guarded.where("_grid_ok").select(
         key,
         F.explode(
             F.sequence("b0", "b1", F.lit(bucket_secs).cast("long"))

@@ -244,7 +244,7 @@ def s5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value,
-           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(*)
+           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
              AS avg_value,
            min(value) AS min_value,
            max(value) AS max_value

@@ -35,7 +35,7 @@ _BUCKET = 4 * 3600  # 4-hour grid: ~37% bucket occupancy at sf0.01 — the
     WITH obs AS (
       SELECT user_id,
              CAST(floor(epoch(ts) / {_BUCKET}) * {_BUCKET} AS BIGINT) AS bucket,
-             CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(*)
+             CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
                AS obs_val
       FROM events
       WHERE user_id % 5 = 0

@@ -186,7 +186,10 @@ def probe_stream(
         "ts", "query_id", "qv", "qnrm", F.explode(probe_cells).alias("cell")
     )
     cand = probed.join(corpus_cells, "cell").filter(
-        F.col("vec_id") != F.col("query_id")
+        # compare as strings: with a numeric corpus vec_id and a
+        # non-numeric query_id (e.g. 'q-7f3a'), an implicit cast yields
+        # NULL and the != filter would silently drop EVERY candidate
+        F.col("vec_id").cast("string") != F.col("query_id").cast("string")
     )
     scored = cand.select(
         "ts",

@@ -83,3 +83,28 @@ def test_crc_vectors():
     # CRC-8 poly 0x07 and CRC-16 poly 0x8005 on the classic check string
     assert crc8(b"123456789") == 0xF4
     assert crc16(b"123456789") == 0xFEE8
+
+
+def test_read_signed_zero_bits_is_zero():
+    """Escaped-Rice partitions with raw_bits=0 (all-zero residuals) are
+    legal FLAC; reading 0 signed bits must yield 0, not a shift error."""
+    from ssidentity_spark.operators.flac import _BitReader
+
+    r = _BitReader(b"\xff")
+    assert r.read_signed(0) == 0
+    assert r.read_signed(0) == 0
+
+
+def test_streaminfo_min_blocksize_excludes_short_final_block():
+    """Per spec, min/max blocksize exclude the (possibly short) last
+    block — a 4097-sample stream must not advertise min-blocksize 1."""
+    from ssidentity_spark.operators.flac import decode_flac, encode_flac
+
+    samples = [(i * 37) % 1000 - 500 for i in range(4097)]
+    blob = encode_flac(samples)
+    # STREAMINFO: bytes 8.. hold min blocksize (16 bits) after the
+    # 'fLaC' magic + 4-byte block header
+    min_bs = int.from_bytes(blob[8:10], "big")
+    assert min_bs == 4096
+    _rate, _bps, decoded = decode_flac(blob)
+    assert decoded == samples

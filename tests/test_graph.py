@@ -135,3 +135,26 @@ def test_triangle_count_known_graph(spark):
         (F.sum(F.col("count") * (F.col("count") - 1)) / 2).alias("w")
     ).collect()[0]["w"]
     assert wedges == 8
+
+
+def test_star_cc_keeps_self_loop_only_vertices(spark):
+    """A vertex whose only edges are self-loops must still appear as its
+    own singleton component — matching connected_components."""
+    from ssidentity_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "a"), ("b", "c")], "mac_a string, mac_b string"
+    )
+    plain = {
+        (r["vertex"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    star = {
+        (r["vertex"], r["component"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert star == plain
+    assert ("a", "a") in star

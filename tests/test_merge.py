@@ -143,3 +143,47 @@ def test_cdc_apply_is_arrival_order_invariant(spark):
         spark.createDataFrame(shuffled, schema).repartition(3), ["k"], ["seq"], "op"
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_merge_null_delete_condition_updates_not_deletes(spark):
+    """SQL MERGE semantics: an UNKNOWN (NULL) delete predicate is
+    not-deleted — the matched row must fall through to the update
+    clause, never silently vanish."""
+    from ssidentity_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, bal double")
+    changes = spark.createDataFrame(
+        [(1, None, 5.0), (2, "D", 0.0)], "k long, op string, delta double"
+    )
+    out = {
+        r["k"]: r["bal"]
+        for r in merge_upsert(
+            base,
+            changes,
+            key="k",
+            set_cols={"bal": F.col("b.bal") + F.col("c.delta")},
+            delete_when=F.col("c.op") == "D",
+        ).collect()
+    }
+    # k=1: op NULL -> delete condition UNKNOWN -> updated (not dropped);
+    # k=2: op 'D' -> deleted
+    assert out == {1: 15.0}
+
+
+def test_scd2_null_values_form_their_own_runs(spark):
+    """A -> NULL -> A must produce three runs (null-safe run detection),
+    not collapse into one."""
+    import datetime as dt
+
+    from ssidentity_spark.operators.merge import scd2_history
+
+    base = dt.datetime(2026, 6, 1)
+    rows = [
+        (1, base, "A"),
+        (1, base + dt.timedelta(hours=1), None),
+        (1, base + dt.timedelta(hours=2), "A"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v string")
+    runs = scd2_history(df, "k", "ts", "v").orderBy("valid_from").collect()
+    assert [r["value"] for r in runs] == ["A", None, "A"]
+    assert [r["is_current"] for r in runs] == [False, False, True]
