@@ -33,8 +33,6 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
 # r1-r2 testdata stored parquet TIMESTAMP(NANOS): Spark reads those as
 # LongType under spark.sql.legacy.parquet.nanosAsLong and we convert to real
 # timestamps (nanos→micros truncation == duckdb's µs precision). The r3
@@ -51,7 +49,19 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ssidentity_spark.session import tune
 
-    tune(spark)  # idempotent; ensures nanosAsLong + UTC on driver-owned sessions
+    # tune once per session (a marker conf skips the ~8 py4j round-trips
+    # on every subsequent load_table — measurable noise in sub-300ms
+    # bench samples); still idempotent if the marker is lost
+    try:
+        tuned = spark.conf.get("spark.ssidentity.tuned", "false") == "true"
+    except Exception:
+        tuned = False
+    if not tuned:
+        tune(spark)  # ensures nanosAsLong + UTC on driver-owned sessions
+        try:
+            spark.conf.set("spark.ssidentity.tuned", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":

@@ -58,6 +58,15 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
             pass  # immutable in this build — keep going, defaults are sane
     if shuffle_partitions is None:
         try:
+            master = spark.sparkContext.master
+        except Exception:
+            master = "local"
+        if not master.startswith("local"):
+            # on a real cluster never second-guess shuffle parallelism:
+            # the submitting machine's CPU count is meaningless there,
+            # and '200' is indistinguishable from a deliberate setting
+            return spark
+        try:
             current = spark.conf.get("spark.sql.shuffle.partitions")
         except Exception:
             current = "200"

@@ -49,6 +49,10 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
     if spec.oracle is None:
+        # mirror the driver's rows>0 smoke for oracle-less queries — a
+        # regression to an empty result must FAIL here too
+        if not srows:
+            return False, "rows-only returned 0 rows (driver checks rows>0)"
         return True, f"rows-only ({len(srows)} rows)"
     ddf = con.execute(spec.oracle)
     dcols = [d[0] for d in ddf.description]
@@ -70,8 +74,15 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    names = args[1:] if args and os.path.isdir(args[0]) else args
+    if args and ("/" in args[0] or os.sep in args[0]):
+        # path-shaped first arg MUST be a real directory — silently
+        # falling back would verify against the wrong scale factor
+        if not os.path.isdir(args[0]):
+            print(f"ERROR: sf_dir does not exist: {args[0]}", file=sys.stderr)
+            return 2
+        sf_dir, names = args[0], args[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.01", args
     _ensure_loaded()
     todo = names or sorted(REGISTRY)
     spark = get_spark("correctness-check")
