@@ -203,3 +203,40 @@ def test_interrupted_commit_leaves_no_truncated_manifest(spark, tmp_path):
     # and the version number is still committable
     v = write_versioned(_df(spark, 5, 9), path, "append")
     assert v == 1 and read_versioned(spark, path).count() == 9
+
+
+def test_random_commit_sequences_preserve_log_invariants(spark, tmp_path):
+    """Randomized append/overwrite sequences (seeded) — after every
+    commit: versions are contiguous from 0, the tip row count equals the
+    model's, every historical version still reads exactly what the model
+    said at that point, and append manifests are supersets of their
+    parents."""
+    import random
+
+    from ssidentity_spark.operators.tablelog import _read_manifest
+
+    rng = random.Random(2026)
+    for trial in range(3):
+        path = str(tmp_path / f"rand{trial}")
+        model: list[int] = []  # expected tip row count per version
+        tip_rows = 0
+        next_lo = 0
+        for step in range(6):
+            n = rng.randrange(1, 40)
+            mode = "overwrite" if rng.random() < 0.3 and step > 0 else "append"
+            v = write_versioned(
+                _df(spark, next_lo, next_lo + n), path, mode
+            )
+            next_lo += n
+            tip_rows = n if mode == "overwrite" else tip_rows + n
+            model.append(tip_rows)
+            assert v == len(model) - 1
+            assert read_versioned(spark, path).count() == tip_rows
+            if mode == "append" and v > 0:
+                assert set(_read_manifest(path, v - 1)["files"]) <= set(
+                    _read_manifest(path, v)["files"]
+                )
+        # full time travel against the model
+        for v, expect in enumerate(model):
+            assert read_versioned(spark, path, v).count() == expect
+        assert [h["version"] for h in history(path)] == list(range(len(model)))
