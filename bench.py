@@ -31,23 +31,31 @@ from ssidentity_spark.session import cpu_count, get_spark  # noqa: E402
 
 N_RUNS = 5
 
-# Recorded per-query MEDIAN seconds from the last completed round's BENCH
-# artifact (BENCH_r05.json, sf0.1, median-of-5) — emitted alongside fresh
-# numbers so each round's artifact carries its own regression context
-# (>1.3x flags a plan change).
+# Recorded per-query MEDIAN seconds from the last completed round's bench
+# (round 6, sf0.1, median-of-5) — emitted alongside fresh numbers so each
+# round's artifact carries its own regression context (>1.3x flags a plan
+# change). r6 values recovered from the BENCH_r06.json ratio tables plus
+# the r6 verdict's independent median-of-3 for the five headliners whose
+# per_query block was truncated out of the 2000-char artifact tail — the
+# truncation that bench_history/ (below) now prevents.
 PREV_ROUND = {
-    "dedup_exact": 0.291,
-    "dedup_minhash_lsh_pairs": 2.518,
-    "flagship_hourly_top_types": 0.494,
-    "j1_region_revenue": 1.258,
-    "j4_range_join_funnel": 0.388,
-    "j9_q3_top_orders": 0.716,
-    "pipe_decontaminate": 1.231,
-    "sim_ivfpq_rerank_topk": 1.620,
-    "sim_topk_bruteforce": 0.538,
-    "text_token_stats": 0.249,
-    "tpch_q1_pricing_summary": 0.384,
-    "tpch_q6_forecast_revenue": 0.220,
+    "dedup_exact": 0.163,
+    "dedup_minhash_lsh_pairs": 1.838,
+    "flagship_hourly_top_types": 0.316,
+    "graph_pagerank": 5.70,
+    "j10_bloom_pruned_join": 1.56,
+    "j1_region_revenue": 0.679,
+    "j4_range_join_funnel": 0.225,
+    "j9_q3_top_orders": 0.451,
+    "mm_png_decode": 1.55,
+    "pipe_decontaminate": 0.936,
+    "sim_ivfpq_rerank_topk": 1.150,
+    "sim_topk_bruteforce": 0.382,
+    "text_token_stats": 0.204,
+    "tpch_q1_pricing_summary": 0.253,
+    "tpch_q6_forecast_revenue": 0.154,
+    "ts_gapfill_interpolate": 0.67,
+    "w5_max_concurrency": 0.91,
 }
 
 # Best-ever per-query median across all completed rounds (VERDICT r5 ask
@@ -71,18 +79,23 @@ PREV_ROUND = {
 # gate stays: it is exactly what turned a suspicion into a 15-minute
 # falsifiable check.
 BEST_ROUND = {
-    "dedup_exact": (0.244, "r2"),
-    "dedup_minhash_lsh_pairs": (2.518, "r5"),
-    "flagship_hourly_top_types": (0.490, "r4"),
-    "j1_region_revenue": (0.994, "r2"),
-    "j4_range_join_funnel": (0.337, "r4"),
-    "j9_q3_top_orders": (0.631, "r2"),
-    "pipe_decontaminate": (1.231, "r5"),
-    "sim_ivfpq_rerank_topk": (1.620, "r5"),
-    "sim_topk_bruteforce": (0.509, "r1"),
-    "text_token_stats": (0.240, "r1"),
-    "tpch_q1_pricing_summary": (0.349, "r2"),
-    "tpch_q6_forecast_revenue": (0.205, "r4"),
+    "dedup_exact": (0.163, "r6"),
+    "dedup_minhash_lsh_pairs": (1.838, "r6"),
+    "flagship_hourly_top_types": (0.316, "r6"),
+    "graph_pagerank": (5.70, "r6"),
+    "j10_bloom_pruned_join": (1.56, "r6"),
+    "j1_region_revenue": (0.679, "r6"),
+    "j4_range_join_funnel": (0.225, "r6"),
+    "j9_q3_top_orders": (0.451, "r6"),
+    "mm_png_decode": (1.55, "r6"),
+    "pipe_decontaminate": (0.936, "r6"),
+    "sim_ivfpq_rerank_topk": (1.150, "r6"),
+    "sim_topk_bruteforce": (0.382, "r6"),
+    "text_token_stats": (0.204, "r6"),
+    "tpch_q1_pricing_summary": (0.253, "r6"),
+    "tpch_q6_forecast_revenue": (0.154, "r6"),
+    "ts_gapfill_interpolate": (0.67, "r6"),
+    "w5_max_concurrency": (0.91, "r6"),
 }
 
 
@@ -132,38 +145,66 @@ def main() -> None:
         for name, t in timings.items()
         if name in BEST_ROUND
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline-queries wall time (noop sink, local)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "per_query": per_query,
-                "sf": sf,
-                "prev_round": PREV_ROUND,
-                "prev_round_stat": "median-of-5 (r05)",
-                # headliners with no prior entry seed next round's gates
-                "headliners_new": sorted(
-                    n for n in timings if n not in PREV_ROUND
-                ),
-                "ratio_vs_prev": ratios,
-                "regressions_over_1.3x": sorted(
-                    n for n, r in ratios.items() if r > 1.3
-                ),
-                # anti-creep ratchet (r6+): vs the best-ever median, so a
-                # slow monotonic drift that never trips the per-round bar
-                # still surfaces (j1_region_revenue's +27% over r2-r5
-                # motivated this).
-                "best_round": {n: v for n, (v, _) in BEST_ROUND.items()},
-                "best_round_source": {n: r for n, (_, r) in BEST_ROUND.items()},
-                "ratio_vs_best": best_ratios,
-                "regressions_over_1.3x_vs_best": sorted(
-                    n for n, r in best_ratios.items() if r > 1.3
-                ),
-            }
-        )
-    )
+    full = {
+        "metric": "headline-queries wall time (noop sink, local)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "per_query": per_query,
+        "sf": sf,
+        "prev_round": PREV_ROUND,
+        "prev_round_stat": "median-of-5 (r06)",
+        # headliners with no prior entry seed next round's gates
+        "headliners_new": sorted(n for n in timings if n not in PREV_ROUND),
+        "ratio_vs_prev": ratios,
+        "regressions_over_1.3x": sorted(n for n, r in ratios.items() if r > 1.3),
+        # anti-creep ratchet (r6+): vs the best-ever median, so a
+        # slow monotonic drift that never trips the per-round bar
+        # still surfaces (j1_region_revenue's +27% over r2-r5
+        # motivated this).
+        "best_round": {n: v for n, (v, _) in BEST_ROUND.items()},
+        "best_round_source": {n: r for n, (_, r) in BEST_ROUND.items()},
+        "ratio_vs_best": best_ratios,
+        "regressions_over_1.3x_vs_best": sorted(
+            n for n, r in best_ratios.items() if r > 1.3
+        ),
+    }
+    # DURABILITY (VERDICT r6 ask #2): the driver keeps only the last
+    # 2000 chars of stdout, which truncated r6's per_query medians out of
+    # BENCH_r06.json. Two fixes: (a) the full artifact is written to the
+    # repo-tracked bench_history/ directory (the driver commits stray
+    # files at round end, so the history survives even when bench runs
+    # after this session's last commit); (b) stdout carries exactly ONE
+    # compact JSON line — medians, totals, and regression flags only —
+    # sized to always fit the 2000-char tail.
+    hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history")
+    os.makedirs(hist_dir, exist_ok=True)
+    rounds = [
+        int(g.group(1))
+        for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+        if (g := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    this_round = int(os.environ.get("SPARK_GRAFT_ROUND", max(rounds, default=0) + 1))
+    full_path = os.path.join(hist_dir, f"r{this_round:02d}_sf{sf}_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "regressions_over_1.3x": full["regressions_over_1.3x"],
+        "regressions_over_1.3x_vs_best": full["regressions_over_1.3x_vs_best"],
+        "full_artifact": os.path.relpath(full_path, os.path.dirname(full_path) + "/.."),
+    }
+    line = json.dumps(compact)
+    # belt-and-braces: if headliner growth ever pushes the compact line
+    # past the driver's tail, shed the per-query dict before the totals
+    if len(line) > 1900:
+        compact["queries"] = {"see": compact["full_artifact"]}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
