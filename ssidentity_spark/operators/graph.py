@@ -24,6 +24,7 @@ def connected_components(
     dst: str = "mac_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    truncate: bool = True,
 ) -> DataFrame:
     """HashMin label propagation: every vertex adopts the smallest label in
     its neighborhood until fixpoint. Returns (vertex, component) where
@@ -69,8 +70,13 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # fixpoint check + plan truncation via localCheckpoint
-        updated = updated.localCheckpoint(eager=True)
+        # fixpoint check + plan truncation via localCheckpoint.
+        # truncate=False keeps the round's lineage visible — the audit
+        # hook (tools/explain_audit.py) uses it to record the join+agg
+        # structure explain() cannot see behind a checkpoint; production
+        # callers keep the default or plans grow round-over-round
+        if truncate:
+            updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.alias("n")
             .join(labels.alias("o"), "vertex")
@@ -97,6 +103,7 @@ def connected_components_star(
     dst: str = "mac_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    truncate: bool = True,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
@@ -167,7 +174,10 @@ def connected_components_star(
         )
 
     for it in range(max_iter):
-        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        nxt = star(star(cur, large=True), large=False)
+        # truncate=False is the audit hook (see connected_components)
+        if truncate:
+            nxt = nxt.localCheckpoint(eager=True)
         # fixpoint: the edge multiset stopped changing
         done = (
             nxt.count() == cur.count()
@@ -214,6 +224,7 @@ def pagerank(
     iters: int = 6,
     damping: float = 0.85,
     round_dp: int = 6,
+    lineage: str = "local",
 ) -> DataFrame:
     """Weighted PageRank by plain joins + aggregations, fixed ``iters``
     power-iteration rounds (the relational formulation — no graph engine).
@@ -222,49 +233,93 @@ def pagerank(
     the influence ranking over the device co-observation graph is the
     natural next analytic after connected components (A3 network tree).
 
-    Per round: one join of the edge list with the current rank vector on
-    ``src`` (shuffle on src — co-partitioned across rounds since the edge
-    list is cached with that partitioning), one aggregation on ``dst``,
-    plus a scalar dangling-mass aggregate (1-row broadcast, handles sinks
-    exactly). Rank state is one row per vertex — never materialized on the
-    driver. Fixed iteration count (not convergence-tested) keeps the
-    computation a pure static DAG both engines can replay bit-for-bit up
-    to float summation order; the final ``round(round_dp)`` absorbs that
-    tail. Plans are checkpoint-truncated per round like
-    :func:`connected_components`.
+    Per round: ONE join of the normalized edge list with the current rank
+    vector on ``src`` (both sides hash-partitioned on the same key, so the
+    cached edge side never re-shuffles), one aggregation on ``dst``, and a
+    scalar dangling-mass aggregate (1-row broadcast, handles sinks
+    exactly). The rank-independent work is hoisted out of the loop:
+    out-weight normalization happens once (``p = w/wout`` cached, not
+    re-joined every round) and the dangling-node set — nodes with no
+    outgoing edges — is a boolean carried on the cached state frame, so
+    the per-round dangling mass is a filter+sum over the rank vector
+    instead of an anti-join (the r6 per-round constant). Rank state is one
+    row per vertex — never materialized on the driver. Fixed iteration
+    count (not convergence-tested) keeps the computation a pure static DAG
+    both engines can replay bit-for-bit up to float summation order; the
+    final ``round(round_dp)`` absorbs that tail.
+
+    ``lineage`` picks the round-over-round plan-truncation strategy:
+
+    - ``"local"`` (default): eager ``localCheckpoint`` per round — fastest
+      on a healthy cluster and the right choice for local/bench runs, but
+      the truncated lineage lives in executor block storage, so losing an
+      executor (spot kill, dynamic-allocation scale-in) after round k
+      fails the job: there is no lineage left to recompute the block.
+    - ``"reliable"``: ``DataFrame.checkpoint`` to the session's checkpoint
+      directory (HDFS/object store on a real cluster) — each round's state
+      is durably materialized, an executor loss costs one re-read instead
+      of the job. This is the 1000-executor default; requires
+      ``spark.sparkContext.setCheckpointDir`` (raises a descriptive error
+      otherwise).
+    - ``"persist"``: no truncation — rounds compose lazily into one DAG
+      with each round's state persisted (MEMORY_AND_DISK) for reuse by
+      the two downstream consumers. Full lineage is retained, so recovery
+      is Spark-native recompute; analysis cost grows linearly with
+      ``iters`` (fine for single digits, not for hundreds).
     """
+    if lineage not in ("local", "reliable", "persist"):
+        raise ValueError(f"lineage must be local|reliable|persist, got {lineage!r}")
+    spark = edges.sparkSession
+    if lineage == "reliable" and spark.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "lineage='reliable' needs spark.sparkContext.setCheckpointDir "
+            "(an HDFS/object-store path on a cluster) before calling pagerank"
+        )
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight).cast("double").alias("w"),
     )
-    e = e.repartition("src").cache()
-    out_w = e.groupBy("src").agg(F.sum("w").alias("wout")).cache()
+    # normalize ONCE: p = w / wout folds the out-weight join out of the
+    # loop; cache partitioned on src so every round's rank join reuses
+    # the layout without re-shuffling the (big) edge side
+    out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    ew = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("wout")).alias("p"))
+        .repartition("src")
+        .cache()
+    )
+    # state = (node, dangling): rank-independent, computed once — the
+    # dangling flag replaces the r6 per-round left_anti join
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+    )
+    state = (
+        nodes.join(out_w, nodes.node == out_w.src, "left")
+        .select("node", F.col("wout").isNull().alias("dangling"))
         .cache()
     )
-    n_nodes = nodes.count()  # scalar cardinality — model-sized driver read
-    ew = e.join(out_w, "src")
+    n_nodes = state.count()  # scalar cardinality — model-sized driver read
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    ranks = state.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iters):
-        dangling = (
-            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.filter("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w") / F.col("wout")).alias("m"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("m"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            state.join(contrib, state.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "dangling",
                 (
                     F.lit((1.0 - damping) / n_nodes)
                     + damping
@@ -272,6 +327,17 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # truncate the lineage so the plan doesn't grow round-over-round
-        ranks = ranks.localCheckpoint(eager=True)
+        # truncate (or persist) the lineage per the chosen durability mode
+        if lineage == "local":
+            ranks = ranks.localCheckpoint(eager=True)
+        elif lineage == "reliable":
+            ranks = ranks.checkpoint(eager=True)
+        else:
+            ranks = ranks.persist()
+    if lineage != "persist":
+        # final state is eagerly materialized — the loop-invariant caches
+        # are dead weight from here (repeated invocations would otherwise
+        # pile ew/state copies into the block manager)
+        ew.unpersist()
+        state.unpersist()
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))
