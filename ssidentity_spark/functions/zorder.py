@@ -68,16 +68,20 @@ def morton_key_scaled(
     the curve cover both dimensions evenly (the same normalization
     Delta/Iceberg apply via range-partition ids before interleaving)."""
     top = (1 << bits) - 1
-    # clamp into [0, top]: out-of-range inputs would otherwise overflow
-    # the bit budget and WRAP through morton_key's mask onto the opposite
-    # end of the curve, silently destroying the clustering
+    # clamp the RAW value into [0, max] BEFORE the scale multiply: an
+    # input past ~2^63/top would otherwise overflow LongType inside
+    # `x * top` (ARITHMETIC_OVERFLOW under ANSI mode; a negative wrap —
+    # clamping to the wrong curve end — without). Post-scale least/
+    # greatest stays as a belt against double-rounding at the boundary.
+    xc = F.greatest(F.lit(0), F.least(F.lit(max(x_max, 1)), x.cast("long")))
+    yc = F.greatest(F.lit(0), F.least(F.lit(max(y_max, 1)), y.cast("long")))
     xn = F.greatest(
         F.lit(0),
-        F.least(F.lit(top), (x.cast("long") * top / F.lit(max(x_max, 1))).cast("long")),
+        F.least(F.lit(top), (xc * top / F.lit(max(x_max, 1))).cast("long")),
     )
     yn = F.greatest(
         F.lit(0),
-        F.least(F.lit(top), (y.cast("long") * top / F.lit(max(y_max, 1))).cast("long")),
+        F.least(F.lit(top), (yc * top / F.lit(max(y_max, 1))).cast("long")),
     )
     return morton_key(xn, yn, bits)
 

@@ -455,7 +455,13 @@ def decode_flac(payload: bytes):
             raise ValueError(f"reserved blocksize code {bs_code}")
         if sr_code in (0b1100, 0b1101, 0b1110):  # rate value in header
             r.read(8 if sr_code == 0b1100 else 16)
-        bps = _SAMPLE_SIZES.get(ss_code, bps_si) if ss_code else bps_si
+        if ss_code in (0b011, 0b111):
+            # reserved codes must fail HERE with the real cause — falling
+            # back to the STREAMINFO width decodes every subframe at the
+            # wrong size and surfaces only as a baffling stream-MD5
+            # mismatch much later (mirrors the blocksize handling above)
+            raise ValueError(f"reserved sample-size code {ss_code:#05b}")
+        bps = _SAMPLE_SIZES[ss_code] if ss_code else bps_si
         if chan_assign != 0:
             raise NotImplementedError("stereo decorrelation out of scope")
         header_end = r.byte_pos()

@@ -137,7 +137,10 @@ class ManagedTableDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("managed_table requires .load(path)")
-        return ManagedTableStreamReader(path, schema)
+        sv = self.options.get("startingversion")
+        return ManagedTableStreamReader(
+            path, schema, None if sv is None else int(sv)
+        )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         path = self.options.get("path")
@@ -323,33 +326,80 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
 
 
 class ManagedTableStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, schema: StructType):
+    def __init__(
+        self, path: str, schema: StructType, starting_version: int | None = None
+    ):
         self.path = path
         self.schema_names = [f.name for f in schema.fields]
+        # .option("startingVersion", N): begin the stream AT snapshot N —
+        # version N's full file list is the first micro-batch, diffs
+        # after. The escape hatch for tables whose early manifests were
+        # vacuumed away (vacuum drops manifests below the retention
+        # window, so "consume the full history" is no longer satisfiable)
+        # and for skipping deep history on long-lived tables.
+        self.starting_version = starting_version
 
     def initialOffset(self) -> dict:
+        if self.starting_version is not None:
+            return {"version": self.starting_version - 1}
         return {"version": -1}  # consume the full history first, then tail
 
     def latestOffset(self) -> dict:
         v = latest_version(self.path)
         return {"version": -1 if v is None else v}
 
+    def _manifest_or_explain(self, v: int) -> dict:
+        """A manifest missing INSIDE the requested range means vacuum()
+        dropped it (retention window moved past the stream's offset —
+        fresh stream on a vacuumed table, or a restart from a checkpoint
+        older than retention). Name the cause and both ways out instead
+        of leaking a raw FileNotFoundError."""
+        try:
+            return _read_manifest(self.path, v)
+        except FileNotFoundError:
+            from ssidentity_spark.operators.tablelog import _versions
+
+            retained = _versions(self.path)
+            oldest = retained[0] if retained else None
+            raise ValueError(
+                f"managed_table stream at {self.path}: version {v} has "
+                f"been vacuumed from the log (oldest retained version: "
+                f"{oldest}). Restart with "
+                f".option('startingVersion', {oldest}) to begin at the "
+                "oldest retained snapshot (replays that snapshot's full "
+                "file list), or use a fresh checkpoint. Raising instead "
+                "of skipping: silently jumping the gap would drop the "
+                "rows committed in the vacuumed versions."
+            ) from None
+
     def _new_files(self, start_v: int, end_v: int) -> list[str]:
         out: list[str] = []
-        prev: set[str] = (
-            set(_read_manifest(self.path, start_v)["files"])
-            if start_v >= 0
-            else set()
+        synthetic_base = (
+            self.starting_version is not None
+            and start_v == self.starting_version - 1
         )
+        if start_v >= 0 and not synthetic_base:
+            prev = set(self._manifest_or_explain(start_v)["files"])
+        else:
+            # true start-of-log, or the synthetic base offset below
+            # startingVersion: an empty base makes snapshot N itself the
+            # first batch (its FULL retained file list — manifest N-1 is
+            # deliberately not consulted: it may be vacuumed, and diffing
+            # against it would silently drop the files carried over from
+            # the vacuumed history)
+            prev = set()
         for v in range(start_v + 1, end_v + 1):
-            m = _read_manifest(self.path, v)
+            m = self._manifest_or_explain(v)
             cur = set(m["files"])
             if m.get("operation") == "overwrite" or not prev <= cur:
-                raise ValueError(
-                    f"version {v} at {self.path} is not append-only "
-                    "(overwrite/replaced files) — the streaming source "
-                    "requires an append-only history"
-                )
+                # the starting snapshot itself is consumed as a whole —
+                # whether it was committed as append or overwrite
+                if not (synthetic_base and v == self.starting_version):
+                    raise ValueError(
+                        f"version {v} at {self.path} is not append-only "
+                        "(overwrite/replaced files) — the streaming source "
+                        "requires an append-only history"
+                    )
             out.extend(sorted(cur - prev))
             prev = cur
         return out
@@ -409,9 +459,27 @@ class ManagedTableWriter(DataSourceWriter):
         return _StagedFiles(rel)
 
     def commit(self, messages) -> None:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         from ssidentity_spark.operators.tablelog import commit_files
 
         files = [m.rel_file for m in messages if m is not None and m.rel_file]
+        if not files and self.mode == "overwrite":
+            # an all-empty overwrite must read back as an EMPTY table,
+            # not an unreadable one: a files=[] tip breaks schema() and
+            # read_versioned (no footer to infer from), so stage one
+            # zero-row part carrying the declared schema
+            rel = os.path.join("data", "batch", f"{uuid.uuid4().hex}.parquet")
+            full = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            schema = _arrow_schema(self.field_specs)
+            pq.write_table(
+                pa.table({f.name: [] for f in schema}, schema=schema), full
+            )
+            files = [rel]
         commit_files(self.path, files, self.mode)
 
     def abort(self, messages) -> None:

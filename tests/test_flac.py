@@ -108,3 +108,18 @@ def test_streaminfo_min_blocksize_excludes_short_final_block():
     assert min_bs == 4096
     _rate, _bps, decoded = decode_flac(blob)
     assert decoded == samples
+
+
+def test_reserved_sample_size_code_rejected():
+    # ADVICE r6: a frame advertising reserved sample-size code 0b011 must
+    # fail AT THE HEADER with the real cause, not fall back to the
+    # STREAMINFO width and die later in a misleading stream-MD5 mismatch.
+    payload = bytearray(encode_flac([100, -100] * 64))
+    # layout: fLaC(4) + block header(4) + STREAMINFO(18+16 md5) = first
+    # frame header at 42; its byte 3 = chan(4) | ss_code(3) | reserved(1)
+    fh = 42
+    assert payload[fh] == 0xFF and payload[fh + 1] == 0xF8
+    payload[fh + 3] = (payload[fh + 3] & 0b11110001) | (0b011 << 1)
+    payload[fh + 7] = crc8(bytes(payload[fh : fh + 7]))  # re-seal CRC-8
+    with pytest.raises(ValueError, match="reserved sample-size"):
+        decode_flac(bytes(payload))

@@ -303,3 +303,91 @@ def test_writer_preserves_declared_types_for_all_null_batch(spark, tmp_path):
     r = spark.read.format("managed_table").load(path)
     assert r.schema.simpleString() == "struct<k:bigint,v:double>"
     assert r.where(F.col("v").isNull()).count() == 2
+
+
+def test_fresh_stream_on_vacuumed_table_names_the_cause(spark, tmp_path):
+    """ADVICE r6: after vacuum() drops early manifests, a fresh readStream
+    (offset -1) must fail with an error naming vacuum and the
+    startingVersion escape hatch — not a raw FileNotFoundError."""
+    from ssidentity_spark.operators.tablelog import vacuum, write_versioned
+
+    path = str(tmp_path / "vt")
+    register(spark)
+    for lo, hi in [(0, 10), (10, 30), (30, 60)]:
+        write_versioned(
+            spark.range(lo, hi).select(F.col("id").alias("k")), path, "append"
+        )
+    vacuum(path, keep_latest=1)  # drops manifests 0 and 1
+    q = (
+        spark.readStream.format("managed_table")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "vout"))
+        .option("checkpointLocation", str(tmp_path / "vck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="startingVersion"):
+        q.awaitTermination(180)
+        raise RuntimeError("query should have failed")  # pragma: no cover
+
+
+def test_starting_version_begins_at_retained_snapshot(spark, tmp_path):
+    """.option('startingVersion', N) on a vacuumed table: the first batch
+    is snapshot N's FULL retained file list (appends never rewrite files,
+    so that list carries every surviving row), then diffs tail as usual."""
+    from ssidentity_spark.operators.tablelog import vacuum, write_versioned
+
+    path = str(tmp_path / "svt")
+    out = str(tmp_path / "svout")
+    ck = str(tmp_path / "svck")
+    register(spark)
+    for lo, hi in [(0, 10), (10, 30), (30, 60)]:
+        write_versioned(
+            spark.range(lo, hi).select(F.col("id").alias("k")), path, "append"
+        )
+    vacuum(path, keep_latest=1)  # oldest retained version is now 2
+
+    def run():
+        q = (
+            spark.readStream.format("managed_table")
+            .option("startingVersion", 2)
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    got = spark.read.parquet(out)
+    # appends never delete files, so snapshot 2 still carries all 60 rows
+    assert got.count() == 60
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(60))
+    # tail after the snapshot: only the new version's rows arrive
+    write_versioned(
+        spark.range(60, 80).select(F.col("id").alias("k")), path, "append"
+    )
+    run()
+    assert spark.read.parquet(out).count() == 80
+
+
+def test_empty_overwrite_reads_back_as_empty(spark, tmp_path):
+    """ADVICE r6: committing an all-empty overwrite must produce a tip
+    that reads back as an EMPTY table with the declared schema — not an
+    unreadable files=[] version."""
+    path = str(tmp_path / "em")
+    register(spark)
+    df = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    df.write.format("managed_table").mode("overwrite").save(path)
+    df.filter("k < 0").write.format("managed_table").mode("overwrite").save(path)
+    back = spark.read.format("managed_table").load(path)
+    assert back.count() == 0
+    assert back.schema.simpleString() == "struct<k:bigint,v:double>"
+    assert read_versioned(spark, path).count() == 0

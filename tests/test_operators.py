@@ -265,6 +265,25 @@ def test_scaled_morton_localizes_both_dimensions(spark):
     assert near < far_day and near < far_user
 
 
+def test_morton_scaled_huge_input_clamps_not_overflows(spark):
+    # ADVICE r6: inputs past ~2^63/top used to hit ARITHMETIC_OVERFLOW in
+    # the pre-clamp multiply under ANSI mode; the raw value must clamp
+    # into [0, x_max] first and land on the same curve end as x_max
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.functions.zorder import morton_key_scaled
+
+    df = spark.createDataFrame(
+        [(2**62, 2), (1500, 2), (-(2**62), 2), (0, 2)], "u long, d long"
+    ).select(
+        "u",
+        morton_key_scaled(F.col("u"), 1500, F.col("d"), 31, 11).alias("z"),
+    )
+    z = {r["u"]: r["z"] for r in df.collect()}
+    assert z[2**62] == z[1500]  # clamps to the top of the range
+    assert z[-(2**62)] == z[0]  # bottom clamp, no wrap
+
+
 # --- interval sweep line (operators/intervals.py) -------------------------
 
 
