@@ -182,6 +182,74 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
     return sorted(set(deleted))
 
 
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """OPTIMIZE: rewrite the tip snapshot's (small) parts into
+    ~``target_rows_per_file``-sized files and commit the result as a NEW
+    version with ``operation='optimize'`` — read-identical by
+    construction (same rows, different physical layout). The missing
+    lakehouse maintenance op next to vacuum/MERGE/time-travel: streaming
+    sinks land one part per micro-batch per task, and a 100 TB table
+    tailed for a month becomes millions of KB-files whose footer reads
+    dominate scan time; compaction is what keeps the manifest and the
+    scan O(data), not O(commits).
+
+    Semantics:
+
+    - TIME TRAVEL is unaffected: prior manifests keep referencing the
+      original parts (vacuum reclaims them only when those versions age
+      out of retention — tested).
+    - STREAMING readers skip optimize versions entirely (no data
+      change — the Delta ``dataChange=false`` contract): re-emitting
+      compacted files would duplicate every row downstream.
+    - CONCURRENCY: unlike blind appends, optimize must NOT retry on a
+      version race — a concurrent append's rows are absent from the
+      compacted rewrite, so winning the retry would silently drop them.
+      The commit is pinned to parent = the tip read at start; on
+      :class:`VersionConflict` the staged files are deleted and the
+      conflict re-raised (the maintenance job just runs again later).
+
+    Returns ``{"version", "rows", "files_before", "files_after"}``.
+    """
+    tip = latest_version(path)
+    if tip is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    tip_m = _read_manifest(path, tip)
+    files = tip_m["files"]
+    if not files:
+        raise FileNotFoundError(f"version {tip} at {path} is empty")
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    n = df.count()
+    n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
+    stage = os.path.join(path, _DATA, f"optimize-{tip + 1:08d}-{os.getpid()}")
+    df.repartition(n_files).write.mode("error").parquet(stage)
+    new_files = sorted(
+        os.path.relpath(os.path.join(stage, name), path)
+        for name in os.listdir(stage)
+        if name.endswith(".parquet")
+    )
+    # carry the cumulative stream-batch ledger forward like every commit
+    meta = {"batch_ids": [int(b) for b in tip_m.get("batch_ids", [])]}
+    try:
+        _commit(path, tip + 1, new_files, "optimize", meta=meta)
+    except VersionConflict:
+        for rel in new_files:
+            try:
+                os.remove(os.path.join(path, rel))
+            except FileNotFoundError:
+                pass
+        raise
+    return {
+        "version": tip + 1,
+        "rows": n,
+        "files_before": len(files),
+        "files_after": len(new_files),
+    }
+
+
 def committed_batch_ids(path: str) -> set[int]:
     """Stream batch ids already durable in the log. The tip manifest
     carries the cumulative ledger (``batch_ids``), so this is one JSON

@@ -101,7 +101,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "dedup_simhash",
     "mm_binary_metadata",
-    "o1_global_sort_top",
     "o4_except_users",
     "w2_transitions",
     "w3_rolling_count_10min",
@@ -110,6 +109,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # reference_pipeline is r6 — all six ref_* re-recorded last round)
     "agg_ordered_listagg",
     "tpch_q19_disjunctive_revenue",
+    # NEW in r7: versioned OPTIMIZE — small-file compaction committed as
+    # a read-identical version, time travel + physical file-count claim
+    # under the hash gate (o1_global_sort_top parks to history; O1 stays
+    # covered by green rows and the windowed j9_q3 TakeOrdered)
+    "src_compacted_timetravel",
     "tpch_q17_small_quantity_revenue",
     "sql_api_daily_type_summary",
     "ref_visit_sessions",

@@ -570,3 +570,61 @@ def src_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "src_compacted_timetravel",
+    # OPTIMIZE under the gate: the table is committed as FOUR small
+    # appends (16+ tiny parts), compacted into one version, then answered
+    # from a join of the pre-optimize snapshot (time travel) and the
+    # compacted tip. The oracle reads the untouched parquet, so a
+    # compaction that drops, duplicates, or corrupts a single row breaks
+    # the hash; `in_pre` pins time travel across the rewrite, and
+    # `compacted` pins the PHYSICAL claim (the tip really has fewer
+    # files) into the hashed result.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, TRUE AS in_pre, TRUE AS compacted
+    FROM documents
+    """,
+    survey="S2,S5,O2",
+)
+def src_compacted_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned OPTIMIZE (operators/tablelog.py:optimize): small-file
+    compaction committed as a read-identical new version. v0..v3 = four
+    quarter-corpus appends written 4-way-partitioned (16 small parts —
+    the shape a streaming sink leaves behind), v4 = OPTIMIZE. The result
+    joins the tip (compacted) against the pre-optimize snapshot by
+    version pin: identical logical content, strictly fewer files."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        optimize,
+        read_versioned,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"compacted_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    for q in range(4):
+        write_versioned(
+            base.where(F.col("doc_id") % 4 == q).repartition(4), path, "append"
+        )
+    pre_files = len(_read_manifest(path, 3)["files"])
+    stats = optimize(spark, path, target_rows_per_file=1_000_000)
+    tip = read_versioned(spark, path).select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5")
+    )
+    pre = read_versioned(spark, path, 3).select(
+        F.col("doc_id").alias("p_id"), F.lit(True).alias("in_pre")
+    )
+    return (
+        tip.join(pre, tip.doc_id == pre.p_id, "left")
+        .select(
+            "doc_id",
+            "text_md5",
+            F.coalesce("in_pre", F.lit(False)).alias("in_pre"),
+            F.lit(stats["files_after"] < pre_files).alias("compacted"),
+        )
+    )

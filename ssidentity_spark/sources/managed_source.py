@@ -391,6 +391,17 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         for v in range(start_v + 1, end_v + 1):
             m = self._manifest_or_explain(v)
             cur = set(m["files"])
+            if m.get("operation") == "optimize" and not (
+                synthetic_base and v == self.starting_version
+            ):
+                # compaction rewrites files WITHOUT changing data (the
+                # dataChange=false contract): emitting the diff would
+                # duplicate every compacted row downstream — skip, but
+                # advance the baseline so later appends diff correctly.
+                # (As a startingVersion target it IS consumed whole: the
+                # compacted snapshot is the stream's initial state.)
+                prev = cur
+                continue
             if m.get("operation") == "overwrite" or not prev <= cur:
                 # the starting snapshot itself is consumed as a whole —
                 # whether it was committed as append or overwrite

@@ -391,3 +391,44 @@ def test_empty_overwrite_reads_back_as_empty(spark, tmp_path):
     assert back.count() == 0
     assert back.schema.simpleString() == "struct<k:bigint,v:double>"
     assert read_versioned(spark, path).count() == 0
+
+
+def test_stream_reader_skips_optimize_versions(spark, tmp_path):
+    """Compaction commits are dataChange=false for a streaming reader:
+    the rewritten files must NOT be re-emitted (they would duplicate
+    every row), while appends before and after flow exactly-once."""
+    from ssidentity_spark.operators.tablelog import optimize, write_versioned
+
+    path = str(tmp_path / "ot")
+    out = str(tmp_path / "oout2")
+    ck = str(tmp_path / "ock2")
+    register(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("managed_table")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_versioned(
+        spark.range(0, 50).select(F.col("id").alias("k")).repartition(4),
+        path,
+        "append",
+    )
+    run()
+    assert spark.read.parquet(out).count() == 50
+    optimize(spark, path, target_rows_per_file=1_000)
+    write_versioned(
+        spark.range(50, 70).select(F.col("id").alias("k")), path, "append"
+    )
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 70  # optimize emitted nothing, append arrived
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(70))

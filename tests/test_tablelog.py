@@ -240,3 +240,81 @@ def test_random_commit_sequences_preserve_log_invariants(spark, tmp_path):
         for v, expect in enumerate(model):
             assert read_versioned(spark, path, v).count() == expect
         assert [h["version"] for h in history(path)] == list(range(len(model)))
+
+
+# --- OPTIMIZE: small-file compaction as a read-identical version ----------
+
+
+def test_optimize_compacts_and_preserves_content(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import _read_manifest, optimize
+
+    path = str(tmp_path / "opt")
+    for lo, hi in [(0, 40), (40, 90), (90, 150)]:
+        write_versioned(_df(spark, lo, hi).repartition(4), path, "append")
+    before = _read_manifest(path, 2)["files"]
+    assert len(before) >= 12  # three 4-part appends
+    stats = optimize(spark, path, target_rows_per_file=1_000)
+    assert stats == {
+        "version": 3,
+        "rows": 150,
+        "files_before": len(before),
+        "files_after": 1,
+    }
+    # read-identical: tip answers exactly as the pre-optimize version
+    tip = read_versioned(spark, path)
+    pre = read_versioned(spark, path, 2)
+    assert tip.count() == pre.count() == 150
+    assert sorted(r["k"] for r in tip.collect()) == sorted(
+        r["k"] for r in pre.collect()
+    )
+    assert history(path)[-1]["operation"] == "optimize"
+
+
+def test_optimize_time_travel_and_vacuum_reclaim_superseded_only(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import _read_manifest, optimize
+
+    path = str(tmp_path / "optv")
+    for lo, hi in [(0, 30), (30, 60)]:
+        write_versioned(_df(spark, lo, hi).repartition(3), path, "append")
+    superseded = set(_read_manifest(path, 1)["files"])
+    optimize(spark, path, target_rows_per_file=1_000)
+    compacted = set(_read_manifest(path, 2)["files"])
+    # time travel still reads the ORIGINAL parts
+    assert read_versioned(spark, path, 1).count() == 60
+    # vacuum to the compacted tip: exactly the superseded parts go, the
+    # compacted files stay, and the tip still answers
+    deleted = set(vacuum(path, keep_latest=1))
+    assert deleted == superseded
+    assert all(os.path.exists(os.path.join(path, f)) for f in compacted)
+    assert read_versioned(spark, path).count() == 60
+
+
+def test_optimize_aborts_on_version_race_instead_of_dropping_appends(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent append between optimize's snapshot read and its commit
+    must fail the optimize (staged files cleaned up), never win a retry —
+    retrying would commit a rewrite missing the append's rows."""
+    import ssidentity_spark.operators.tablelog as tl
+
+    path = str(tmp_path / "optr")
+    write_versioned(_df(spark, 0, 20), path, "append")
+    write_versioned(_df(spark, 20, 50), path, "append")  # v1 = the "race"
+    # simulate reading the tip BEFORE the concurrent append landed
+    monkeypatch.setattr(tl, "latest_version", lambda p: 0)
+    with pytest.raises(VersionConflict):
+        tl.optimize(spark, path, target_rows_per_file=1_000)
+    monkeypatch.undo()
+    # no staged orphan parquet outside the two committed manifests' lists
+    referenced = set()
+    for v in (0, 1):
+        referenced.update(tl._read_manifest(path, v)["files"])
+    on_disk = {
+        os.path.relpath(os.path.join(dp, n), path)
+        for dp, _d, names in os.walk(os.path.join(path, "data"))
+        for n in names
+        if n.endswith(".parquet")
+    }
+    assert on_disk == referenced
+    # and the table is untouched: tip still v1 with all rows
+    assert read_versioned(spark, path).count() == 50
