@@ -1,0 +1,105 @@
+"""Sequence packing: fixed-length training sequences from a tokenized
+corpus — the standard LLM-pretraining packing step (concatenate documents
+in a deterministic order, chunk the token stream into ``seq_len``-sized
+sequences, keep the doc↔sequence boundary map as the audit trail).
+
+Reference impetus: the reference stores raw observations and defers all
+batching to query time (README.md:15-19); a corpus pipeline feeding a
+trainer needs the opposite — a deterministic, reproducible physical
+batching. This is the one standard corpus operator SURVEY §2.10 lacked
+(VERDICT r6 ask #6).
+
+Design for 100 TB:
+
+- **Bucketed, not global.** A single global concatenation order would
+  force one global cumulative sum — a sequential dependency (and Spark's
+  ``Window.orderBy`` without ``partitionBy`` collapses to ONE partition:
+  the classic scale trap). Instead docs hash into ``n_buckets``
+  independent streams (``doc_id % n_buckets``) and each bucket packs in
+  parallel: same determinism, same fill ratio (one possibly-short tail
+  sequence per bucket instead of one total), embarrassingly parallel.
+  Size ``n_buckets`` to ~10× executor count on a real cluster.
+- **Deterministic order** inside a bucket: ``(md5(text), doc_id)`` — the
+  same content-addressed shuffle order the dedup/split operators use, so
+  re-runs (and the DuckDB oracle) reproduce byte-identical packing.
+- **Docs split across sequence boundaries** (GPT-style packing): every
+  sequence except each bucket's last is EXACTLY full — no padding waste,
+  no first-fit heuristics, and the whole computation is integer window
+  arithmetic (one cumulative sum + one bounded explode), which is what
+  makes it hash-gateable cross-engine.
+
+The output is the boundary map: one row per (document × sequence it
+occupies) with the in-doc token span and the in-sequence offset. A doc
+shorter than ``seq_len`` yields one row; a doc spanning k boundaries
+yields k+1 rows. ``sum(doc_to - doc_from)`` grouped by sequence
+reconstructs the fill; grouped by doc it reconstructs ``n_tokens`` —
+both pinned by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# the same BPE-ish token regex the text family counts with
+# (plans/text.py:_TOKEN_RE) so packing composes with tokenization
+TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boundary map of the packed corpus: ``(bucket, seq_no, doc_id,
+    doc_from, doc_to, seq_offset)`` — doc tokens ``[doc_from, doc_to)``
+    land in sequence ``(bucket, seq_no)`` starting at ``seq_offset``.
+
+    Empty documents (zero tokens) are excluded: they occupy no positions
+    and would otherwise emit degenerate zero-width rows.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    L = F.lit(seq_len)
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.encode(text_col, "UTF-8")).alias("m"),
+        (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
+        F.regexp_count(text_col, F.lit(TOKEN_RE)).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("m", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.select(
+        "bucket",
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("s"),
+    )
+    # integer DIV (not floor of a double divide): bit-exact at any scale
+    spans = o.select(
+        "bucket",
+        "doc_id",
+        "n_tokens",
+        "s",
+        F.explode(
+            F.sequence(
+                F.expr(f"s DIV {seq_len}"),
+                F.expr(f"(s + n_tokens - 1) DIV {seq_len}"),
+            )
+        ).alias("seq_no"),
+    )
+    return spans.select(
+        "bucket",
+        "seq_no",
+        "doc_id",
+        F.greatest(F.lit(0), F.col("seq_no") * L - F.col("s")).alias("doc_from"),
+        F.least(F.col("n_tokens"), (F.col("seq_no") + 1) * L - F.col("s")).alias(
+            "doc_to"
+        ),
+        F.greatest(F.lit(0), F.col("s") - F.col("seq_no") * L).alias("seq_offset"),
+    )

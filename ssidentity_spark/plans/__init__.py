@@ -101,7 +101,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "dedup_simhash",
     "mm_binary_metadata",
-    "o4_except_users",
     "w2_transitions",
     "w3_rolling_count_10min",
     # per-module anchors: stalest member of each module the r1 vintage
@@ -114,6 +113,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # under the hash gate (o1_global_sort_top parks to history; O1 stays
     # covered by green rows and the windowed j9_q3 TakeOrdered)
     "src_compacted_timetravel",
+    # NEW in r7: sequence packing — the boundary map of the concat-and-
+    # chunk corpus packing under the hash gate (o4_except_users parks to
+    # history; O4 stays covered by green rows)
+    "pipe_pack_sequences",
     "tpch_q17_small_quantity_revenue",
     "sql_api_daily_type_summary",
     "ref_visit_sessions",

@@ -562,3 +562,51 @@ def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .limit(200)
     )
+
+
+@register(
+    "pipe_pack_sequences",
+    # Packing under the gate: the boundary map is pure integer window
+    # arithmetic over a deterministic (md5, doc_id) order, so both
+    # engines must agree on every doc's every sequence span EXACTLY —
+    # a wrong cumsum frame, a one-off at a chunk boundary, or a
+    # non-deterministic order all break the hash.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS m,
+             CAST(doc_id % 16 AS INTEGER) AS bucket,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), nz AS (
+      SELECT * FROM t WHERE n_tokens > 0
+    ), o AS (
+      SELECT bucket, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY m, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS s
+      FROM nz
+    ), u AS (
+      SELECT bucket, doc_id, n_tokens, s,
+             unnest(range(s // 512, (s + n_tokens - 1) // 512 + 1)) AS seq_no
+      FROM o
+    )
+    SELECT bucket, CAST(seq_no AS BIGINT) AS seq_no, doc_id,
+           greatest(0, seq_no * 512 - s) AS doc_from,
+           least(n_tokens, (seq_no + 1) * 512 - s) AS doc_to,
+           greatest(0, s - seq_no * 512) AS seq_offset
+    FROM u
+    """,
+    survey="X1,W3,O2",
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the documents corpus into 512-token training sequences
+    (16 parallel bucket streams, GPT-style concat-and-chunk) and return
+    the doc↔sequence boundary map — the reproducible physical batching
+    between the corpus pipeline and a trainer. See
+    operators/packing.py for the 100 TB design notes."""
+    from ssidentity_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=512, n_buckets=16)

@@ -1,0 +1,89 @@
+"""operators/packing.pack_sequences: the packing invariants the boundary
+map must satisfy (the driver-gate hash row pins Spark ≡ DuckDB; these pin
+the semantics themselves on controlled corpora)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssidentity_spark.operators.packing import pack_sequences
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_every_sequence_full_except_each_buckets_last(spark):
+    texts = [" ".join(f"w{j}" for j in range(3 + (i * 7) % 40)) for i in range(60)]
+    out = pack_sequences(_docs(spark, texts), seq_len=32, n_buckets=4)
+    fills = (
+        out.groupBy("bucket", "seq_no")
+        .agg(F.sum(F.col("doc_to") - F.col("doc_from")).alias("fill"))
+        .collect()
+    )
+    last = {}
+    for r in fills:
+        last[r["bucket"]] = max(last.get(r["bucket"], -1), r["seq_no"])
+    for r in fills:
+        if r["seq_no"] < last[r["bucket"]]:
+            assert r["fill"] == 32, f"non-tail sequence not full: {r}"
+        else:
+            assert 0 < r["fill"] <= 32
+
+
+def test_token_conservation_and_span_contiguity(spark):
+    texts = ["alpha beta gamma " * (1 + i % 9) for i in range(40)]
+    docs = _docs(spark, texts)
+    out = pack_sequences(docs, seq_len=16, n_buckets=2)
+    # per-doc: spans tile [0, n_tokens) without gaps or overlaps
+    rows = sorted(
+        (r["doc_id"], r["doc_from"], r["doc_to"]) for r in out.collect()
+    )
+    by_doc = {}
+    for doc_id, a, b in rows:
+        assert a < b
+        by_doc.setdefault(doc_id, []).append((a, b))
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.regexp_count("text", F.lit(r"\w+|[^\w\s]")).alias("n")
+        ).collect()
+    }
+    for doc_id, spans in by_doc.items():
+        assert spans[0][0] == 0
+        for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+            assert b1 == a2  # contiguous
+        assert spans[-1][1] == n_tok[doc_id]
+    # every tokenized doc appears
+    assert set(by_doc) == {i for i in range(40) if n_tok[i] > 0}
+
+
+def test_seq_offset_matches_running_fill(spark):
+    texts = ["one two three four five six seven"] * 12
+    out = pack_sequences(_docs(spark, texts), seq_len=10, n_buckets=1)
+    rows = sorted(
+        ((r["seq_no"], r["seq_offset"]), (r["doc_from"], r["doc_to"]))
+        for r in out.collect()
+    )
+    # within a sequence, each span starts exactly where the previous ended
+    pos = {}
+    for (seq_no, off), (a, b) in rows:
+        assert pos.get(seq_no, 0) == off
+        pos[seq_no] = off + (b - a)
+
+
+def test_empty_docs_excluded_and_determinism(spark):
+    texts = ["", "   ", "real content here", "more real content"]
+    docs = _docs(spark, texts)
+    out1 = sorted(map(tuple, pack_sequences(docs, 8, 2).collect()))
+    out2 = sorted(map(tuple, pack_sequences(docs, 8, 2).collect()))
+    assert out1 == out2
+    assert {r[2] for r in out1} == {2, 3}  # zero-token docs never packed
+
+
+def test_rejects_nonpositive_seq_len(spark):
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(_docs(spark, ["x"]), seq_len=0)
