@@ -101,7 +101,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "dedup_simhash",
     "mm_binary_metadata",
-    "w2_transitions",
     "w3_rolling_count_10min",
     # per-module anchors: stalest member of each module the r1 vintage
     # leaves unwindowed (tpch2/tpch3/tpch4/sqlapi are r4 vintage;
@@ -117,6 +116,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # chunk corpus packing under the hash gate (o4_except_users parks to
     # history; O4 stays covered by green rows)
     "pipe_pack_sequences",
+    # NEW in r7: SemDeDup-shape semantic dedup over the embedding space
+    # (w2_transitions parks to history; W2 stays covered by green rows)
+    "dedup_semantic_cells",
     "tpch_q17_small_quantity_revenue",
     "sql_api_daily_type_summary",
     "ref_visit_sessions",

@@ -23,7 +23,7 @@ fixed-length lowercase-hex strings is min over the underlying integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table
@@ -639,4 +639,129 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (F.col("xn") * F.col("yn")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= EMB_COS_THRESHOLD)
+    )
+
+
+# same centroid rule as the pinned-IVF family (one source of truth, the
+# r6 shared-constants rule) and the same cosine bar as
+# dedup_embedding_cosine above
+from ssidentity_spark.plans.similarity import PINNED_CENT_MOD as _SEM_CENT_MOD  # noqa: E402
+
+SEMDEDUP_COS = EMB_COS_THRESHOLD
+
+
+@register(
+    "dedup_semantic_cells",
+    # SemDeDup (Abbas et al. 2023) shape: cluster the embedding space,
+    # then judge near-duplication only WITHIN clusters — pairwise work is
+    # O(sum cell_size^2), never O(n^2) over the corpus. Reuses the
+    # pinned-centroid IVF machinery (sim_ivf_pinned_topk), which is what
+    # makes the whole cluster -> intra-cell verdict pipeline
+    # SQL-expressible and hash-verifiable.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    ), cent AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % {_SEM_CENT_MOD} = 0
+    ), ranked AS (
+      SELECT vec_id, v, nrm, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cell_cos DESC, cid) AS rn
+      FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.cid,
+               round(list_sum(list_transform(generate_series(1, len(n.v)),
+                              i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6)
+                 AS cell_cos
+        FROM n CROSS JOIN cent c)
+    ), cells AS (
+      SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
+    ), dups AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6)
+            >= {SEMDEDUP_COS}
+    )
+    SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+    FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+    """,
+    survey="EXT-dedup,U5,J3",
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup shape: assign every embedding to its
+    nearest pinned centroid, then drop any vector whose cell contains a
+    LOWER-id vector within cosine >= 0.35 (greedy keep-first by id —
+    deterministic; on a~b~c chains the lowest id survives and every
+    direct neighbor of a survivor drops, the published SemDeDup
+    practice). Returns the per-vector verdict (vec_id, cell, kept).
+
+    Scale shape: centroid assignment is the model-sized broadcast pass +
+    one argmax window; the duplicate scan is an EQUI-join on the cell id
+    (plan-pinned: no nested loop), so pairwise cosine work is bounded by
+    cell sizes, which the centroid count controls (k grows with the
+    corpus like a trained codebook)."""
+    from ssidentity_spark.plans.similarity import (
+        PINNED_CENT_MOD,
+        _dot,
+        _norm_vec,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = _norm_vec(em)
+    cent = base.filter(F.col("vec_id") % PINNED_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("cell_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cid"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
+        # three consumers (a-side, b-side, final verdict) — persist so the
+        # O(corpus x k) assignment pass runs once, not three times
+        .persist()
+    )
+    a = cells.select(
+        F.col("cell").alias("p_cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = cells.select(
+        F.col("cell").alias("p_cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dups = (
+        a.join(b, "p_cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(
+                _dot(F.col("av"), F.col("bv")) / (F.col("anrm") * F.col("bnrm")),
+                6,
+            )
+            >= SEMDEDUP_COS
+        )
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dups, cells.vec_id == dups.dup_id, "left")
+        .select("vec_id", "cell", F.col("dup_id").isNull().alias("kept"))
     )

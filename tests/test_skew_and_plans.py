@@ -172,3 +172,41 @@ def test_scalable_row_number_matches_global_window(spark):
         }
         want_rows = {r.k: (r.rn, r.q4) for r in want.collect()}
         assert got_rows == want_rows, f"n={n} const={const}"
+
+
+def test_semantic_dedup_pair_join_is_equi(spark):
+    """dedup_semantic_cells: the ONLY nested-loop join allowed is the
+    model-sized centroid-assignment broadcast (the inherent O(corpus x k)
+    pass every IVF variant pays). The duplicate-pair generation must be
+    an equi join on the cell id — a theta self-join over vectors would be
+    the O(n^2) SemDeDup anti-pattern."""
+    from ssidentity_spark.registry import all_queries
+
+    plan = _plan(
+        all_queries()["dedup_semantic_cells"](spark, "/root/testdata/sf0.001")
+    )
+    assert "CartesianProduct" not in plan
+    # the intra-cell pair join appears as a hash/merge EQUI join keyed on
+    # the cell column
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        plan.count("BroadcastHashJoin") >= 1
+    )
+    # the only allowed nested loop is the centroid-assignment broadcast
+    # inside the PERSISTED cells definition (executed once for all three
+    # consumers; the explain string re-prints the cached subtree under
+    # each InMemoryTableScan, so count structurally, not textually):
+    # every BNLJ line must sit strictly below an InMemoryTableScan at
+    # shallower indentation — i.e. inside a cached definition, never in
+    # the live top-level plan
+    def _indent(line):
+        return len(line) - len(line.lstrip(" :+-"))
+
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        covered = any(
+            "InMemoryTableScan" in prev and _indent(prev) < _indent(line)
+            for prev in lines[:i]
+        )
+        assert covered, f"live nested-loop join outside the cache:\n{line}"
