@@ -5,10 +5,13 @@ Supported on decode: spectral selection (per-scan Ss..Se coefficient
 bands), successive approximation for DC and AC (Ah/Al bit-plane
 refinement with the spec's EOB-run + correction-bit protocol, ITU T.81
 §G.2), multiple DHT segments between scans, grayscale and YCbCr color
-with sampling up to 2×2. Scans must be single-component (non-interleaved
-— what the encoder twin and most minimal progressive writers emit);
-interleaved-DC progressive scans, restart intervals inside progressive
-streams, and arithmetic coding raise NotImplementedError.
+with sampling up to 2×2, INTERLEAVED DC scans (MCU-ordered multi-
+component scans with dummy-block handling — the form libjpeg emits by
+default; r7), and restart intervals (DRI/RSTn) in both interleaved and
+single-component scans with per-boundary predictor/EOB-run reset (r7).
+AC scans are single-component per T.81 (an interleaved AC scan is
+invalid in progressive mode and is rejected as such); arithmetic coding
+raises NotImplementedError.
 
 Encoder twin: ``encode_jpeg_progressive`` writes a libjpeg-style script —
 per component: DC first pass at Al=1, AC band first passes at Al=1
@@ -38,6 +41,7 @@ from ssidentity_spark.operators.jpeg import (
     _BitWriter,
     _canonical_codes,
     _category,
+    _emit_restart,
     _extend,
     _flat_huffman,
     _huff_decode,
@@ -86,6 +90,7 @@ def decode_progressive_pixels(payload: bytes) -> np.ndarray:
     comps: list[dict] | None = None
     coefs: list[np.ndarray] = []
     hmax = vmax = 1
+    dri = 0  # restart interval in MCUs (blocks for single-component scans)
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise NotImplementedError("malformed JPEG segment stream")
@@ -139,35 +144,54 @@ def decode_progressive_pixels(payload: bytes) -> np.ndarray:
                 huff[(cls, tid)] = _canonical_codes(counts, b[17 : 17 + n])
                 b = b[17 + n :]
         elif marker == 0xDD:
-            if struct.unpack_from(">H", body, 0)[0]:
-                raise NotImplementedError(
-                    "restart intervals in progressive JPEG unsupported"
-                )
+            dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
             if comps is None:
                 raise NotImplementedError("JPEG SOS before SOF2")
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError(
-                    "interleaved progressive scans unsupported (single-component only)"
-                )
-            cid = body[1]
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            ss, se = body[3], body[4]
-            ah, al = body[5] >> 4, body[5] & 0x0F
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             if not (
                 (ss == 0 and se == 0) or (1 <= ss <= se <= 63)
             ) or (ah and ah != al + 1):
                 raise NotImplementedError("invalid progressive scan parameters")
-            ci = next(
-                (i for i, c in enumerate(comps) if c["cid"] == cid), None
-            )
-            if ci is None:
-                raise NotImplementedError("JPEG scan names unknown component")
             start = pos + 2 + ln
             end = _entropy_end(payload, start)
             br = _BitReader(payload[start:end])
-            _decode_scan(br, comps[ci], coefs[ci], huff, td, ta, ss, se, ah, al)
+            if ns == 1:
+                cid = body[1]
+                td, ta = body[2] >> 4, body[2] & 0x0F
+                ci = next(
+                    (i for i, c in enumerate(comps) if c["cid"] == cid), None
+                )
+                if ci is None:
+                    raise NotImplementedError("JPEG scan names unknown component")
+                _decode_scan(
+                    br, comps[ci], coefs[ci], huff, td, ta, ss, se, ah, al, dri
+                )
+            else:
+                # interleaved scan: T.81 allows it in progressive mode for
+                # the DC band only (AC scans are always single-component)
+                if ss != 0 or se != 0:
+                    raise NotImplementedError(
+                        "interleaved progressive AC scan is not valid T.81"
+                    )
+                scan = []
+                for si in range(ns):
+                    cid = body[1 + 2 * si]
+                    td = body[2 + 2 * si] >> 4
+                    ci = next(
+                        (i for i, c in enumerate(comps) if c["cid"] == cid),
+                        None,
+                    )
+                    if ci is None:
+                        raise NotImplementedError(
+                            "JPEG scan names unknown component"
+                        )
+                    scan.append((ci, td))
+                _decode_dc_interleaved(
+                    br, scan, comps, coefs, huff, ah, al, dims, hmax, vmax, dri
+                )
             pos = end
             continue
         pos += 2 + ln
@@ -201,13 +225,70 @@ def decode_progressive_pixels(payload: bytes) -> np.ndarray:
     return _ycbcr_to_rgb(full[0], full[1], full[2])
 
 
-def _decode_scan(br, c, coef, huff, td, ta, ss, se, ah, al) -> None:
-    """Apply one single-component scan to the coefficient array."""
+def _decode_dc_interleaved(
+    br, scan, comps, coefs, huff, ah, al, dims, hmax, vmax, dri
+) -> None:
+    """Interleaved DC scan (first pass or refinement) in MCU order: per
+    MCU, each scan component contributes its h×v block cluster. Block
+    grids are MCU-aligned per T.81 — clusters past a component's true
+    by×bx still carry entropy data (dummy blocks), which is consumed and
+    discarded. Restart boundaries every ``dri`` MCUs reset every DC
+    predictor and byte-align over the RSTn marker."""
+    w, h = dims
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    dc_codes = {}
+    if ah == 0:
+        for ci, td in scan:
+            if (0, td) not in huff:
+                raise NotImplementedError("JPEG scan references missing DC table")
+            dc_codes[ci] = huff[(0, td)]
+    pred = {ci: 0 for ci, _ in scan}
+    rst = 0
+    mcu_i = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if dri and mcu_i and mcu_i % dri == 0:
+                br.align_restart()
+                rst = (rst + 1) % 8
+                pred = {ci: 0 for ci, _ in scan}
+            mcu_i += 1
+            for ci, _td in scan:
+                c = comps[ci]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        byi = my * c["v"] + v
+                        bxi = mx * c["h"] + hh
+                        in_range = byi < c["by"] and bxi < c["bx"]
+                        if ah == 0:
+                            s = _huff_decode(br, dc_codes[ci])
+                            pred[ci] += _extend(br.read_bits(s), s)
+                            if in_range:
+                                coefs[ci][byi, bxi, 0] = pred[ci] << al
+                        else:
+                            bit = br.read_bit()
+                            if bit and in_range:
+                                coefs[ci][byi, bxi, 0] |= 1 << al
+
+
+def _decode_scan(br, c, coef, huff, td, ta, ss, se, ah, al, dri=0) -> None:
+    """Apply one single-component scan to the coefficient array. For
+    non-interleaved scans the restart unit is ONE BLOCK (T.81: the MCU of
+    a single-component scan is a single data unit); every ``dri`` blocks
+    the decoder byte-aligns over the RSTn marker and resets the DC
+    predictor / EOB run."""
     n_blocks = c["by"] * c["bx"]
+
+    state = {"pred": 0, "eobrun": 0, "i": 0}
 
     def blocks():
         for byi in range(c["by"]):
             for bxi in range(c["bx"]):
+                if dri and state["i"] and state["i"] % dri == 0:
+                    br.align_restart()
+                    state["pred"] = 0
+                    state["eobrun"] = 0
+                state["i"] += 1
                 yield coef[byi, bxi]
 
     if ss == 0:  # DC scan
@@ -215,11 +296,10 @@ def _decode_scan(br, c, coef, huff, td, ta, ss, se, ah, al) -> None:
             if (0, td) not in huff:
                 raise NotImplementedError("JPEG scan references missing DC table")
             dc_codes = huff[(0, td)]
-            pred = 0
             for zz in blocks():
                 s = _huff_decode(br, dc_codes)
-                pred += _extend(br.read_bits(s), s)
-                zz[0] = pred << al
+                state["pred"] += _extend(br.read_bits(s), s)
+                zz[0] = state["pred"] << al
         else:  # refinement: one raw bit per block
             for zz in blocks():
                 if br.read_bit():
@@ -229,11 +309,10 @@ def _decode_scan(br, c, coef, huff, td, ta, ss, se, ah, al) -> None:
     if (1, ta) not in huff:
         raise NotImplementedError("JPEG scan references missing AC table")
     ac_codes = huff[(1, ta)]
-    eobrun = 0
     if ah == 0:  # AC first pass: EOB runs + shifted coefficients
         for zz in blocks():
-            if eobrun:
-                eobrun -= 1
+            if state["eobrun"]:
+                state["eobrun"] -= 1
                 continue
             k = ss
             while k <= se:
@@ -243,7 +322,7 @@ def _decode_scan(br, c, coef, huff, td, ta, ss, se, ah, al) -> None:
                     if r == 15:
                         k += 16  # ZRL
                         continue
-                    eobrun = (1 << r) - 1 + (br.read_bits(r) if r else 0)
+                    state["eobrun"] = (1 << r) - 1 + (br.read_bits(r) if r else 0)
                     break
                 k += r
                 if k > se:
@@ -258,14 +337,14 @@ def _decode_scan(br, c, coef, huff, td, ta, ss, se, ah, al) -> None:
     p1, m1 = 1 << al, -1 << al
     for zz in blocks():
         k = ss
-        if eobrun == 0:
+        if state["eobrun"] == 0:
             while k <= se:
                 sym = _huff_decode(br, ac_codes)
                 r, s = sym >> 4, sym & 0x0F
                 sval = 0
                 if s == 0:
                     if r != 15:
-                        eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                        state["eobrun"] = (1 << r) + (br.read_bits(r) if r else 0)
                         break
                     # ZRL: skip 16 zero-history positions below
                 else:
@@ -286,12 +365,12 @@ def _decode_scan(br, c, coef, huff, td, ta, ss, se, ah, al) -> None:
                 if sval and k <= se:
                     zz[k] = sval
                 k += 1
-        if eobrun > 0:
+        if state["eobrun"] > 0:
             while k <= se:
                 if zz[k] != 0:
                     _refine_nonzero(br, zz, k, p1, m1)
                 k += 1
-            eobrun -= 1
+            state["eobrun"] -= 1
 
 
 # ---------------------------------------------------------------------------
@@ -434,10 +513,22 @@ AC_BANDS = ((1, 5), (6, 63))  # spectral split for the AC scans
 
 
 def encode_jpeg_progressive(
-    pixels, quant: int = 1, subsample: bool = False
+    pixels,
+    quant: int = 1,
+    subsample: bool = False,
+    interleave_dc: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode gray (h×w) or RGB (h×w×3) pixels as progressive JPEG with
-    the full successive-approximation script (see module docstring)."""
+    the full successive-approximation script (see module docstring).
+
+    ``interleave_dc=True`` (color only) emits the DC scans in the
+    INTERLEAVED form real progressive encoders default to — one scan
+    covering all three components in MCU order, dummy blocks included
+    for subsampled chroma per T.81. ``restart_interval > 0`` writes a
+    DRI segment and RSTn markers every that-many restart units (MCUs for
+    interleaved scans, blocks for single-component scans), with DC
+    predictors and EOB runs reset at each boundary."""
     arr = np.asarray(pixels, dtype=np.float64)
     color = arr.ndim == 3
     h, w = arr.shape[:2]
@@ -479,13 +570,21 @@ def encode_jpeg_progressive(
         return hdr + body_bits
 
     scans = []
+    rst_n = restart_interval
 
     def dc_first(ci: int) -> bytes:
         bw = _BitWriter()
         pred = 0
+        rst = 0
+        i = 0
         cz = coefs[ci]
         for byi in range(cz.shape[0]):
             for bxi in range(cz.shape[1]):
+                if rst_n and i and i % rst_n == 0:
+                    _emit_restart(bw, rst)
+                    rst += 1
+                    pred = 0
+                i += 1
                 dc = int(cz[byi, bxi, 0]) >> AL1
                 diff = dc - pred
                 pred = dc
@@ -498,19 +597,93 @@ def encode_jpeg_progressive(
 
     def dc_refine(ci: int) -> bytes:
         bw = _BitWriter()
+        rst = 0
+        i = 0
         cz = coefs[ci]
         for byi in range(cz.shape[0]):
             for bxi in range(cz.shape[1]):
+                if rst_n and i and i % rst_n == 0:
+                    _emit_restart(bw, rst)
+                    rst += 1
+                i += 1
                 bw.write((int(cz[byi, bxi, 0]) >> 0) & 1, 1)
         bw.flush()
         return sos(ci, 0, 0, 1, 0, bytes(bw.out))
 
+    def _mcu_geometry():
+        hs = [s[0] for s in samp]
+        vs = [s[1] for s in samp]
+        hmax, vmax = max(hs), max(vs)
+        mcx = (w + 8 * hmax - 1) // (8 * hmax)
+        mcy = (h + 8 * vmax - 1) // (8 * vmax)
+        return mcx, mcy
+
+    def dc_interleaved(first: bool) -> bytes:
+        """One DC scan covering ALL components in MCU order (the form
+        libjpeg emits by default). Dummy blocks past a component's true
+        grid carry diff=0 / bit=0 — consumed and discarded by decoders."""
+        bw = _BitWriter()
+        mcx, mcy = _mcu_geometry()
+        pred = [0] * n
+        rst = 0
+        mcu_i = 0
+        for my in range(mcy):
+            for mx in range(mcx):
+                if rst_n and mcu_i and mcu_i % rst_n == 0:
+                    _emit_restart(bw, rst)
+                    rst += 1
+                    pred = [0] * n
+                mcu_i += 1
+                for ci in range(n):
+                    ch, cv = samp[ci]
+                    cz = coefs[ci]
+                    for v in range(cv):
+                        for hh in range(ch):
+                            byi, bxi = my * cv + v, mx * ch + hh
+                            in_range = byi < cz.shape[0] and bxi < cz.shape[1]
+                            if first:
+                                dc = (
+                                    int(cz[byi, bxi, 0]) >> AL1
+                                    if in_range
+                                    else pred[ci]
+                                )
+                                diff = dc - pred[ci]
+                                pred[ci] = dc
+                                s = _category(diff)
+                                code, ln = dc_table[s]
+                                bw.write(code, ln)
+                                bw.write(_amplitude(diff, s), s)
+                            else:
+                                bit = (
+                                    int(cz[byi, bxi, 0]) & 1 if in_range else 0
+                                )
+                                bw.write(bit, 1)
+        bw.flush()
+        ah, al = (0, AL1) if first else (1, 0)
+        comp_spec = b"".join(bytes([cids[ci], 0x00]) for ci in range(n))
+        hdr = _seg(
+            0xFFDA,
+            bytes([n]) + comp_spec + bytes([0, 0, (ah << 4) | al]),
+        )
+        return hdr + bytes(bw.out)
+
     def ac_scan(ci: int, ss: int, se: int, first: bool) -> bytes:
         bw = _BitWriter()
         sw = _ScanWriter(bw, ac_table)
+        rst = 0
+        i = 0
         cz = coefs[ci]
         for byi in range(cz.shape[0]):
             for bxi in range(cz.shape[1]):
+                if rst_n and i and i % rst_n == 0:
+                    # EOB runs must not cross a restart boundary: close
+                    # the run (flushing its carried correction bits),
+                    # then byte-align + marker
+                    sw.emit_eobrun()
+                    sw.flush_buffered()
+                    _emit_restart(bw, rst)
+                    rst += 1
+                i += 1
                 if first:
                     _encode_ac_first(sw, cz[byi, bxi], ss, se, AL1)
                 else:
@@ -520,13 +693,19 @@ def encode_jpeg_progressive(
         return sos(ci, ss, se, ah, al, bytes(bw.out))
 
     n = len(planes)
-    for ci in range(n):
-        scans.append(dc_first(ci))
+    if interleave_dc and n > 1:
+        scans.append(dc_interleaved(first=True))
+    else:
+        for ci in range(n):
+            scans.append(dc_first(ci))
     for ci in range(n):
         for ss, se in AC_BANDS:
             scans.append(ac_scan(ci, ss, se, first=True))
-    for ci in range(n):
-        scans.append(dc_refine(ci))
+    if interleave_dc and n > 1:
+        scans.append(dc_interleaved(first=False))
+    else:
+        for ci in range(n):
+            scans.append(dc_refine(ci))
     for ci in range(n):
         for ss, se in AC_BANDS:
             scans.append(ac_scan(ci, ss, se, first=False))
@@ -543,6 +722,8 @@ def encode_jpeg_progressive(
     out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, n) + comp_bytes)
     out += _seg(0xFFC4, b"\x00" + dc_dht)
     out += _seg(0xFFC4, b"\x10" + ac_dht)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += b"".join(scans)
     out += b"\xff\xd9"
     return out

@@ -124,3 +124,94 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_interleaved_dc_444_roundtrip():
+    """r7: DC scans in the interleaved (MCU-ordered, all-components) form
+    real progressive encoders default to."""
+    rng = np.random.default_rng(45)
+    for w, h in ((8, 8), (21, 15), (13, 9)):
+        rgb = rng.integers(0, 256, size=(h, w, 3))
+        got = decode_progressive_pixels(
+            encode_jpeg_progressive(rgb, quant=1, interleave_dc=True)
+        )
+        assert got.shape == (h, w, 3)
+        assert np.abs(got - rgb).max() <= 4.0
+
+
+def test_interleaved_dc_420_dummy_blocks_roundtrip():
+    """2x2-subsampled luma means the MCU grid pads chroma with dummy
+    blocks on odd block counts — the dummy entropy data must be consumed
+    exactly (any desync corrupts every later block)."""
+    rng = np.random.default_rng(46)
+    for bw_, bh_ in ((9, 8), (5, 7), (11, 3)):
+        base = rng.integers(0, 256, size=(bh_, bw_, 3))
+        rgb = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+        got = decode_progressive_pixels(
+            encode_jpeg_progressive(
+                rgb, quant=1, subsample=True, interleave_dc=True
+            )
+        )
+        assert got.shape == rgb.shape
+        assert np.abs(got - rgb).max() <= 4.0
+
+
+def test_restart_intervals_gray_and_color_roundtrip():
+    """r7: DRI/RSTn inside progressive streams — predictor and EOB-run
+    reset at every boundary, byte-aligned markers consumed mid-scan."""
+    rng = np.random.default_rng(47)
+    px = rng.integers(0, 256, size=(17, 31))
+    for dri in (1, 2, 5):
+        got = decode_progressive_pixels(
+            encode_jpeg_progressive(px, quant=1, restart_interval=dri)
+        )
+        assert np.abs(got - px).max() <= 4.0
+    rgb = rng.integers(0, 256, size=(15, 21, 3))
+    got = decode_progressive_pixels(
+        encode_jpeg_progressive(rgb, quant=1, restart_interval=3)
+    )
+    assert np.abs(got - rgb).max() <= 4.0
+
+
+def test_restart_plus_interleaved_dc_roundtrip():
+    rng = np.random.default_rng(48)
+    base = rng.integers(0, 256, size=(7, 9, 3))
+    rgb = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    got = decode_progressive_pixels(
+        encode_jpeg_progressive(
+            rgb, quant=1, subsample=True, interleave_dc=True, restart_interval=2
+        )
+    )
+    assert got.shape == rgb.shape
+    assert np.abs(got - rgb).max() <= 4.0
+
+
+def test_interleaved_ac_scan_rejected():
+    """An interleaved AC scan is invalid T.81 progressive — rejected with
+    the real cause, not decoded wrong."""
+    rng = np.random.default_rng(49)
+    payload = bytearray(
+        encode_jpeg_progressive(
+            rng.integers(0, 256, size=(8, 8, 3)), quant=1
+        )
+    )
+    # find an AC SOS (ns=1, ss>0) and rewrite its header to ns=3: the
+    # resulting stream claims an interleaved AC scan
+    i = 2
+    while i + 4 < len(payload):
+        if payload[i] == 0xFF and payload[i + 1] == 0xDA:
+            ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+            body = payload[i + 4 : i + 2 + ln]
+            if body[0] == 1 and body[3] > 0:
+                new_body = bytes(
+                    [3, 1, body[2], 2, body[2], 3, body[2], body[3], body[4], body[5]]
+                )
+                payload[i + 2 : i + 2 + ln] = (
+                    (len(new_body) + 2).to_bytes(2, "big") + new_body
+                )
+                break
+            i += 2 + ln
+        else:
+            i += 1
+    with pytest.raises(NotImplementedError, match="interleaved progressive AC"):
+        decode_progressive_pixels(bytes(payload))
