@@ -467,3 +467,86 @@ def test_decode_audio_rejects_compressed():
     fmt = _s.pack("<HHIIHH", 85, 1, 44100, 0, 1, 0)  # MP3-in-WAV
     with pytest.raises(NotImplementedError):
         decode_audio(_wav_wrap(fmt, b"\x00\x01"))
+
+
+# --- MP3 frame-header metadata (r7: the last declared-modality gap) -------
+
+
+def _mp3_frame(version=1, layer=3, br_idx=9, sr_idx=0, padding=0, mono=False):
+    """Build one structurally valid MPEG frame: 4-byte header + zero
+    payload sized per the spec formula (we never decode audio, only
+    walk)."""
+    ver_bits = {1: 3, 2: 2, 25: 0}[version]
+    layer_bits = {1: 3, 2: 2, 3: 1}[layer]
+    b1 = 0xFF
+    b2 = 0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1  # no CRC
+    b3 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b4 = 0xC0 if mono else 0x00
+    from ssidentity_spark.operators.multimodal import _mp3_frame_header
+
+    hdr = bytes([b1, b2, b3, b4])
+    parsed = _mp3_frame_header(hdr, 0)
+    assert parsed is not None
+    frame_len = parsed[5]
+    return hdr + bytes(frame_len - 4)
+
+
+def test_mp3_metadata_walk_counts_frames():
+    from ssidentity_spark.operators.multimodal import decode_mp3_metadata
+
+    stream = b"".join(_mp3_frame() for _ in range(7))
+    m = decode_mp3_metadata(stream)
+    assert m == {
+        "version": "MPEG1",
+        "layer": 3,
+        "sample_rate": 44100,
+        "channels": 2,
+        "n_frames": 7,
+        "n_samples": 7 * 1152,
+        "bitrate_kbps": 128,
+        "vbr": False,
+        "duration_s": round(7 * 1152 / 44100, 6),
+    }
+
+
+def test_mp3_id3v2_tag_skipped_and_vbr_flagged():
+    from ssidentity_spark.operators.multimodal import decode_mp3_metadata
+
+    # ID3v2 header: "ID3", version 3.0, flags 0, syncsafe size 130
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 1, 2]) + bytes(130)
+    stream = id3 + _mp3_frame(br_idx=9) + _mp3_frame(br_idx=11) + _mp3_frame(br_idx=9)
+    m = decode_mp3_metadata(stream)
+    assert m["n_frames"] == 3
+    assert m["vbr"] is True
+    assert m["bitrate_kbps"] == 128
+
+
+def test_mp3_variants_mpeg2_layer2_mono_padding():
+    from ssidentity_spark.operators.multimodal import decode_mp3_metadata
+
+    s2 = b"".join(
+        _mp3_frame(version=2, layer=3, br_idx=5, sr_idx=2, padding=i % 2, mono=True)
+        for i in range(4)
+    )
+    m = decode_mp3_metadata(s2)
+    assert (m["version"], m["layer"], m["sample_rate"], m["channels"]) == (
+        "MPEG2", 3, 16000, 1
+    )
+    assert m["n_frames"] == 4 and m["n_samples"] == 4 * 576
+
+
+def test_decode_audio_routes_mp3_instead_of_raising():
+    from ssidentity_spark.operators.multimodal import decode_audio
+
+    stream = b"".join(_mp3_frame() for _ in range(3))
+    channels, rate, bits, n_samples = decode_audio(stream)
+    assert (channels, rate, bits, n_samples) == (2, 44100, 0, 3 * 1152)
+
+
+def test_mp3_garbage_still_raises():
+    from ssidentity_spark.operators.multimodal import decode_mp3_metadata
+
+    with pytest.raises(NotImplementedError, match="frame sync"):
+        decode_mp3_metadata(b"ID3\x03\x00\x00" + bytes(20))
+    with pytest.raises(NotImplementedError):
+        decode_mp3_metadata(b"\x00\x01\x02\x03")
