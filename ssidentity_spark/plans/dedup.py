@@ -691,6 +691,8 @@ SEMDEDUP_COS = EMB_COS_THRESHOLD
     FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
     """,
     survey="EXT-dedup,U5,J3",
+    bench=True,  # r7 headliner: broadcast-assign + persisted reuse +
+    # intra-cell equi-join pair scan (seeds its baseline this round)
 )
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, SemDeDup shape: assign every embedding to its

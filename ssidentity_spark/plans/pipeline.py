@@ -599,6 +599,8 @@ def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM u
     """,
     survey="X1,W3,O2",
+    bench=True,  # r7 headliner: the bucketed cumsum-window + bounded
+    # explode shape (seeds its baseline this round)
 )
 def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the documents corpus into 512-token training sequences
