@@ -92,6 +92,59 @@ def write_managed(
     return version
 
 
+def optimize_managed(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """OPTIMIZE the managed table: compact the tip's small parts
+    PRESERVING the cluster layout, then rebuild the bloom sidecar for
+    the new version — the composition `tablelog.optimize` alone can't
+    do (a plain round-robin rewrite would destroy the range clustering
+    the index's file-skipping depends on — measured 64× vs ~none,
+    SCALE.md — and the compacted version would have no sidecar at all,
+    silently degrading every point lookup to a full-manifest scan).
+
+    The cluster key and index geometry come from the tip's sidecar
+    (raises if the table has none — then it isn't a managed table and
+    plain ``tablelog.optimize`` is the right tool). Returns optimize's
+    stats plus ``{"indexed_files"}``."""
+    tip = latest_version(path)
+    if tip is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    sidecar = _index_path(path, tip)
+    if not os.path.exists(sidecar):
+        raise FileNotFoundError(
+            f"no bloom sidecar for tip version {tip} at {path} — not a "
+            "managed table (use tablelog.optimize for unindexed tables)"
+        )
+    with open(sidecar) as f:
+        idx = json.load(f)
+    key, m_bits = idx["key"], idx["m_bits"]
+
+    from ssidentity_spark.operators.tablelog import optimize
+
+    stats = optimize(
+        spark,
+        path,
+        target_rows_per_file=target_rows_per_file,
+        repartition_fn=lambda df, n: df.repartitionByRange(
+            n, key
+        ).sortWithinPartitions(key),
+    )
+    version = stats["version"]
+    files = _read_manifest(path, version)["files"]
+    index = build_bloom_index(
+        spark, path, key, m_bits=m_bits, files=files, write_sidecar=False
+    )
+    os.makedirs(os.path.dirname(_index_path(path, version)), exist_ok=True)
+    with open(_index_path(path, version), "w") as f:
+        json.dump(
+            {"key": key, "m_bits": m_bits, "k": INDEX_K, "files": index}, f
+        )
+    return {**stats, "indexed_files": len(index)}
+
+
 def managed_point_lookup(
     spark: SparkSession,
     path: str,

@@ -186,6 +186,7 @@ def optimize(
     spark: SparkSession,
     path: str,
     target_rows_per_file: int = 1_000_000,
+    repartition_fn=None,
 ) -> dict:
     """OPTIMIZE: rewrite the tip snapshot's (small) parts into
     ~``target_rows_per_file``-sized files and commit the result as a NEW
@@ -225,7 +226,15 @@ def optimize(
     n = df.count()
     n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
     stage = os.path.join(path, _DATA, f"optimize-{tip + 1:08d}-{os.getpid()}")
-    df.repartition(n_files).write.mode("error").parquet(stage)
+    # repartition_fn(df, n_files) lets layout-aware callers keep their
+    # physical order through the rewrite (managed tables pass a
+    # range-cluster-by-key partitioner so compaction never degrades the
+    # bloom/zorder pruning the layout was built for); the default is a
+    # plain round-robin repartition
+    reshaped = (
+        repartition_fn(df, n_files) if repartition_fn else df.repartition(n_files)
+    )
+    reshaped.write.mode("error").parquet(stage)
     new_files = sorted(
         os.path.relpath(os.path.join(stage, name), path)
         for name in os.listdir(stage)

@@ -138,3 +138,51 @@ def test_swap_survives_leftover_backup(spark, target, tmp_path):
     assert not os.path.isdir(path + "._stage")
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {"A": 1, "B": 2, "C": 33}
+
+
+def test_optimize_managed_preserves_layout_and_index(spark, tmp_path):
+    """r7: OPTIMIZE on a managed table must keep the cluster layout
+    through the rewrite and rebuild the bloom sidecar for the compacted
+    version — otherwise point lookups silently degrade to full scans."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.managed import (
+        managed_point_lookup,
+        optimize_managed,
+        write_managed,
+    )
+    from ssidentity_spark.operators.tablelog import read_versioned
+
+    path = str(tmp_path / "om")
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("seq")
+    )
+    # two appends -> 32 small clustered parts
+    write_managed(spark, df, path, "k", n_files=16)
+    write_managed(
+        spark, df.select("k", (F.col("seq") + 100_000).alias("seq")),
+        path, "k", n_files=16,
+    )
+    before, total_before = managed_point_lookup(spark, path, 42)[1:]
+    stats = optimize_managed(spark, path, target_rows_per_file=10_000)
+    assert stats["files_after"] < stats["files_before"] == total_before
+    assert stats["indexed_files"] == stats["files_after"]
+    # content identical through the rewrite
+    assert read_versioned(spark, path).count() == 40_000
+    rows, read, total = managed_point_lookup(spark, path, 42)
+    assert rows.count() == 80  # 2 appends x (20,000 / 500 keys) rows of k=42
+    # the index still prunes: range clustering keeps each key in few files
+    assert read < total == stats["files_after"]
+    assert read <= max(1, before)  # pruning no worse than pre-compaction
+
+
+def test_optimize_managed_requires_sidecar(spark, tmp_path):
+    from ssidentity_spark.operators.managed import optimize_managed
+    from ssidentity_spark.operators.tablelog import write_versioned
+
+    path = str(tmp_path / "nosc")
+    write_versioned(
+        spark.range(0, 10).select(F.col("id").alias("k")), path, "append"
+    )
+    with pytest.raises(FileNotFoundError, match="not a managed table"):
+        optimize_managed(spark, path)
