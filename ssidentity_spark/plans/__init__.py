@@ -101,7 +101,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "dedup_simhash",
     "mm_binary_metadata",
-    "w3_rolling_count_10min",
     # per-module anchors: stalest member of each module the r1 vintage
     # leaves unwindowed (tpch2/tpch3/tpch4/sqlapi are r4 vintage;
     # reference_pipeline is r6 — all six ref_* re-recorded last round)
@@ -119,6 +118,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # NEW in r7: SemDeDup-shape semantic dedup over the embedding space
     # (w2_transitions parks to history; W2 stays covered by green rows)
     "dedup_semantic_cells",
+    # NEW in r7: the TRAINED-codebook SemDeDup variant, hash-gated via a
+    # model snapshot like the r6 ANN family (w3_rolling_count_10min
+    # parks to history; W3 stays covered by green rows)
+    "dedup_semantic_trained",
     "tpch_q17_small_quantity_revenue",
     "sql_api_daily_type_summary",
     "ref_visit_sessions",

@@ -650,15 +650,12 @@ from ssidentity_spark.plans.similarity import PINNED_CENT_MOD as _SEM_CENT_MOD  
 SEMDEDUP_COS = EMB_COS_THRESHOLD
 
 
-@register(
-    "dedup_semantic_cells",
-    # SemDeDup (Abbas et al. 2023) shape: cluster the embedding space,
-    # then judge near-duplication only WITHIN clusters — pairwise work is
-    # O(sum cell_size^2), never O(n^2) over the corpus. Reuses the
-    # pinned-centroid IVF machinery (sim_ivf_pinned_topk), which is what
-    # makes the whole cluster -> intra-cell verdict pipeline
-    # SQL-expressible and hash-verifiable.
-    oracle=f"""
+def _semantic_oracle(cent_cte: str) -> str:
+    """The SemDeDup pipeline as DuckDB SQL, parameterized on where the
+    centroids come from (the pinned mod rule, or a trained-model
+    snapshot parquet — the same technique that hash-gated the trained
+    ANN family in r6)."""
+    return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -666,8 +663,7 @@ SEMDEDUP_COS = EMB_COS_THRESHOLD
       SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       FROM e
     ), cent AS (
-      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-      WHERE vec_id % {_SEM_CENT_MOD} = 0
+      {cent_cte}
     ), ranked AS (
       SELECT vec_id, v, nrm, cid,
              row_number() OVER (PARTITION BY vec_id
@@ -689,37 +685,15 @@ SEMDEDUP_COS = EMB_COS_THRESHOLD
     )
     SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
     FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
-    """,
-    survey="EXT-dedup,U5,J3",
-    bench=True,  # r7 headliner: broadcast-assign + persisted reuse +
-    # intra-cell equi-join pair scan (seeds its baseline this round)
-)
-def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup, SemDeDup shape: assign every embedding to its
-    nearest pinned centroid, then drop any vector whose cell contains a
-    LOWER-id vector within cosine >= 0.35 (greedy keep-first by id —
-    deterministic; on a~b~c chains the lowest id survives and every
-    direct neighbor of a survivor drops, the published SemDeDup
-    practice). Returns the per-vector verdict (vec_id, cell, kept).
+    """
 
-    Scale shape: centroid assignment is the model-sized broadcast pass +
-    one argmax window; the duplicate scan is an EQUI-join on the cell id
-    (plan-pinned: no nested loop), so pairwise cosine work is bounded by
-    cell sizes, which the centroid count controls (k grows with the
-    corpus like a trained codebook)."""
-    from ssidentity_spark.plans.similarity import (
-        PINNED_CENT_MOD,
-        _dot,
-        _norm_vec,
-    )
 
-    em = load_table(spark, sf_dir, "embeddings")
-    base = _norm_vec(em)
-    cent = base.filter(F.col("vec_id") % PINNED_CENT_MOD == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
+def _semantic_verdict(base: DataFrame, cent: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_semantic_oracle`: assign → intra-cell pair
+    scan → greedy keep-lowest-id verdict. ``cent`` is the model-sized
+    centroid frame (cid, cv, cnrm), broadcast for the assignment pass."""
+    from ssidentity_spark.plans.similarity import _dot
+
     scored = base.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "v",
@@ -767,3 +741,98 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(dups, cells.vec_id == dups.dup_id, "left")
         .select("vec_id", "cell", F.col("dup_id").isNull().alias("kept"))
     )
+
+
+@register(
+    "dedup_semantic_cells",
+    # SemDeDup (Abbas et al. 2023) shape: cluster the embedding space,
+    # then judge near-duplication only WITHIN clusters — pairwise work is
+    # O(sum cell_size^2), never O(n^2) over the corpus. Reuses the
+    # pinned-centroid IVF machinery (sim_ivf_pinned_topk), which is what
+    # makes the whole cluster -> intra-cell verdict pipeline
+    # SQL-expressible and hash-verifiable.
+    oracle=_semantic_oracle(
+        f"SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n "
+        f"WHERE vec_id % {_SEM_CENT_MOD} = 0"
+    ),
+    survey="EXT-dedup,U5,J3",
+    bench=True,  # r7 headliner: broadcast-assign + persisted reuse +
+    # intra-cell equi-join pair scan (seeds its baseline this round)
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup shape: assign every embedding to its
+    nearest pinned centroid, then drop any vector whose cell contains a
+    LOWER-id vector within cosine >= 0.35 (greedy keep-first by id —
+    deterministic; on a~b~c chains the lowest id survives and every
+    direct neighbor of a survivor drops, the published SemDeDup
+    practice). Returns the per-vector verdict (vec_id, cell, kept).
+
+    Scale shape: centroid assignment is the model-sized broadcast pass +
+    one argmax window; the duplicate scan is an EQUI-join on the cell id
+    (plan-pinned: no nested loop), so pairwise cosine work is bounded by
+    cell sizes, which the centroid count controls (k grows with the
+    corpus like a trained codebook)."""
+    from ssidentity_spark.plans.similarity import _norm_vec
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = _norm_vec(em)
+    cent = base.filter(F.col("vec_id") % _SEM_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    return _semantic_verdict(base, cent)
+
+
+def _semantic_trained_cent_cte() -> str:
+    from ssidentity_spark.plans.similarity import _model_snap
+
+    snap = _model_snap("semdedup_centroids")
+    return (
+        f"SELECT cid, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv, "
+        f"sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) "
+        f"* CAST(x AS DOUBLE)))) AS cnrm "
+        f"FROM read_parquet('{snap}')"
+    )
+
+
+@register(
+    "dedup_semantic_trained",
+    # the TRAINED path of X9: same pipeline, centroids from the real
+    # Lloyd's k-means trainer (operators/ivf.py) — hash-gated via the
+    # trained-model snapshot technique that gated the ANN family in r6
+    # (the exact float64 model lands in .fixture_snapshots/ and DuckDB
+    # replays assignment -> intra-cell verdict from it).
+    oracle=_semantic_oracle(_semantic_trained_cent_cte()),
+    survey="EXT-dedup,U5,J3",
+)
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a TRAINED codebook: k-means centroids (k ≈ √n is
+    the production sizing; 16 here matching the IVF family) instead of
+    the pinned mod rule — the variant a real 100 TB deployment runs,
+    with assignment O(n·√n) instead of the pinned rule's O(n²/97).
+    Same verdict semantics as ``dedup_semantic_cells``."""
+    from ssidentity_spark.operators.ivf import train_centroids
+    from ssidentity_spark.plans.similarity import (
+        IVF_ITERS,
+        IVF_K,
+        _norm_vec,
+        _snapshot_centroid_model,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(em, k=IVF_K, iters=IVF_ITERS)
+    _snapshot_centroid_model("semdedup_centroids", cents)
+    base = _norm_vec(em)
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    cent = (
+        spark.createDataFrame(rows, "cid bigint, cv array<double>")
+        .select(
+            "cid",
+            "cv",
+            F.sqrt(
+                F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("cnrm"),
+        )
+    )
+    return _semantic_verdict(base, cent)
