@@ -46,28 +46,30 @@ from pyspark.sql import functions as F
 TOKEN_RE = r"\w+|[^\w\s]"
 
 
-def pack_sequences(
-    docs: DataFrame,
+def pack_token_counts(
+    counts: DataFrame,
     seq_len: int = 2048,
     n_buckets: int = 32,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    count_col: str = "n_tokens",
+    order_col: str = "m",
 ) -> DataFrame:
-    """Boundary map of the packed corpus: ``(bucket, seq_no, doc_id,
-    doc_from, doc_to, seq_offset)`` — doc tokens ``[doc_from, doc_to)``
-    land in sequence ``(bucket, seq_no)`` starting at ``seq_offset``.
+    """Core packing arithmetic over PRE-COMPUTED per-doc token counts:
+    ``counts`` carries (id, deterministic order key, token count) — the
+    entry point for composing packing with a real tokenizer (BPE counts
+    from ``text_bpe_tokenize``) instead of the regex estimate.
 
-    Empty documents (zero tokens) are excluded: they occupy no positions
-    and would otherwise emit degenerate zero-width rows.
-    """
+    Returns the boundary map ``(bucket, seq_no, doc_id, doc_from,
+    doc_to, seq_offset)``; zero-token rows are excluded (they occupy no
+    positions and would emit degenerate zero-width spans)."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     L = F.lit(seq_len)
-    t = docs.select(
+    t = counts.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(F.encode(text_col, "UTF-8")).alias("m"),
+        F.col(order_col).alias("m"),
         (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
-        F.regexp_count(text_col, F.lit(TOKEN_RE)).cast("bigint").alias("n_tokens"),
+        F.col(count_col).cast("bigint").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     w = (
         Window.partitionBy("bucket")
@@ -102,4 +104,24 @@ def pack_sequences(
             "doc_to"
         ),
         F.greatest(F.lit(0), F.col("s") - F.col("seq_no") * L).alias("seq_offset"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boundary map of the packed corpus from raw text: token counts via
+    the shared BPE-ish regex, order key md5(text). See
+    :func:`pack_token_counts` for the arithmetic and the composed form."""
+    counts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.encode(text_col, "UTF-8")).alias("m"),
+        F.regexp_count(text_col, F.lit(TOKEN_RE)).cast("bigint").alias("n_tokens"),
+    )
+    return pack_token_counts(
+        counts, seq_len=seq_len, n_buckets=n_buckets
     )

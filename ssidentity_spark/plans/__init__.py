@@ -91,7 +91,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a4_mac_key_rollup",
     "a6_value_stats",
     "a9_cube_type_dow",
-    "a9_rollup_type_hour",
     "d7_array_funcs",
     "d7_array_manipulation",
     "d7_from_json_struct",
@@ -122,6 +121,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # model snapshot like the r6 ANN family (w3_rolling_count_10min
     # parks to history; W3 stays covered by green rows)
     "dedup_semantic_trained",
+    # NEW in r7: the composed tokenize->pack pipeline — BPE-real token
+    # counts through the packing arithmetic as ONE hash-gated plan
+    # (a9_rollup_type_hour parks to history; A9 keeps cube + history)
+    "pipe_tokenize_pack",
     "tpch_q17_small_quantity_revenue",
     "sql_api_daily_type_summary",
     "ref_visit_sessions",

@@ -612,3 +612,99 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d, seq_len=512, n_buckets=16)
+
+
+def _tokenize_pack_oracle(seq_len: int, n_buckets: int) -> str:
+    """Compose the BPE tokenize oracle's CTE chain (everything up to its
+    final per-doc aggregation) with the packing window arithmetic —
+    literally the pretraining data path (train tokenizer → tokenize →
+    pack) replayed in SQL."""
+    from ssidentity_spark.plans.text import _BPE_TOKENIZE_ORACLE
+
+    ctes = _BPE_TOKENIZE_ORACLE[: _BPE_TOKENIZE_ORACLE.rindex("SELECT doc_id,")]
+    return (
+        ctes
+        + f""", counts AS (
+      SELECT doc_id,
+             CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS n_tokens
+      FROM applied GROUP BY doc_id
+    ), pt AS (
+      SELECT c.doc_id, md5(d.text) AS m,
+             CAST(c.doc_id % {n_buckets} AS INTEGER) AS bucket, c.n_tokens
+      FROM counts c JOIN documents d ON c.doc_id = d.doc_id
+      WHERE c.n_tokens > 0
+    ), po AS (
+      SELECT bucket, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY m, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS s
+      FROM pt
+    ), pu AS (
+      SELECT bucket, doc_id, n_tokens, s,
+             unnest(range(s // {seq_len}, (s + n_tokens - 1) // {seq_len} + 1))
+               AS seq_no
+      FROM po
+    )
+    SELECT bucket, CAST(seq_no AS BIGINT) AS seq_no, doc_id,
+           greatest(0, seq_no * {seq_len} - s) AS doc_from,
+           least(n_tokens, (seq_no + 1) * {seq_len} - s) AS doc_to,
+           greatest(0, s - seq_no * {seq_len}) AS seq_offset
+    FROM pu
+    """
+    )
+
+
+_PACK_SEQ_LEN = 256
+_PACK_BUCKETS = 8
+
+
+@register(
+    "pipe_tokenize_pack",
+    # THE pretraining data path as one composed, hash-gated plan: BPE
+    # training and tokenization feed REAL token counts into the packing
+    # arithmetic — a drift anywhere in the trainer, the merge apply, the
+    # token count, or the boundary math breaks the hash.
+    oracle=_tokenize_pack_oracle(_PACK_SEQ_LEN, _PACK_BUCKETS),
+    survey="U6,X1,W3",
+)
+def pipe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 6-merge BPE tokenizer on the corpus, tokenize every
+    document with it, and pack the resulting REAL token counts into
+    256-token training sequences (8 bucket streams) — the end-to-end
+    tokenize→pack composition a trainer consumes, with the doc↔sequence
+    boundary map as the audit trail."""
+    from ssidentity_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+        token_count,
+        word_vocab,
+    )
+    from ssidentity_spark.operators.packing import pack_token_counts
+    from ssidentity_spark.plans.text import _BPE_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = word_vocab(docs.select("text"))
+    _table, merges = bpe_train(spark, vocab, k=_BPE_K)
+
+    w = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    doc_words = docs.select("doc_id", w).where(
+        F.col("word").rlike("^[a-z]+$") & (F.length("word") <= 12)
+    )
+    spaced = F.concat(
+        F.lit(" "), F.regexp_replace("word", "(.)", "$1  "), F.lit("</w> ")
+    )
+    counts = (
+        doc_words.select(
+            "doc_id", token_count(bpe_apply(spaced, merges)).alias("n_tok")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+        .join(
+            docs.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("m")),
+            "doc_id",
+        )
+    )
+    return pack_token_counts(
+        counts, seq_len=_PACK_SEQ_LEN, n_buckets=_PACK_BUCKETS
+    )
