@@ -68,20 +68,24 @@ def morton_key_scaled(
     the curve cover both dimensions evenly (the same normalization
     Delta/Iceberg apply via range-partition ids before interleaving)."""
     top = (1 << bits) - 1
-    # clamp the RAW value into [0, max] BEFORE the scale multiply: an
-    # input past ~2^63/top would otherwise overflow LongType inside
-    # `x * top` (ARITHMETIC_OVERFLOW under ANSI mode; a negative wrap —
-    # clamping to the wrong curve end — without). Post-scale least/
-    # greatest stays as a belt against double-rounding at the boundary.
-    xc = F.greatest(F.lit(0), F.least(F.lit(max(x_max, 1)), x.cast("long")))
-    yc = F.greatest(F.lit(0), F.least(F.lit(max(y_max, 1)), y.cast("long")))
+    # clamp the RAW value into [0, max] BEFORE scaling, then do the
+    # scale multiply in DOUBLE: an integer `x * top` overflows LongType
+    # not just for hostile inputs but for LEGITIMATE large domains
+    # (x_max > 2^63/top — e.g. nanosecond epochs at bits=16), raising
+    # ARITHMETIC_OVERFLOW under ANSI mode or wrapping negative without.
+    # Double precision is exact to 2^53 and the quotient lands in
+    # [0, top] (< 2^26), so the worst rounding error is one curve cell —
+    # irrelevant for clustering. Post-scale least/greatest guards the
+    # boundary cell against that last-ulp rounding.
+    xc = F.greatest(F.lit(0.0), F.least(F.lit(float(max(x_max, 1))), x.cast("double")))
+    yc = F.greatest(F.lit(0.0), F.least(F.lit(float(max(y_max, 1))), y.cast("double")))
     xn = F.greatest(
         F.lit(0),
-        F.least(F.lit(top), (xc * top / F.lit(max(x_max, 1))).cast("long")),
+        F.least(F.lit(top), (xc * top / F.lit(float(max(x_max, 1)))).cast("long")),
     )
     yn = F.greatest(
         F.lit(0),
-        F.least(F.lit(top), (yc * top / F.lit(max(y_max, 1))).cast("long")),
+        F.least(F.lit(top), (yc * top / F.lit(float(max(y_max, 1)))).cast("long")),
     )
     return morton_key(xn, yn, bits)
 

@@ -14,7 +14,9 @@ verified against an engine that never sees FLAC at all.
 
 Scope (documented boundary, mirrors the JPEG/MP3 notes in COVERAGE.md):
 independent channels only (no left/side, right/side, mid/side stereo
-decorrelation), FIXED and not LPC subframes, 8/16/24-bit samples. Streams
+decorrelation), FIXED and not LPC subframes, 8/16/24-bit samples (32-bit frame
+headers are honoured per RFC 9639 §9.1.3 — 0b111 is 32 bps, not
+reserved). Streams
 produced by ``encode_flac`` always decode; foreign fixed-profile streams
 decode too; LPC/side-coded streams raise ``NotImplementedError``.
 
@@ -326,7 +328,9 @@ _BLOCKSIZES = {
     0b1000: 256, 0b1001: 512, 0b1010: 1024, 0b1011: 2048, 0b1100: 4096,
     0b1101: 8192, 0b1110: 16384, 0b1111: 32768,
 }
-_SAMPLE_SIZES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
+# RFC 9639 §9.1.3: 0b111 is 32 bps (it was reserved pre-RFC); only
+# 0b011 remains reserved
+_SAMPLE_SIZES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32}
 
 
 def _read_utf8_number(r: _BitReader) -> int:
@@ -455,10 +459,10 @@ def decode_flac(payload: bytes):
             raise ValueError(f"reserved blocksize code {bs_code}")
         if sr_code in (0b1100, 0b1101, 0b1110):  # rate value in header
             r.read(8 if sr_code == 0b1100 else 16)
-        if ss_code in (0b011, 0b111):
-            # reserved codes must fail HERE with the real cause — falling
-            # back to the STREAMINFO width decodes every subframe at the
-            # wrong size and surfaces only as a baffling stream-MD5
+        if ss_code == 0b011:
+            # the one reserved code must fail HERE with the real cause —
+            # falling back to the STREAMINFO width decodes every subframe
+            # at the wrong size and surfaces only as a baffling stream-MD5
             # mismatch much later (mirrors the blocksize handling above)
             raise ValueError(f"reserved sample-size code {ss_code:#05b}")
         bps = _SAMPLE_SIZES[ss_code] if ss_code else bps_si

@@ -245,11 +245,12 @@ def optimize(
     try:
         _commit(path, tip + 1, new_files, "optimize", meta=meta)
     except VersionConflict:
-        for rel in new_files:
-            try:
-                os.remove(os.path.join(path, rel))
-            except FileNotFoundError:
-                pass
+        # the whole staging directory is this attempt's private output —
+        # remove it tree-wise so a lost race leaves no _SUCCESS/.crc
+        # markers (or empty dirs) behind for vacuum to trip over
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
         raise
     return {
         "version": tip + 1,

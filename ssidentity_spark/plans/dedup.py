@@ -688,10 +688,14 @@ def _semantic_oracle(cent_cte: str) -> str:
     """
 
 
-def _semantic_verdict(base: DataFrame, cent: DataFrame) -> DataFrame:
-    """Spark twin of :func:`_semantic_oracle`: assign → intra-cell pair
-    scan → greedy keep-lowest-id verdict. ``cent`` is the model-sized
-    centroid frame (cid, cv, cnrm), broadcast for the assignment pass."""
+def _assign_cells(base: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, v, nrm, cell), PERSISTED —
+    the frame has multiple downstream consumers (pair a-side, b-side,
+    final verdict; the blow-up probe's counters). Spark's cache manager
+    dedupes by canonical plan, so repeated invocations of the same query
+    reuse ONE entry (verified: 3 runs -> 1 persisted RDD) rather than
+    stacking copies — the entry lives until session end, like the
+    fixture caches."""
     from ssidentity_spark.plans.similarity import _dot
 
     scored = base.crossJoin(F.broadcast(cent)).select(
@@ -704,14 +708,21 @@ def _semantic_verdict(base: DataFrame, cent: DataFrame) -> DataFrame:
         ).alias("cell_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cid"))
-    cells = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
-        # three consumers (a-side, b-side, final verdict) — persist so the
-        # O(corpus x k) assignment pass runs once, not three times
         .persist()
     )
+
+
+def _cell_pair_cos(cells: DataFrame) -> DataFrame:
+    """Intra-cell candidate pairs with exact cosine: (a_id, b_id, cos),
+    a_id < b_id — the EQUI join on the cell id that bounds pairwise work
+    to O(sum cell_size^2). Shared by the verdict and the scale probe so
+    SCALE.md numbers are measured on the shipped semantics."""
+    from ssidentity_spark.plans.similarity import _dot
+
     a = cells.select(
         F.col("cell").alias("p_cell"),
         F.col("vec_id").alias("a_id"),
@@ -724,16 +735,29 @@ def _semantic_verdict(base: DataFrame, cent: DataFrame) -> DataFrame:
         F.col("v").alias("bv"),
         F.col("nrm").alias("bnrm"),
     )
-    dups = (
+    return (
         a.join(b, "p_cell")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
+        .select(
+            "a_id",
+            "b_id",
             F.round(
                 _dot(F.col("av"), F.col("bv")) / (F.col("anrm") * F.col("bnrm")),
                 6,
-            )
-            >= SEMDEDUP_COS
+            ).alias("cos"),
         )
+    )
+
+
+def _semantic_verdict(base: DataFrame, cent: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_semantic_oracle`: assign → intra-cell pair
+    scan → dominated-by-lower-id verdict (see dedup_semantic_cells for
+    the chain semantics). ``cent`` is the model-sized centroid frame
+    (cid, cv, cnrm), broadcast for the assignment pass."""
+    cells = _assign_cells(base, cent)
+    dups = (
+        _cell_pair_cos(cells)
+        .filter(F.col("cos") >= SEMDEDUP_COS)
         .select(F.col("b_id").alias("dup_id"))
         .distinct()
     )
@@ -761,11 +785,18 @@ def _semantic_verdict(base: DataFrame, cent: DataFrame) -> DataFrame:
 )
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, SemDeDup shape: assign every embedding to its
-    nearest pinned centroid, then drop any vector whose cell contains a
-    LOWER-id vector within cosine >= 0.35 (greedy keep-first by id —
-    deterministic; on a~b~c chains the lowest id survives and every
-    direct neighbor of a survivor drops, the published SemDeDup
-    practice). Returns the per-vector verdict (vec_id, cell, kept).
+    nearest pinned centroid, then drop any vector whose cell contains
+    ANY lower-id vector within cosine >= the bar (the dominated-by-
+    lower-id rule — deterministic and fully relational). NOTE the chain
+    semantics this implies (pinned by test): on a~b~c with a,c not
+    similar, both b AND c drop (c's only near-dup, b, was itself
+    dropped) — deliberately MORE aggressive than a sequential greedy
+    scan, which would keep c. That conservative over-deletion is the
+    price of a rule both engines can state without iteration (a true
+    greedy survivor set needs non-monotone recursion SQL cannot
+    express); for corpus dedup, dropping a borderline near-dup is the
+    cheap direction. Returns the per-vector verdict (vec_id, cell,
+    kept).
 
     Scale shape: centroid assignment is the model-sized broadcast pass +
     one argmax window; the duplicate scan is an EQUI-join on the cell id

@@ -17,7 +17,9 @@ from ssidentity_spark.io import load_table
 from ssidentity_spark.registry import register
 
 # "BPE-ish" token pattern: word pieces or single non-space symbols.
-_TOKEN_RE = r"\w+|[^\w\s]"
+# one source of truth with the packing operator (r7 review): the
+# BPE-ish token regex lives in operators/packing.py
+from ssidentity_spark.operators.packing import TOKEN_RE as _TOKEN_RE  # noqa: E402
 # A small stopword list present in the corpus vocabulary.
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
 

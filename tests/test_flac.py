@@ -111,9 +111,10 @@ def test_streaminfo_min_blocksize_excludes_short_final_block():
 
 
 def test_reserved_sample_size_code_rejected():
-    # ADVICE r6: a frame advertising reserved sample-size code 0b011 must
-    # fail AT THE HEADER with the real cause, not fall back to the
-    # STREAMINFO width and die later in a misleading stream-MD5 mismatch.
+    # ADVICE r6 + review r7: the one RESERVED sample-size code (0b011 —
+    # RFC 9639 defines 0b111 as 32 bps, not reserved) must fail AT THE
+    # HEADER with the real cause, not fall back to the STREAMINFO width
+    # and die later in a misleading stream-MD5 mismatch.
     payload = bytearray(encode_flac([100, -100] * 64))
     # layout: fLaC(4) + block header(4) + STREAMINFO(18+16 md5) = first
     # frame header at 42; its byte 3 = chan(4) | ss_code(3) | reserved(1)

@@ -284,6 +284,25 @@ def test_morton_scaled_huge_input_clamps_not_overflows(spark):
     assert z[-(2**62)] == z[0]  # bottom clamp, no wrap
 
 
+def test_morton_scaled_large_legitimate_domain(spark):
+    # review r7: a LEGITIMATE domain max past ~2^63/top (nanosecond
+    # epochs) must scale, not overflow — the scale multiply runs in
+    # double, so ordering across the domain is preserved
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.functions.zorder import morton_key_scaled
+
+    x_max = 1_700_000_000_000_000_000  # ns epoch scale
+    df = spark.createDataFrame(
+        [(0, 1), (x_max // 2, 1), (x_max, 1)], "t long, d long"
+    ).select(
+        "t",
+        morton_key_scaled(F.col("t"), x_max, F.col("d"), 31, 16).alias("z"),
+    )
+    z = {r["t"]: r["z"] for r in df.collect()}
+    assert z[0] < z[x_max // 2] < z[x_max]  # monotone across the domain
+
+
 # --- interval sweep line (operators/intervals.py) -------------------------
 
 

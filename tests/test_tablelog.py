@@ -305,7 +305,13 @@ def test_optimize_aborts_on_version_race_instead_of_dropping_appends(
     with pytest.raises(VersionConflict):
         tl.optimize(spark, path, target_rows_per_file=1_000)
     monkeypatch.undo()
-    # no staged orphan parquet outside the two committed manifests' lists
+    # the losing attempt's ENTIRE staging dir is gone (not just its
+    # parquet parts — no _SUCCESS/.crc markers or empty dirs remain)
+    assert not [
+        d
+        for d in os.listdir(os.path.join(path, "data"))
+        if d.startswith("optimize-")
+    ]
     referenced = set()
     for v in (0, 1):
         referenced.update(tl._read_manifest(path, v)["files"])

@@ -17,6 +17,10 @@ offsets that keep the per-key structure. Two operator-specific twists:
   direction is distinct and cells keep their natural ~mod-size — the
   property that makes intra-cell pairwise work LINEAR in the corpus.
 
+The semantic-dedup stage runs the SHIPPED pipeline helpers
+(plans/dedup._assign_cells / _cell_pair_cos — r7 review: no inline
+re-implementation, the probe must measure the semantics the queries run).
+
 Usage: python tools/r7_blowup.py [sf_dir]
 """
 
@@ -42,8 +46,13 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     from ssidentity_spark.operators.packing import pack_sequences
-    from ssidentity_spark.plans.dedup import SEMDEDUP_COS, _SEM_CENT_MOD
-    from ssidentity_spark.plans.similarity import _dot, _norm_vec
+    from ssidentity_spark.plans.dedup import (
+        SEMDEDUP_COS,
+        _SEM_CENT_MOD,
+        _assign_cells,
+        _cell_pair_cos,
+    )
+    from ssidentity_spark.plans.similarity import _norm_vec
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     n_docs = docs.count()
@@ -51,7 +60,6 @@ def main() -> None:
     n_vecs = em.count()
 
     for copies in (1, 10, 30):
-        big_docs = docs
         parts = [
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * 10_000_000))
             for c in range(copies)
@@ -102,52 +110,13 @@ def main() -> None:
             F.col("v").alias("cv"),
             F.col("nrm").alias("cnrm"),
         )
-        from pyspark.sql import Window
-
-        scored = base.crossJoin(F.broadcast(cent)).select(
-            "vec_id",
-            "v",
-            "nrm",
-            "cid",
-            F.round(
-                _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
-            ).alias("cell_cos"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cid"))
-        cells = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
-            .persist()
-        )
-        a = cells.select(
-            F.col("cell").alias("p_cell"),
-            F.col("vec_id").alias("a_id"),
-            F.col("v").alias("av"),
-            F.col("nrm").alias("anrm"),
-        )
-        b = cells.select(
-            F.col("cell").alias("p_cell"),
-            F.col("vec_id").alias("b_id"),
-            F.col("v").alias("bv"),
-            F.col("nrm").alias("bnrm"),
-        )
+        cells = _assign_cells(base, cent)
         t0 = time.monotonic()
         stats = (
-            a.join(b, "p_cell")
-            .filter(F.col("a_id") < F.col("b_id"))
+            _cell_pair_cos(cells)
             .agg(
                 F.count(F.lit(1)).alias("cand"),
-                F.sum(
-                    (
-                        F.round(
-                            _dot(F.col("av"), F.col("bv"))
-                            / (F.col("anrm") * F.col("bnrm")),
-                            6,
-                        )
-                        >= SEMDEDUP_COS
-                    ).cast("long")
-                ).alias("dups"),
+                F.sum((F.col("cos") >= SEMDEDUP_COS).cast("long")).alias("dups"),
             )
             .collect()[0]
         )
