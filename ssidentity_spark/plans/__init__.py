@@ -85,7 +85,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "w6_funnel_progression",
     # staleness rotation: the full r1 vintage — green in round 1, never
     # re-verified under the driver since
-    "a1_user_interests",
     "a2_active_hours",
     "a3_network_tree",
     "a4_mac_key_rollup",
@@ -125,6 +124,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # counts through the packing arithmetic as ONE hash-gated plan
     # (a9_rollup_type_hour parks to history; A9 keeps cube + history)
     "pipe_tokenize_pack",
+    # NEW in r7: blocked-Levenshtein approximate join — the entity-
+    # resolution join family (a1_user_interests parks to history; A1
+    # stays covered by the windowed flagship + green rows)
+    "j11_fuzzy_part_match",
     "tpch_q17_small_quantity_revenue",
     "sql_api_daily_type_summary",
     "ref_visit_sessions",

@@ -191,3 +191,56 @@ def d7_array_manipulation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("l1_head"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J11 (EXT) — approximate string join: blocked Levenshtein self-match
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j11_fuzzy_part_match",
+    # Fuzzy join under the gate: candidates from an EQUI join on the
+    # name's noun token, length-difference prune, built-in levenshtein
+    # verify — both engines implement classic edit distance, so the
+    # whole blocked candidates→verify pipeline hash-matches. Result is
+    # the distinct near-match name-pair inventory with pair counts
+    # (compact and order-free).
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS noun
+      FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM t a JOIN t b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    GROUP BY 1, 2, 3
+    """,
+    survey="J3,J9,EXT-dedup",
+)
+def j11_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate self-join on part names (operators/fuzzy.py): find
+    near-identical names (edit distance 1-2) without the O(n²) all-pairs
+    scan — blocking on the noun token bounds pairwise work to
+    O(Σ block²), the entity-resolution discipline every data-cleaning
+    suite ships. Exact duplicates (distance 0) are excluded: that is
+    dedup_exact's cheaper job."""
+    from ssidentity_spark.operators.fuzzy import fuzzy_self_join
+
+    p = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_self_join(
+        p,
+        id_col="p_partkey",
+        text_col="p_name",
+        block=F.element_at(F.split("p_name", " "), -1),
+        max_dist=2,
+        min_dist=1,
+    )
+    return pairs.groupBy(
+        F.col("text_a").alias("name_a"),
+        F.col("text_b").alias("name_b"),
+        F.col("dist").cast("int").alias("dist"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
