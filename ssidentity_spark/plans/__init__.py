@@ -136,7 +136,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # r8 ROTATION QUEUE: after CORRECTNESS_r07 lands, regenerate
 # DRIVER_VERIFIED_HISTORY (tools/driver_history.py) — if r7 goes green the
 # cumulative driver-verified set covers every oracled query. From r8 on,
-# rotation is pure staleness order: the r3 vintage (a10_heavy_hitters,
+# rotation is pure staleness order: first the six r1-vintage greens the
+# r7 first-timers displaced mid-round (o1_global_sort_top,
+# o4_except_users, w2_transitions, w3_rolling_count_10min,
+# a9_rollup_type_hour, a1_user_interests — all history-green, never
+# re-verified since r1), then the r3 vintage (a10_heavy_hitters,
 # a2_habitual_hour, a4_distinct_pairs, dedup_embedding_cosine,
 # dedup_simhash_pairs, o3_union_split, o4_intersect_users, pipe_docs_clean,
 # pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
