@@ -260,6 +260,87 @@ def optimize(
     }
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Change data feed: the rows ADDED between ``start_version``
+    (exclusive) and ``end_version`` (inclusive, default tip), each
+    stamped with a ``_commit_version`` metadata column — the batch twin
+    of the streaming reader's manifest-diff tailing, and what an
+    incremental downstream job (IVM refresh, index rebuild, replication)
+    reads instead of re-scanning history.
+
+    Semantics mirror the streaming source exactly:
+
+    - appends contribute their file diff (parts are immutable, so the
+      diff IS the row-level change set);
+    - ``optimize`` versions contribute NOTHING (dataChange=false — the
+      rewrite carries no new rows) but advance the file baseline;
+    - ``overwrite`` versions raise: a rewrite has no row-level diff
+      without tombstones, and silently treating the new snapshot as
+      "changes" would double-count surviving rows. Use a snapshot read
+      (``read_versioned``) across overwrite boundaries.
+    - a vacuumed manifest inside the range raises with the cause (the
+      same contract as the streaming source's error).
+    """
+    from pyspark.sql import functions as F
+
+    tip = latest_version(path)
+    if tip is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    end = tip if end_version is None else end_version
+    if not 0 <= start_version <= end <= tip:
+        raise ValueError(
+            f"need 0 <= start {start_version} <= end {end} <= tip {tip}"
+        )
+
+    def manifest_or_explain(v: int) -> dict:
+        try:
+            return _read_manifest(path, v)
+        except FileNotFoundError:
+            retained = _versions(path)
+            raise ValueError(
+                f"read_changes at {path}: version {v} has been vacuumed "
+                f"(oldest retained: {retained[0] if retained else None}); "
+                "start at a retained version or snapshot-read instead"
+            ) from None
+
+    prev = set(manifest_or_explain(start_version)["files"])
+    parts: list[DataFrame] = []
+    for v in range(start_version + 1, end + 1):
+        m = manifest_or_explain(v)
+        cur = set(m["files"])
+        if m.get("operation") == "optimize":
+            prev = cur
+            continue
+        if m.get("operation") == "overwrite" or not prev <= cur:
+            raise ValueError(
+                f"version {v} at {path} is an overwrite — rewrites have "
+                "no row-level change feed; snapshot-read across it"
+            )
+        added = sorted(cur - prev)
+        if added:
+            parts.append(
+                spark.read.parquet(*[os.path.join(path, f) for f in added])
+                .withColumn("_commit_version", F.lit(v))
+            )
+        prev = cur
+    if not parts:
+        # typed-empty: the schema comes from the end snapshot
+        return (
+            read_versioned(spark, path, end)
+            .withColumn("_commit_version", F.lit(0))
+            .limit(0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def committed_batch_ids(path: str) -> set[int]:
     """Stream batch ids already durable in the log. The tip manifest
     carries the cumulative ledger (``batch_ids``), so this is one JSON

@@ -628,3 +628,48 @@ def src_compacted_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(stats["files_after"] < pre_files).alias("compacted"),
         )
     )
+
+
+@register(
+    "src_change_feed",
+    # The change data feed under the gate: the table is committed as
+    # appends with an OPTIMIZE in the middle, and the result is exactly
+    # the rows each append added, stamped with its commit version — a
+    # feed that double-counts through the compaction, drops an append,
+    # or mis-attributes a version breaks the hash.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST(CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 4 END
+                AS BIGINT) AS commit_version
+    FROM documents WHERE doc_id % 4 <> 0
+    """,
+    survey="S2,S5,T8",
+)
+def src_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (operators/tablelog.py:read_changes): v0 =
+    quarter-corpus append, v1 = append, v2 = OPTIMIZE (dataChange=false
+    — must contribute nothing), v3/v4 = appends; the feed after v0 is
+    the three appended quarters, each stamped with its commit version —
+    what an incremental downstream job consumes instead of re-scanning
+    history."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        optimize,
+        read_changes,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"cdf_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(base.where("doc_id % 4 = 0").repartition(4), path, "append")
+    write_versioned(base.where("doc_id % 4 = 1"), path, "append")
+    optimize(spark, path, target_rows_per_file=1_000_000)
+    write_versioned(base.where("doc_id % 4 = 2"), path, "append")
+    write_versioned(base.where("doc_id % 4 = 3"), path, "append")
+    return read_changes(spark, path, 0).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.col("_commit_version").cast("bigint").alias("commit_version"),
+    )

@@ -324,3 +324,49 @@ def test_optimize_aborts_on_version_race_instead_of_dropping_appends(
     assert on_disk == referenced
     # and the table is untouched: tip still v1 with all rows
     assert read_versioned(spark, path).count() == 50
+
+
+# --- change data feed (read_changes) --------------------------------------
+
+
+def test_read_changes_appends_with_commit_versions(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import read_changes
+
+    path = str(tmp_path / "cdf")
+    for lo, hi in [(0, 10), (10, 25), (25, 30)]:
+        write_versioned(_df(spark, lo, hi), path, "append")
+    got = read_changes(spark, path, 0)  # after v0, through the tip
+    rows = {(r["k"], r["_commit_version"]) for r in got.collect()}
+    assert rows == {(k, 1) for k in range(10, 25)} | {(k, 2) for k in range(25, 30)}
+    # bounded range
+    assert read_changes(spark, path, 0, 1).count() == 15
+    # empty range is a typed empty frame, not an error
+    empty = read_changes(spark, path, 2)
+    assert empty.count() == 0
+    assert "_commit_version" in empty.columns
+
+
+def test_read_changes_skips_optimize_and_rejects_overwrite(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import optimize, read_changes
+
+    path = str(tmp_path / "cdfo")
+    write_versioned(_df(spark, 0, 20).repartition(4), path, "append")
+    optimize(spark, path, target_rows_per_file=1_000)  # v1, dataChange=false
+    write_versioned(_df(spark, 20, 28), path, "append")  # v2
+    got = read_changes(spark, path, 0)
+    rows = {(r["k"], r["_commit_version"]) for r in got.collect()}
+    assert rows == {(k, 2) for k in range(20, 28)}  # optimize contributed 0
+    write_versioned(_df(spark, 100, 103), path, "overwrite")  # v3
+    with pytest.raises(ValueError, match="overwrite"):
+        read_changes(spark, path, 0).count()
+
+
+def test_read_changes_names_vacuum_as_the_cause(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import read_changes
+
+    path = str(tmp_path / "cdfv")
+    for lo, hi in [(0, 5), (5, 9), (9, 12)]:
+        write_versioned(_df(spark, lo, hi), path, "append")
+    vacuum(path, keep_latest=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_changes(spark, path, 0)
