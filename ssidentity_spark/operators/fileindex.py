@@ -157,3 +157,105 @@ def point_lookup(
         *[os.path.join(path, rel) for rel in files]
     ).where(F.col(key) == F.lit(value))
     return df, len(files), n_total
+
+
+# ---------------------------------------------------------------------------
+# Min/max range index — the RANGE-predicate half of file skipping
+# ---------------------------------------------------------------------------
+
+_MINMAX_FILE = os.path.join("_index", "minmax.json")
+
+
+def build_minmax_index(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    files: list[str] | None = None,
+    write_sidecar: bool = True,
+) -> dict[str, list]:
+    """Per-file ``[min, max]`` of ``key`` — the range-predicate half of
+    file skipping (Iceberg manifest column stats / parquet row-group
+    stats lifted to FILE granularity, so the planner can drop whole
+    files without opening a footer). The bloom index above answers
+    equality; min/max answers BETWEEN/>=/<= — together they are the two
+    halves of lakehouse data skipping, and BOTH are layout-dependent:
+    on a range-clustered write each file owns a narrow key band and a
+    range predicate touches few files; on random layout every file
+    spans the whole domain and nothing skips (measured, like the bloom
+    study — tests).
+
+    Same integral/string key restriction as the bloom index: the JSON
+    sidecar must round-trip values exactly."""
+    if files is not None:
+        df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    else:
+        df = spark.read.parquet(path)
+    kt = df.schema[key].dataType.simpleString()
+    if kt not in ("tinyint", "smallint", "int", "bigint", "string"):
+        raise TypeError(
+            f"minmax index key must be integral or string, got {kt}: "
+            "float NaN/rendering semantics would corrupt the JSON "
+            "sidecar's ordering guarantees"
+        )
+    rows = (
+        df.select(F.input_file_name().alias("f"), F.col(key).alias("k"))
+        .groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    index = {_uri_to_rel(r["f"], path): [r["lo"], r["hi"]] for r in rows}
+    if write_sidecar:
+        sidecar = os.path.join(path, _MINMAX_FILE)
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar + ".tmp", "w") as f:
+            json.dump({"key": key, "files": index}, f)
+        os.replace(sidecar + ".tmp", sidecar)  # crash-safe swap
+    return index
+
+
+def range_survivors(
+    index: dict, lo=None, hi=None, restrict=None
+) -> list[str]:
+    """Files whose ``[min, max]`` intersects ``[lo, hi]`` (either bound
+    None = unbounded). Zero false negatives by construction: a file is
+    dropped only when its entire key range lies outside the predicate.
+    All-null files (min/max None) are KEPT — stats are absent, not
+    exclusionary."""
+    out = []
+    for rel, (fmin, fmax) in index["files"].items():
+        if restrict is not None and rel not in restrict:
+            continue
+        if fmin is None or fmax is None:
+            out.append(rel)
+            continue
+        if lo is not None and fmax < lo:
+            continue
+        if hi is not None and fmin > hi:
+            continue
+        out.append(rel)
+    return sorted(out)
+
+
+def range_lookup(
+    spark: SparkSession, path: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """→ (rows with lo <= key <= hi, files read, files total). Identical
+    to filtering the full table — the index only removes files that
+    provably cannot intersect; the engine re-applies the predicate
+    exactly (stats fp costs I/O, never correctness)."""
+    with open(os.path.join(path, _MINMAX_FILE)) as f:
+        idx = json.load(f)
+    key = idx["key"]
+    total = len(idx["files"])
+    survivors = range_survivors(idx, lo, hi)
+    pred = F.col(key).between(F.lit(lo), F.lit(hi))
+    if not survivors:
+        return (
+            spark.read.parquet(path).where(pred).limit(0),
+            0,
+            total,
+        )
+    df = spark.read.parquet(
+        *[os.path.join(path, f) for f in survivors]
+    ).where(pred)
+    return df, len(survivors), total

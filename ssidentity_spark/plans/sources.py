@@ -673,3 +673,46 @@ def src_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
         F.col("_commit_version").cast("bigint").alias("commit_version"),
     )
+
+
+@register(
+    "src_minmax_range_scan",
+    # The range half of file skipping under the gate: clustered write →
+    # per-file min/max sidecar → BETWEEN answered from stat-surviving
+    # files only. The oracle filters the untouched parquet, so a false
+    # NEGATIVE (a dropped file that intersected the band) breaks the
+    # hash; false positives cost I/O, never correctness, because the
+    # predicate is re-applied exactly.
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 60
+    GROUP BY user_id
+    """,
+    survey="S4,S2,P11",
+)
+def src_minmax_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → range-clustered parquet + per-file min/max index
+    (operators/fileindex.py:build_minmax_index) → the reference's
+    "activity in a key band" query answered from index-surviving files
+    only — the BETWEEN twin of src_managed_lookup's bloom point lookup
+    (the two halves of lakehouse data skipping)."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.fileindex import (
+        build_minmax_index,
+        range_lookup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"minmax_events_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.repartitionByRange(16, "user_id").write.parquet(path)
+    build_minmax_index(spark, path, "user_id")
+    df, _read, _total = range_lookup(spark, path, 40, 60)
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -163,3 +163,63 @@ def test_vacuum_managed_cleans_sidecars_and_orphans(spark, tmp_path):
     assert got2.count() == 2  # ids 7, 57 in limit(100)... verify below
     # exact check: tip has ids 0..99 -> k==7 for ids 7, 57
     assert {r["v"] for r in got2.collect()} == {7, 57}
+
+
+# --- min/max range index (r7) ---------------------------------------------
+
+
+def test_range_index_clustered_skips_unsorted_does_not(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.fileindex import (
+        build_minmax_index,
+        range_lookup,
+    )
+
+    df = spark.range(0, 40_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    clustered = str(tmp_path / "clustered")
+    df.repartitionByRange(16, "k").write.parquet(clustered)
+    build_minmax_index(spark, clustered, "k")
+    rows, read, total = range_lookup(spark, clustered, 100, 160)
+    assert rows.count() == 61 * 40  # inclusive band, 40 rows per key
+    assert read <= 3 < total == 16  # each file owns ~1/16 of the domain
+
+    rand = str(tmp_path / "rand")
+    df.repartition(16).write.parquet(rand)
+    build_minmax_index(spark, rand, "k")
+    rows2, read2, total2 = range_lookup(spark, rand, 100, 160)
+    assert rows2.count() == 61 * 40  # identical answer either way
+    assert read2 == total2 == 16  # random layout: nothing skips
+
+
+def test_range_survivors_boundaries_and_nulls():
+    from ssidentity_spark.operators.fileindex import range_survivors
+
+    idx = {
+        "files": {
+            "a": [0, 9],
+            "b": [10, 19],
+            "c": [20, 29],
+            "d": [None, None],  # all-null stats: must be KEPT
+        }
+    }
+    assert range_survivors(idx, 10, 19) == ["b", "d"]
+    assert range_survivors(idx, 9, 10) == ["a", "b", "d"]  # inclusive edges
+    assert range_survivors(idx, None, 5) == ["a", "d"]
+    assert range_survivors(idx, 25, None) == ["c", "d"]
+    assert range_survivors(idx, 100, 200) == ["d"]
+    assert range_survivors(idx, 10, 19, restrict={"b"}) == ["b"]
+
+
+def test_range_index_rejects_float_key(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.fileindex import build_minmax_index
+
+    p = str(tmp_path / "f")
+    spark.range(0, 10).select(F.col("id").cast("double").alias("k")).write.parquet(p)
+    with pytest.raises(TypeError, match="minmax index key"):
+        build_minmax_index(spark, p, "k")
