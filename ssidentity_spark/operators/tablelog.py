@@ -108,6 +108,39 @@ def _commit(
         os.unlink(tmp)
 
 
+def _df_schema_spec(df: DataFrame) -> list[list[str]]:
+    """(name, simpleString) pairs — the manifest's schema record."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def check_schema_evolution(
+    parent_schema: list | None, new_schema: list, mode: str
+) -> None:
+    """Additive-only evolution (the lakehouse mergeSchema contract):
+    an APPEND may introduce new columns (old files read them as null)
+    but must preserve every existing column's name and type — silently
+    dropping or retyping a column under readers is the failure class
+    this guards. OVERWRITE replaces the data, so it may replace the
+    schema too."""
+    if parent_schema is None or mode == "overwrite":
+        return
+    parent_cols = {n: t for n, t in parent_schema}
+    new_cols = {n: t for n, t in new_schema}
+    missing = [n for n in parent_cols if n not in new_cols]
+    retyped = [
+        f"{n}: {parent_cols[n]} -> {new_cols[n]}"
+        for n in parent_cols
+        if n in new_cols and new_cols[n] != parent_cols[n]
+    ]
+    if missing or retyped:
+        raise ValueError(
+            "append schema evolution is ADDITIVE only — existing columns "
+            f"must keep their name and type (missing: {missing}, "
+            f"retyped: {retyped}); use mode='overwrite' to replace the "
+            "schema with the data"
+        )
+
+
 def write_versioned(
     df: DataFrame,
     path: str,
@@ -121,10 +154,26 @@ def write_versioned(
     commit makes them visible. On a version race the data files are NOT
     rewritten — only the (cheap) manifest commit retries against the new
     parent, exactly the lost-update behaviour a log-structured table
-    wants for blind appends."""
+    wants for blind appends.
+
+    The manifest records the snapshot's schema; appends may ADD nullable
+    columns (additive evolution — old parts read the new columns as
+    null via mergeSchema) but never drop or retype existing ones
+    (:func:`check_schema_evolution`)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     parent = latest_version(path)
+    schema_spec = _df_schema_spec(df)
+    if parent is not None:
+        parent_m = _read_manifest(path, parent)
+        check_schema_evolution(parent_m.get("schema"), schema_spec, mode)
+        if mode == "append" and parent_m.get("schema"):
+            # the snapshot schema is the UNION: existing columns in their
+            # recorded order, then this append's additions
+            existing = {n for n, _t in parent_m["schema"]}
+            schema_spec = list(parent_m["schema"]) + [
+                [n, t] for n, t in schema_spec if n not in existing
+            ]
     attempt_version = 0 if parent is None else parent + 1
     stage = os.path.join(path, _DATA, f"s{attempt_version:08d}-{os.getpid()}")
     df.write.mode("error").parquet(stage)
@@ -133,7 +182,13 @@ def write_versioned(
         for n in os.listdir(stage)
         if n.endswith(".parquet")
     ]
-    return commit_files(path, new_files, mode, meta=meta, max_retries=max_retries)
+    return commit_files(
+        path,
+        new_files,
+        mode,
+        meta={**(meta or {}), "schema": schema_spec},
+        max_retries=max_retries,
+    )
 
 
 def read_versioned(
@@ -145,10 +200,19 @@ def read_versioned(
     v = latest_version(path) if version is None else version
     if v is None or not os.path.exists(_manifest_path(path, v)):
         raise FileNotFoundError(f"no committed version {version!r} at {path}")
-    files = _read_manifest(path, v)["files"]
+    m = _read_manifest(path, v)
+    files = m["files"]
     if not files:
         raise FileNotFoundError(f"version {v} at {path} is empty")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    # mergeSchema honours additive evolution: parts written before a
+    # column existed read it as null; column order follows the
+    # manifest's recorded schema when present
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    if m.get("schema"):
+        df = df.select(*[n for n, _t in m["schema"]])
+    return df
 
 
 def history(path: str) -> list[dict]:
@@ -222,7 +286,14 @@ def optimize(
     files = tip_m["files"]
     if not files:
         raise FileNotFoundError(f"version {tip} at {path} is empty")
-    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    # mergeSchema: compaction REWRITES pre-evolution parts into the
+    # current unified schema (nulls materialized) — optimize doubles as
+    # the schema-migration job, exactly as in the production lakehouses
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    if tip_m.get("schema"):
+        df = df.select(*[n for n, _t in tip_m["schema"]])
     n = df.count()
     n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
     stage = os.path.join(path, _DATA, f"optimize-{tip + 1:08d}-{os.getpid()}")
@@ -240,8 +311,11 @@ def optimize(
         for name in os.listdir(stage)
         if name.endswith(".parquet")
     )
-    # carry the cumulative stream-batch ledger forward like every commit
+    # carry the cumulative stream-batch ledger and the recorded schema
+    # forward like every commit
     meta = {"batch_ids": [int(b) for b in tip_m.get("batch_ids", [])]}
+    if tip_m.get("schema"):
+        meta["schema"] = tip_m["schema"]
     try:
         _commit(path, tip + 1, new_files, "optimize", meta=meta)
     except VersionConflict:
@@ -337,7 +411,10 @@ def read_changes(
         )
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: versions before an additive schema
+        # evolution lack the newer columns — they read as null, same as
+        # the mergeSchema snapshot read
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 

@@ -716,3 +716,48 @@ def src_minmax_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "src_schema_evolution",
+    # Additive schema evolution under the gate: v0 carries (doc_id,
+    # text), v1 appends the other half WITH a lang column; the tip read
+    # must surface lang as typed nulls for the pre-evolution rows and
+    # real values for the new ones — a reader that drops the column,
+    # loses the old rows, or mis-aligns the padded batches breaks the
+    # hash.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+    FROM documents
+    """,
+    survey="S2,S5,S4",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution (operators/tablelog.py): the manifest
+    records each snapshot's schema, appends may ADD columns (old parts
+    read them as null via mergeSchema), drops/retypes are rejected, and
+    OPTIMIZE doubles as the migration job. v0 = even doc_ids without
+    ``lang``, v1 = odd doc_ids with it; the tip is the full corpus with
+    lang null exactly on the pre-evolution half."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        read_versioned,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"evolved_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(
+        base.where("doc_id % 2 = 0").select("doc_id", "text"), path, "append"
+    )
+    write_versioned(
+        base.where("doc_id % 2 = 1").select("doc_id", "text", "lang"),
+        path,
+        "append",
+    )
+    return read_versioned(spark, path).select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5"), "lang"
+    )

@@ -93,7 +93,32 @@ class ManagedTableDataSource(DataSource):
         )
 
         path, version = self._resolve()
-        files = _read_manifest(path, version)["files"]
+        m = _read_manifest(path, version)
+        files = m["files"]
+        if m.get("schema"):
+            # the manifest's recorded schema is authoritative — under
+            # additive evolution no single footer carries every column
+            simple = {
+                "bigint": LongType(),
+                "int": IntegerType(),
+                "smallint": IntegerType(),
+                "tinyint": IntegerType(),
+                "double": DoubleType(),
+                "float": FloatType(),
+                "string": StringType(),
+                "boolean": BooleanType(),
+                "binary": BinaryType(),
+                "timestamp": TimestampType(),
+                "timestamp_ntz": TimestampNTZType(),
+            }
+            fields = []
+            for name, t in m["schema"]:
+                if t not in simple:
+                    raise TypeError(
+                        f"managed_table: unmapped manifest type {t}"
+                    )
+                fields.append(StructField(name, simple[t], True))
+            return StructType(fields)
         if not files:
             raise FileNotFoundError(f"version {version} at {path} is empty")
         arrow = pq.read_schema(os.path.join(path, files[0]))
@@ -151,6 +176,30 @@ class ManagedTableDataSource(DataSource):
         return ManagedTableStreamWriter(path, schema)
 
 
+def _read_padded(full_path: str, field_specs):
+    """Read one part file projecting the DECLARED schema: columns the
+    file predates (additive evolution) are materialized as typed nulls,
+    and order follows the declaration — so every emitted Arrow batch has
+    the identical layout regardless of which schema era wrote the part."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = _arrow_schema(field_specs)
+    have = set(pq.read_schema(full_path).names)
+    present = [f.name for f in target if f.name in have]
+    table = pq.read_table(full_path, columns=present)
+    cols = []
+    for f in target:
+        if f.name in have:
+            col = table.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(table.num_rows, type=f.type))
+    yield from pa.table(dict(zip([f.name for f in target], cols)), schema=target).to_batches()
+
+
 class _FilePartition(InputPartition):
     def __init__(self, rel_file: str):
         self.rel_file = rel_file
@@ -161,6 +210,9 @@ class ManagedTableReader(DataSourceReader):
         self.path = path
         self.version = version
         self.schema_names = [f.name for f in schema.fields]
+        self.field_specs = [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ]
         self.files = list(_read_manifest(path, version)["files"])
         self.index = None
         sidecar = _index_sidecar(path, version)
@@ -197,15 +249,11 @@ class ManagedTableReader(DataSourceReader):
         return [_FilePartition(rel) for rel in sorted(files)]
 
     def read(self, partition: _FilePartition):
-        import pyarrow.parquet as pq
-
         if partition is None or partition.rel_file is None:
             return
-        table = pq.read_table(
-            os.path.join(self.path, partition.rel_file),
-            columns=self.schema_names,
+        yield from _read_padded(
+            os.path.join(self.path, partition.rel_file), self.field_specs
         )
-        yield from table.to_batches()
 
 
 def register(spark) -> None:
@@ -331,6 +379,9 @@ class ManagedTableStreamReader(DataSourceStreamReader):
     ):
         self.path = path
         self.schema_names = [f.name for f in schema.fields]
+        self.field_specs = [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ]
         # .option("startingVersion", N): begin the stream AT snapshot N —
         # version N's full file list is the first micro-batch, diffs
         # after. The escape hatch for tables whose early manifests were
@@ -422,15 +473,11 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         return [_FilePartition(rel) for rel in files]
 
     def read(self, partition: _FilePartition):
-        import pyarrow.parquet as pq
-
         if partition is None or partition.rel_file is None:
             return
-        table = pq.read_table(
-            os.path.join(self.path, partition.rel_file),
-            columns=self.schema_names,
+        yield from _read_padded(
+            os.path.join(self.path, partition.rel_file), self.field_specs
         )
-        yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint

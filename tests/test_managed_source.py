@@ -432,3 +432,44 @@ def test_stream_reader_skips_optimize_versions(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 70  # optimize emitted nothing, append arrived
     assert got.agg(F.sum("k")).collect()[0][0] == sum(range(70))
+
+
+def test_format_reads_evolved_table_with_padded_nulls(spark, tmp_path):
+    """Additive evolution through the format: the manifest's recorded
+    schema is authoritative (no single footer carries every column) and
+    pre-evolution parts read the new columns as typed nulls."""
+    from ssidentity_spark.operators.tablelog import write_versioned
+
+    path = str(tmp_path / "evds")
+    register(spark)
+    write_versioned(
+        spark.range(0, 8).select(F.col("id").alias("k")), path, "append"
+    )
+    write_versioned(
+        spark.range(8, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("score")
+        ),
+        path,
+        "append",
+    )
+    t = spark.read.format("managed_table").load(path)
+    assert t.schema.simpleString() == "struct<k:bigint,score:double>"
+    rows = {(r["k"], r["score"]) for r in t.collect()}
+    assert rows == {(k, None) for k in range(8)} | {
+        (k, k * 2.0) for k in range(8, 12)
+    }
+    # streaming read across the evolution boundary pads identically
+    out = str(tmp_path / "evout")
+    q = (
+        spark.readStream.format("managed_table")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "evck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert {(r["k"], r["score"]) for r in got.collect()} == rows

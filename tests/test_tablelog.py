@@ -370,3 +370,50 @@ def test_read_changes_names_vacuum_as_the_cause(spark, tmp_path):
     vacuum(path, keep_latest=1)
     with pytest.raises(ValueError, match="vacuumed"):
         read_changes(spark, path, 0)
+
+
+# --- additive schema evolution --------------------------------------------
+
+
+def test_additive_schema_evolution_roundtrip(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import optimize, read_versioned
+
+    path = str(tmp_path / "evo")
+    write_versioned(_df(spark, 0, 10), path, "append")  # schema: k
+    evolved = _df(spark, 10, 15).withColumn("tag", F.concat(F.lit("t"), F.col("k")))
+    write_versioned(evolved, path, "append")  # schema: k, tag
+    tip = read_versioned(spark, path)
+    assert tip.columns == ["k", "tag"]
+    rows = {(r["k"], r["tag"]) for r in tip.collect()}
+    assert rows == {(k, None) for k in range(10)} | {
+        (k, f"t{k}") for k in range(10, 15)
+    }
+    # time travel: v0 still reads its own (pre-evolution) schema
+    assert read_versioned(spark, path, 0).columns == ["k"]
+    # optimize migrates old parts into the unified schema
+    optimize(spark, path, target_rows_per_file=1_000)
+    import pyarrow.parquet as pq
+
+    from ssidentity_spark.operators.tablelog import _read_manifest
+
+    for f in _read_manifest(path, 2)["files"]:
+        assert pq.read_schema(os.path.join(path, f)).names == ["k", "tag"]
+    assert {(r["k"], r["tag"]) for r in read_versioned(spark, path).collect()} == rows
+
+
+def test_schema_evolution_rejects_drops_and_retypes(spark, tmp_path):
+    path = str(tmp_path / "evo2")
+    write_versioned(
+        _df(spark, 0, 5).withColumn("v", F.col("k").cast("double")), path, "append"
+    )
+    with pytest.raises(ValueError, match="ADDITIVE only"):
+        write_versioned(_df(spark, 5, 9), path, "append")  # drops v
+    with pytest.raises(ValueError, match="ADDITIVE only"):
+        write_versioned(
+            _df(spark, 5, 9).withColumn("v", F.lit("s")), path, "append"
+        )  # retypes v
+    # overwrite may replace the schema outright
+    write_versioned(_df(spark, 5, 9), path, "overwrite")
+    from ssidentity_spark.operators.tablelog import read_versioned
+
+    assert read_versioned(spark, path).columns == ["k"]
