@@ -86,7 +86,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # staleness rotation: the full r1 vintage — green in round 1, never
     # re-verified under the driver since
     "a3_network_tree",
-    "a9_cube_type_dow",
     "d7_array_funcs",
     "d7_array_manipulation",
     "d7_from_json_struct",
@@ -137,6 +136,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # mergeSchema reads, padded data-source batches (a6_value_stats
     # parks to history; A6 stays covered by green rows)
     "src_schema_evolution",
+    # NEW in r7: scale-correct global row numbering — two-phase range
+    # partition + local rank + offset join, never a global single-
+    # partition window (a9_cube_type_dow parks to history)
+    "pipe_global_row_ids",
     "tpch_q17_small_quantity_revenue",
     "sql_api_daily_type_summary",
     "ref_visit_sessions",
@@ -149,7 +152,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # r7 first-timers displaced mid-round (o1_global_sort_top,
 # o4_except_users, w2_transitions, w3_rolling_count_10min,
 # a9_rollup_type_hour, a1_user_interests, a2_active_hours,
-# a4_mac_key_rollup, a6_value_stats — all history-green, never
+# a4_mac_key_rollup, a6_value_stats, a9_cube_type_dow — all
+# history-green, never
 # re-verified since r1), then the r3 vintage (a10_heavy_hitters,
 # a2_habitual_hour, a4_distinct_pairs, dedup_embedding_cosine,
 # dedup_simhash_pairs, o3_union_split, o4_intersect_users, pipe_docs_clean,

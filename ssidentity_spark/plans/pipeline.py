@@ -708,3 +708,31 @@ def pipe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_counts(
         counts, seq_len=_PACK_SEQ_LEN, n_buckets=_PACK_BUCKETS
     )
+
+
+@register(
+    "pipe_global_row_ids",
+    # The scale-correct global numbering under the gate: with a UNIQUE
+    # order key a row's id equals the number of rows ordered before it,
+    # independent of range-boundary placement — so the two-phase Spark
+    # formulation must agree exactly with the oracle's single
+    # row_number() (which DuckDB can afford; Spark at 100 TB cannot).
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1
+                AS BIGINT) AS row_id
+    FROM documents
+    """,
+    survey="O1,W1,X1",
+)
+def pipe_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 0-based example ids for the training manifest, in
+    content-addressed (md5, doc_id) order — assigned with the two-phase
+    range-partition + per-partition-rank + offset-join formulation
+    (operators/rowids.py), never a global single-partition window."""
+    from ssidentity_spark.operators.rowids import assign_global_ids
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("m")
+    )
+    return assign_global_ids(d, ["m", "doc_id"]).select("doc_id", "row_id")

@@ -87,3 +87,66 @@ def test_empty_docs_excluded_and_determinism(spark):
 def test_rejects_nonpositive_seq_len(spark):
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(_docs(spark, ["x"]), seq_len=0)
+
+
+# --- global row ids (operators/rowids.py) ---------------------------------
+
+
+def test_global_ids_contiguous_and_order_correct(spark):
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.rowids import assign_global_ids
+
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("m")
+    )
+    out = assign_global_ids(df, ["m", "k"], n_parts=13)
+    rows = [(r["row_id"], r["m"], r["k"]) for r in out.collect()]
+    assert sorted(r[0] for r in rows) == list(range(5_000))  # contiguous
+    by_id = sorted(rows)
+    assert by_id == sorted(rows, key=lambda r: (r[1], r[2]))  # order ≡ key order
+    # helper columns dropped
+    assert set(out.columns) == {"k", "m", "row_id"}
+
+
+def test_global_ids_partition_count_invariant(spark):
+    """With a unique order key the numbering is independent of how the
+    range boundaries fall — re-runs at different parallelism agree."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.rowids import assign_global_ids
+
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("m")
+    )
+    a = {(r["k"], r["row_id"]) for r in assign_global_ids(df, ["m", "k"], n_parts=3).collect()}
+    b = {(r["k"], r["row_id"]) for r in assign_global_ids(df, ["m", "k"], n_parts=29).collect()}
+    assert a == b
+
+
+def test_global_ids_plan_has_no_global_single_partition_sort(spark):
+    """The data-sized windows are keyed on the partition id; the only
+    SinglePartition exchange operates on #partitions rows (the offsets),
+    never on the data."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.rowids import assign_global_ids
+
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("m")
+    )
+    out = assign_global_ids(df, ["m", "k"], n_parts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the offsets subplan aggregates BEFORE its single-partition window,
+    # so every SinglePartition exchange consumes a HashAggregate output
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in frag.split("Exchange")[0] or "count" in frag[:400]
+
+
+def test_global_ids_requires_order_cols(spark):
+    import pytest
+
+    from ssidentity_spark.operators.rowids import assign_global_ids
+
+    with pytest.raises(ValueError, match="order_cols"):
+        assign_global_ids(spark.range(3), [])
