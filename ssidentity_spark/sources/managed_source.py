@@ -163,8 +163,12 @@ class ManagedTableDataSource(DataSource):
         if not path:
             raise ValueError("managed_table requires .load(path)")
         sv = self.options.get("startingversion")
+        mv = self.options.get("maxversionspertrigger")
         return ManagedTableStreamReader(
-            path, schema, None if sv is None else int(sv)
+            path,
+            schema,
+            None if sv is None else int(sv),
+            None if mv is None else int(mv),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -375,7 +379,11 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
 
 class ManagedTableStreamReader(DataSourceStreamReader):
     def __init__(
-        self, path: str, schema: StructType, starting_version: int | None = None
+        self,
+        path: str,
+        schema: StructType,
+        starting_version: int | None = None,
+        max_versions_per_trigger: int | None = None,
     ):
         self.path = path
         self.schema_names = [f.name for f in schema.fields]
@@ -389,6 +397,21 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # window, so "consume the full history" is no longer satisfiable)
         # and for skipping deep history on long-lived tables.
         self.starting_version = starting_version
+        # .option("maxVersionsPerTrigger", N): backlog throttling (the
+        # Delta maxFilesPerTrigger idea at version granularity) — the
+        # stream advances at most N versions per micro-batch once
+        # running. Semantics note: latestOffset() takes no argument and
+        # is called BEFORE the reader learns the checkpoint offset
+        # (traced), so the cap is relative to the last offset this
+        # reader served via partitions() — the FIRST batch after a
+        # (re)start is therefore uncapped. Capping it from a seeded
+        # baseline would be WORSE: a restarted stream whose checkpoint
+        # is ahead of the seed would see latest < start, produce no
+        # batch, never call partitions(), and wedge forever. One
+        # uncapped catch-up batch is the safe trade; steady-state bursts
+        # (a writer landing many versions between triggers) are paced.
+        self.max_versions = max_versions_per_trigger
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
@@ -397,7 +420,10 @@ class ManagedTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         v = latest_version(self.path)
-        return {"version": -1 if v is None else v}
+        tip = -1 if v is None else v
+        if self.max_versions is not None and self._last_end is not None:
+            tip = min(tip, self._last_end + self.max_versions)
+        return {"version": tip}
 
     def _manifest_or_explain(self, v: int) -> dict:
         """A manifest missing INSIDE the requested range means vacuum()
@@ -467,6 +493,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict):
+        self._last_end = int(end["version"])  # cap baseline for the next trigger
         files = self._new_files(int(start["version"]), int(end["version"]))
         if not files:
             return [_FilePartition(None)]

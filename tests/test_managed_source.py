@@ -473,3 +473,77 @@ def test_format_reads_evolved_table_with_padded_nulls(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.read.parquet(out)
     assert {(r["k"], r["score"]) for r in got.collect()} == rows
+
+
+def test_max_versions_per_trigger_paces_running_stream(spark, tmp_path):
+    """Backlog throttling: once the stream is RUNNING, a burst of
+    versions drains at most maxVersionsPerTrigger per micro-batch (the
+    first batch after a (re)start is uncapped by design — see the
+    semantics note in the reader; capping it could wedge restarts)."""
+    import json as _json
+    import os
+    import time
+
+    from ssidentity_spark.operators.tablelog import write_versioned
+
+    path = str(tmp_path / "thr")
+    out = str(tmp_path / "tout")
+    ck = str(tmp_path / "tck")
+    register(spark)
+    write_versioned(
+        spark.range(0, 10).select(F.col("id").alias("k")), path, "append"
+    )
+    q = (
+        spark.readStream.format("managed_table")
+        .option("maxVersionsPerTrigger", 2)
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    odir = os.path.join(ck, "offsets")
+
+    def _steps():
+        out_steps = []
+        if not os.path.isdir(odir):
+            return out_steps
+        for name in sorted(os.listdir(odir), key=lambda n: int(n) if n.isdigit() else -1):
+            if name.isdigit():
+                with open(os.path.join(odir, name)) as f:
+                    last = f.read().splitlines()[-1]
+                out_steps.append(_json.loads(last)["version"])
+        return out_steps
+
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not _steps():
+            time.sleep(0.5)  # first (uncapped) batch committed
+        # burst: five more versions land while the stream is running
+        for i in range(1, 6):
+            write_versioned(
+                spark.range(i * 10, (i + 1) * 10).select(F.col("id").alias("k")),
+                path,
+                "append",
+            )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() == 60:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(60))
+    steps = _steps()
+    assert steps[-1] == 5  # caught up
+    # pacing: every advancement after the first committed batch moves
+    # at most 2 versions
+    assert all(b - a <= 2 for a, b in zip(steps, steps[1:]))
+    assert len(steps) >= 3  # the burst took multiple micro-batches
