@@ -248,7 +248,14 @@ def range_lookup(
     key = idx["key"]
     total = len(idx["files"])
     survivors = range_survivors(idx, lo, hi)
-    pred = F.col(key).between(F.lit(lo), F.lit(hi))
+    # build the residual predicate bound-by-bound: between(lit(None), x)
+    # is SQL null — it would silently filter every row instead of
+    # meaning "unbounded" (r7 review)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(key) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(key) <= F.lit(hi))
     if not survivors:
         return (
             spark.read.parquet(path).where(pred).limit(0),

@@ -163,17 +163,12 @@ def write_versioned(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     parent = latest_version(path)
-    schema_spec = _df_schema_spec(df)
     if parent is not None:
-        parent_m = _read_manifest(path, parent)
-        check_schema_evolution(parent_m.get("schema"), schema_spec, mode)
-        if mode == "append" and parent_m.get("schema"):
-            # the snapshot schema is the UNION: existing columns in their
-            # recorded order, then this append's additions
-            existing = {n for n, _t in parent_m["schema"]}
-            schema_spec = list(parent_m["schema"]) + [
-                [n, t] for n, t in schema_spec if n not in existing
-            ]
+        # fast-fail before staging data; the authoritative (race-proof)
+        # check re-runs inside commit_files against the commit-time parent
+        check_schema_evolution(
+            _read_manifest(path, parent).get("schema"), _df_schema_spec(df), mode
+        )
     attempt_version = 0 if parent is None else parent + 1
     stage = os.path.join(path, _DATA, f"s{attempt_version:08d}-{os.getpid()}")
     df.write.mode("error").parquet(stage)
@@ -186,8 +181,9 @@ def write_versioned(
         path,
         new_files,
         mode,
-        meta={**(meta or {}), "schema": schema_spec},
+        meta=meta,
         max_retries=max_retries,
+        schema=_df_schema_spec(df),
     )
 
 
@@ -334,6 +330,73 @@ def optimize(
     }
 
 
+def iter_manifest_diffs(
+    path: str,
+    start_v: int,
+    end_v: int,
+    base_files: set[str] | None = None,
+    consume_whole_version: int | None = None,
+    context: str = "the version walk",
+):
+    """ONE implementation of the manifest diff semantics shared by the
+    streaming source and the batch change feed (r7 review: they must
+    never drift apart). Yields ``(version, added_files)`` for each
+    data-changing version in ``(start_v, end_v]``:
+
+    - ``optimize`` versions yield nothing (dataChange=false) but advance
+      the file baseline;
+    - ``overwrite`` versions — or any baseline violation — raise, UNLESS
+      the version equals ``consume_whole_version`` (the streaming
+      ``startingVersion`` snapshot, consumed whole);
+    - a vacuumed manifest anywhere in the range raises naming vacuum as
+      the cause and the ways out.
+
+    ``base_files`` overrides the baseline (empty set = everything in the
+    first version is "added"); default reads ``start_v``'s manifest
+    (empty baseline when ``start_v < 0``).
+    """
+
+    def manifest_or_explain(v: int) -> dict:
+        try:
+            return _read_manifest(path, v)
+        except FileNotFoundError:
+            retained = _versions(path)
+            oldest = retained[0] if retained else None
+            raise ValueError(
+                f"{context} at {path}: version {v} has been vacuumed from "
+                f"the log (oldest retained version: {oldest}). Streams: "
+                f"restart with .option('startingVersion', {oldest}) to "
+                "begin at the oldest retained snapshot (replays its full "
+                "file list) or use a fresh checkpoint; batch: start at a "
+                "retained version or snapshot-read (read_versioned). "
+                "Raising instead of skipping: silently jumping the gap "
+                "would drop the rows committed in the vacuumed versions."
+            ) from None
+
+    if base_files is not None:
+        prev = set(base_files)
+    elif start_v >= 0:
+        prev = set(manifest_or_explain(start_v)["files"])
+    else:
+        prev = set()
+    for v in range(start_v + 1, end_v + 1):
+        m = manifest_or_explain(v)
+        cur = set(m["files"])
+        if m.get("operation") == "optimize" and v != consume_whole_version:
+            prev = cur
+            continue
+        if m.get("operation") == "overwrite" or not prev <= cur:
+            if v != consume_whole_version:
+                raise ValueError(
+                    f"version {v} at {path} is not append-only "
+                    f"(overwrite/replaced files) — {context} requires an "
+                    "append-only history; snapshot-read across it "
+                    "(read_versioned)"
+                )
+        yield v, sorted(cur - prev)
+        prev = cur
+
+
 def read_changes(
     spark: SparkSession,
     path: str,
@@ -371,37 +434,15 @@ def read_changes(
             f"need 0 <= start {start_version} <= end {end} <= tip {tip}"
         )
 
-    def manifest_or_explain(v: int) -> dict:
-        try:
-            return _read_manifest(path, v)
-        except FileNotFoundError:
-            retained = _versions(path)
-            raise ValueError(
-                f"read_changes at {path}: version {v} has been vacuumed "
-                f"(oldest retained: {retained[0] if retained else None}); "
-                "start at a retained version or snapshot-read instead"
-            ) from None
-
-    prev = set(manifest_or_explain(start_version)["files"])
     parts: list[DataFrame] = []
-    for v in range(start_version + 1, end + 1):
-        m = manifest_or_explain(v)
-        cur = set(m["files"])
-        if m.get("operation") == "optimize":
-            prev = cur
-            continue
-        if m.get("operation") == "overwrite" or not prev <= cur:
-            raise ValueError(
-                f"version {v} at {path} is an overwrite — rewrites have "
-                "no row-level change feed; snapshot-read across it"
-            )
-        added = sorted(cur - prev)
+    for v, added in iter_manifest_diffs(
+        path, start_version, end, context="the change feed"
+    ):
         if added:
             parts.append(
                 spark.read.parquet(*[os.path.join(path, f) for f in added])
                 .withColumn("_commit_version", F.lit(v))
             )
-        prev = cur
     if not parts:
         # typed-empty: the schema comes from the end snapshot
         return (
@@ -477,10 +518,20 @@ def commit_files(
     mode: str = "append",
     meta: dict | None = None,
     max_retries: int = 5,
+    schema: list | None = None,
 ) -> int:
     """Commit ALREADY-STAGED (path-relative) data files as a new version —
-    the primitive under write_versioned and the data-source stream writer
-    (whose executors stage files themselves)."""
+    the primitive under write_versioned and the data-source writers
+    (whose executors stage files themselves).
+
+    ``schema`` is this commit's (name, simpleString) column spec. It is
+    validated and UNIONED against the parent INSIDE the retry loop —
+    against whatever the parent is at commit time, not at call time — so
+    a racing writer's added column is never dropped from the recorded
+    schema and an append never lands unchecked on top of a concurrent
+    incompatible overwrite (r7 review). When ``schema`` is None the
+    parent's record is carried forward unchanged (like the batch-id
+    ledger): a schema-oblivious caller must not erase the record."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     for _ in range(max_retries):
@@ -499,6 +550,17 @@ def commit_files(
         if full_meta.get("batch_id") is not None:
             ledger = sorted(set(ledger) | {int(full_meta["batch_id"])})
         full_meta["batch_ids"] = ledger
+        if schema is not None:
+            check_schema_evolution(parent_m.get("schema"), schema, mode)
+            spec = [list(c) for c in schema]
+            if mode == "append" and parent_m.get("schema"):
+                existing = {n for n, _t in parent_m["schema"]}
+                spec = [list(c) for c in parent_m["schema"]] + [
+                    [n, t] for n, t in schema if n not in existing
+                ]
+            full_meta["schema"] = spec
+        elif parent_m.get("schema") and "schema" not in full_meta:
+            full_meta["schema"] = parent_m["schema"]
         try:
             _commit(path, version, files, mode, meta=full_meta)
             return version

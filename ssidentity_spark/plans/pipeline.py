@@ -735,4 +735,8 @@ def pipe_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.encode("text", "UTF-8")).alias("m")
     )
-    return assign_global_ids(d, ["m", "doc_id"]).select("doc_id", "row_id")
+    # deterministic ordered buckets: the first two hex chars of the md5
+    # sort key — bucket(a) < bucket(b) implies m_a < m_b, no sampling
+    return assign_global_ids(
+        d, ["m", "doc_id"], bucket=F.substring("m", 1, 2)
+    ).select("doc_id", "row_id")

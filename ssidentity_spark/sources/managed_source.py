@@ -82,10 +82,12 @@ class ManagedTableDataSource(DataSource):
         from pyspark.sql.types import (
             BinaryType,
             BooleanType,
+            ByteType,
             DoubleType,
             FloatType,
             IntegerType,
             LongType,
+            ShortType,
             StringType,
             StructField,
             TimestampNTZType,
@@ -101,8 +103,8 @@ class ManagedTableDataSource(DataSource):
             simple = {
                 "bigint": LongType(),
                 "int": IntegerType(),
-                "smallint": IntegerType(),
-                "tinyint": IntegerType(),
+                "smallint": ShortType(),
+                "tinyint": ByteType(),
                 "double": DoubleType(),
                 "float": FloatType(),
                 "string": StringType(),
@@ -213,7 +215,6 @@ class ManagedTableReader(DataSourceReader):
     def __init__(self, path: str, version: int, schema: StructType):
         self.path = path
         self.version = version
-        self.schema_names = [f.name for f in schema.fields]
         self.field_specs = [
             (f.name, f.dataType.simpleString()) for f in schema.fields
         ]
@@ -353,7 +354,11 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
                     pass
             return
         commit_files(
-            self.path, files, "append", meta={"batch_id": int(batchId)}
+            self.path,
+            files,
+            "append",
+            meta={"batch_id": int(batchId)},
+            schema=[[n, t] for n, t in self.field_specs],
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -386,7 +391,6 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         max_versions_per_trigger: int | None = None,
     ):
         self.path = path
-        self.schema_names = [f.name for f in schema.fields]
         self.field_specs = [
             (f.name, f.dataType.simpleString()) for f in schema.fields
         ]
@@ -425,71 +429,32 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             tip = min(tip, self._last_end + self.max_versions)
         return {"version": tip}
 
-    def _manifest_or_explain(self, v: int) -> dict:
-        """A manifest missing INSIDE the requested range means vacuum()
-        dropped it (retention window moved past the stream's offset —
-        fresh stream on a vacuumed table, or a restart from a checkpoint
-        older than retention). Name the cause and both ways out instead
-        of leaking a raw FileNotFoundError."""
-        try:
-            return _read_manifest(self.path, v)
-        except FileNotFoundError:
-            from ssidentity_spark.operators.tablelog import _versions
-
-            retained = _versions(self.path)
-            oldest = retained[0] if retained else None
-            raise ValueError(
-                f"managed_table stream at {self.path}: version {v} has "
-                f"been vacuumed from the log (oldest retained version: "
-                f"{oldest}). Restart with "
-                f".option('startingVersion', {oldest}) to begin at the "
-                "oldest retained snapshot (replays that snapshot's full "
-                "file list), or use a fresh checkpoint. Raising instead "
-                "of skipping: silently jumping the gap would drop the "
-                "rows committed in the vacuumed versions."
-            ) from None
-
     def _new_files(self, start_v: int, end_v: int) -> list[str]:
-        out: list[str] = []
+        """Thin wrapper over tablelog.iter_manifest_diffs — ONE shared
+        implementation of the diff semantics for stream and batch
+        change-feed consumers (r7 review). The startingVersion snapshot
+        is consumed WHOLE (empty baseline + overwrite exemption for that
+        one version); manifest N-1 is deliberately not consulted — it
+        may be vacuumed, and diffing against it would silently drop the
+        files carried over from the vacuumed history."""
+        from ssidentity_spark.operators.tablelog import iter_manifest_diffs
+
         synthetic_base = (
             self.starting_version is not None
             and start_v == self.starting_version - 1
         )
-        if start_v >= 0 and not synthetic_base:
-            prev = set(self._manifest_or_explain(start_v)["files"])
-        else:
-            # true start-of-log, or the synthetic base offset below
-            # startingVersion: an empty base makes snapshot N itself the
-            # first batch (its FULL retained file list — manifest N-1 is
-            # deliberately not consulted: it may be vacuumed, and diffing
-            # against it would silently drop the files carried over from
-            # the vacuumed history)
-            prev = set()
-        for v in range(start_v + 1, end_v + 1):
-            m = self._manifest_or_explain(v)
-            cur = set(m["files"])
-            if m.get("operation") == "optimize" and not (
-                synthetic_base and v == self.starting_version
-            ):
-                # compaction rewrites files WITHOUT changing data (the
-                # dataChange=false contract): emitting the diff would
-                # duplicate every compacted row downstream — skip, but
-                # advance the baseline so later appends diff correctly.
-                # (As a startingVersion target it IS consumed whole: the
-                # compacted snapshot is the stream's initial state.)
-                prev = cur
-                continue
-            if m.get("operation") == "overwrite" or not prev <= cur:
-                # the starting snapshot itself is consumed as a whole —
-                # whether it was committed as append or overwrite
-                if not (synthetic_base and v == self.starting_version):
-                    raise ValueError(
-                        f"version {v} at {self.path} is not append-only "
-                        "(overwrite/replaced files) — the streaming source "
-                        "requires an append-only history"
-                    )
-            out.extend(sorted(cur - prev))
-            prev = cur
+        out: list[str] = []
+        for _v, added in iter_manifest_diffs(
+            self.path,
+            start_v,
+            end_v,
+            base_files=set() if synthetic_base else None,
+            consume_whole_version=(
+                self.starting_version if synthetic_base else None
+            ),
+            context="the managed_table stream",
+        ):
+            out.extend(added)
         return out
 
     def partitions(self, start: dict, end: dict):
@@ -565,7 +530,12 @@ class ManagedTableWriter(DataSourceWriter):
                 pa.table({f.name: [] for f in schema}, schema=schema), full
             )
             files = [rel]
-        commit_files(self.path, files, self.mode)
+        commit_files(
+            self.path,
+            files,
+            self.mode,
+            schema=[[n, t] for n, t in self.field_specs],
+        )
 
     def abort(self, messages) -> None:
         for m in messages:

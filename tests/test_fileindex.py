@@ -223,3 +223,27 @@ def test_range_index_rejects_float_key(spark, tmp_path):
     spark.range(0, 10).select(F.col("id").cast("double").alias("k")).write.parquet(p)
     with pytest.raises(TypeError, match="minmax index key"):
         build_minmax_index(spark, p, "k")
+
+
+def test_range_lookup_open_bounds(spark, tmp_path):
+    """r7 review: a None bound means UNBOUNDED — between(lit(None), x)
+    is SQL null and used to silently return zero rows."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.fileindex import (
+        build_minmax_index,
+        range_lookup,
+    )
+
+    p = str(tmp_path / "open")
+    spark.range(0, 1_000).select((F.col("id") % 100).alias("k")).repartitionByRange(
+        8, "k"
+    ).write.parquet(p)
+    build_minmax_index(spark, p, "k")
+    rows, read, total = range_lookup(spark, p, None, 19)
+    assert rows.count() == 20 * 10  # k in [0, 19]
+    assert read < total
+    rows2, _r, _t = range_lookup(spark, p, 80, None)
+    assert rows2.count() == 20 * 10  # k in [80, 99]
+    rows3, read3, total3 = range_lookup(spark, p, None, None)
+    assert rows3.count() == 1_000 and read3 == total3

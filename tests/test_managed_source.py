@@ -547,3 +547,39 @@ def test_max_versions_per_trigger_paces_running_stream(spark, tmp_path):
     # at most 2 versions
     assert all(b - a <= 2 for a, b in zip(steps, steps[1:]))
     assert len(steps) >= 3  # the burst took multiple micro-batches
+
+
+def test_format_writes_preserve_evolved_schema_record(spark, tmp_path):
+    """r7 review: a schema-oblivious commit (or one declaring only its
+    own columns) must never ERASE the evolved schema from the tip — the
+    record carries forward and unions inside commit_files, so format
+    reads keep surfacing every column."""
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        latest_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "evkeep")
+    register(spark)
+    write_versioned(
+        spark.range(0, 4).select(F.col("id").alias("k")), path, "append"
+    )
+    write_versioned(
+        spark.range(4, 6).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("score")
+        ),
+        path,
+        "append",
+    )
+    # append THROUGH THE FORMAT with the full evolved schema
+    spark.createDataFrame([(6, 9.0)], "k long, score double").write.format(
+        "managed_table"
+    ).mode("append").save(path)
+    tip = _read_manifest(path, latest_version(path))
+    assert tip.get("schema") == [["k", "bigint"], ["score", "double"]]
+    t = spark.read.format("managed_table").load(path)
+    assert t.schema.simpleString() == "struct<k:bigint,score:double>"
+    rows = {(r["k"], r["score"]) for r in t.collect()}
+    assert rows == {(0, None), (1, None), (2, None), (3, None),
+                    (4, 6.0), (5, 7.5), (6, 9.0)}

@@ -111,7 +111,8 @@ def test_global_ids_contiguous_and_order_correct(spark):
 
 def test_global_ids_partition_count_invariant(spark):
     """With a unique order key the numbering is independent of how the
-    range boundaries fall — re-runs at different parallelism agree."""
+    bucket boundaries fall — different parallelism and both bucketing
+    strategies (deterministic ordered buckets vs sampled ranges) agree."""
     from pyspark.sql import functions as F
 
     from ssidentity_spark.operators.rowids import assign_global_ids
@@ -121,7 +122,13 @@ def test_global_ids_partition_count_invariant(spark):
     )
     a = {(r["k"], r["row_id"]) for r in assign_global_ids(df, ["m", "k"], n_parts=3).collect()}
     b = {(r["k"], r["row_id"]) for r in assign_global_ids(df, ["m", "k"], n_parts=29).collect()}
-    assert a == b
+    c = {
+        (r["k"], r["row_id"])
+        for r in assign_global_ids(
+            df, ["m", "k"], bucket=F.substring("m", 1, 1)
+        ).collect()
+    }
+    assert a == b == c
 
 
 def test_global_ids_plan_has_no_global_single_partition_sort(spark):
