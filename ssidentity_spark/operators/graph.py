@@ -225,6 +225,7 @@ def pagerank(
     damping: float = 0.85,
     round_dp: int = 6,
     lineage: str = "local",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank by plain joins + aggregations, fixed ``iters``
     power-iteration rounds (the relational formulation — no graph engine).
@@ -266,6 +267,19 @@ def pagerank(
       the two downstream consumers. Full lineage is retained, so recovery
       is Spark-native recompute; analysis cost grows linearly with
       ``iters`` (fine for single digits, not for hundreds).
+
+    ``partitions`` fixes the loop's shuffle width. Default (None) derives
+    it from the edge count — ~2M edges per partition, floor 1, no upper
+    cap — because checkpoint truncation blinds AQE: each round starts from
+    a ``Scan ExistingRDD`` whose partitioning Catalyst can't see, so the
+    usual small-shuffle coalescing never happens and every round would
+    otherwise launch ``spark.sql.shuffle.partitions`` tasks regardless of
+    graph size (measured: 64-task rounds on a 97k-edge graph — pure
+    scheduler overhead). Deriving the width restores exactly what AQE
+    would have chosen; at billions of edges the same formula yields
+    thousands of partitions, so the plan scales up unchanged. Every
+    per-round exchange is pinned to this width and key, so the cached
+    edge side and the state side are never re-shuffled inside the loop.
     """
     if lineage not in ("local", "reliable", "persist"):
         raise ValueError(f"lineage must be local|reliable|persist, got {lineage!r}")
@@ -279,19 +293,26 @@ def pagerank(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight).cast("double").alias("w"),
-    )
+    ).cache()  # read 4x below (out_w, ew, nodes x2) — evaluate the
+    # upstream edge derivation once, not per consumer
+    # loop shuffle width: derived from edge count unless pinned (see
+    # docstring); the count doubles as the cache warm-up
+    if partitions is None:
+        n_edges = e.count()
+        partitions = max(1, -(-n_edges // 2_000_000))
     # normalize ONCE: p = w / wout folds the out-weight join out of the
-    # loop; cache partitioned on src so every round's rank join reuses
-    # the layout without re-shuffling the (big) edge side
+    # loop; cache partitioned on src AT THE LOOP WIDTH so every round's
+    # rank join reuses the layout without re-shuffling the (big) edge side
     out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
     ew = (
         e.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("wout")).alias("p"))
-        .repartition("src")
+        .repartition(partitions, "src")
         .cache()
     )
     # state = (node, dangling): rank-independent, computed once — the
-    # dangling flag replaces the r6 per-round left_anti join
+    # dangling flag replaces the r6 per-round left_anti join; partitioned
+    # on node at the loop width so the per-round left join never moves it
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -300,6 +321,7 @@ def pagerank(
     state = (
         nodes.join(out_w, nodes.node == out_w.src, "left")
         .select("node", F.col("wout").isNull().alias("dangling"))
+        .repartition(partitions, "node")
         .cache()
     )
     n_nodes = state.count()  # scalar cardinality — model-sized driver read
@@ -309,8 +331,15 @@ def pagerank(
         dangling = ranks.filter("dangling").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
+        # the checkpointed ranks frame scans back as an ExistingRDD with
+        # unknown partitioning — re-pin it to (node, width) explicitly so
+        # the join reuses ew's cached layout instead of re-shuffling BOTH
+        # sides to the session default; likewise pin the agg's width via
+        # repartition-on-dst (HashPartitioning(dst, width) satisfies the
+        # groupBy's clustering requirement — no second exchange)
         contrib = (
-            ew.join(ranks, ew.src == ranks.node)
+            ew.join(ranks.repartition(partitions, "node"), ew.src == ranks.node)
+            .repartition(partitions, "dst")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("m"))
         )
@@ -338,6 +367,7 @@ def pagerank(
         # final state is eagerly materialized — the loop-invariant caches
         # are dead weight from here (repeated invocations would otherwise
         # pile ew/state copies into the block manager)
+        e.unpersist()
         ew.unpersist()
         state.unpersist()
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))
