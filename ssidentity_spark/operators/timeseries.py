@@ -153,9 +153,17 @@ def resample_interpolate(
         .when(F.col("nv").isNull(), F.col("pv"))
         .otherwise(blend)
     )
+    # engine-independent HALF-UP round: floor(x*10^dp + 0.5)/10^dp. The
+    # blend of 2-decimal bucket means by dyadic grid ratios lands EXACTLY
+    # on half-way doubles (e.g. 32.6509375 at sf0.1), where Spark's
+    # round() (HALF_UP) and DuckDB's (half-to-even) disagree — spelling
+    # the rule out as floor arithmetic makes both engines compute the
+    # identical double sequence, so the tie breaks identically.
+    scale = F.lit(float(10**round_dp))
+    rounded = F.floor(value * scale + F.lit(0.5)) / scale
     return bracketed.select(
         key,
         "bucket",
-        F.round(value, round_dp).alias("value_interp"),
+        rounded.alias("value_interp"),
         F.col("obs_val").isNull().alias("gap_filled"),
     )

@@ -1207,6 +1207,19 @@ _FUNNEL_W_US = 3_600_000_000  # 60 min
 
 @register(
     "w6_funnel_progression",
+    # The oracle is the CLOSED FORM of the greedy-first-chain fold, not a
+    # replay of it: anchor = lexicographically-first signup, level 2 =
+    # first view sorting after the anchor within the window, level 3 =
+    # first purchase sorting after THAT view within the window. Two
+    # reasons: (a) an independent formulation is stronger gate evidence
+    # than replaying the same fold, and (b) DuckDB 1.0.0 has a
+    # wrong-result bug in grouped list_reduce with a multi-branch CASE
+    # lambda — above a few hundred groups the folded state leaks across
+    # neighbouring groups (verified at sf0.1: user 73 received user 74's
+    # anchor; correct when filtered to few users, wrong on the full
+    # table, threads=1 included). The previous fold-replay oracle passed
+    # at sf0.01 only because the table sat below the bug's cardinality
+    # threshold.
     oracle=f"""
     WITH fe AS (
       SELECT user_id, epoch_us(ts) AS t, event_id AS eid,
@@ -1214,28 +1227,35 @@ _FUNNEL_W_US = 3_600_000_000  # 60 min
                              WHEN 'purchase' THEN 3 END AS s
       FROM events
       WHERE event_type IN ('signup', 'view', 'purchase')
-    ), folded AS (
-      SELECT user_id,
-             list_reduce(
-               list_prepend(
-                 struct_pack(t := CAST(0 AS BIGINT),
-                             eid := CAST(0 AS BIGINT), s := 0),
-                 list_sort(list(struct_pack(t := t, eid := eid, s := s)))
-               ),
-               (acc, e) -> CASE
-                 WHEN acc.s = 0 AND e.s = 1
-                   THEN struct_pack(t := e.t, eid := CAST(0 AS BIGINT), s := 1)
-                 WHEN e.s = acc.s + 1 AND e.t <= acc.t + {_FUNNEL_W_US}
-                   THEN struct_pack(t := acc.t, eid := CAST(0 AS BIGINT),
-                                    s := acc.s + 1)
-                 ELSE acc END
-             ) AS st
-      FROM fe GROUP BY user_id
-    )
-    SELECT user_id,
-           CAST(st.s AS INTEGER) AS funnel_level,
-           CAST(st.t AS BIGINT) AS funnel_start_us
-    FROM folded
+    ), sig AS (
+      SELECT user_id, t AS t1, eid AS e1 FROM (
+        SELECT user_id, t, eid,
+               row_number() OVER (PARTITION BY user_id ORDER BY t, eid) AS rn
+        FROM fe WHERE s = 1) WHERE rn = 1
+    ), vw AS (
+      SELECT user_id, t2, e2 FROM (
+        SELECT f.user_id, f.t AS t2, f.eid AS e2,
+               row_number() OVER (PARTITION BY f.user_id
+                                  ORDER BY f.t, f.eid) AS rn
+        FROM fe f JOIN sig g USING (user_id)
+        WHERE f.s = 2 AND (f.t, f.eid) > (g.t1, g.e1)
+          AND f.t <= g.t1 + {_FUNNEL_W_US}) WHERE rn = 1
+    ), pu AS (
+      SELECT DISTINCT f.user_id
+      FROM fe f JOIN sig g USING (user_id) JOIN vw USING (user_id)
+      WHERE f.s = 3 AND (f.t, f.eid) > (vw.t2, vw.e2)
+        AND f.t <= g.t1 + {_FUNNEL_W_US}
+    ), users AS (SELECT DISTINCT user_id FROM fe)
+    SELECT u.user_id,
+           CAST(CASE WHEN pu.user_id IS NOT NULL THEN 3
+                     WHEN vw.user_id IS NOT NULL THEN 2
+                     WHEN g.user_id  IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_level,
+           CAST(coalesce(g.t1, 0) AS BIGINT) AS funnel_start_us
+    FROM users u
+    LEFT JOIN sig g USING (user_id)
+    LEFT JOIN vw USING (user_id)
+    LEFT JOIN pu USING (user_id)
     """,
     survey="W4,J4,W2",
 )

@@ -64,13 +64,13 @@ _BUCKET = 4 * 3600  # 4-hour grid: ~37% bucket occupancy at sf0.01 — the
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT user_id, bucket,
-           round(CASE WHEN obs_val IS NOT NULL THEN obs_val
+           floor(CASE WHEN obs_val IS NOT NULL THEN obs_val
                       WHEN pv IS NULL THEN nv
                       WHEN nv IS NULL THEN pv
                       ELSE pv + (nv - pv)
                            * (CAST(bucket - pb AS DOUBLE)
                               / CAST(nb - pb AS DOUBLE))
-                 END, 6) AS value_interp,
+                 END * 1e6 + 0.5) / 1e6 AS value_interp,
            obs_val IS NULL AS gap_filled
     FROM br
     """,

@@ -175,17 +175,29 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q22_global_sales_opportunity",
+    # Determinism: c_acctbal is a 2-decimal quantity stored as double
+    # (max deviation from exact cents ~1e-10, verified at every SF), so
+    # ALL the arithmetic runs in exact integer cents — the above-average
+    # membership test as cents*n > sum_cents and the floor(sum) as an
+    # integer division. The previous float form (c_acctbal > avg, then
+    # floor(sum(double))) broke at sf0.1: one nation's 45-member sum
+    # straddled the floor boundary between the two engines' summation
+    # orders (344399 vs 344398).
     oracle="""
-    WITH avg_bal AS (
-      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    WITH c2 AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ), pos AS (
+      SELECT sum(cents) AS sc, count(*) AS nc FROM c2 WHERE c_acctbal > 0.0
     )
     SELECT c_nationkey AS nation,
            count(*) AS numcust,
-           CAST(floor(sum(c_acctbal)) AS BIGINT) AS totacctbal
-    FROM customer c, avg_bal
-    WHERE c.c_acctbal > avg_bal.ab
+           CAST(sum(cents) // 100 AS BIGINT) AS totacctbal
+    FROM c2, pos
+    WHERE c2.cents * pos.nc > pos.sc
       AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
+                      WHERE o.o_custkey = c2.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
     GROUP BY 1
     """,
@@ -199,13 +211,23 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     orders table, but this testdata gives every customer at least one
     order, so that form is vacuously empty; restricting to URGENT orders
     keeps the identical plan shape with a non-empty result (75 rows at
-    sf0.01)."""
-    c = load_table(spark, sf_dir, "customer")
+    sf0.01).
+
+    Exact arithmetic: balances become integer CENTS up front, the
+    above-average test is cents*n > sum(cents) (no float division), and
+    the floored sum is an integer division — order-invariant and
+    bit-equal cross-engine at any scale, unlike float avg/sum whose
+    summation-order tail flipped a floor boundary at sf0.1."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
     o = load_table(spark, sf_dir, "orders")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("nc")
+    )
     return (
-        c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        c.join(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("nc") > F.col("sc"))
         .join(
             o.filter(F.col("o_orderpriority") == "1-URGENT"),
             F.col("c_custkey") == F.col("o_custkey"),
@@ -214,6 +236,6 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy(F.col("c_nationkey").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.floor(F.sum("c_acctbal")).alias("totacctbal"),
+            F.expr("sum(cents) div 100").alias("totacctbal"),
         )
     )
