@@ -145,6 +145,63 @@ def optimize_managed(
     return {**stats, "indexed_files": len(index)}
 
 
+def delete_managed(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE on the managed table: copy-on-write delete via
+    :func:`tablelog.delete_where`, then the sidecar maintenance the log
+    layer can't do — a bloom index for the new version so point lookups
+    against the post-delete tip keep their file-skipping.
+
+    Index cost is O(rewritten files): kept files' bitmaps are immutable
+    and carried from the parent sidecar (the same incremental contract as
+    ``write_managed``); only the rewritten survivor parts are scanned.
+    A delete pruned down to few files by a cluster-key-aligned predicate
+    therefore pays index I/O proportional to what it touched, not to the
+    table. Kept-file bitmaps stay exact; rewritten files get FRESH
+    bitmaps, so deleted keys stop passing the index for those files
+    (a deleted key may still bloom-pass into a kept file it never
+    occupied — a false positive the lookup's data read resolves, never a
+    correctness issue).
+
+    Returns delete_where's stats plus ``{"indexed_files"}``. A delete
+    that matched nothing commits no version and rebuilds nothing."""
+    tip = latest_version(path)
+    if tip is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    sidecar = _index_path(path, tip)
+    if not os.path.exists(sidecar):
+        raise FileNotFoundError(
+            f"no bloom sidecar for tip version {tip} at {path} — not a "
+            "managed table (use tablelog.delete_where for unindexed tables)"
+        )
+    with open(sidecar) as f:
+        idx = json.load(f)
+    key, m_bits = idx["key"], idx["m_bits"]
+
+    from ssidentity_spark.operators.tablelog import delete_where
+
+    stats = delete_where(spark, path, predicate)
+    if stats["version"] == tip:  # no-op delete: no new version, no index
+        return {**stats, "indexed_files": len(idx["files"])}
+    version = stats["version"]
+    files = _read_manifest(path, version)["files"]
+    carried = {rel: idx["files"][rel] for rel in files if rel in idx["files"]}
+    new_files = [rel for rel in files if rel not in carried]
+    new_index = (
+        build_bloom_index(
+            spark, path, key, m_bits=m_bits, files=new_files, write_sidecar=False
+        )
+        if new_files
+        else {}
+    )
+    index = {**carried, **new_index}
+    os.makedirs(os.path.dirname(_index_path(path, version)), exist_ok=True)
+    with open(_index_path(path, version), "w") as f:
+        json.dump(
+            {"key": key, "m_bits": m_bits, "k": INDEX_K, "files": index}, f
+        )
+    return {**stats, "indexed_files": len(index)}
+
+
 def managed_point_lookup(
     spark: SparkSession,
     path: str,

@@ -330,6 +330,159 @@ def optimize(
     }
 
 
+def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE as a copy-on-write commit: remove every row where
+    ``predicate`` (a SQL boolean expression) is TRUE, keep rows where it
+    is FALSE **or NULL** (ANSI DELETE semantics), and commit the result
+    as a new version with ``operation='delete'``. The missing DML verb
+    next to MERGE/OPTIMIZE/VACUUM/time-travel — what GDPR erasure and
+    retention enforcement run on a production lakehouse.
+
+    Scale shape — the whole point of the file-level design:
+
+    - ONE distributed pass computes per-file match counts via the
+      ``_metadata.file_path`` column; the collect is file-count-bounded
+      (manifest-sized driver traffic, same order as reading the manifest
+      itself).
+    - Files with NO matching rows are carried into the new version **by
+      reference** — never read again, never rewritten. A predicate
+      aligned with the cluster key touches O(matching files), not
+      O(table); only files that provably contain doomed rows pay the
+      rewrite.
+    - TIME TRAVEL: prior versions keep referencing the original parts;
+      vacuum reclaims them when those versions age out (same contract as
+      optimize).
+    - CONCURRENCY: like optimize, a delete must NOT retry on a version
+      race — a concurrent append's rows are absent from the rewrite, so
+      winning a blind retry would silently drop them. The commit is
+      pinned to the tip read at start; on :class:`VersionConflict` the
+      staged files are deleted and the conflict re-raised.
+    - The manifest records the predicate and the deleted-row count: the
+      predicate is the authoritative row-level definition of the change,
+      which is what lets the change feed reconstruct the deleted rows
+      exactly (``read_changes(include_deletes=True)``) without
+      tombstone files.
+
+    A delete that matches NOTHING commits no version (returns the
+    current tip with ``rows_deleted=0``) — an empty commit would spam
+    the history and wake every incremental consumer for nothing.
+
+    Returns ``{"version", "rows_deleted", "files_kept", "files_rewritten",
+    "files_after"}``.
+    """
+    from pyspark.sql import functions as F
+
+    tip = latest_version(path)
+    if tip is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    tip_m = _read_manifest(path, tip)
+    files = tip_m["files"]
+    if not files:
+        return {
+            "version": tip,
+            "rows_deleted": 0,
+            "files_kept": 0,
+            "files_rewritten": 0,
+            "files_after": 0,
+        }
+    pred = F.expr(predicate)
+    abs_to_rel = {
+        os.path.abspath(os.path.join(path, f)): f for f in files
+    }
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    cols = (
+        [n for n, _t in tip_m["schema"]] if tip_m.get("schema") else raw.columns
+    )
+    # pass 1: which files contain rows the predicate dooms? (NULL
+    # predicate rows are not matches — filter() drops them, exactly the
+    # keep-them semantics DELETE wants)
+    hits = (
+        raw.select(*cols, F.col("_metadata.file_path").alias("_file"))
+        .filter(pred)
+        .groupBy("_file")
+        .count()
+        .collect()  # file-count-bounded: manifest-sized driver traffic
+    )
+    from urllib.parse import unquote, urlparse
+
+    hit_rel: dict[str, int] = {}
+    for row in hits:
+        p = os.path.abspath(unquote(urlparse(row["_file"]).path))
+        rel = abs_to_rel.get(p)
+        if rel is None:
+            raise RuntimeError(
+                f"match in unmanifested file {row['_file']} at {path}"
+            )
+        hit_rel[rel] = row["count"]
+    rows_deleted = sum(hit_rel.values())
+    if not hit_rel:
+        return {
+            "version": tip,
+            "rows_deleted": 0,
+            "files_kept": len(files),
+            "files_rewritten": 0,
+            "files_after": len(files),
+        }
+    kept = [f for f in files if f not in hit_rel]
+    # pass 2: rewrite ONLY the hit files, keeping FALSE-or-NULL rows
+    survivors = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in sorted(hit_rel)]
+    )
+    # pad to the manifest schema: the hit files may all predate an
+    # additive evolution, and rewriting them WITHOUT the newer columns
+    # would strand a version whose manifest promises columns no part
+    # carries (the snapshot read's select would then fail)
+    type_of = (
+        dict(tip_m["schema"])
+        if tip_m.get("schema")
+        else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
+    )
+    survivors = survivors.select(
+        *[
+            F.col(c) if c in survivors.columns
+            else F.lit(None).cast(type_of[c]).alias(c)
+            for c in cols
+        ]
+    )
+    survivors = survivors.filter(~F.coalesce(pred, F.lit(False)))
+    stage = os.path.join(path, _DATA, f"delete-{tip + 1:08d}-{os.getpid()}")
+    if not kept:
+        # every file is being rewritten: if the predicate doomed the whole
+        # table the rewrite may stage zero parts, and a files=[] tip is
+        # unreadable — pin one (possibly empty) part so the empty table
+        # reads back as empty (same contract as the empty-overwrite fix)
+        survivors = survivors.coalesce(1)
+    survivors.write.mode("error").parquet(stage)
+    new_files = sorted(
+        os.path.relpath(os.path.join(stage, n), path)
+        for n in os.listdir(stage)
+        if n.endswith(".parquet")
+    )
+    meta: dict = {
+        "batch_ids": [int(b) for b in tip_m.get("batch_ids", [])],
+        "predicate": predicate,
+        "rows_deleted": rows_deleted,
+    }
+    if tip_m.get("schema"):
+        meta["schema"] = tip_m["schema"]
+    try:
+        _commit(path, tip + 1, kept + new_files, "delete", meta=meta)
+    except VersionConflict:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    return {
+        "version": tip + 1,
+        "rows_deleted": rows_deleted,
+        "files_kept": len(kept),
+        "files_rewritten": len(hit_rel),
+        "files_after": len(kept) + len(new_files),
+    }
+
+
 def iter_manifest_diffs(
     path: str,
     start_v: int,
@@ -337,6 +490,7 @@ def iter_manifest_diffs(
     base_files: set[str] | None = None,
     consume_whole_version: int | None = None,
     context: str = "the version walk",
+    on_delete: str = "raise",
 ):
     """ONE implementation of the manifest diff semantics shared by the
     streaming source and the batch change feed (r7 review: they must
@@ -345,6 +499,12 @@ def iter_manifest_diffs(
 
     - ``optimize`` versions yield nothing (dataChange=false) but advance
       the file baseline;
+    - ``delete`` versions raise by default (the walk's consumers are
+      append-only); ``on_delete='skip'`` advances the baseline without
+      yielding — the streaming ``ignoreDeletes`` contract, where
+      downstream explicitly accepts never seeing the removed rows (the
+      rewritten survivor files are NOT re-emitted: their rows already
+      flowed downstream when first appended);
     - ``overwrite`` versions — or any baseline violation — raise, UNLESS
       the version equals ``consume_whole_version`` (the streaming
       ``startingVersion`` snapshot, consumed whole);
@@ -373,6 +533,8 @@ def iter_manifest_diffs(
                 "would drop the rows committed in the vacuumed versions."
             ) from None
 
+    if on_delete not in ("raise", "skip"):
+        raise ValueError(f"on_delete must be raise|skip, got {on_delete!r}")
     if base_files is not None:
         prev = set(base_files)
     elif start_v >= 0:
@@ -385,6 +547,18 @@ def iter_manifest_diffs(
         if m.get("operation") == "optimize" and v != consume_whole_version:
             prev = cur
             continue
+        if m.get("operation") == "delete" and v != consume_whole_version:
+            if on_delete == "skip":
+                prev = cur
+                continue
+            raise ValueError(
+                f"version {v} at {path} is a DELETE "
+                f"(rows removed: {m.get('rows_deleted')}) — {context} is "
+                "append-only. Streams: .option('ignoreDeletes', 'true') "
+                "skips delete versions (downstream will NOT see the "
+                "removed rows); batch: read_changes(include_deletes=True) "
+                "emits them as _change_type='delete' rows."
+            )
         if m.get("operation") == "overwrite" or not prev <= cur:
             if v != consume_whole_version:
                 raise ValueError(
@@ -402,6 +576,7 @@ def read_changes(
     path: str,
     start_version: int,
     end_version: int | None = None,
+    include_deletes: bool = False,
 ) -> DataFrame:
     """Change data feed: the rows ADDED between ``start_version``
     (exclusive) and ``end_version`` (inclusive, default tip), each
@@ -420,6 +595,14 @@ def read_changes(
       without tombstones, and silently treating the new snapshot as
       "changes" would double-count surviving rows. Use a snapshot read
       (``read_versioned``) across overwrite boundaries.
+    - ``delete`` versions raise by default (an append-only consumer must
+      not silently miss removals). With ``include_deletes=True`` the feed
+      gains a ``_change_type`` column ('insert' / 'delete'): appends emit
+      their rows as inserts, and each delete version emits exactly the
+      REMOVED rows — reconstructed by reading the files the commit
+      replaced and re-applying the manifest-recorded predicate, which is
+      exact because parts are immutable (the rewritten survivor files
+      contribute nothing: their rows already appeared as inserts).
     - a vacuumed manifest inside the range raises with the cause (the
       same contract as the streaming source's error).
     """
@@ -435,21 +618,56 @@ def read_changes(
         )
 
     parts: list[DataFrame] = []
+
+    def stamp(df: DataFrame, v: int, change: str) -> DataFrame:
+        df = df.withColumn("_commit_version", F.lit(v))
+        if include_deletes:
+            df = df.withColumn("_change_type", F.lit(change))
+        return df
+
     for v, added in iter_manifest_diffs(
-        path, start_version, end, context="the change feed"
+        path,
+        start_version,
+        end,
+        context="the change feed",
+        on_delete="skip" if include_deletes else "raise",
     ):
         if added:
             parts.append(
-                spark.read.parquet(*[os.path.join(path, f) for f in added])
-                .withColumn("_commit_version", F.lit(v))
+                stamp(
+                    spark.read.parquet(
+                        *[os.path.join(path, f) for f in added]
+                    ),
+                    v,
+                    "insert",
+                )
             )
+    if include_deletes:
+        for v in range(start_version + 1, end + 1):
+            m = _read_manifest(path, v)
+            if m.get("operation") != "delete":
+                continue
+            if "predicate" not in m:
+                raise ValueError(
+                    f"delete version {v} at {path} records no predicate — "
+                    "cannot reconstruct the removed rows"
+                )
+            removed = sorted(
+                set(_read_manifest(path, v - 1)["files"]) - set(m["files"])
+            )
+            if removed:
+                parts.append(
+                    stamp(
+                        spark.read.option("mergeSchema", "true")
+                        .parquet(*[os.path.join(path, f) for f in removed])
+                        .filter(F.expr(m["predicate"])),
+                        v,
+                        "delete",
+                    )
+                )
     if not parts:
         # typed-empty: the schema comes from the end snapshot
-        return (
-            read_versioned(spark, path, end)
-            .withColumn("_commit_version", F.lit(0))
-            .limit(0)
-        )
+        return stamp(read_versioned(spark, path, end), 0, "insert").limit(0)
     out = parts[0]
     for p in parts[1:]:
         # allowMissingColumns: versions before an additive schema

@@ -761,3 +761,119 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_versioned(spark, path).select(
         "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5"), "lang"
     )
+
+
+@register(
+    "src_delete_where",
+    # Row-level DELETE under the gate: the corpus is committed
+    # range-clustered, a cluster-aligned predicate deletes the top fifth,
+    # and the result is the post-delete tip joined against the pre-delete
+    # snapshot pin. The oracle reads the untouched parquet with the
+    # predicate NEGATED (ANSI keep-semantics), so a delete that removes a
+    # survivor, keeps a doomed row, or corrupts a rewritten file breaks
+    # the hash; `in_pre` pins time travel across the rewrite, and
+    # `pruned` pins the PHYSICAL claim — untouched files were carried by
+    # reference, only the hit files were rewritten.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, TRUE AS in_pre, TRUE AS pruned
+    FROM documents
+    WHERE NOT (doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents))
+    """,
+    survey="S2,S5,J3",
+)
+def src_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE (operators/tablelog.py:delete_where): one
+    distributed pass finds the files containing doomed rows via
+    ``_metadata.file_path``; only those are rewritten (keep = predicate
+    FALSE or NULL), the rest carry into the new version by reference.
+    The predicate targets the top fifth of the cluster-key range, so on
+    the 8-file range-clustered layout most files must survive untouched
+    — asserted into the hashed result."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        delete_where,
+        read_versioned,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"deleted_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(
+        base.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"),
+        path,
+        "append",
+    )
+    files_before = len(_read_manifest(path, 0)["files"])
+    max_id = base.agg(F.max("doc_id")).collect()[0][0]  # scalar
+    threshold = (max_id * 4) // 5
+    stats = delete_where(spark, path, f"doc_id >= {threshold}")
+    pruned = (
+        stats["files_kept"] > 0 and stats["files_rewritten"] < files_before
+    )
+    tip = read_versioned(spark, path).select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5")
+    )
+    pre = read_versioned(spark, path, 0).select(
+        F.col("doc_id").alias("p_id"), F.lit(True).alias("in_pre")
+    )
+    return tip.join(pre, tip.doc_id == pre.p_id, "left").select(
+        "doc_id",
+        "text_md5",
+        F.coalesce("in_pre", F.lit(False)).alias("in_pre"),
+        F.lit(bool(pruned)).alias("pruned"),
+    )
+
+
+@register(
+    "src_change_feed_deletes",
+    # The delete-aware change data feed under the gate: appends, a
+    # row-level DELETE, and another append; the feed emits each append's
+    # rows as inserts AND the delete version's REMOVED rows (reconstructed
+    # from the replaced files + the manifest-recorded predicate) as
+    # _change_type='delete', each stamped with its commit version. A feed
+    # that re-emits rewritten survivors, drops a removed row, or
+    # mis-stamps a version breaks the hash.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END AS BIGINT)
+             AS commit_version,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 'insert' ELSE 'delete' END
+                AS VARCHAR) AS change_type
+    FROM documents
+    WHERE doc_id % 4 = 1 OR (doc_id % 4 = 0 AND doc_id % 3 = 0)
+    """,
+    survey="S5,T8,J3",
+)
+def src_change_feed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware CDF (operators/tablelog.py:read_changes with
+    include_deletes=True): v0 = doc_id%4=0 quarter (the baseline, outside
+    the feed), v1 = doc_id%4=1 append, v2 = OPTIMIZE (contributes
+    nothing), v3 = DELETE of v0-rows divisible by 3, v4 is not committed.
+    The feed after v0 = v1's inserts + v3's removals; v0's surviving
+    rows and v2's rewrite must contribute NOTHING."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        delete_where,
+        optimize,
+        read_changes,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"cdf_del_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(base.where("doc_id % 4 = 0").repartition(4), path, "append")
+    write_versioned(base.where("doc_id % 4 = 1").repartition(4), path, "append")
+    optimize(spark, path, target_rows_per_file=1_000_000)
+    delete_where(spark, path, "doc_id % 4 = 0 AND doc_id % 3 = 0")
+    feed = read_changes(spark, path, 0, include_deletes=True)
+    return feed.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.col("_commit_version").cast("long").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    )

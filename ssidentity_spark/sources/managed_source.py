@@ -166,11 +166,13 @@ class ManagedTableDataSource(DataSource):
             raise ValueError("managed_table requires .load(path)")
         sv = self.options.get("startingversion")
         mv = self.options.get("maxversionspertrigger")
+        ig = str(self.options.get("ignoredeletes", "false")).lower() == "true"
         return ManagedTableStreamReader(
             path,
             schema,
             None if sv is None else int(sv),
             None if mv is None else int(mv),
+            ignore_deletes=ig,
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -389,6 +391,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         schema: StructType,
         starting_version: int | None = None,
         max_versions_per_trigger: int | None = None,
+        ignore_deletes: bool = False,
     ):
         self.path = path
         self.field_specs = [
@@ -415,6 +418,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # uncapped catch-up batch is the safe trade; steady-state bursts
         # (a writer landing many versions between triggers) are paced.
         self.max_versions = max_versions_per_trigger
+        # .option("ignoreDeletes", "true"): advance past row-level DELETE
+        # versions without emitting anything — the caller explicitly
+        # accepts that downstream never sees the removed rows (Delta's
+        # ignoreDeletes contract). Default false: a delete inside the
+        # consumed range fails loudly with the ways out.
+        self.ignore_deletes = ignore_deletes
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
@@ -453,6 +462,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 self.starting_version if synthetic_base else None
             ),
             context="the managed_table stream",
+            on_delete="skip" if self.ignore_deletes else "raise",
         ):
             out.extend(added)
         return out

@@ -247,3 +247,58 @@ def test_range_lookup_open_bounds(spark, tmp_path):
     assert rows2.count() == 20 * 10  # k in [80, 99]
     rows3, read3, total3 = range_lookup(spark, p, None, None)
     assert rows3.count() == 1_000 and read3 == total3
+
+
+def test_delete_managed_keeps_lookup_exact_and_index_incremental(spark, tmp_path):
+    """Row-level DELETE on the managed table: the post-delete tip answers
+    point lookups exactly (deleted keys gone, survivors intact), the new
+    sidecar carries bitmaps for every tip file, and kept files' bitmaps
+    are byte-identical to the parent's (incremental rebuild, O(rewritten
+    files) index I/O)."""
+    import json
+    import os
+
+    from ssidentity_spark.operators.managed import (
+        _index_path,
+        delete_managed,
+        managed_point_lookup,
+        write_managed,
+    )
+    from ssidentity_spark.operators.tablelog import _read_manifest, read_versioned
+
+    path = str(tmp_path / "obs")
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 200).alias("mac_key"),
+        F.col("id").alias("seq"),
+    )
+    write_managed(spark, df, path, "mac_key")
+    with open(_index_path(path, 0)) as f:
+        idx0 = json.load(f)
+
+    # delete one clustered key entirely — range clustering means few files hit
+    stats = delete_managed(spark, path, "mac_key = 123")
+    assert stats["version"] == 1 and stats["rows_deleted"] == 100
+    assert stats["files_rewritten"] <= 3 < stats["files_kept"]
+
+    # lookups: the deleted key reads nothing, a surviving key is exact
+    got, _, _ = managed_point_lookup(spark, path, 123)
+    assert got.count() == 0
+    got, n_read, n_total = managed_point_lookup(spark, path, 42)
+    assert got.count() == 100 and n_read <= 4
+    # time travel: the pre-delete version still answers for the deleted key
+    got0, _, _ = managed_point_lookup(spark, path, 123, version=0)
+    assert got0.count() == 100
+
+    # sidecar invariants: every tip file indexed; kept files' bitmaps carried
+    with open(_index_path(path, 1)) as f:
+        idx1 = json.load(f)
+    tip_files = _read_manifest(path, 1)["files"]
+    assert set(idx1["files"]) == set(tip_files)
+    kept = set(tip_files) & set(_read_manifest(path, 0)["files"])
+    assert kept and all(idx1["files"][f] == idx0["files"][f] for f in kept)
+    assert read_versioned(spark, path).count() == 19_900
+
+    # no-op delete: no version, no sidecar churn
+    stats2 = delete_managed(spark, path, "mac_key = 99999")
+    assert stats2["rows_deleted"] == 0 and stats2["version"] == 1
+    assert not os.path.exists(_index_path(path, 2))

@@ -417,3 +417,187 @@ def test_schema_evolution_rejects_drops_and_retypes(spark, tmp_path):
     from ssidentity_spark.operators.tablelog import read_versioned
 
     assert read_versioned(spark, path).columns == ["k"]
+
+
+# ---------------------------------------------------------------------------
+# Row-level DELETE (delete_where): copy-on-write, file-pruned, ANSI NULL
+# semantics, time travel, conflict safety, and the delete-aware change feed.
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_removes_only_matching_rows(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import delete_where
+
+    path = str(tmp_path / "d")
+    write_versioned(_df(spark, 0, 100), path, "append")
+    stats = delete_where(spark, path, "k % 10 = 3")
+    assert stats["version"] == 1
+    assert stats["rows_deleted"] == 10
+    left = {r["k"] for r in read_versioned(spark, path).collect()}
+    assert left == {k for k in range(100) if k % 10 != 3}
+    # time travel: the pre-delete snapshot is intact
+    assert read_versioned(spark, path, 0).count() == 100
+    assert history(path)[-1]["operation"] == "delete"
+
+
+def test_delete_where_null_predicate_rows_are_kept(spark, tmp_path):
+    # ANSI DELETE: rows where the predicate is NULL are NOT deleted
+    from ssidentity_spark.operators.tablelog import delete_where
+
+    path = str(tmp_path / "dn")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, F.col("id")).alias("v"),  # v NULL for k>=5
+    )
+    write_versioned(df, path, "append")
+    stats = delete_where(spark, path, "v < 3")  # NULL < 3 is NULL -> keep
+    assert stats["rows_deleted"] == 3
+    left = {r["k"] for r in read_versioned(spark, path).collect()}
+    assert left == {3, 4, 5, 6, 7, 8, 9}
+
+
+def test_delete_where_prunes_untouched_files(spark, tmp_path):
+    # files with no matching rows must be carried by REFERENCE (same
+    # relative path), never rewritten
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        delete_where,
+    )
+
+    path = str(tmp_path / "dp")
+    # 4 range-partitioned parts: k in [0,25) [25,50) [50,75) [75,100)
+    df = _df(spark, 0, 100).repartitionByRange(4, "k")
+    write_versioned(df, path, "append")
+    before = _read_manifest(path, 0)["files"]
+    stats = delete_where(spark, path, "k >= 90")  # only the last part hit
+    after = _read_manifest(path, 1)["files"]
+    assert stats["files_rewritten"] == 1
+    assert stats["files_kept"] == len(before) - 1
+    assert len(set(before) & set(after)) == len(before) - 1
+    assert read_versioned(spark, path).count() == 90
+
+
+def test_delete_where_noop_commits_no_version(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import delete_where
+
+    path = str(tmp_path / "d0")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    stats = delete_where(spark, path, "k > 1000")
+    assert stats["version"] == 0 and stats["rows_deleted"] == 0
+    assert latest_version(path) == 0
+
+
+def test_delete_where_entire_table_reads_back_empty(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import delete_where
+
+    path = str(tmp_path / "da")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    stats = delete_where(spark, path, "k >= 0")
+    assert stats["rows_deleted"] == 10
+    tip = read_versioned(spark, path)
+    assert tip.count() == 0 and tip.columns == ["k"]
+
+
+def test_delete_where_aborts_on_version_race(spark, tmp_path):
+    # a concurrent append between the read and the commit must fail the
+    # delete (retrying would silently drop the append's rows)
+    import ssidentity_spark.operators.tablelog as tl
+
+    path = str(tmp_path / "dr")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    real_commit = tl._commit
+    raced = {"done": False}
+
+    def racing_commit(p, version, files, operation, meta=None):
+        if not raced["done"]:
+            raced["done"] = True
+            write_versioned(_df(spark, 100, 105), path, "append")
+        return real_commit(p, version, files, operation, meta=meta)
+
+    tl._commit = racing_commit
+    try:
+        with pytest.raises(VersionConflict):
+            tl.delete_where(spark, path, "k < 5")
+    finally:
+        tl._commit = real_commit
+    # the loser left no visible damage: tip is the racing append
+    assert read_versioned(spark, path).count() == 15
+
+
+def test_delete_where_vacuum_reclaims_replaced_parts_only(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        delete_where,
+    )
+
+    path = str(tmp_path / "dv")
+    write_versioned(_df(spark, 0, 100).repartitionByRange(4, "k"), path, "append")
+    delete_where(spark, path, "k >= 90")
+    kept = set(_read_manifest(path, 1)["files"])
+    deleted = vacuum(path, keep_latest=1)
+    assert set(deleted).isdisjoint(kept)
+    assert read_versioned(spark, path).count() == 90
+
+
+def test_read_changes_rejects_delete_by_default(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import delete_where, read_changes
+
+    path = str(tmp_path / "dc")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    delete_where(spark, path, "k < 3")
+    with pytest.raises(ValueError, match="DELETE"):
+        read_changes(spark, path, 0).collect()
+
+
+def test_read_changes_include_deletes_reconstructs_removed_rows(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import delete_where, read_changes
+
+    path = str(tmp_path / "dcd")
+    write_versioned(_df(spark, 0, 10), path, "append")  # v0
+    write_versioned(_df(spark, 10, 20), path, "append")  # v1
+    delete_where(spark, path, "k % 2 = 0")  # v2: removes 10 evens
+    write_versioned(_df(spark, 20, 25), path, "append")  # v3
+    feed = read_changes(spark, path, 0, include_deletes=True)
+    rows = {(r["k"], r["_commit_version"], r["_change_type"])
+            for r in feed.collect()}
+    expect = {(k, 1, "insert") for k in range(10, 20)}
+    expect |= {(k, 2, "delete") for k in range(0, 20) if k % 2 == 0}
+    expect |= {(k, 3, "insert") for k in range(20, 25)}
+    assert rows == expect
+
+
+def test_stream_reader_raises_on_delete_unless_ignored(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import delete_where
+    from ssidentity_spark.sources.managed_source import register
+
+    register(spark)
+    path = str(tmp_path / "ds")
+    ckpt1 = str(tmp_path / "ck1")
+    ckpt2 = str(tmp_path / "ck2")
+    out1 = str(tmp_path / "o1")
+    out2 = str(tmp_path / "o2")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    delete_where(spark, path, "k < 3")
+    write_versioned(_df(spark, 10, 15), path, "append")
+
+    def run(opts: dict, ckpt: str, out: str):
+        r = spark.readStream.format("managed_table")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    with pytest.raises(Exception, match="DELETE|ignoreDeletes"):
+        run({}, ckpt1, out1)
+    run({"ignoreDeletes": "true"}, ckpt2, out2)
+    got = {r["k"] for r in spark.read.parquet(out2).collect()}
+    # the delete version emitted nothing: v0's full 10 rows + v2's append
+    assert got == set(range(15))
