@@ -943,3 +943,152 @@ def avi_roundtrip_features(
             )
 
     return df.mapInPandas(_roundtrip, schema=AVI_ROUNDTRIP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: the image near-dup primitive (resize + dHash)
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash_hex", StringType()),
+        StructField("band0", IntegerType()),
+        StructField("band1", IntegerType()),
+        StructField("band2", IntegerType()),
+        StructField("band3", IntegerType()),
+    ]
+)
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit non-interlaced GRAYSCALE PNG to its raw pixel
+    grid (width, height, row-major bytes) — the pixel-level sibling of
+    :func:`decode_png` (which folds to a mean) for consumers that need
+    the image itself: resize, perceptual hashing, feature extraction.
+    Anything but 8-bit gray color-type-0 raises NotImplementedError (the
+    dHash path controls its own encoder, so the narrow support is a
+    contract, not a gap)."""
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise NotImplementedError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT chunks")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if (depth, color_type, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise NotImplementedError(
+            "decode_png_gray supports 8-bit gray non-interlaced only"
+        )
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (width + 1):
+        raise NotImplementedError("PNG pixel data size mismatch")
+    return width, height, _png_unfilter(raw, width, height, 1)
+
+
+def dhash_bands(px: bytes, width: int, height: int) -> tuple[int, int, int, int]:
+    """64-bit difference hash of a grayscale image, returned as four
+    16-bit bands (LSB band first) so LSH banding and hex rendering never
+    touch a signed 64-bit boundary.
+
+    Classic dHash (Krawetz): block-average the image down to a 9x8 grid
+    (integer floor mean — exact, so a SQL oracle reproduces it
+    bit-for-bit), then bit(r, c) = 1 iff cell(r, c+1) > cell(r, c). Bit
+    k = r*8 + c; band j carries bits [16j, 16j+16).
+    """
+    if width < 9 or height < 8:
+        raise ValueError(f"dhash needs >= 9x8 input, got {width}x{height}")
+    cells = [0] * 72
+    for r in range(8):
+        r0, r1 = r * height // 8, (r + 1) * height // 8
+        for c in range(9):
+            c0, c1 = c * width // 9, (c + 1) * width // 9
+            s = 0
+            for row in range(r0, r1):
+                base = row * width
+                for col in range(c0, c1):
+                    s += px[base + col]
+            cells[r * 9 + c] = s // ((r1 - r0) * (c1 - c0))
+    bands = [0, 0, 0, 0]
+    for r in range(8):
+        for c in range(8):
+            if cells[r * 9 + c + 1] > cells[r * 9 + c]:
+                k = r * 8 + c
+                bands[k // 16] |= 1 << (k % 16)
+    return bands[0], bands[1], bands[2], bands[3]
+
+
+def image_dhash_features(
+    df: DataFrame, width: int = 16, max_h: int = 16
+) -> DataFrame:
+    """(doc_id, text) → grayscale PNG (real encoder) → REAL pixel decode
+    → 9x8 block-average resize → 64-bit dHash, as (hex string + four
+    16-bit bands). Documents shorter than 8 full rows (width*8 bytes)
+    are dropped — below that the resize grid has empty blocks.
+
+    The full perceptual-hash pipeline a multimodal corpus dedup runs —
+    decode, resize, feature-extract — in one Arrow mapInPandas pass;
+    payloads never transit the driver. Integer-exact end to end, so the
+    DuckDB oracle recomputes the hash from the raw bytes.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ssidentity_spark.fixtures import build_png
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "dhash_hex": [], "band0": [], "band1": [],
+                "band2": [], "band3": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = min(len(b) // width, max_h)
+                if h < 8:
+                    continue
+                png = build_png(
+                    width,
+                    h,
+                    pixel_fn=lambda x, y, _b=b: (_b[y * width + x],),
+                    color_type=0,
+                )
+                w2, h2, px = decode_png_gray(png)
+                b0, b1, b2, b3 = dhash_bands(px, w2, h2)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["dhash_hex"].append(f"{b3:04x}{b2:04x}{b1:04x}{b0:04x}")
+                out["band0"].append(b0)
+                out["band1"].append(b1)
+                out["band2"].append(b2)
+                out["band3"].append(b3)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "dhash_hex": pd.Series(out["dhash_hex"], dtype="object"),
+                    "band0": pd.Series(out["band0"], dtype="int32"),
+                    "band1": pd.Series(out["band1"], dtype="int32"),
+                    "band2": pd.Series(out["band2"], dtype="int32"),
+                    "band3": pd.Series(out["band3"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(_hash, schema=DHASH_SCHEMA)

@@ -867,3 +867,80 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _semantic_verdict(base, cent)
+
+
+from ssidentity_spark.plans.multimodal import DHASH_BANDS_SQL  # noqa: E402
+
+
+@register(
+    "dedup_image_neardup_pairs",
+    # LSH banding over the 64-bit perceptual hash: candidate = any of the
+    # four 16-bit bands identical (a pair differing in <= 3 bits is
+    # guaranteed caught — pigeonhole over 4 bands), survivor = total
+    # hamming distance <= 6. The oracle recomputes the WHOLE pipeline
+    # (PNG bytes -> 9x8 resize -> dHash bands) in SQL and takes the same
+    # band-match-then-verify path, so the decode, the resize arithmetic,
+    # the banding, and the hamming verdicts are all under the hash.
+    oracle=f"""
+    WITH {DHASH_BANDS_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
+              + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
+              + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
+              + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
+             AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.doc_id < b.doc_id
+     AND (a.bd[1] = b.bd[1] OR a.bd[2] = b.bd[2]
+          OR a.bd[3] = b.bd[3] OR a.bd[4] = b.bd[4])
+    WHERE bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
+        + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
+        + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
+        + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT))) <= 6
+    """,
+    survey="EXT-dedup,EXT-multimodal,J1",
+)
+def dedup_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidate pairs via dHash LSH banding: hash every
+    image (real PNG decode + 9x8 resize, operators/multimodal.py), split
+    the 64 bits into four 16-bit bands, bucket-join on (band index,
+    band value) — an EQUI-join, never a nested loop — then verify
+    candidates by full hamming distance <= 6. The same shape as the
+    MinHash text path (dedup_minhash_lsh_pairs): probability work up
+    front, exact verification on the candidate set only."""
+    from ssidentity_spark.operators.multimodal import image_dhash_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = image_dhash_features(d).select("doc_id", "band0", "band1", "band2", "band3")
+    bands = F.array("band0", "band1", "band2", "band3")
+    exploded = h.select(
+        "doc_id", "band0", "band1", "band2", "band3",
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("band0").alias("a0"), F.col("band1").alias("a1"),
+        F.col("band2").alias("a2"), F.col("band3").alias("a3"),
+        "band_idx", "band_val",
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band0").alias("b0"), F.col("band1").alias("b1"),
+        F.col("band2").alias("b2"), F.col("band3").alias("b3"),
+        "band_idx", "band_val",
+    )
+    def _ham(x, y):
+        return F.bit_count(F.col(x).cast("long").bitwiseXOR(F.col(y).cast("long")))
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            (_ham("a0", "b0") + _ham("a1", "b1")
+             + _ham("a2", "b2") + _ham("a3", "b3")).cast("int").alias("hamming"),
+        )
+        # a pair matching in k bands appears k times — one verdict per pair
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= 6)
+    )
+    return pairs

@@ -19,7 +19,7 @@ exercise byte-level plumbing end-to-end with an oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table
@@ -349,3 +349,99 @@ def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return avi_roundtrip_features(d)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (dHash): decode -> resize -> feature-extract, the image
+# near-dup primitive. The DuckDB fragment below recomputes the WHOLE pipeline
+# from the raw text bytes — 9x8 integer block-average resize, then the 64
+# neighbour comparisons packed into four 16-bit bands — so the gate checks
+# the real PNG decode AND the resize arithmetic bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# shared CTE chain: documents -> hex bytes -> 72 resize cells -> 4 bands.
+# Band j carries dHash bits [16j, 16j+16); bit k = r*8+c compares resize
+# cells (r, c+1) > (r, c) on the 8x9 grid (1-based list indexing: +1/+2).
+DHASH_BANDS_SQL = """
+    t AS (
+      SELECT doc_id,
+             upper(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, hx, least(n // 16, 16) AS h
+      FROM t WHERE n >= 16 * 8
+    ), cellt AS (
+      SELECT doc_id, h,
+        list_transform(range(0, 72), k ->
+          list_aggregate(
+            list_transform(range((k // 9) * h // 8, (k // 9 + 1) * h // 8),
+              rw -> list_aggregate(
+                list_transform(range((k % 9) * 16 // 9,
+                                     (k % 9 + 1) * 16 // 9),
+                  cl -> (strpos('0123456789ABCDEF',
+                           substr(hx, CAST((rw * 16 + cl) * 2 + 1 AS BIGINT),
+                                  1)) - 1) * 16
+                        + strpos('0123456789ABCDEF',
+                           substr(hx, CAST((rw * 16 + cl) * 2 + 2 AS BIGINT),
+                                  1)) - 1
+                ), 'sum')
+            ), 'sum')
+          // (((k // 9 + 1) * h // 8 - (k // 9) * h // 8)
+              * ((k % 9 + 1) * 16 // 9 - (k % 9) * 16 // 9))
+        ) AS cells
+      FROM dims
+    ), bands AS (
+      SELECT doc_id, h,
+        list_transform(range(0, 4), j ->
+          list_aggregate(
+            list_transform(range(0, 16), b -> CASE
+              WHEN cells[CAST((j*16 + b) // 8 * 9 + (j*16 + b) % 8 + 2
+                              AS BIGINT)]
+                 > cells[CAST((j*16 + b) // 8 * 9 + (j*16 + b) % 8 + 1
+                              AS BIGINT)]
+              THEN (1 << b) ELSE 0 END), 'sum')
+        ) AS bd
+      FROM cellt
+    )
+"""
+
+
+@register(
+    "mm_image_dhash",
+    oracle=f"""
+    WITH {DHASH_BANDS_SQL}
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           lpad(lower(to_hex(CAST(bd[4] AS BIGINT))), 4, '0')
+             || lpad(lower(to_hex(CAST(bd[3] AS BIGINT))), 4, '0')
+             || lpad(lower(to_hex(CAST(bd[2] AS BIGINT))), 4, '0')
+             || lpad(lower(to_hex(CAST(bd[1] AS BIGINT))), 4, '0')
+             AS dhash_hex,
+           count(*) OVER (
+             PARTITION BY bd[4], bd[3], bd[2], bd[1]
+           ) AS dup_count
+    FROM bands
+    """,
+    survey="EXT-multimodal,A4,U1",
+)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing in the production Arrow path: real PNG
+    decode (operators/multimodal.py:decode_png_gray), 9x8 integer
+    block-average RESIZE, 64-bit dHash — plus the exact-dedup
+    composition (documents sharing a hash form a dup group). Docs
+    shorter than 8 image rows are dropped (the resize grid would have
+    empty blocks)."""
+    from ssidentity_spark.operators.multimodal import image_dhash_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = image_dhash_features(d)
+    w = Window.partitionBy("dhash_hex")
+    return hashed.select(
+        "doc_id",
+        "width",
+        "height",
+        "dhash_hex",
+        F.count(F.lit(1)).over(w).alias("dup_count"),
+    )

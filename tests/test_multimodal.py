@@ -550,3 +550,44 @@ def test_mp3_garbage_still_raises():
         decode_mp3_metadata(b"ID3\x03\x00\x00" + bytes(20))
     with pytest.raises(NotImplementedError):
         decode_mp3_metadata(b"\x00\x01\x02\x03")
+
+
+def test_dhash_robustness_and_banding_guarantee(spark):
+    """dHash semantics pins: (a) gradient roundtrip is exact through the
+    real PNG decode; (b) a 1-intensity pixel tweak leaves the hash
+    unchanged (perceptual, not cryptographic); (c) inverting the gradient
+    flips every bit; (d) banding catches every pair within 3 bits
+    (pigeonhole over 4 bands)."""
+    from ssidentity_spark.fixtures import build_png
+    from ssidentity_spark.operators.multimodal import (
+        decode_png_gray,
+        dhash_bands,
+    )
+
+    base = bytes(range(256))
+
+    def hash_of(b: bytes):
+        png = build_png(
+            16, 16, pixel_fn=lambda x, y, _b=b: (_b[y * 16 + x],), color_type=0
+        )
+        w, h, px = decode_png_gray(png)
+        assert (w, h) == (16, 16) and px == b
+        return dhash_bands(px, 16, 16)
+
+    h0 = hash_of(base)
+    assert h0 == (0xFFFF,) * 4  # monotone ramp: every neighbour increases
+
+    tweaked = bytearray(base)
+    tweaked[100] += 1
+    assert hash_of(bytes(tweaked)) == h0  # 1-intensity nudge: invariant
+
+    inverted = bytes(255 - v for v in base)
+    h_inv = hash_of(inverted)
+    assert h_inv == (0,) * 4  # every comparison flips
+
+    # banding guarantee: hamming <= 3 cannot straddle all 4 bands
+    for flip_bits in ((0,), (5, 20), (1, 30, 60)):
+        bands = list(h0)
+        for k in flip_bits:
+            bands[k // 16] ^= 1 << (k % 16)
+        assert any(bands[j] == h0[j] for j in range(4))
