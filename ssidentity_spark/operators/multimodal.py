@@ -1092,3 +1092,90 @@ def image_dhash_features(
             )
 
     return df.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction: framing + integer-exact spectral features
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("zcr", LongType()),
+        StructField("wht_1", LongType()),
+        StructField("wht_2", LongType()),
+        StructField("wht_4", LongType()),
+        StructField("wht_8", LongType()),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame, frame: int = 64, max_samples: int = 512
+) -> DataFrame:
+    """(doc_id, text) → 16-bit PCM WAV (real container) → REAL sample
+    decode → non-overlapping ``frame``-sample windows → per-frame
+    features, one output row per frame (the 1→N fan-out a real
+    spectrogram/VAD pipeline runs):
+
+    - ``energy``   Σ s² — the frame's power,
+    - ``zcr``      zero-crossing count (strict sign flips) — the classic
+                   cheap voiced/unvoiced discriminator,
+    - ``wht_k``    Walsh-Hadamard coefficients (k = 1,2,4,8):
+                   c_k = Σ_i s_i · (−1)^popcount(i AND k) — a REAL
+                   spectral decomposition (sequency spectrum) chosen over
+                   the DFT because its ±1 basis keeps every coefficient
+                   an exact integer, so the whole transform sits under
+                   the driver's hash gate instead of a float tolerance.
+
+    Docs shorter than one frame are dropped; the tail partial frame is
+    dropped (standard framing). All arithmetic is int64 (|s| ≤ 2^15,
+    frame ≤ 512 → energy < 2^40)."""
+    import numpy as np
+
+    signs = {
+        k: np.array(
+            [1 - 2 * (bin(i & k).count("1") % 2) for i in range(frame)],
+            dtype=np.int64,
+        )
+        for k in (1, 2, 4, 8)
+    }
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "energy": [], "zcr": [],
+                "wht_1": [], "wht_2": [], "wht_4": [], "wht_8": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = min(len(b) // 2, max_samples)
+                if n < frame:
+                    continue
+                wav = pcm_wav_from_samples(b[: n * 2])
+                _ch, _rate, _bits, samples = decode_audio_samples(wav)
+                s = samples.astype(np.int64)
+                for f in range(n // frame):
+                    w = s[f * frame : (f + 1) * frame]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["energy"].append(int((w * w).sum()))
+                    out["zcr"].append(int(((w[:-1] * w[1:]) < 0).sum()))
+                    for k in (1, 2, 4, 8):
+                        out[f"wht_{k}"].append(int((w * signs[k]).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                    "zcr": pd.Series(out["zcr"], dtype="int64"),
+                    "wht_1": pd.Series(out["wht_1"], dtype="int64"),
+                    "wht_2": pd.Series(out["wht_2"], dtype="int64"),
+                    "wht_4": pd.Series(out["wht_4"], dtype="int64"),
+                    "wht_8": pd.Series(out["wht_8"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_feats, schema=AUDIO_FEATURES_SCHEMA)

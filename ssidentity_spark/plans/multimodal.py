@@ -445,3 +445,66 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dhash_hex",
         F.count(F.lit(1)).over(w).alias("dup_count"),
     )
+
+
+@register(
+    "mm_audio_features",
+    # The audio feature-extraction gate: the oracle re-derives the 16-bit
+    # signed samples from raw bytes, frames them, and recomputes energy,
+    # zero crossings, and the Walsh-Hadamard coefficients — all integer
+    # arithmetic, so the real WAV container walk + sample decode + the
+    # spectral transform are hash-checked per frame. WHT over the DFT is
+    # deliberate: the ±1 basis keeps coefficients exact integers (a float
+    # FFT could only be rows-only checked).
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             upper(hex(encode(text))) AS hx,
+             least(octet_length(encode(text)) // 2, 512) AS n
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n,
+             list_transform(range(0, CAST(n AS BIGINT)), i -> {_SIGNED16}) AS sm
+      FROM t WHERE n >= 64
+    ), fr AS (
+      SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+             list_transform(range(0, 64),
+                            j -> sm[CAST(f * 64 + j + 1 AS BIGINT)]) AS w
+      FROM d, unnest(generate_series(0, n // 64 - 1)) AS u(f)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(list_aggregate(list_transform(w, x -> x * x), 'sum')
+                AS BIGINT) AS energy,
+           CAST(coalesce(list_aggregate(list_transform(range(1, 64), j ->
+                  CASE WHEN w[CAST(j AS BIGINT)] * w[CAST(j + 1 AS BIGINT)] < 0
+                       THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS zcr,
+           CAST(list_aggregate(list_transform(range(0, 64), j ->
+                  w[CAST(j + 1 AS BIGINT)]
+                  * (1 - 2 * (bit_count(CAST(j AS BIGINT) & 1) % 2))),
+                'sum') AS BIGINT) AS wht_1,
+           CAST(list_aggregate(list_transform(range(0, 64), j ->
+                  w[CAST(j + 1 AS BIGINT)]
+                  * (1 - 2 * (bit_count(CAST(j AS BIGINT) & 2) % 2))),
+                'sum') AS BIGINT) AS wht_2,
+           CAST(list_aggregate(list_transform(range(0, 64), j ->
+                  w[CAST(j + 1 AS BIGINT)]
+                  * (1 - 2 * (bit_count(CAST(j AS BIGINT) & 4) % 2))),
+                'sum') AS BIGINT) AS wht_4,
+           CAST(list_aggregate(list_transform(range(0, 64), j ->
+                  w[CAST(j + 1 AS BIGINT)]
+                  * (1 - 2 * (bit_count(CAST(j AS BIGINT) & 8) % 2))),
+                'sum') AS BIGINT) AS wht_8
+    FROM fr
+    """,
+    survey="EXT-multimodal,U1,U4",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction in the production Arrow path: real WAV
+    decode → 64-sample framing → per-frame energy, zero-crossing rate,
+    and Walsh-Hadamard sequency coefficients (integer-exact spectral
+    features), one row per frame — the framing/fan-out/feature pipeline
+    a VAD or spectrogram stage runs, hash-checked end to end."""
+    from ssidentity_spark.operators.multimodal import audio_frame_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return audio_frame_features(d)

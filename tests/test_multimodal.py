@@ -591,3 +591,44 @@ def test_dhash_robustness_and_banding_guarantee(spark):
         for k in flip_bits:
             bands[k // 16] ^= 1 << (k % 16)
         assert any(bands[j] == h0[j] for j in range(4))
+
+
+def test_audio_frame_features_semantics(spark):
+    """Feature pins on crafted ASCII-safe signals (the operator utf-8
+    encodes text, so payload bytes must be < 0x80 to arrive verbatim):
+    a constant frame has zero ZCR and zero response in every non-DC
+    Walsh-Hadamard coefficient; an amplitude-alternating frame
+    concentrates into wht_1 exactly; energy is the exact integer sum of
+    squares; the tail partial frame is dropped."""
+    import pandas as pd
+
+    from ssidentity_spark.operators.multimodal import audio_frame_features
+
+    # frame 0: 64 equal samples from 'AA' byte pairs -> s = 65 + 65*256
+    const_text = "AA" * 64
+    # frame 1: samples alternate between 'dA' and 'DA' pairs:
+    #   hi = ord('d') + 256*ord('A') = 100 + 16640, lo = 68 + 16640
+    alt_text = "dADA" * 32
+    # plus a 17-char tail: a partial frame that must be dropped
+    text = const_text + alt_text + "x" * 17
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "text": [text]})
+    )
+    rows = {r["frame_idx"]: r.asDict() for r in
+            audio_frame_features(df).collect()}
+    assert set(rows) == {0, 1}
+
+    s0 = 65 + 65 * 256
+    r0 = rows[0]
+    assert r0["energy"] == 64 * s0 * s0
+    assert r0["zcr"] == 0
+    assert (r0["wht_1"], r0["wht_2"], r0["wht_4"], r0["wht_8"]) == (0, 0, 0, 0)
+
+    hi, lo = 100 + 65 * 256, 68 + 65 * 256
+    r1 = rows[1]
+    assert r1["energy"] == 32 * (hi * hi + lo * lo)
+    assert r1["zcr"] == 0  # all positive: amplitude flips, no sign flips
+    # per-sample alternation is sequency k=1: wht_1 = sum s_i * (-1)^i
+    assert r1["wht_1"] == 32 * (hi - lo)
+    # and is orthogonal to the k=2,4,8 basis functions
+    assert (r1["wht_2"], r1["wht_4"], r1["wht_8"]) == (0, 0, 0)
