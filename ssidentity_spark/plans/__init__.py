@@ -149,9 +149,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # DRIVER_VERIFIED_HISTORY (tools/driver_history.py) — if r7 goes green the
 # cumulative driver-verified set covers every oracled query EXCEPT the
 # late-r7 additions `src_delete_where`, `src_change_feed_deletes`,
-# `mm_image_dhash`, `dedup_image_neardup_pairs`, and `mm_audio_features`
-# (hash-green locally at all three SFs, never driver-recorded): those
-# go FIRST in the r8 window, like the 8 late-r6 queries did this round.
+# `mm_image_dhash`, `dedup_image_neardup_pairs`, `mm_audio_features`,
+# and `text_bigram_logprob` (hash-green locally at all three SFs, never
+# driver-recorded): those go FIRST in the r8 window, like the 8 late-r6
+# queries did this round.
 # Then rotation is pure staleness order: first the ten r1-vintage greens the
 # r7 first-timers displaced mid-round (o1_global_sort_top,
 # o4_except_users, w2_transitions, w3_rolling_count_10min,

@@ -675,3 +675,87 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_syms").cast("double") / F.sum(token_count(F.col("s"))), 4
         ).alias("compression"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    # The conditional (bigram) sibling of text_unigram_logprob: add-one
+    # smoothed p(b|a) = (c(a,b)+1)/(c(a)+V), averaged per document over
+    # its bigram transitions. Determinism: identical doubles enter ln()
+    # on both engines (counts are exact integers), and the per-doc
+    # average's summation skew sits orders below the 6-dp round — the
+    # same contract the unigram query carries.
+    oracle="""
+    WITH wl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, w[CAST(i AS BIGINT)] AS a, w[CAST(i + 1 AS BIGINT)] AS b
+      FROM wl, unnest(generate_series(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ), btf AS (
+      SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+    ), model AS (
+      SELECT a, b, CAST(sum(tf) AS BIGINT) AS cab FROM btf GROUP BY 1, 2
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS term FROM wl
+    ), uc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), vocab AS (SELECT count(*) AS v FROM uc)
+    SELECT btf.doc_id,
+           CAST(sum(btf.tf) AS BIGINT) AS n_bigrams,
+           round(sum(btf.tf * ln((model.cab + 1.0) / (uc.c + vocab.v)))
+                 / sum(btf.tf), 6) AS avg_logprob
+    FROM btf
+    JOIN model USING (a, b)
+    JOIN uc ON uc.term = btf.a
+    CROSS JOIN vocab
+    GROUP BY btf.doc_id
+    """,
+    survey="U6,X3,A6",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average BIGRAM log-probability under a corpus-fit
+    add-one model: p(b|a) = (c(a,b)+1)/(c(a)+V) — the
+    context-conditional quality score (fluency) next to the unigram
+    rarity score, and the n-gram-LM shape a perplexity filter runs.
+
+    Plan shape at 100 TB: bigrams pre-aggregate to (doc, a, b, tf) grain
+    in one shuffle (map-side combine), the MODEL is one (a, b)-keyed
+    shuffle over that same frame (never re-materializing token
+    positions), context counts c(a) are a term-keyed unigram aggregate,
+    V broadcasts as a 1-row scalar, and the scoring joins run at the tf
+    grain — token occurrences shuffle once, ever."""
+    d = load_table(spark, sf_dir, "documents")
+    wl = d.select(
+        "doc_id", F.filter(_words(), lambda x: x != "").alias("w")
+    ).where(F.size("w") >= 2)
+    bg = wl.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS a, w[i + 1] AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    btf = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("tf"))
+    model = btf.groupBy("a", "b").agg(F.sum("tf").cast("long").alias("cab"))
+    tok = wl.select("doc_id", F.explode("w").alias("term"))
+    uc = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vocab = uc.agg(F.count(F.lit(1)).alias("v"))
+    logp = F.log((F.col("cab") + 1.0) / (F.col("c") + F.col("v")))
+    return (
+        btf.join(model, ["a", "b"])
+        .join(uc.withColumnRenamed("term", "a"), "a")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
