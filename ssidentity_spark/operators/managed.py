@@ -262,17 +262,23 @@ def vacuum_managed(
 
     referenced: set[str] = set()
     for v in retained:
-        referenced.update(_read_manifest(path, v)["files"])
+        m = _read_manifest(path, v)
+        referenced.update(m["files"])
+        if m.get("change_file"):
+            referenced.add(m["change_file"])
     orphans: list[str] = []
     cutoff = time.time() - min_orphan_age_s
-    data_dir = os.path.join(path, "data")
-    for dirpath, _dirs, names in os.walk(data_dir):
-        for name in names:
-            full = os.path.join(dirpath, name)
-            rel = os.path.relpath(full, path)
-            if rel not in referenced and os.path.getmtime(full) <= cutoff:
-                os.remove(full)
-                orphans.append(rel)
+    # _changes holds delete versions' recorded removed-row files; a
+    # losing racer's attempt-unique change file is unreferenced by any
+    # manifest and ages into this sweep like any other orphan
+    for sub in ("data", "_changes"):
+        for dirpath, _dirs, names in os.walk(os.path.join(path, sub)):
+            for name in names:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, path)
+                if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                    os.remove(full)
+                    orphans.append(rel)
     return {
         "data": sorted(deleted_data),
         "sidecars": sorted(dropped_sidecars),

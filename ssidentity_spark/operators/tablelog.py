@@ -221,8 +221,9 @@ def history(path: str) -> list[dict]:
 
 def vacuum(path: str, keep_latest: int = 1) -> list[str]:
     """Delete data files referenced by NO retained manifest (and the
-    dropped manifests). Returns the deleted data-file paths. Readers of
-    retained versions are unaffected — their file lists stay whole."""
+    dropped manifests, and dropped delete-versions' change files).
+    Returns the deleted file paths. Readers of retained versions are
+    unaffected — their file lists stay whole."""
     vs = _versions(path)
     if len(vs) <= keep_latest:
         return []
@@ -232,12 +233,19 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
         referenced.update(_read_manifest(path, v)["files"])
     deleted = []
     for v in drop:
-        for f in _read_manifest(path, v)["files"]:
+        m = _read_manifest(path, v)
+        for f in m["files"]:
             if f not in referenced:
                 full = os.path.join(path, f)
                 if os.path.exists(full):
                     os.remove(full)
                     deleted.append(f)
+        # a dropped delete version's change file goes with it — no
+        # retained consumer can ask for its feed rows anymore
+        cf = m.get("change_file")
+        if cf and os.path.exists(os.path.join(path, cf)):
+            os.remove(os.path.join(path, cf))
+            deleted.append(cf)
         os.remove(_manifest_path(path, v))
     return sorted(set(deleted))
 
@@ -447,6 +455,38 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
         ]
     )
     survivors = survivors.filter(~F.coalesce(pred, F.lit(False)))
+    # CHANGE FILE (the Delta CDF design): record the deleted rows
+    # themselves under _changes/ — O(deleted rows) extra write — so
+    # change-feed consumers (batch AND streaming) read recorded facts
+    # instead of re-evaluating the predicate at read time (a streaming
+    # source cannot evaluate a SQL predicate string inside its Python
+    # read path at all). The name is ATTEMPT-unique (pid suffix) and the
+    # manifest meta records it: the atomic manifest commit is what binds
+    # version → change file, so a racing delete's losing change file is
+    # never visible (it becomes an orphan for vacuum's sweep). Vacuumed
+    # with its version.
+    doomed = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, f) for f in sorted(hit_rel)])
+        .filter(F.coalesce(pred, F.lit(False)))
+    )
+    change_stage = os.path.join(
+        path, "_changes", f"stage-v{tip + 1:08d}-{os.getpid()}"
+    )
+    doomed.coalesce(1).write.mode("error").parquet(change_stage)
+    change_parts = [
+        n for n in os.listdir(change_stage) if n.endswith(".parquet")
+    ]
+    change_rel = os.path.join(
+        "_changes", f"v{tip + 1:08d}-{os.getpid()}.parquet"
+    )
+    os.replace(
+        os.path.join(change_stage, change_parts[0]),
+        os.path.join(path, change_rel),
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(change_stage, ignore_errors=True)
     stage = os.path.join(path, _DATA, f"delete-{tip + 1:08d}-{os.getpid()}")
     if not kept:
         # every file is being rewritten: if the predicate doomed the whole
@@ -464,6 +504,7 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
         "batch_ids": [int(b) for b in tip_m.get("batch_ids", [])],
         "predicate": predicate,
         "rows_deleted": rows_deleted,
+        "change_file": change_rel,
     }
     if tip_m.get("schema"):
         meta["schema"] = tip_m["schema"]
@@ -473,6 +514,10 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.remove(os.path.join(path, change_rel))
+        except FileNotFoundError:
+            pass
         raise
     return {
         "version": tip + 1,
@@ -647,11 +692,27 @@ def read_changes(
             m = _read_manifest(path, v)
             if m.get("operation") != "delete":
                 continue
+            if m.get("change_file"):
+                # preferred path: the delete RECORDED its removed rows as
+                # a change file (see delete_where) — read facts, don't
+                # re-derive them
+                parts.append(
+                    stamp(
+                        spark.read.parquet(
+                            os.path.join(path, m["change_file"])
+                        ),
+                        v,
+                        "delete",
+                    )
+                )
+                continue
             if "predicate" not in m:
                 raise ValueError(
                     f"delete version {v} at {path} records no predicate — "
                     "cannot reconstruct the removed rows"
                 )
+            # fallback for change-file-less delete versions: re-derive the
+            # removed rows from the replaced files + recorded predicate
             removed = sorted(
                 set(_read_manifest(path, v - 1)["files"]) - set(m["files"])
             )

@@ -76,7 +76,26 @@ class ManagedTableDataSource(DataSource):
             raise FileNotFoundError(f"no committed version at {path}")
         return path, version
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readchangefeed", "false")).lower() == "true"
+
     def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        base = self._table_schema()
+        if self._cdf():
+            # change-feed reads append the CDF metadata columns to the
+            # table schema — same contract as the batch read_changes
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_commit_version", LongType(), True),
+                    StructField("_change_type", StringType(), True),
+                ]
+            )
+        return base
+
+    def _table_schema(self) -> StructType:
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.types import (
@@ -151,6 +170,12 @@ class ManagedTableDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> "ManagedTableReader":
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option here (readStream); "
+                "for a batch change feed use tablelog.read_changes, which "
+                "supports version ranges and include_deletes"
+            )
         path, version = self._resolve()
         return ManagedTableReader(path, version, schema)
 
@@ -173,6 +198,7 @@ class ManagedTableDataSource(DataSource):
             None if sv is None else int(sv),
             None if mv is None else int(mv),
             ignore_deletes=ig,
+            read_change_feed=self._cdf(),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -209,8 +235,17 @@ def _read_padded(full_path: str, field_specs):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, rel_file: str):
+    def __init__(
+        self,
+        rel_file: str,
+        version: int | None = None,
+        change_type: str | None = None,
+    ):
         self.rel_file = rel_file
+        # CDF-mode reads stamp every row with the commit version and the
+        # change type; plain reads leave both None
+        self.version = version
+        self.change_type = change_type
 
 
 class ManagedTableReader(DataSourceReader):
@@ -392,11 +427,23 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         starting_version: int | None = None,
         max_versions_per_trigger: int | None = None,
         ignore_deletes: bool = False,
+        read_change_feed: bool = False,
     ):
         self.path = path
-        self.field_specs = [
-            (f.name, f.dataType.simpleString()) for f in schema.fields
-        ]
+        # .option("readChangeFeed", "true"): the stream emits CHANGES, not
+        # just appends — each row stamped (_commit_version, _change_type),
+        # delete versions contributing their recorded change file as
+        # _change_type='delete' rows (exactly the batch read_changes
+        # contract). The two CDF columns arrive via schema() and are
+        # produced by read(), not read from parquet.
+        self.read_change_feed = read_change_feed
+        specs = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        if read_change_feed:
+            specs = [
+                s for s in specs
+                if s[0] not in ("_commit_version", "_change_type")
+            ]
+        self.field_specs = specs
         # .option("startingVersion", N): begin the stream AT snapshot N —
         # version N's full file list is the first micro-batch, diffs
         # after. The escape hatch for tables whose early manifests were
@@ -446,14 +493,22 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         one version); manifest N-1 is deliberately not consulted — it
         may be vacuumed, and diffing against it would silently drop the
         files carried over from the vacuumed history."""
-        from ssidentity_spark.operators.tablelog import iter_manifest_diffs
-
         synthetic_base = (
             self.starting_version is not None
             and start_v == self.starting_version - 1
         )
         out: list[str] = []
-        for _v, added in iter_manifest_diffs(
+        for _v, added in self._diffs(start_v, end_v, synthetic_base):
+            out.extend(added)
+        return out
+
+    def _diffs(self, start_v: int, end_v: int, synthetic_base: bool):
+        from ssidentity_spark.operators.tablelog import iter_manifest_diffs
+
+        # CDF mode never raises on deletes at the walker level — they are
+        # emitted separately from their change files in partitions()
+        skip = self.ignore_deletes or self.read_change_feed
+        yield from iter_manifest_diffs(
             self.path,
             start_v,
             end_v,
@@ -462,24 +517,68 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 self.starting_version if synthetic_base else None
             ),
             context="the managed_table stream",
-            on_delete="skip" if self.ignore_deletes else "raise",
-        ):
-            out.extend(added)
-        return out
+            on_delete="skip" if skip else "raise",
+        )
 
     def partitions(self, start: dict, end: dict):
+        from ssidentity_spark.operators.tablelog import _read_manifest
+
         self._last_end = int(end["version"])  # cap baseline for the next trigger
-        files = self._new_files(int(start["version"]), int(end["version"]))
-        if not files:
+        start_v, end_v = int(start["version"]), int(end["version"])
+        if not self.read_change_feed:
+            files = self._new_files(start_v, end_v)
+            if not files:
+                return [_FilePartition(None)]
+            return [_FilePartition(rel) for rel in files]
+        synthetic_base = (
+            self.starting_version is not None
+            and start_v == self.starting_version - 1
+        )
+        parts: list[_FilePartition] = []
+        for v, added in self._diffs(start_v, end_v, synthetic_base):
+            parts.extend(_FilePartition(rel, v, "insert") for rel in added)
+        for v in range(start_v + 1, end_v + 1):
+            if synthetic_base and v == self.starting_version:
+                continue  # the base snapshot was consumed whole as inserts
+            m = _read_manifest(self.path, v)
+            if m.get("operation") != "delete":
+                continue
+            cf = m.get("change_file")
+            if not cf:
+                raise ValueError(
+                    f"delete version {v} at {self.path} has no recorded "
+                    "change file — a streaming change feed cannot "
+                    "reconstruct removed rows (use the batch "
+                    "read_changes predicate fallback, or re-run the "
+                    "delete with a delete_where that records changes)"
+                )
+            parts.append(_FilePartition(cf, v, "delete"))
+        if not parts:
             return [_FilePartition(None)]
-        return [_FilePartition(rel) for rel in files]
+        return parts
 
     def read(self, partition: _FilePartition):
         if partition is None or partition.rel_file is None:
             return
-        yield from _read_padded(
+        batches = _read_padded(
             os.path.join(self.path, partition.rel_file), self.field_specs
         )
+        if not self.read_change_feed:
+            yield from batches
+            return
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [
+                    pa.array([partition.version] * n, type=pa.int64()),
+                    pa.array([partition.change_type] * n, type=pa.string()),
+                ],
+                names=list(batch.schema.names)
+                + ["_commit_version", "_change_type"],
+            )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint

@@ -583,3 +583,104 @@ def test_format_writes_preserve_evolved_schema_record(spark, tmp_path):
     rows = {(r["k"], r["score"]) for r in t.collect()}
     assert rows == {(0, None), (1, None), (2, None), (3, None),
                     (4, 6.0), (5, 7.5), (6, 9.0)}
+
+
+def test_stream_change_feed_emits_inserts_and_deletes(spark, tmp_path):
+    """readChangeFeed streaming: appends arrive as _change_type='insert',
+    a row-level DELETE contributes its recorded change file as 'delete'
+    rows, optimize versions contribute nothing — each stamped with its
+    commit version (the batch read_changes contract, as a stream)."""
+    from ssidentity_spark.operators.tablelog import (
+        delete_where,
+        optimize,
+        write_versioned,
+    )
+
+    register(spark)
+    path = str(tmp_path / "t")
+    write_versioned(
+        spark.range(0, 10).selectExpr("id AS k"), path, "append"
+    )  # v0
+    write_versioned(
+        spark.range(10, 15).selectExpr("id AS k"), path, "append"
+    )  # v1
+    optimize(spark, path, target_rows_per_file=1_000)  # v2: no changes
+    delete_where(spark, path, "k % 2 = 0")  # v3: removes 0..14 evens
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("managed_table")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["_commit_version"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {(k, 0, "insert") for k in range(10)}
+    expect |= {(k, 1, "insert") for k in range(10, 15)}
+    expect |= {(k, 3, "delete") for k in range(0, 15) if k % 2 == 0}
+    assert got == expect
+
+
+def test_stream_change_feed_tails_new_deletes_incrementally(spark, tmp_path):
+    """A restarted CDF stream picks up ONLY the delete/append versions
+    committed since its checkpoint offset."""
+    from ssidentity_spark.operators.tablelog import (
+        delete_where,
+        write_versioned,
+    )
+
+    register(spark)
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_versioned(spark.range(0, 6).selectExpr("id AS k"), path, "append")
+
+    def run():
+        q = (
+            spark.readStream.format("managed_table")
+            .option("readChangeFeed", "true")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 6
+    delete_where(spark, path, "k >= 4")  # v1
+    write_versioned(spark.range(6, 8).selectExpr("id AS k"), path, "append")
+    run()
+    got = {
+        (r["k"], r["_commit_version"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert {(4, 1, "delete"), (5, 1, "delete")} <= got
+    assert {(6, 2, "insert"), (7, 2, "insert")} <= got
+    assert len(got) == 10  # 6 base inserts + 2 deletes + 2 new inserts
+
+
+def test_batch_read_rejects_change_feed_option(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import write_versioned
+
+    register(spark)
+    path = str(tmp_path / "t")
+    write_versioned(spark.range(0, 3).selectExpr("id AS k"), path, "append")
+    import pytest
+
+    with pytest.raises(Exception, match="read_changes"):
+        (
+            spark.read.format("managed_table")
+            .option("readChangeFeed", "true")
+            .load(path)
+            .collect()
+        )

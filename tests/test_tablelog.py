@@ -601,3 +601,38 @@ def test_stream_reader_raises_on_delete_unless_ignored(spark, tmp_path):
     got = {r["k"] for r in spark.read.parquet(out2).collect()}
     # the delete version emitted nothing: v0's full 10 rows + v2's append
     assert got == set(range(15))
+
+
+def test_delete_records_change_file_and_feed_prefers_it(spark, tmp_path):
+    """delete_where writes the removed rows to a version-bound change
+    file (manifest meta change_file); the batch feed reads it instead of
+    re-deriving from the predicate, and vacuum removes it when the
+    delete version ages out."""
+    import os
+
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        delete_where,
+        read_changes,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 20), path, "append")
+    delete_where(spark, path, "k < 5")
+    m = _read_manifest(path, 1)
+    cf = m["change_file"]
+    assert os.path.exists(os.path.join(path, cf))
+    recorded = {r["k"] for r in spark.read.parquet(
+        os.path.join(path, cf)).collect()}
+    assert recorded == {0, 1, 2, 3, 4}
+    feed = read_changes(spark, path, 0, include_deletes=True)
+    dels = {r["k"] for r in feed.collect() if r["_change_type"] == "delete"}
+    assert dels == recorded
+    # vacuum to tip only: v1 is RETAINED, its change file must survive
+    vacuum(path, keep_latest=1)
+    assert os.path.exists(os.path.join(path, cf))
+    # age the delete version out: append then vacuum again
+    write_versioned(_df(spark, 100, 101), path, "append")
+    vacuum(path, keep_latest=1)
+    assert not os.path.exists(os.path.join(path, cf))
