@@ -182,9 +182,23 @@ def delete_managed(spark: SparkSession, path: str, predicate: str) -> dict:
     stats = delete_where(spark, path, predicate)
     if stats["version"] == tip:  # no-op delete: no new version, no index
         return {**stats, "indexed_files": len(idx["files"])}
-    version = stats["version"]
+    n = _reindex_incremental(spark, path, idx, key, m_bits, stats["version"])
+    return {**stats, "indexed_files": n}
+
+
+def _reindex_incremental(
+    spark: SparkSession, path: str, parent_idx: dict, key: str,
+    m_bits: int, version: int,
+) -> int:
+    """Sidecar for ``version`` at O(rewritten files) cost: files carried
+    from the parent keep their (immutable) bitmaps; only files new to
+    this version are scanned."""
     files = _read_manifest(path, version)["files"]
-    carried = {rel: idx["files"][rel] for rel in files if rel in idx["files"]}
+    carried = {
+        rel: parent_idx["files"][rel]
+        for rel in files
+        if rel in parent_idx["files"]
+    }
     new_files = [rel for rel in files if rel not in carried]
     new_index = (
         build_bloom_index(
@@ -199,7 +213,40 @@ def delete_managed(spark: SparkSession, path: str, predicate: str) -> dict:
         json.dump(
             {"key": key, "m_bits": m_bits, "k": INDEX_K, "files": index}, f
         )
-    return {**stats, "indexed_files": len(index)}
+    return len(index)
+
+
+def update_managed(
+    spark: SparkSession, path: str, predicate: str, assignments: dict[str, str]
+) -> dict:
+    """Row-level UPDATE on the managed table: copy-on-write update via
+    :func:`tablelog.update_where`, then an incremental bloom sidecar for
+    the new version (same contract as :func:`delete_managed` — kept
+    files' bitmaps carry over, only rewritten parts are scanned). Note
+    an update that REWRITES the cluster-key column itself still yields a
+    correct index (fresh bitmaps for rewritten files), but the range
+    CLUSTERING of those files degrades — re-cluster with
+    :func:`optimize_managed` if the key is updated in bulk."""
+    tip = latest_version(path)
+    if tip is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    sidecar = _index_path(path, tip)
+    if not os.path.exists(sidecar):
+        raise FileNotFoundError(
+            f"no bloom sidecar for tip version {tip} at {path} — not a "
+            "managed table (use tablelog.update_where for unindexed tables)"
+        )
+    with open(sidecar) as f:
+        idx = json.load(f)
+    key, m_bits = idx["key"], idx["m_bits"]
+
+    from ssidentity_spark.operators.tablelog import update_where
+
+    stats = update_where(spark, path, predicate, assignments)
+    if stats["version"] == tip:  # no-op update
+        return {**stats, "indexed_files": len(idx["files"])}
+    n = _reindex_incremental(spark, path, idx, key, m_bits, stats["version"])
+    return {**stats, "indexed_files": n}
 
 
 def managed_point_lookup(
@@ -264,8 +311,9 @@ def vacuum_managed(
     for v in retained:
         m = _read_manifest(path, v)
         referenced.update(m["files"])
-        if m.get("change_file"):
-            referenced.add(m["change_file"])
+        for key in ("change_file", "change_file_pre", "change_file_post"):
+            if m.get(key):
+                referenced.add(m[key])
     orphans: list[str] = []
     cutoff = time.time() - min_orphan_age_s
     # _changes holds delete versions' recorded removed-row files; a

@@ -240,12 +240,13 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
                 if os.path.exists(full):
                     os.remove(full)
                     deleted.append(f)
-        # a dropped delete version's change file goes with it — no
-        # retained consumer can ask for its feed rows anymore
-        cf = m.get("change_file")
-        if cf and os.path.exists(os.path.join(path, cf)):
-            os.remove(os.path.join(path, cf))
-            deleted.append(cf)
+        # a dropped DML version's change files go with it — no retained
+        # consumer can ask for its feed rows anymore
+        for key in ("change_file", "change_file_pre", "change_file_post"):
+            cf = m.get(key)
+            if cf and os.path.exists(os.path.join(path, cf)):
+                os.remove(os.path.join(path, cf))
+                deleted.append(cf)
         os.remove(_manifest_path(path, v))
     return sorted(set(deleted))
 
@@ -338,6 +339,211 @@ def optimize(
     }
 
 
+def _dml_hit_files(spark, path, files, cols, pred) -> dict[str, int]:
+    """ONE distributed ``_metadata.file_path`` pass: which manifest files
+    contain rows where ``pred`` is TRUE, and how many each. The collect
+    is file-count-bounded (manifest-sized driver traffic). NULL-predicate
+    rows are not matches — filter() drops them, the ANSI DML contract."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    abs_to_rel = {os.path.abspath(os.path.join(path, f)): f for f in files}
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    hits = (
+        raw.select(*cols, F.col("_metadata.file_path").alias("_file"))
+        .filter(pred)
+        .groupBy("_file")
+        .count()
+        .collect()
+    )
+    hit_rel: dict[str, int] = {}
+    for row in hits:
+        p = os.path.abspath(unquote(urlparse(row["_file"]).path))
+        rel = abs_to_rel.get(p)
+        if rel is None:
+            raise RuntimeError(
+                f"match in unmanifested file {row['_file']} at {path}"
+            )
+        hit_rel[rel] = row["count"]
+    return hit_rel
+
+
+def _padded_hit_read(spark, path, hit_rel, cols, type_of):
+    """Read exactly the hit files, padded to the manifest schema (hit
+    files may all predate an additive evolution — rewriting them without
+    the newer columns would strand a version whose manifest promises
+    columns no part carries)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in sorted(hit_rel)]
+    )
+    return df.select(
+        *[
+            F.col(c) if c in df.columns
+            else F.lit(None).cast(type_of[c]).alias(c)
+            for c in cols
+        ]
+    )
+
+
+def _write_change_file(df, path: str, next_v: int, tag: str = "") -> str:
+    """Record change rows under ``_changes/`` with an ATTEMPT-unique name
+    (pid suffix): the atomic manifest commit is what binds version →
+    change file, so a racing DML's losing file is never visible (an
+    orphan for vacuum's sweep)."""
+    import shutil as _shutil
+
+    change_stage = os.path.join(
+        path, "_changes", f"stage{tag}-v{next_v:08d}-{os.getpid()}"
+    )
+    df.coalesce(1).write.mode("error").parquet(change_stage)
+    part = next(
+        n for n in os.listdir(change_stage) if n.endswith(".parquet")
+    )
+    change_rel = os.path.join(
+        "_changes", f"v{next_v:08d}{tag}-{os.getpid()}.parquet"
+    )
+    os.replace(
+        os.path.join(change_stage, part), os.path.join(path, change_rel)
+    )
+    _shutil.rmtree(change_stage, ignore_errors=True)
+    return change_rel
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> dict:
+    """Row-level UPDATE as a copy-on-write commit: for every row where
+    ``predicate`` is TRUE, replace each ``assignments`` column with its
+    SQL expression (ALL expressions evaluate against the PREIMAGE row —
+    standard UPDATE semantics, so ``{"a": "b", "b": "a"}`` swaps);
+    FALSE-or-NULL rows pass through byte-identical. The third DML verb
+    next to MERGE and DELETE, sharing their machinery:
+
+    - one ``_metadata.file_path`` pass finds the hit files; untouched
+      files carry into the new version BY REFERENCE;
+    - assignment results are CAST to the column's manifest type — an
+      UPDATE can never silently retype a column under readers;
+    - PRE- and POST-image rows are recorded as two change files (the
+      Delta CDF shape), so the change feed emits exact
+      ``update_preimage`` / ``update_postimage`` rows without
+      re-evaluating anything;
+    - pinned-parent commit: a version race aborts (staged data and
+      change files removed) rather than dropping a concurrent append;
+    - a no-match update commits nothing.
+
+    Returns ``{"version", "rows_updated", "files_kept",
+    "files_rewritten", "files_after"}``.
+    """
+    from pyspark.sql import functions as F
+
+    tip = latest_version(path)
+    if tip is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    tip_m = _read_manifest(path, tip)
+    files = tip_m["files"]
+    if not files:
+        return {
+            "version": tip,
+            "rows_updated": 0,
+            "files_kept": 0,
+            "files_rewritten": 0,
+            "files_after": 0,
+        }
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    cols = (
+        [n for n, _t in tip_m["schema"]] if tip_m.get("schema") else raw.columns
+    )
+    type_of = (
+        dict(tip_m["schema"])
+        if tip_m.get("schema")
+        else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
+    )
+    bad = [c for c in assignments if c not in cols]
+    if bad:
+        raise ValueError(f"UPDATE of unknown column(s) {bad} at {path}")
+    pred = F.expr(predicate)
+    hit_rel = _dml_hit_files(spark, path, files, cols, pred)
+    rows_updated = sum(hit_rel.values())
+    if not hit_rel:
+        return {
+            "version": tip,
+            "rows_updated": 0,
+            "files_kept": len(files),
+            "files_rewritten": 0,
+            "files_after": len(files),
+        }
+    kept = [f for f in files if f not in hit_rel]
+    src = _padded_hit_read(spark, path, hit_rel, cols, type_of)
+    matched = F.coalesce(pred, F.lit(False))
+
+    def post_col(c):
+        if c in assignments:
+            return F.when(
+                matched, F.expr(assignments[c]).cast(type_of[c])
+            ).otherwise(F.col(c)).alias(c)
+        return F.col(c)
+
+    # ONE select computes every assignment from the preimage row
+    rewritten = src.select(*[post_col(c) for c in cols])
+    pre = src.filter(matched)
+    post = pre.select(
+        *[
+            F.expr(assignments[c]).cast(type_of[c]).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    change_pre = _write_change_file(pre, path, tip + 1, tag="-pre")
+    change_post = _write_change_file(post, path, tip + 1, tag="-post")
+    stage = os.path.join(path, _DATA, f"update-{tip + 1:08d}-{os.getpid()}")
+    rewritten.write.mode("error").parquet(stage)
+    new_files = sorted(
+        os.path.relpath(os.path.join(stage, n), path)
+        for n in os.listdir(stage)
+        if n.endswith(".parquet")
+    )
+    meta: dict = {
+        "batch_ids": [int(b) for b in tip_m.get("batch_ids", [])],
+        "predicate": predicate,
+        "assignments": dict(assignments),
+        "rows_updated": rows_updated,
+        "change_file_pre": change_pre,
+        "change_file_post": change_post,
+    }
+    if tip_m.get("schema"):
+        meta["schema"] = tip_m["schema"]
+    try:
+        _commit(path, tip + 1, kept + new_files, "update", meta=meta)
+    except VersionConflict:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        for rel in (change_pre, change_post):
+            try:
+                os.remove(os.path.join(path, rel))
+            except FileNotFoundError:
+                pass
+        raise
+    return {
+        "version": tip + 1,
+        "rows_updated": rows_updated,
+        "files_kept": len(kept),
+        "files_rewritten": len(hit_rel),
+        "files_after": len(kept) + len(new_files),
+    }
+
+
 def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
     """Row-level DELETE as a copy-on-write commit: remove every row where
     ``predicate`` (a SQL boolean expression) is TRUE, keep rows where it
@@ -394,36 +600,14 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
             "files_after": 0,
         }
     pred = F.expr(predicate)
-    abs_to_rel = {
-        os.path.abspath(os.path.join(path, f)): f for f in files
-    }
     raw = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in files]
     )
     cols = (
         [n for n, _t in tip_m["schema"]] if tip_m.get("schema") else raw.columns
     )
-    # pass 1: which files contain rows the predicate dooms? (NULL
-    # predicate rows are not matches — filter() drops them, exactly the
-    # keep-them semantics DELETE wants)
-    hits = (
-        raw.select(*cols, F.col("_metadata.file_path").alias("_file"))
-        .filter(pred)
-        .groupBy("_file")
-        .count()
-        .collect()  # file-count-bounded: manifest-sized driver traffic
-    )
-    from urllib.parse import unquote, urlparse
-
-    hit_rel: dict[str, int] = {}
-    for row in hits:
-        p = os.path.abspath(unquote(urlparse(row["_file"]).path))
-        rel = abs_to_rel.get(p)
-        if rel is None:
-            raise RuntimeError(
-                f"match in unmanifested file {row['_file']} at {path}"
-            )
-        hit_rel[rel] = row["count"]
+    # pass 1: which files contain rows the predicate dooms?
+    hit_rel = _dml_hit_files(spark, path, files, cols, pred)
     rows_deleted = sum(hit_rel.values())
     if not hit_rel:
         return {
@@ -435,58 +619,22 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
         }
     kept = [f for f in files if f not in hit_rel]
     # pass 2: rewrite ONLY the hit files, keeping FALSE-or-NULL rows
-    survivors = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in sorted(hit_rel)]
-    )
-    # pad to the manifest schema: the hit files may all predate an
-    # additive evolution, and rewriting them WITHOUT the newer columns
-    # would strand a version whose manifest promises columns no part
-    # carries (the snapshot read's select would then fail)
     type_of = (
         dict(tip_m["schema"])
         if tip_m.get("schema")
         else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
     )
-    survivors = survivors.select(
-        *[
-            F.col(c) if c in survivors.columns
-            else F.lit(None).cast(type_of[c]).alias(c)
-            for c in cols
-        ]
-    )
-    survivors = survivors.filter(~F.coalesce(pred, F.lit(False)))
+    src = _padded_hit_read(spark, path, hit_rel, cols, type_of)
+    survivors = src.filter(~F.coalesce(pred, F.lit(False)))
     # CHANGE FILE (the Delta CDF design): record the deleted rows
     # themselves under _changes/ — O(deleted rows) extra write — so
     # change-feed consumers (batch AND streaming) read recorded facts
     # instead of re-evaluating the predicate at read time (a streaming
     # source cannot evaluate a SQL predicate string inside its Python
-    # read path at all). The name is ATTEMPT-unique (pid suffix) and the
-    # manifest meta records it: the atomic manifest commit is what binds
-    # version → change file, so a racing delete's losing change file is
-    # never visible (it becomes an orphan for vacuum's sweep). Vacuumed
-    # with its version.
-    doomed = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(path, f) for f in sorted(hit_rel)])
-        .filter(F.coalesce(pred, F.lit(False)))
-    )
-    change_stage = os.path.join(
-        path, "_changes", f"stage-v{tip + 1:08d}-{os.getpid()}"
-    )
-    doomed.coalesce(1).write.mode("error").parquet(change_stage)
-    change_parts = [
-        n for n in os.listdir(change_stage) if n.endswith(".parquet")
-    ]
-    change_rel = os.path.join(
-        "_changes", f"v{tip + 1:08d}-{os.getpid()}.parquet"
-    )
-    os.replace(
-        os.path.join(change_stage, change_parts[0]),
-        os.path.join(path, change_rel),
-    )
-    import shutil as _shutil
-
-    _shutil.rmtree(change_stage, ignore_errors=True)
+    # read path at all). Attempt-unique name, bound by the manifest
+    # commit, vacuumed with its version (_write_change_file).
+    doomed = src.filter(F.coalesce(pred, F.lit(False)))
+    change_rel = _write_change_file(doomed, path, tip + 1)
     stage = os.path.join(path, _DATA, f"delete-{tip + 1:08d}-{os.getpid()}")
     if not kept:
         # every file is being rewritten: if the predicate doomed the whole
@@ -536,6 +684,7 @@ def iter_manifest_diffs(
     consume_whole_version: int | None = None,
     context: str = "the version walk",
     on_delete: str = "raise",
+    on_update: str = "raise",
 ):
     """ONE implementation of the manifest diff semantics shared by the
     streaming source and the batch change feed (r7 review: they must
@@ -580,6 +729,8 @@ def iter_manifest_diffs(
 
     if on_delete not in ("raise", "skip"):
         raise ValueError(f"on_delete must be raise|skip, got {on_delete!r}")
+    if on_update not in ("raise", "skip"):
+        raise ValueError(f"on_update must be raise|skip, got {on_update!r}")
     if base_files is not None:
         prev = set(base_files)
     elif start_v >= 0:
@@ -603,6 +754,19 @@ def iter_manifest_diffs(
                 "skips delete versions (downstream will NOT see the "
                 "removed rows); batch: read_changes(include_deletes=True) "
                 "emits them as _change_type='delete' rows."
+            )
+        if m.get("operation") == "update" and v != consume_whole_version:
+            if on_update == "skip":
+                prev = cur
+                continue
+            raise ValueError(
+                f"version {v} at {path} is an UPDATE "
+                f"(rows changed: {m.get('rows_updated')}) — {context} is "
+                "append-only. Streams: .option('ignoreUpdates', 'true') "
+                "skips update versions (downstream will NOT see the new "
+                "values); batch: read_changes(include_deletes=True) emits "
+                "update_preimage/update_postimage rows; a change-feed "
+                "stream (.option('readChangeFeed','true')) emits them too."
             )
         if m.get("operation") == "overwrite" or not prev <= cur:
             if v != consume_whole_version:
@@ -676,6 +840,7 @@ def read_changes(
         end,
         context="the change feed",
         on_delete="skip" if include_deletes else "raise",
+        on_update="skip" if include_deletes else "raise",
     ):
         if added:
             parts.append(
@@ -690,6 +855,24 @@ def read_changes(
     if include_deletes:
         for v in range(start_version + 1, end + 1):
             m = _read_manifest(path, v)
+            if m.get("operation") == "update":
+                for key, kind in (
+                    ("change_file_pre", "update_preimage"),
+                    ("change_file_post", "update_postimage"),
+                ):
+                    if not m.get(key):
+                        raise ValueError(
+                            f"update version {v} at {path} records no "
+                            f"{key} — cannot reconstruct the feed"
+                        )
+                    parts.append(
+                        stamp(
+                            spark.read.parquet(os.path.join(path, m[key])),
+                            v,
+                            kind,
+                        )
+                    )
+                continue
             if m.get("operation") != "delete":
                 continue
             if m.get("change_file"):

@@ -877,3 +877,139 @@ def src_change_feed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_commit_version").cast("long").alias("commit_version"),
         F.col("_change_type").alias("change_type"),
     )
+
+
+@register(
+    "src_update_where",
+    # Row-level UPDATE under the gate: a cluster-aligned predicate
+    # updates the top fifth (lang redacted, n_chars shifted — the second
+    # expression reads the PREIMAGE), and the oracle recomputes the
+    # post-update table from the untouched parquet with CASE expressions.
+    # An update that touches a non-matching row, misses a matching one,
+    # applies expressions to the postimage, or retypes a column breaks
+    # the hash; `in_pre` pins time travel, `pruned` pins the physical
+    # carry-by-reference claim.
+    oracle="""
+    WITH t AS (SELECT (max(doc_id) * 4) // 5 AS thr FROM documents)
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           CASE WHEN doc_id >= t.thr THEN 'redacted' ELSE lang END AS lang,
+           CAST(CASE WHEN doc_id >= t.thr THEN n_chars + 1000000
+                     ELSE n_chars END AS BIGINT) AS n_chars,
+           TRUE AS in_pre, TRUE AS pruned
+    FROM documents, t
+    """,
+    survey="S2,S5,J3",
+)
+def src_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE (operators/tablelog.py:update_where): hit
+    files found in one _metadata pass, untouched files carried by
+    reference, assignments evaluated on the preimage and cast to the
+    manifest types, pre/post images recorded as change files."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        read_versioned,
+        update_where,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"updated_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(
+        base.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"),
+        path,
+        "append",
+    )
+    files_before = len(_read_manifest(path, 0)["files"])
+    max_id = base.agg(F.max("doc_id")).collect()[0][0]  # scalar
+    threshold = (max_id * 4) // 5
+    stats = update_where(
+        spark,
+        path,
+        f"doc_id >= {threshold}",
+        {"lang": "'redacted'", "n_chars": "n_chars + 1000000"},
+    )
+    pruned = (
+        stats["files_kept"] > 0 and stats["files_rewritten"] < files_before
+    )
+    tip = read_versioned(spark, path).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        "lang",
+        "n_chars",
+    )
+    pre = read_versioned(spark, path, 0).select(
+        F.col("doc_id").alias("p_id"), F.lit(True).alias("in_pre")
+    )
+    return tip.join(pre, tip.doc_id == pre.p_id, "left").select(
+        "doc_id",
+        "text_md5",
+        "lang",
+        "n_chars",
+        F.coalesce("in_pre", F.lit(False)).alias("in_pre"),
+        F.lit(bool(pruned)).alias("pruned"),
+    )
+
+
+@register(
+    "src_change_feed_updates",
+    # The update-aware change feed under the gate: the feed emits the
+    # appended quarter as inserts AND the update version's recorded
+    # pre/post images, stamped with version and change type. A feed that
+    # re-emits rewritten non-matching rows, drops an image, or applies
+    # the assignment to the preimage breaks the hash.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(1 AS BIGINT) AS commit_version,
+           CAST('insert' AS VARCHAR) AS change_type
+    FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id, md5(text), CAST(n_chars AS BIGINT), CAST(2 AS BIGINT),
+           CAST('update_preimage' AS VARCHAR)
+    FROM documents WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, md5(text), CAST(n_chars + 7 AS BIGINT), CAST(2 AS BIGINT),
+           CAST('update_postimage' AS VARCHAR)
+    FROM documents WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
+    """,
+    survey="S5,T8,J3",
+)
+def src_change_feed_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-aware CDF: v0 = doc_id%4=0 quarter (the baseline), v1 =
+    doc_id%4=1 append, v2 = UPDATE of v0-rows divisible by 3 (n_chars
+    += 7). The feed after v0 = v1's inserts + v2's pre/post images; v0's
+    non-matching rows contribute nothing even though their files were
+    rewritten."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        read_changes,
+        update_where,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"cdf_upd_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(base.where("doc_id % 4 = 0").repartition(4), path, "append")
+    write_versioned(base.where("doc_id % 4 = 1").repartition(4), path, "append")
+    update_where(
+        spark, path, "doc_id % 4 = 0 AND doc_id % 3 = 0",
+        {"n_chars": "n_chars + 7"},
+    )
+    feed = read_changes(spark, path, 0, include_deletes=True)
+    return feed.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_commit_version").cast("long").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    )

@@ -192,12 +192,14 @@ class ManagedTableDataSource(DataSource):
         sv = self.options.get("startingversion")
         mv = self.options.get("maxversionspertrigger")
         ig = str(self.options.get("ignoredeletes", "false")).lower() == "true"
+        iu = str(self.options.get("ignoreupdates", "false")).lower() == "true"
         return ManagedTableStreamReader(
             path,
             schema,
             None if sv is None else int(sv),
             None if mv is None else int(mv),
             ignore_deletes=ig,
+            ignore_updates=iu,
             read_change_feed=self._cdf(),
         )
 
@@ -427,6 +429,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         starting_version: int | None = None,
         max_versions_per_trigger: int | None = None,
         ignore_deletes: bool = False,
+        ignore_updates: bool = False,
         read_change_feed: bool = False,
     ):
         self.path = path
@@ -465,12 +468,14 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # uncapped catch-up batch is the safe trade; steady-state bursts
         # (a writer landing many versions between triggers) are paced.
         self.max_versions = max_versions_per_trigger
-        # .option("ignoreDeletes", "true"): advance past row-level DELETE
-        # versions without emitting anything — the caller explicitly
-        # accepts that downstream never sees the removed rows (Delta's
-        # ignoreDeletes contract). Default false: a delete inside the
-        # consumed range fails loudly with the ways out.
+        # .option("ignoreDeletes"/"ignoreUpdates", "true"): advance past
+        # row-level DELETE/UPDATE versions without emitting anything —
+        # the caller explicitly accepts that downstream never sees the
+        # removed rows / new values (Delta's ignoreDeletes contract,
+        # split per verb). Default false: DML inside the consumed range
+        # fails loudly with the ways out.
         self.ignore_deletes = ignore_deletes
+        self.ignore_updates = ignore_updates
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
@@ -505,9 +510,11 @@ class ManagedTableStreamReader(DataSourceStreamReader):
     def _diffs(self, start_v: int, end_v: int, synthetic_base: bool):
         from ssidentity_spark.operators.tablelog import iter_manifest_diffs
 
-        # CDF mode never raises on deletes at the walker level — they are
-        # emitted separately from their change files in partitions()
-        skip = self.ignore_deletes or self.read_change_feed
+        # CDF mode never raises on DML at the walker level — those
+        # versions are emitted separately from their change files in
+        # partitions()
+        skip_d = self.ignore_deletes or self.read_change_feed
+        skip_u = self.ignore_updates or self.read_change_feed
         yield from iter_manifest_diffs(
             self.path,
             start_v,
@@ -517,7 +524,8 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 self.starting_version if synthetic_base else None
             ),
             context="the managed_table stream",
-            on_delete="skip" if skip else "raise",
+            on_delete="skip" if skip_d else "raise",
+            on_update="skip" if skip_u else "raise",
         )
 
     def partitions(self, start: dict, end: dict):
@@ -541,7 +549,22 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             if synthetic_base and v == self.starting_version:
                 continue  # the base snapshot was consumed whole as inserts
             m = _read_manifest(self.path, v)
-            if m.get("operation") != "delete":
+            op = m.get("operation")
+            if op == "update":
+                for key, kind in (
+                    ("change_file_pre", "update_preimage"),
+                    ("change_file_post", "update_postimage"),
+                ):
+                    cf = m.get(key)
+                    if not cf:
+                        raise ValueError(
+                            f"update version {v} at {self.path} has no "
+                            f"recorded {key} — a streaming change feed "
+                            "cannot reconstruct the images"
+                        )
+                    parts.append(_FilePartition(cf, v, kind))
+                continue
+            if op != "delete":
                 continue
             cf = m.get("change_file")
             if not cf:

@@ -302,3 +302,35 @@ def test_delete_managed_keeps_lookup_exact_and_index_incremental(spark, tmp_path
     stats2 = delete_managed(spark, path, "mac_key = 99999")
     assert stats2["rows_deleted"] == 0 and stats2["version"] == 1
     assert not os.path.exists(_index_path(path, 2))
+
+
+def test_update_managed_reindexes_incrementally(spark, tmp_path):
+    import json
+
+    from ssidentity_spark.operators.managed import (
+        _index_path,
+        managed_point_lookup,
+        update_managed,
+        write_managed,
+    )
+
+    path = str(tmp_path / "obs")
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("mac_key"), F.col("id").alias("seq")
+    )
+    write_managed(spark, df, path, "mac_key")
+    with open(_index_path(path, 0)) as f:
+        idx0 = json.load(f)
+    stats = update_managed(spark, path, "mac_key = 7", {"seq": "seq + 1000000"})
+    assert stats["rows_updated"] == 100 and stats["version"] == 1
+    got, n_read, _ = managed_point_lookup(spark, path, 7)
+    assert got.count() == 100 and n_read <= 4
+    assert got.agg(F.min("seq")).collect()[0][0] >= 1_000_000
+    with open(_index_path(path, 1)) as f:
+        idx1 = json.load(f)
+    from ssidentity_spark.operators.tablelog import _read_manifest
+
+    kept = set(_read_manifest(path, 1)["files"]) & set(
+        _read_manifest(path, 0)["files"]
+    )
+    assert kept and all(idx1["files"][r] == idx0["files"][r] for r in kept)

@@ -636,3 +636,150 @@ def test_delete_records_change_file_and_feed_prefers_it(spark, tmp_path):
     write_versioned(_df(spark, 100, 101), path, "append")
     vacuum(path, keep_latest=1)
     assert not os.path.exists(os.path.join(path, cf))
+
+
+# ---------------------------------------------------------------------------
+# Row-level UPDATE (update_where): preimage semantics, type pinning,
+# pre/post change files, feed integration, stream behavior.
+# ---------------------------------------------------------------------------
+
+
+def test_update_where_preimage_semantics_and_pruning(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        update_where,
+    )
+
+    path = str(tmp_path / "u")
+    df = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id AS double) AS a", "CAST(id * 10 AS double) AS b"
+    ).repartitionByRange(4, "k")
+    write_versioned(df, path, "append")
+    # swap a and b where k >= 90: ALL assignments read the PREIMAGE
+    stats = update_where(spark, path, "k >= 90", {"a": "b", "b": "a"})
+    assert stats["version"] == 1 and stats["rows_updated"] == 10
+    assert stats["files_rewritten"] == 1  # range-aligned predicate
+    assert len(
+        set(_read_manifest(path, 0)["files"])
+        & set(_read_manifest(path, 1)["files"])
+    ) == 3
+    got = {r["k"]: (r["a"], r["b"])
+           for r in read_versioned(spark, path).collect()}
+    assert got[95] == (950.0, 95.0)  # swapped
+    assert got[10] == (10.0, 100.0)  # untouched
+    # time travel: preimage snapshot intact
+    pre = {r["k"]: (r["a"], r["b"])
+           for r in read_versioned(spark, path, 0).collect()}
+    assert pre[95] == (95.0, 950.0)
+    assert history(path)[-1]["operation"] == "update"
+
+
+def test_update_where_null_predicate_rows_untouched(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import update_where
+
+    path = str(tmp_path / "un")
+    df = spark.range(0, 10).selectExpr(
+        "id AS k", "CASE WHEN id < 5 THEN id END AS v"
+    )
+    write_versioned(df, path, "append")
+    stats = update_where(spark, path, "v < 3", {"k": "k + 100"})
+    assert stats["rows_updated"] == 3  # NULL v rows are not matches
+    ks = {r["k"] for r in read_versioned(spark, path).collect()}
+    assert ks == {100, 101, 102, 3, 4, 5, 6, 7, 8, 9}
+
+
+def test_update_where_pins_column_types_and_rejects_unknown(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import update_where
+
+    path = str(tmp_path / "ut")
+    write_versioned(
+        spark.range(0, 5).selectExpr("id AS k", "CAST(id AS int) AS small"),
+        path,
+        "append",
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        update_where(spark, path, "k = 1", {"nope": "1"})
+    # assignment result is cast to the manifest type (int stays int)
+    update_where(spark, path, "k >= 0", {"small": "k * 1000000"})
+    tip = read_versioned(spark, path)
+    assert dict(tip.dtypes)["small"] == "int"
+
+
+def test_update_change_files_feed_and_stream(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import (
+        read_changes,
+        update_where,
+    )
+    from ssidentity_spark.sources.managed_source import register
+
+    register(spark)
+    path = str(tmp_path / "uf")
+    write_versioned(_df(spark, 0, 10), path, "append")  # v0
+    update_where(spark, path, "k < 3", {"k": "k + 100"})  # v1
+    write_versioned(_df(spark, 10, 12), path, "append")  # v2
+
+    feed = read_changes(spark, path, 0, include_deletes=True)
+    rows = {(r["k"], r["_commit_version"], r["_change_type"])
+            for r in feed.collect()}
+    expect = {(k, 1, "update_preimage") for k in (0, 1, 2)}
+    expect |= {(k + 100, 1, "update_postimage") for k in (0, 1, 2)}
+    expect |= {(10, 2, "insert"), (11, 2, "insert")}
+    assert rows == expect
+
+    # append-only stream: update rejected unless ignoreUpdates
+    def run(opts, ck, out):
+        r = spark.readStream.format("managed_table")
+        for kk, vv in opts.items():
+            r = r.option(kk, vv)
+        q = (
+            r.load(path).writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="UPDATE|ignoreUpdates"):
+        run({}, str(tmp_path / "c1"), str(tmp_path / "o1"))
+    run({"ignoreUpdates": "true"}, str(tmp_path / "c2"), str(tmp_path / "o2"))
+    got = {r["k"] for r in spark.read.parquet(str(tmp_path / "o2")).collect()}
+    assert got == set(range(12))  # v0 whole + v2 append; update emitted nothing
+
+    # CDF stream: pre/post images arrive typed
+    run({"readChangeFeed": "true"}, str(tmp_path / "c3"), str(tmp_path / "o3"))
+    cdf = {(r["k"], r["_commit_version"], r["_change_type"])
+           for r in spark.read.parquet(str(tmp_path / "o3")).collect()}
+    assert {(0, 1, "update_preimage"), (100, 1, "update_postimage")} <= cdf
+    assert {(k, 0, "insert") for k in range(10)} <= cdf
+
+
+def test_update_where_noop_and_race_abort(spark, tmp_path):
+    import ssidentity_spark.operators.tablelog as tl
+
+    path = str(tmp_path / "ur")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    stats = tl.update_where(spark, path, "k > 1000", {"k": "0"})
+    assert stats["rows_updated"] == 0 and latest_version(path) == 0
+
+    real_commit = tl._commit
+    raced = {"done": False}
+
+    def racing_commit(p, version, files, operation, meta=None):
+        if not raced["done"]:
+            raced["done"] = True
+            write_versioned(_df(spark, 100, 102), path, "append")
+        return real_commit(p, version, files, operation, meta=meta)
+
+    tl._commit = racing_commit
+    try:
+        with pytest.raises(VersionConflict):
+            tl.update_where(spark, path, "k < 5", {"k": "k + 50"})
+    finally:
+        tl._commit = real_commit
+    assert read_versioned(spark, path).count() == 12
+    # the loser's change files are not referenced by any manifest
+    from ssidentity_spark.operators.tablelog import _read_manifest
+
+    for v in range(len(history(path))):
+        m = _read_manifest(path, v)
+        assert "change_file_pre" not in m
