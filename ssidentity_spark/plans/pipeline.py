@@ -740,3 +740,83 @@ def pipe_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_global_ids(
         d, ["m", "doc_id"], bucket=F.substring("m", 1, 2)
     ).select("doc_id", "row_id")
+
+
+@register(
+    "pipe_pii_redact",
+    # The PII scrub under the hash gate: deterministic synthetic PII
+    # (email, international phone, ipv4 — derived from doc_id so every
+    # SF is non-vacuous) is salted into each document, then counted and
+    # redacted. The oracle rebuilds the salted text and runs the SAME
+    # ordered regex sequence in DuckDB's RE2 — the patterns are
+    # restricted to the Java∩RE2 subset (functions/pii.py), so a scrub
+    # that misses a span, over-matches, or applies replacements in a
+    # different order breaks the hash on the redacted text itself.
+    oracle="""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com at '
+                  || '10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+                  || ' call +1415' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                           7, '0') AS t
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, t,
+        len(regexp_extract_all(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(t,
+          '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}')) AS n_card,
+        len(regexp_extract_all(t, '\\+[0-9]{7,15}')) AS n_phone,
+        len(regexp_extract_all(t,
+          '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ipv4
+      FROM salted
+    )
+    SELECT doc_id,
+           CAST(n_email AS INTEGER) AS n_email,
+           CAST(n_card AS INTEGER) AS n_card,
+           CAST(n_phone AS INTEGER) AS n_phone,
+           CAST(n_ipv4 AS INTEGER) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+             '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CARD>', 'g'),
+             '\\+[0-9]{7,15}', '<PHONE>', 'g'),
+             '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+    FROM counted
+    """,
+    survey="X3,D7,U6",
+)
+def pipe_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/pii.py): count then redact emails, card
+    numbers, international phones, and IPv4 addresses with a FIXED
+    replacement order — all JVM Column regexes, one narrow pass, no
+    shuffle. At 100 TB this is a map-only stage that composes with the
+    clean/dedup pipeline; the hashed redacted text proves byte-exact
+    scrub behavior, not just counts."""
+    from ssidentity_spark.functions.pii import pii_counts, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at "),
+            F.lit("10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 call +1415"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+        ).alias("t"),
+    )
+    counts = pii_counts(F.col("t"))
+    return salted.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_card"].alias("n_card"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        F.md5(F.encode(redact_pii(F.col("t")), "UTF-8")).alias("redacted_md5"),
+    )

@@ -436,3 +436,48 @@ def test_funnel_levels_known_sequences(spark, tmp_path):
         for r in w6_funnel_progression(spark, sf_dir).collect()
     }
     assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+def test_pii_redaction_semantics(spark):
+    """Redaction pins: every type replaced with its token, counts match,
+    fixed order means an email's digits never get re-matched as a phone,
+    and non-PII text passes through byte-identical."""
+    import pandas as pd
+
+    from ssidentity_spark.functions.pii import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("mail a.b+c@ex-ample.org now", "mail <EMAIL> now", (1, 0, 0, 0)),
+        ("card 1234 5678 9012 3456 and 1111-2222-3333-4444",
+         "card <CARD> and <CARD>", (0, 2, 0, 0)),
+        ("call +14155550100 ok", "call <PHONE> ok", (0, 0, 1, 0)),
+        ("host 192.168.0.1:8080", "host <IP>:8080", (0, 0, 0, 1)),
+        ("plain text, no identifiers.", "plain text, no identifiers.",
+         (0, 0, 0, 0)),
+        # the whole +digits@host span is ONE email (the local-part class
+        # includes '+'), consumed before the phone pattern can see it in
+        # REDACTION; counts are independent per-pattern tallies on the
+        # raw text, so the span tallies under both email AND phone
+        ("x +123456789@mail.com y", "x <EMAIL> y", (1, 0, 1, 0)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(cases)), "t": [c[0] for c in cases]})
+    )
+    counts = pii_counts(F.col("t"))
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            redact_pii(F.col("t")).alias("red"),
+            counts["n_email"].alias("e"),
+            counts["n_card"].alias("c"),
+            counts["n_phone"].alias("p"),
+            counts["n_ipv4"].alias("q"),
+        ).collect()
+    }
+    for i, (_raw, want_red, (e, c, p, q)) in enumerate(cases):
+        assert got[i]["red"] == want_red, (i, got[i]["red"])
+        assert (got[i]["e"], got[i]["c"], got[i]["p"], got[i]["q"]) == (
+            e, c, p, q,
+        ), i
