@@ -141,3 +141,92 @@ def bpe_apply(col: Column, merges: list[tuple[str, str]]) -> Column:
 def token_count(col: Column) -> Column:
     """Symbols remaining in a canonical spaced-form string."""
     return F.size(F.split(F.trim(col), "  "))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece: the same relational training loop with the LIKELIHOOD objective
+# ---------------------------------------------------------------------------
+
+
+def _symbol_counts(vocab: DataFrame) -> DataFrame:
+    """Current symbol unigram counts over the vocab — (sym, n), each
+    occurrence weighted by the word's corpus frequency (a symbol
+    appearing twice in one word counts twice)."""
+    split_rows = vocab.select(
+        F.split(F.trim(F.col("s")), "  ").alias("t"), "cnt"
+    )
+    return (
+        split_rows.select(F.explode("t").alias("sym"), "cnt")
+        .groupBy("sym")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+
+
+def wordpiece_train(
+    spark: SparkSession, vocab: DataFrame, k: int = 6
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """k WordPiece merge rounds (Schuster & Nakajima 2012; the BERT
+    tokenizer's objective): instead of BPE's raw pair count, each round
+    merges the pair maximizing the likelihood score
+
+        score(a, b) = count(ab) / (count(a) * count(b))
+
+    — the pair whose merge most increases the corpus unigram-LM
+    likelihood. Relationally it is BPE's loop plus one symbol-count
+    aggregation and two model-sized joins per round; the merge
+    application (canonical spaced form, boundary-safe replace) is shared
+    verbatim with :func:`bpe_train`.
+
+    Determinism across engines: count(ab), count(a), count(b) are exact
+    integers, ``count(a)*count(b)`` stays exact in BIGINT, and one IEEE
+    double division is correctly rounded identically everywhere — ties
+    in the double score break lexicographically. (At corpus scale where
+    the product could exceed 2^53, rank by log-counts or rescale —
+    documented, not needed at these SFs.)
+
+    The merge-table rows carry all three integers, so the hash gate
+    covers the OBJECTIVE, not just the chosen pairs."""
+    merges: list[tuple[str, str, int, int, int]] = []
+    cur = vocab
+    for it in range(k):
+        pairs = _pair_counts(cur)
+        syms = _symbol_counts(cur)
+        best = (
+            pairs.join(
+                syms.select(F.col("sym").alias("lhs"), F.col("n").alias("ca")),
+                "lhs",
+            )
+            .join(
+                syms.select(F.col("sym").alias("rhs"), F.col("n").alias("cb")),
+                "rhs",
+            )
+            .orderBy(
+                (
+                    F.col("c").cast("double")
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                ).desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        r = best[0]
+        merges.append((r["lhs"], r["rhs"], r["c"], r["ca"], r["cb"]))
+        cur = cur.select(
+            F.call_function(
+                "replace",
+                F.col("s"),
+                F.lit(f" {r['lhs']}  {r['rhs']} "),
+                F.lit(f" {r['lhs']}{r['rhs']} "),
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    table = spark.createDataFrame(
+        [(i, l, rr, c, ca, cb) for i, (l, rr, c, ca, cb) in enumerate(merges)],
+        "it int, lhs string, rhs string, pair_count bigint, "
+        "lhs_count bigint, rhs_count bigint",
+    )
+    return table, [(l, rr) for l, rr, _c, _ca, _cb in merges]

@@ -759,3 +759,67 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _wp_stage(i: int) -> str:
+    return f"""
+p{i} AS (
+  SELECT split_part(p, ' ', 1) AS lhs, split_part(p, ' ', 2) AS rhs,
+         CAST(sum(cnt) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS p,
+           cnt
+    FROM (SELECT string_split(trim(s{i}), '  ') AS t, cnt FROM v{i})
+  ) GROUP BY 1, 2
+), u{i} AS (
+  SELECT sym, CAST(sum(cnt) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(string_split(trim(s{i}), '  ')) AS sym, cnt FROM v{i}
+  ) GROUP BY 1
+), b{i} AS (
+  SELECT p.lhs, p.rhs, p.c, a.n AS ca, bb.n AS cb
+  FROM p{i} p JOIN u{i} a ON a.sym = p.lhs JOIN u{i} bb ON bb.sym = p.rhs
+  ORDER BY CAST(p.c AS DOUBLE) / CAST(a.n * bb.n AS DOUBLE) DESC,
+           p.lhs ASC, p.rhs ASC
+  LIMIT 1
+), v{i + 1} AS (
+  SELECT replace(s{i}, ' ' || lhs || '  ' || rhs || ' ',
+                 ' ' || lhs || rhs || ' ') AS s{i + 1}, cnt
+  FROM v{i}, b{i}
+)"""
+
+
+_WP_K = 6
+
+_WP_TRAIN_ORACLE = (
+    _BPE_VOCAB_CTE
+    + ","
+    + ",".join(_wp_stage(i) for i in range(_WP_K))
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS it, lhs, rhs, c AS pair_count, "
+        f"ca AS lhs_count, cb AS rhs_count FROM b{i}"
+        for i in range(_WP_K)
+    )
+)
+
+
+@register(
+    "text_wordpiece_train",
+    oracle=_WP_TRAIN_ORACLE,
+    survey="U6,A1,J1",
+)
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 6 WORDPIECE merges (likelihood objective:
+    count(ab)/(count(a)·count(b)) — the BERT tokenizer's criterion)
+    from the documents corpus. Same relational loop as text_bpe_train
+    plus a symbol-count aggregation and two model-sized joins per round;
+    the oracle replays all six rounds including the objective, so the
+    hash gate covers WHICH pair wins and WHY (all three counts are in
+    the hashed rows)."""
+    from ssidentity_spark.operators.bpe import wordpiece_train, word_vocab
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = word_vocab(docs)
+    table, _merges = wordpiece_train(spark, vocab, k=_WP_K)
+    return table

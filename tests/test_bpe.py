@@ -99,3 +99,31 @@ def test_apply_chain_stays_jvm(spark):
         .toString()
     )
     assert "Python" not in plan
+
+
+def test_wordpiece_objective_differs_from_bpe(spark):
+    """On 'aaab' x100: BPE merges the most FREQUENT pair (a,a) [c=200],
+    WordPiece the most LIKELY pair (b,</w>) [c=100 but rare symbols:
+    100/(100*100) beats 200/(300*300)] — pinning that the objective is
+    really the likelihood ratio, not the raw count."""
+    import pandas as pd
+
+    from ssidentity_spark.operators.bpe import (
+        bpe_train,
+        word_vocab,
+        wordpiece_train,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"text": ["aaab"] * 100})
+    )
+    vocab = word_vocab(docs)
+    _bt, bpe_merges = bpe_train(spark, vocab, k=1)
+    _wt, wp_merges = wordpiece_train(spark, vocab, k=1)
+    assert bpe_merges == [("a", "a")]
+    assert wp_merges == [("b", "</w>")]
+    # the merge table carries the objective's inputs
+    row = _wt.collect()[0]
+    assert (row["pair_count"], row["lhs_count"], row["rhs_count"]) == (
+        100, 100, 100,
+    )
