@@ -259,7 +259,16 @@ def managed_point_lookup(
     files in snapshot). Identical to filtering a full snapshot read —
     the index only removes files that provably cannot match."""
     v = latest_version(path) if version is None else version
-    manifest_files = set(_read_manifest(path, v)["files"])
+    m = _read_manifest(path, v)
+    if m.get("dv_files"):
+        raise ValueError(
+            f"version {v} at {path} carries merge-on-read deletion "
+            "vectors — the indexed point lookup reads data files "
+            "directly and would resurrect deleted rows. Run "
+            "optimize_managed to materialize the deletes, or read via "
+            "tablelog.read_versioned (which applies DVs)."
+        )
+    manifest_files = set(m["files"])
     with open(_index_path(path, v)) as f:
         idx = json.load(f)
     key = idx["key"]
@@ -308,23 +317,35 @@ def vacuum_managed(
                     dropped_sidecars.append(name)
 
     referenced: set[str] = set()
+    referenced_dirs: set[str] = set()
     for v in retained:
         m = _read_manifest(path, v)
         referenced.update(m["files"])
         for key in ("change_file", "change_file_pre", "change_file_post"):
             if m.get(key):
                 referenced.add(m[key])
+        # deletion-vector entries are DIRECTORIES of parquet parts —
+        # everything under a referenced dir is alive
+        referenced_dirs.update(m.get("dv_files", []))
     orphans: list[str] = []
     cutoff = time.time() - min_orphan_age_s
-    # _changes holds delete versions' recorded removed-row files; a
-    # losing racer's attempt-unique change file is unreferenced by any
-    # manifest and ages into this sweep like any other orphan
-    for sub in ("data", "_changes"):
+    # _changes/_dv hold DML versions' recorded facts; a losing racer's
+    # attempt-unique file/dir is unreferenced by any manifest and ages
+    # into this sweep like any other orphan
+    for sub in ("data", "_changes", "_dv"):
         for dirpath, _dirs, names in os.walk(os.path.join(path, sub)):
             for name in names:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, path)
-                if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                in_live_dir = any(
+                    rel.startswith(d.rstrip("/") + "/")
+                    for d in referenced_dirs
+                )
+                if (
+                    rel not in referenced
+                    and not in_live_dir
+                    and os.path.getmtime(full) <= cutoff
+                ):
                     os.remove(full)
                     orphans.append(rel)
     return {

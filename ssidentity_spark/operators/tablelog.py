@@ -200,6 +200,23 @@ def read_versioned(
     files = m["files"]
     if not files:
         raise FileNotFoundError(f"version {v} at {path} is empty")
+    if m.get("dv_files"):
+        # merge-on-read: anti-join the snapshot's deletion vectors out
+        # (the DV read path — see delete_where(mode='dv'))
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in files]
+        )
+        cols = (
+            [n for n, _t in m["schema"]] if m.get("schema") else raw.columns
+        )
+        type_of = (
+            dict(m["schema"])
+            if m.get("schema")
+            else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
+        )
+        return _scan_with_positions(
+            spark, path, m, files, cols, type_of
+        ).drop("_f", "_p")
     # mergeSchema honours additive evolution: parts written before a
     # column existed read it as null; column order follows the
     # manifest's recorded schema when present
@@ -224,13 +241,18 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
     dropped manifests, and dropped delete-versions' change files).
     Returns the deleted file paths. Readers of retained versions are
     unaffected — their file lists stay whole."""
+    import shutil as _shutil
+
     vs = _versions(path)
     if len(vs) <= keep_latest:
         return []
     keep, drop = vs[-keep_latest:], vs[:-keep_latest]
     referenced = set()
+    referenced_dv = set()
     for v in keep:
-        referenced.update(_read_manifest(path, v)["files"])
+        m = _read_manifest(path, v)
+        referenced.update(m["files"])
+        referenced_dv.update(m.get("dv_files", []))
     deleted = []
     for v in drop:
         m = _read_manifest(path, v)
@@ -247,6 +269,15 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
             if cf and os.path.exists(os.path.join(path, cf)):
                 os.remove(os.path.join(path, cf))
                 deleted.append(cf)
+        # deletion-vector dirs: the ledger is cumulative, so a retained
+        # manifest may still reference a dropped version's DV — only
+        # unreferenced ones go
+        for dv in m.get("dv_files", []):
+            if dv not in referenced_dv and os.path.isdir(
+                os.path.join(path, dv)
+            ):
+                _shutil.rmtree(os.path.join(path, dv), ignore_errors=True)
+                deleted.append(dv)
         os.remove(_manifest_path(path, v))
     return sorted(set(deleted))
 
@@ -293,12 +324,35 @@ def optimize(
         raise FileNotFoundError(f"version {tip} at {path} is empty")
     # mergeSchema: compaction REWRITES pre-evolution parts into the
     # current unified schema (nulls materialized) — optimize doubles as
-    # the schema-migration job, exactly as in the production lakehouses
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in files]
-    )
-    if tip_m.get("schema"):
-        df = df.select(*[n for n, _t in tip_m["schema"]])
+    # the schema-migration job, exactly as in the production lakehouses.
+    # Deletion vectors are MATERIALIZED here too: the rewrite reads
+    # through the DV-filtered path, so the compacted version physically
+    # drops the merge-on-read deleted rows and clears the DV ledger —
+    # the read-cost debt dv-mode deletes accumulate is paid off exactly
+    # once, in the maintenance job.
+    if tip_m.get("dv_files"):
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in files]
+        )
+        cols = (
+            [n for n, _t in tip_m["schema"]]
+            if tip_m.get("schema")
+            else raw.columns
+        )
+        type_of = (
+            dict(tip_m["schema"])
+            if tip_m.get("schema")
+            else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
+        )
+        df = _scan_with_positions(
+            spark, path, tip_m, files, cols, type_of
+        ).drop("_f", "_p")
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in files]
+        )
+        if tip_m.get("schema"):
+            df = df.select(*[n for n, _t in tip_m["schema"]])
     n = df.count()
     n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
     stage = os.path.join(path, _DATA, f"optimize-{tip + 1:08d}-{os.getpid()}")
@@ -339,55 +393,62 @@ def optimize(
     }
 
 
-def _dml_hit_files(spark, path, files, cols, pred) -> dict[str, int]:
-    """ONE distributed ``_metadata.file_path`` pass: which manifest files
-    contain rows where ``pred`` is TRUE, and how many each. The collect
-    is file-count-bounded (manifest-sized driver traffic). NULL-predicate
-    rows are not matches — filter() drops them, the ANSI DML contract."""
-    from urllib.parse import unquote, urlparse
+def _dv_positions(spark, path: str, dv_files: list[str]):
+    """Union of deletion-vector position sets: (f rel-path, pos)."""
+    return spark.read.parquet(
+        *[os.path.join(path, d) for d in dv_files]
+    ).select("f", "pos")
 
+
+def _scan_with_positions(spark, path, manifest, files, cols, type_of):
+    """The ONE physical read every DML and DV-aware snapshot read goes
+    through: the given files, padded to the manifest schema, each row
+    carrying its (``_f`` = manifest-relative file path, ``_p`` = row
+    position) — with rows already removed by the manifest's deletion
+    vectors FILTERED OUT (left_anti on (_f, _p)). DV entries referencing
+    files outside ``files`` are inert, so subset scans are safe."""
     from pyspark.sql import functions as F
 
-    abs_to_rel = {os.path.abspath(os.path.join(path, f)): f for f in files}
     raw = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in files]
     )
-    hits = (
-        raw.select(*cols, F.col("_metadata.file_path").alias("_file"))
-        .filter(pred)
-        .groupBy("_file")
-        .count()
-        .collect()
+    # _metadata.file_path is a URI whose scheme slash count varies
+    # ("file:/abs" vs "file:///abs") — locate the table root inside it
+    # instead of assuming a prefix length
+    root = os.path.abspath(path) + "/"
+    esc = root.replace("\\", "\\\\").replace("'", "\\'")
+    rel = F.expr(
+        "substring(_metadata.file_path, "
+        f"instr(_metadata.file_path, '{esc}') + {len(root)})"
     )
-    hit_rel: dict[str, int] = {}
-    for row in hits:
-        p = os.path.abspath(unquote(urlparse(row["_file"]).path))
-        rel = abs_to_rel.get(p)
-        if rel is None:
-            raise RuntimeError(
-                f"match in unmanifested file {row['_file']} at {path}"
-            )
-        hit_rel[rel] = row["count"]
-    return hit_rel
-
-
-def _padded_hit_read(spark, path, hit_rel, cols, type_of):
-    """Read exactly the hit files, padded to the manifest schema (hit
-    files may all predate an additive evolution — rewriting them without
-    the newer columns would strand a version whose manifest promises
-    columns no part carries)."""
-    from pyspark.sql import functions as F
-
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in sorted(hit_rel)]
-    )
-    return df.select(
+    df = raw.select(
         *[
-            F.col(c) if c in df.columns
+            F.col(c) if c in raw.columns
             else F.lit(None).cast(type_of[c]).alias(c)
             for c in cols
-        ]
+        ],
+        rel.alias("_f"),
+        F.col("_metadata.row_index").alias("_p"),
     )
+    dvs = manifest.get("dv_files") or []
+    if dvs:
+        dv = _dv_positions(spark, path, dvs)
+        df = df.join(
+            dv,
+            (df["_f"] == dv["f"]) & (df["_p"] == dv["pos"]),
+            "left_anti",
+        )
+    return df
+
+
+def _dml_hit_files(scan, pred) -> dict[str, int]:
+    """ONE distributed pass over a position-carrying scan: which files
+    contain LIVE rows where ``pred`` is TRUE, and how many each. The
+    collect is file-count-bounded (manifest-sized driver traffic).
+    NULL-predicate rows are not matches — filter() drops them, the ANSI
+    DML contract."""
+    rows = scan.filter(pred).groupBy("_f").count().collect()
+    return {r["_f"]: r["count"] for r in rows}
 
 
 def _write_change_file(df, path: str, next_v: int, tag: str = "") -> str:
@@ -472,7 +533,8 @@ def update_where(
     if bad:
         raise ValueError(f"UPDATE of unknown column(s) {bad} at {path}")
     pred = F.expr(predicate)
-    hit_rel = _dml_hit_files(spark, path, files, cols, pred)
+    scan = _scan_with_positions(spark, path, tip_m, files, cols, type_of)
+    hit_rel = _dml_hit_files(scan, pred)
     rows_updated = sum(hit_rel.values())
     if not hit_rel:
         return {
@@ -483,7 +545,9 @@ def update_where(
             "files_after": len(files),
         }
     kept = [f for f in files if f not in hit_rel]
-    src = _padded_hit_read(spark, path, hit_rel, cols, type_of)
+    src = _scan_with_positions(
+        spark, path, tip_m, sorted(hit_rel), cols, type_of
+    ).drop("_f", "_p")
     matched = F.coalesce(pred, F.lit(False))
 
     def post_col(c):
@@ -521,6 +585,11 @@ def update_where(
         "change_file_pre": change_pre,
         "change_file_post": change_post,
     }
+    if tip_m.get("dv_files"):
+        # kept files' deletion vectors still apply; entries for the
+        # rewritten (replaced) files are inert — their rel paths left
+        # the manifest
+        meta["dv_files"] = tip_m["dv_files"]
     if tip_m.get("schema"):
         meta["schema"] = tip_m["schema"]
     try:
@@ -544,13 +613,34 @@ def update_where(
     }
 
 
-def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
-    """Row-level DELETE as a copy-on-write commit: remove every row where
-    ``predicate`` (a SQL boolean expression) is TRUE, keep rows where it
-    is FALSE **or NULL** (ANSI DELETE semantics), and commit the result
-    as a new version with ``operation='delete'``. The missing DML verb
-    next to MERGE/OPTIMIZE/VACUUM/time-travel — what GDPR erasure and
-    retention enforcement run on a production lakehouse.
+def delete_where(
+    spark: SparkSession, path: str, predicate: str, mode: str = "cow"
+) -> dict:
+    """Row-level DELETE: remove every row where ``predicate`` (a SQL
+    boolean expression) is TRUE, keep rows where it is FALSE **or NULL**
+    (ANSI DELETE semantics), committed as a new version with
+    ``operation='delete'``. The missing DML verb next to
+    MERGE/OPTIMIZE/VACUUM/time-travel — what GDPR erasure and retention
+    enforcement run on a production lakehouse.
+
+    ``mode`` picks the physical strategy (the Delta/Iceberg-v2 pair):
+
+    - ``"cow"`` (copy-on-write, default): files containing doomed rows
+      are REWRITTEN without them. Write cost O(rows in hit files); read
+      cost unchanged. Right when deletes are rare or large.
+    - ``"dv"`` (merge-on-read deletion vectors): NO data file is
+      rewritten — the doomed rows' (file, position) pairs land in a
+      ``_dv/`` sidecar recorded on the manifest, and every subsequent
+      read anti-joins them out. Write cost O(matched rows); read cost
+      grows with accumulated DV size until ``optimize`` MATERIALIZES
+      the deletes (applies DVs during its rewrite and clears the
+      ledger). Right for frequent small deletes on huge files. Readers
+      that cannot apply DVs (the managed point lookup, the data-source
+      scan) reject DV-bearing snapshots loudly and name optimize as
+      the way out.
+
+    Both modes record the deleted rows themselves as a change file, so
+    batch and streaming change feeds behave identically under either.
 
     Scale shape — the whole point of the file-level design:
 
@@ -586,6 +676,8 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
     """
     from pyspark.sql import functions as F
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
     tip = latest_version(path)
     if tip is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -606,8 +698,14 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
     cols = (
         [n for n, _t in tip_m["schema"]] if tip_m.get("schema") else raw.columns
     )
-    # pass 1: which files contain rows the predicate dooms?
-    hit_rel = _dml_hit_files(spark, path, files, cols, pred)
+    type_of = (
+        dict(tip_m["schema"])
+        if tip_m.get("schema")
+        else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
+    )
+    # pass 1: which files contain LIVE rows the predicate dooms?
+    scan = _scan_with_positions(spark, path, tip_m, files, cols, type_of)
+    hit_rel = _dml_hit_files(scan, pred)
     rows_deleted = sum(hit_rel.values())
     if not hit_rel:
         return {
@@ -617,15 +715,10 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
             "files_rewritten": 0,
             "files_after": len(files),
         }
-    kept = [f for f in files if f not in hit_rel]
-    # pass 2: rewrite ONLY the hit files, keeping FALSE-or-NULL rows
-    type_of = (
-        dict(tip_m["schema"])
-        if tip_m.get("schema")
-        else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
+    src = _scan_with_positions(
+        spark, path, tip_m, sorted(hit_rel), cols, type_of
     )
-    src = _padded_hit_read(spark, path, hit_rel, cols, type_of)
-    survivors = src.filter(~F.coalesce(pred, F.lit(False)))
+    matched = F.coalesce(pred, F.lit(False))
     # CHANGE FILE (the Delta CDF design): record the deleted rows
     # themselves under _changes/ — O(deleted rows) extra write — so
     # change-feed consumers (batch AND streaming) read recorded facts
@@ -633,8 +726,52 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
     # source cannot evaluate a SQL predicate string inside its Python
     # read path at all). Attempt-unique name, bound by the manifest
     # commit, vacuumed with its version (_write_change_file).
-    doomed = src.filter(F.coalesce(pred, F.lit(False)))
-    change_rel = _write_change_file(doomed, path, tip + 1)
+    doomed = src.filter(matched)
+    change_rel = _write_change_file(doomed.drop("_f", "_p"), path, tip + 1)
+
+    if mode == "dv":
+        # merge-on-read: record (file, position) of every doomed row;
+        # data files untouched. The DV parquet is written DISTRIBUTED
+        # (no coalesce — at scale a DV can be large); the attempt-unique
+        # directory is bound by the manifest commit like change files.
+        dv_rel = os.path.join(
+            "_dv", f"v{tip + 1:08d}-{os.getpid()}"
+        )
+        doomed.select(
+            F.col("_f").alias("f"), F.col("_p").alias("pos")
+        ).write.mode("error").parquet(os.path.join(path, dv_rel))
+        meta = {
+            "batch_ids": [int(b) for b in tip_m.get("batch_ids", [])],
+            "predicate": predicate,
+            "rows_deleted": rows_deleted,
+            "change_file": change_rel,
+            "delete_mode": "dv",
+            "dv_files": list(tip_m.get("dv_files", [])) + [dv_rel],
+        }
+        if tip_m.get("schema"):
+            meta["schema"] = tip_m["schema"]
+        try:
+            _commit(path, tip + 1, list(files), "delete", meta=meta)
+        except VersionConflict:
+            import shutil
+
+            shutil.rmtree(os.path.join(path, dv_rel), ignore_errors=True)
+            try:
+                os.remove(os.path.join(path, change_rel))
+            except FileNotFoundError:
+                pass
+            raise
+        return {
+            "version": tip + 1,
+            "rows_deleted": rows_deleted,
+            "files_kept": len(files),
+            "files_rewritten": 0,
+            "files_after": len(files),
+        }
+
+    kept = [f for f in files if f not in hit_rel]
+    # pass 2 (cow): rewrite ONLY the hit files, keeping FALSE-or-NULL rows
+    survivors = src.filter(~matched).drop("_f", "_p")
     stage = os.path.join(path, _DATA, f"delete-{tip + 1:08d}-{os.getpid()}")
     if not kept:
         # every file is being rewritten: if the predicate doomed the whole
@@ -648,12 +785,15 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
         for n in os.listdir(stage)
         if n.endswith(".parquet")
     )
-    meta: dict = {
+    meta = {
         "batch_ids": [int(b) for b in tip_m.get("batch_ids", [])],
         "predicate": predicate,
         "rows_deleted": rows_deleted,
         "change_file": change_rel,
     }
+    if tip_m.get("dv_files"):
+        # kept files' DVs still apply; rewritten files' entries are inert
+        meta["dv_files"] = tip_m["dv_files"]
     if tip_m.get("schema"):
         meta["schema"] = tip_m["schema"]
     try:
@@ -1012,6 +1152,15 @@ def commit_files(
         if full_meta.get("batch_id") is not None:
             ledger = sorted(set(ledger) | {int(full_meta["batch_id"])})
         full_meta["batch_ids"] = ledger
+        # deletion vectors ride appends like the batch ledger: the carried
+        # files' removed rows stay removed. An overwrite replaces the data,
+        # so DVs reset with it.
+        if (
+            mode == "append"
+            and parent_m.get("dv_files")
+            and "dv_files" not in full_meta
+        ):
+            full_meta["dv_files"] = parent_m["dv_files"]
         if schema is not None:
             check_schema_evolution(parent_m.get("schema"), schema, mode)
             spec = [list(c) for c in schema]

@@ -1013,3 +1013,71 @@ def src_change_feed_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_commit_version").cast("long").alias("commit_version"),
         F.col("_change_type").alias("change_type"),
     )
+
+
+@register(
+    "src_delete_dv",
+    # Merge-on-read DELETE under the gate: the same logical delete as
+    # src_delete_where but via deletion vectors — NO data file rewritten
+    # (asserted into the hash via `merge_on_read`), reads anti-join the
+    # recorded (file, position) pairs out. The oracle is the identical
+    # negated predicate over untouched parquet, so cow and dv must be
+    # read-INDISTINGUISHABLE; `materialized` pins that OPTIMIZE then
+    # applies the DVs physically and clears the ledger while reading
+    # back the same rows.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           TRUE AS merge_on_read, TRUE AS materialized
+    FROM documents
+    WHERE NOT (doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents))
+    """,
+    survey="S2,S5,J3",
+)
+def src_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE (operators/tablelog.py:delete_where
+    mode='dv'): write cost O(matched rows), zero rewrites; OPTIMIZE
+    materializes. The result joins the DV-read tip against the
+    post-optimize tip — both must carry exactly the surviving rows."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        delete_where,
+        optimize,
+        read_versioned,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"dv_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(
+        base.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"),
+        path,
+        "append",
+    )
+    max_id = base.agg(F.max("doc_id")).collect()[0][0]  # scalar
+    threshold = (max_id * 4) // 5
+    stats = delete_where(spark, path, f"doc_id >= {threshold}", mode="dv")
+    mor = (
+        stats["files_rewritten"] == 0
+        and _read_manifest(path, 1)["files"]
+        == _read_manifest(path, 0)["files"]
+    )
+    dv_read = read_versioned(spark, path, 1).select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5")
+    )
+    optimize(spark, path, target_rows_per_file=1_000_000)
+    mat = not _read_manifest(path, 2).get("dv_files")
+    opt_read = read_versioned(spark, path, 2).select(
+        F.col("doc_id").alias("o_id"), F.lit(True).alias("in_opt")
+    )
+    return (
+        dv_read.join(opt_read, dv_read.doc_id == opt_read.o_id, "inner")
+        .select(
+            "doc_id",
+            "text_md5",
+            F.lit(bool(mor)).alias("merge_on_read"),
+            F.lit(bool(mat)).alias("materialized"),
+        )
+    )

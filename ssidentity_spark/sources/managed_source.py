@@ -257,7 +257,16 @@ class ManagedTableReader(DataSourceReader):
         self.field_specs = [
             (f.name, f.dataType.simpleString()) for f in schema.fields
         ]
-        self.files = list(_read_manifest(path, version)["files"])
+        m = _read_manifest(path, version)
+        if m.get("dv_files"):
+            raise ValueError(
+                f"version {version} at {path} carries merge-on-read "
+                "deletion vectors — the managed_table scan reads data "
+                "files whole and would resurrect deleted rows. Run "
+                "optimize (materializes the deletes) or read via "
+                "tablelog.read_versioned (applies DVs)."
+            )
+        self.files = list(m["files"])
         self.index = None
         sidecar = _index_sidecar(path, version)
         if os.path.exists(sidecar):
@@ -508,7 +517,23 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         return out
 
     def _diffs(self, start_v: int, end_v: int, synthetic_base: bool):
-        from ssidentity_spark.operators.tablelog import iter_manifest_diffs
+        from ssidentity_spark.operators.tablelog import (
+            _read_manifest,
+            iter_manifest_diffs,
+        )
+
+        if synthetic_base and _read_manifest(
+            self.path, self.starting_version
+        ).get("dv_files"):
+            # the whole-snapshot replay emits file contents verbatim —
+            # on a DV-bearing snapshot that would resurrect deleted rows
+            raise ValueError(
+                f"startingVersion {self.starting_version} at {self.path} "
+                "carries merge-on-read deletion vectors — the stream "
+                "cannot replay the snapshot without resurrecting "
+                "deleted rows. Run optimize first (materializes the "
+                "deletes), then start from the optimize version."
+            )
 
         # CDF mode never raises on DML at the walker level — those
         # versions are emitted separately from their change files in

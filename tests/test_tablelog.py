@@ -783,3 +783,157 @@ def test_update_where_noop_and_race_abort(spark, tmp_path):
     for v in range(len(history(path))):
         m = _read_manifest(path, v)
         assert "change_file_pre" not in m
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (delete_where mode='dv'): merge-on-read semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_dv_delete_reads_identical_to_cow(spark, tmp_path):
+    """The two physical strategies must be read-indistinguishable: same
+    surviving rows, but dv mode rewrites NOTHING (files unchanged) while
+    cow rewrites the hit files."""
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        delete_where,
+    )
+
+    def build(p):
+        write_versioned(
+            _df(spark, 0, 100).repartitionByRange(4, "k"), p, "append"
+        )
+
+    p_cow, p_dv = str(tmp_path / "cow"), str(tmp_path / "dv")
+    build(p_cow)
+    build(p_dv)
+    s_cow = delete_where(spark, p_cow, "k % 10 = 3", mode="cow")
+    s_dv = delete_where(spark, p_dv, "k % 10 = 3", mode="dv")
+    assert s_cow["rows_deleted"] == s_dv["rows_deleted"] == 10
+    assert s_dv["files_rewritten"] == 0
+    assert (
+        _read_manifest(p_dv, 1)["files"] == _read_manifest(p_dv, 0)["files"]
+    )
+    got_cow = {r["k"] for r in read_versioned(spark, p_cow).collect()}
+    got_dv = {r["k"] for r in read_versioned(spark, p_dv).collect()}
+    assert got_cow == got_dv == {k for k in range(100) if k % 10 != 3}
+    # time travel unaffected
+    assert read_versioned(spark, p_dv, 0).count() == 100
+
+
+def test_dv_deletes_stack_and_second_delete_sees_first(spark, tmp_path):
+    """A second delete (either mode) must not re-count rows already
+    DV-deleted, and stacked DVs all apply on read."""
+    from ssidentity_spark.operators.tablelog import delete_where
+
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 50), path, "append")
+    delete_where(spark, path, "k < 10", mode="dv")
+    s2 = delete_where(spark, path, "k < 20", mode="dv")
+    assert s2["rows_deleted"] == 10  # 0-9 were already gone
+    assert read_versioned(spark, path).count() == 30
+    # a cow delete on a DV-bearing table applies the DVs in its rewrite
+    s3 = delete_where(spark, path, "k < 25", mode="cow")
+    assert s3["rows_deleted"] == 5
+    left = {r["k"] for r in read_versioned(spark, path).collect()}
+    assert left == set(range(25, 50))
+
+
+def test_dv_optimize_materializes_and_vacuum_reclaims(spark, tmp_path):
+    """OPTIMIZE applies the DVs during its rewrite, clears the ledger,
+    and vacuum then reclaims the DV dirs with their aged-out versions."""
+    import os
+
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        delete_where,
+        optimize,
+    )
+
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 40).repartition(4), path, "append")
+    delete_where(spark, path, "k % 2 = 0", mode="dv")
+    dv_dir = _read_manifest(path, 1)["dv_files"][0]
+    assert os.path.isdir(os.path.join(path, dv_dir))
+    stats = optimize(spark, path, target_rows_per_file=1_000)
+    assert stats["rows"] == 20  # DV-deleted rows are NOT compacted in
+    m2 = _read_manifest(path, 2)
+    assert not m2.get("dv_files")  # ledger cleared: deletes materialized
+    assert read_versioned(spark, path).count() == 20
+    vacuum(path, keep_latest=1)
+    assert not os.path.isdir(os.path.join(path, dv_dir))
+    assert read_versioned(spark, path).count() == 20
+
+
+def test_dv_appends_carry_ledger_and_updates_respect_dvs(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        delete_where,
+        update_where,
+    )
+
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 20), path, "append")
+    delete_where(spark, path, "k < 5", mode="dv")
+    write_versioned(_df(spark, 100, 110), path, "append")  # v2
+    assert _read_manifest(path, 2)["dv_files"]  # carried through append
+    assert read_versioned(spark, path).count() == 25
+    # an UPDATE's hit pass and rewrite both see only LIVE rows
+    s = update_where(spark, path, "k < 10", {"k": "k + 1000"})
+    assert s["rows_updated"] == 5  # 5..9 (0..4 are DV-deleted)
+    left = {r["k"] for r in read_versioned(spark, path).collect()}
+    assert left == ({1005, 1006, 1007, 1008, 1009}
+                    | set(range(10, 20)) | set(range(100, 110)))
+
+
+def test_dv_change_feed_and_stream_contracts(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import (
+        delete_where,
+        read_changes,
+    )
+    from ssidentity_spark.sources.managed_source import register
+
+    register(spark)
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    delete_where(spark, path, "k % 2 = 0", mode="dv")
+    feed = read_changes(spark, path, 0, include_deletes=True)
+    dels = {r["k"] for r in feed.collect() if r["_change_type"] == "delete"}
+    assert dels == {0, 2, 4, 6, 8}
+    # CDF stream: the recorded change file serves the delete rows
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        spark.readStream.format("managed_table")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["k"], r["_change_type"])
+           for r in spark.read.parquet(out).collect()}
+    assert {(0, "delete"), (8, "delete"), (1, "insert")} <= got
+
+
+def test_dv_rejecting_readers_name_the_way_out(spark, tmp_path):
+    from ssidentity_spark.operators.managed import (
+        managed_point_lookup,
+        write_managed,
+    )
+    from ssidentity_spark.operators.tablelog import delete_where
+    from ssidentity_spark.sources.managed_source import register
+
+    register(spark)
+    path = str(tmp_path / "m")
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("mac_key"), F.col("id").alias("seq")
+    )
+    write_managed(spark, df, path, "mac_key")
+    delete_where(spark, path, "mac_key = 7", mode="dv")
+    with pytest.raises(ValueError, match="optimize"):
+        managed_point_lookup(spark, path, 7)
+    with pytest.raises(Exception, match="deletion vectors"):
+        spark.read.format("managed_table").load(path).collect()
