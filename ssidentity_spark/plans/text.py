@@ -823,3 +823,106 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = word_vocab(docs)
     table, _merges = wordpiece_train(spark, vocab, k=_WP_K)
     return table
+
+
+@register(
+    "text_bm25_scores",
+    # BM25 (Robertson/Sparck Jones) against a SELF-CONTAINED query: the
+    # corpus's top-3 terms by total count (lexicographic tiebreak), so
+    # the query is deterministic and non-vacuous at every SF. The output
+    # is rank-FREE (per-doc score, orderless hash) — a top-k by float
+    # score would let sub-ulp summation skew flip adjacent ranks between
+    # engines; per-doc sums of <=3 terms keep the skew ~9 orders below
+    # the 6-dp round. All count inputs are exact integers; k1=1.2,
+    # b=0.75 are identical double literals on both engines.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len) AS DOUBLE) / count(*) AS avg_len
+      FROM dl
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), q AS (
+      SELECT term, df FROM (
+        SELECT tf.term, CAST(sum(tf.tf) AS BIGINT) AS total, min(dfreq.df) AS df
+        FROM tf JOIN dfreq USING (term) GROUP BY 1
+        ORDER BY total DESC, tf.term ASC LIMIT 3
+      )
+    )
+    SELECT tf.doc_id,
+           CAST(count(*) AS INTEGER) AS terms_hit,
+           round(sum(
+             ln((stats.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / stats.avg_len))
+           ), 6) AS bm25
+    FROM tf
+    JOIN q USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+    survey="U6,A6,J1",
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against the corpus's top-3 terms
+    (k1=1.2, b=0.75) — the retrieval scorer a quality/search pipeline
+    runs, all relational: one (doc, term) tf shuffle reused by document
+    lengths, document frequencies, AND the query selection; corpus stats
+    broadcast as one row; scoring joins run at tf grain. At 100 TB the
+    query side is a broadcast of k terms against the tf table — the
+    inverted-index probe shape."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_words()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avg_len"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    q = (
+        tf.join(dfreq, "term")
+        .groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("total"),
+            F.min("df").alias("df"),
+        )
+        .orderBy(F.desc("total"), F.asc("term"))
+        .limit(3)
+        .select("term", "df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avg_len"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("terms_hit"),
+            F.round(F.sum(score), 6).alias("bm25"),
+        )
+    )
