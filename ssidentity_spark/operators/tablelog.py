@@ -409,6 +409,13 @@ def _scan_with_positions(spark, path, manifest, files, cols, type_of):
     files outside ``files`` are inert, so subset scans are safe."""
     from pyspark.sql import functions as F
 
+    clash = [c for c in cols if c in ("_f", "_p")]
+    if clash:
+        raise ValueError(
+            f"table at {path} has column(s) {clash} that collide with "
+            "the DV scan's internal position columns — rename them "
+            "(leading-underscore names are reserved, like Delta's)"
+        )
     raw = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in files]
     )

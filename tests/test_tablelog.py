@@ -937,3 +937,14 @@ def test_dv_rejecting_readers_name_the_way_out(spark, tmp_path):
         managed_point_lookup(spark, path, 7)
     with pytest.raises(Exception, match="deletion vectors"):
         spark.read.format("managed_table").load(path).collect()
+
+
+def test_dv_scan_rejects_reserved_column_names(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import delete_where
+
+    path = str(tmp_path / "t")
+    write_versioned(
+        spark.range(0, 5).selectExpr("id AS k", "id AS _f"), path, "append"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        delete_where(spark, path, "k < 2", mode="dv")
