@@ -926,3 +926,53 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(score), 6).alias("bm25"),
         )
     )
+
+
+@register(
+    "text_inverted_postings",
+    # The index-BUILD shape of retrieval: term -> (document frequency,
+    # total term frequency, the first 20 postings by doc_id). Postings
+    # arrays hash deterministically because they are sorted and capped
+    # by doc_id, never by float score; the df >= 3 floor keeps the
+    # artifact the index's dictionary-and-head, not a full dump.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           (list(doc_id ORDER BY doc_id))[1:20] AS postings
+    FROM tf GROUP BY term HAVING count(*) >= 3
+    """,
+    survey="U6,A1,O1",
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: ONE (doc, term) tf shuffle then one
+    term-keyed aggregation building each term's posting list — df,
+    total tf, and the doc_id-sorted head of the postings. At 100 TB the
+    head cap becomes posting-list blocking (fixed-size blocks written
+    per term to storage); the shuffle shape — all work keyed on term,
+    map-side combined at tf grain — is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_words()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= 3)
+    )

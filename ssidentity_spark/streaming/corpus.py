@@ -164,3 +164,21 @@ def quality_monitor_stream(
             "n",
         )
     )
+
+
+def redact_pii_stream(docs: DataFrame) -> DataFrame:
+    """PII-scrub an unbounded document stream: the SAME ordered Column
+    regex chain as the batch scrub (functions/pii.py) — narrow, stateless
+    expressions, so it composes anywhere in a streaming pipeline with
+    zero state and survives restarts trivially. The per-type counts ride
+    as audit columns (the alerting signal: a spike in n_email from a
+    crawler source is a leak, not a feature). Stream ≡ batch is pinned
+    by construction (one shared expression set) and by parity test."""
+    from ssidentity_spark.functions.pii import pii_counts, redact_pii
+
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        *[c for c in docs.columns if c != "text"],
+        redact_pii(F.col("text")).alias("text"),
+        *[counts[k].alias(k) for k in sorted(counts)],
+    )

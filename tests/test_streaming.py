@@ -1087,3 +1087,50 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_pii_scrub_parity_with_batch(spark, tmp_path):
+    """X8 × T6: the PII scrub on an unbounded stream — stateless narrow
+    expressions, so the streamed result is BYTE-equal to the batch scrub
+    of the same rows; per-type counts ride as audit columns."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.functions.pii import pii_counts, redact_pii
+    from ssidentity_spark.streaming.corpus import (
+        DOCS_STREAM_SCHEMA,
+        read_document_stream,
+        redact_pii_stream,
+    )
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (base, 1, "mail me at a@b.co or ping 10.0.0.7 now"),
+        (base, 2, "card 1234 5678 9012 3456 call +4915112345678"),
+        (base, 3, "nothing sensitive in this one at all"),
+    ]
+    src = str(tmp_path / "pii_src")
+    spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).coalesce(1).write.parquet(src)
+    out = _run(
+        redact_pii_stream(read_document_stream(spark, src)), tmp_path, "pii"
+    )
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+
+    batch = spark.createDataFrame(rows, DOCS_STREAM_SCHEMA)
+    counts = pii_counts(F.col("text"))
+    want = {
+        r["doc_id"]: r
+        for r in batch.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("text"),
+            *[counts[k].alias(k) for k in sorted(counts)],
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        for c in ("text", "n_email", "n_card", "n_phone", "n_ipv4"):
+            assert got[i][c] == want[i][c], (i, c)
+    assert got[1]["text"].count("<EMAIL>") == 1
+    assert got[1]["text"].count("<IP>") == 1
+    assert got[2]["n_card"] == 1 and got[2]["n_phone"] == 1
