@@ -976,3 +976,80 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 3)
     )
+
+
+@register(
+    "text_source_kl_divergence",
+    # Corpus-mix diagnostics: KL(P_source || P_corpus) over each
+    # source's token distribution — the drift signal that catches one
+    # crawler source going off-distribution before it skews training.
+    # All probabilities come from exact integer counts; the per-source
+    # sum over the vocabulary carries ~1e-12 summation skew, ~6 orders
+    # under the 6-dp round (the unigram/bigram contract).
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), st AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), src_tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM st GROUP BY 1
+    ), corp AS (
+      SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY 1
+    ), tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM corp)
+    SELECT st.source,
+           CAST(src_tot.cs AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(
+             (CAST(st.c AS DOUBLE) / src_tot.cs)
+             * ln((CAST(st.c AS DOUBLE) / src_tot.cs)
+                  / (CAST(corp.ct AS DOUBLE) / tot.n))
+           ), 6) AS kl_bits_nat
+    FROM st
+    JOIN src_tot USING (source)
+    JOIN corp USING (term)
+    CROSS JOIN tot
+    GROUP BY st.source, src_tot.cs
+    """,
+    survey="U6,A6,A1",
+)
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical drift: KL(P_source || P_corpus) over token
+    distributions, from exact counts. Plan shape at 100 TB: one
+    (source, term) shuffle with map-side combine (the corpus-sized
+    pass), the corpus marginal is a term-keyed aggregate of that SAME
+    frame, the corpus total broadcasts as a scalar, and the final rollup
+    is source-keyed — token occurrences shuffle once. Every source term
+    exists in the corpus marginal by construction, so KL is finite
+    without smoothing."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(_words()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    src_tot = st.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
+    corp = st.groupBy("term").agg(F.sum("c").cast("long").alias("ct"))
+    tot = corp.agg(F.sum("ct").cast("long").alias("n"))
+    p_src = F.col("c").cast("double") / F.col("cs")
+    p_corp = F.col("ct").cast("double") / F.col("n")
+    return (
+        st.join(src_tot, "source")
+        .join(corp, "term")
+        .join(F.broadcast(tot))
+        .groupBy("source", "cs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.sum(p_src * F.log(p_src / p_corp)), 6).alias(
+                "kl_bits_nat"
+            ),
+        )
+        .select(
+            "source",
+            F.col("cs").alias("n_tokens"),
+            "n_terms",
+            "kl_bits_nat",
+        )
+    )
