@@ -727,7 +727,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle over that same frame (never re-materializing token
     positions), context counts c(a) are a term-keyed unigram aggregate,
     V broadcasts as a 1-row scalar, and the scoring joins run at the tf
-    grain — token occurrences shuffle once, ever."""
+    grain. Column pruning gives each consumer a different tf subtree,
+    so the corpus pass recomputes per aggregate in this one-shot form —
+    at petabyte scale materialize the tf table once (write_versioned)
+    and point every consumer at it."""
     d = load_table(spark, sf_dir, "documents")
     wl = d.select(
         "doc_id", F.filter(_words(), lambda x: x != "").alias("w")
@@ -875,10 +878,12 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against the corpus's top-3 terms
     (k1=1.2, b=0.75) — the retrieval scorer a quality/search pipeline
-    runs, all relational: one (doc, term) tf shuffle reused by document
-    lengths, document frequencies, AND the query selection; corpus stats
-    broadcast as one row; scoring joins run at tf grain. At 100 TB the
-    query side is a broadcast of k terms against the tf table — the
+    runs, all relational: document lengths, document frequencies, and
+    the query selection all aggregate the SAME (doc, term) tf grain;
+    corpus stats broadcast as one row; scoring joins run at tf grain.
+    At 100 TB the query side is a broadcast of k terms against a
+    MATERIALIZED tf table (column pruning blocks exchange reuse in this
+    one-shot form, so each aggregate re-derives tf here) — the
     inverted-index probe shape."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
@@ -1020,9 +1025,10 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, term) shuffle with map-side combine (the corpus-sized
     pass), the corpus marginal is a term-keyed aggregate of that SAME
     frame, the corpus total broadcasts as a scalar, and the final rollup
-    is source-keyed — token occurrences shuffle once. Every source term
-    exists in the corpus marginal by construction, so KL is finite
-    without smoothing."""
+    is source-keyed. Every source term exists in the corpus marginal by
+    construction, so KL is finite without smoothing. (As with the other
+    tf-derived scores: column pruning blocks exchange reuse in the
+    one-shot form — materialize the counts table first at real scale.)"""
     d = load_table(spark, sf_dir, "documents")
     st = (
         d.select("source", F.explode(_words()).alias("term"))
