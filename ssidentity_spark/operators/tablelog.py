@@ -823,6 +823,51 @@ def delete_where(
     }
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    x: str,
+    y: str,
+    target_rows_per_file: int = 1_000_000,
+    bits: int = 11,
+) -> dict:
+    """OPTIMIZE ZORDER BY (x, y): compact the tip re-clustered along the
+    range-normalized Morton curve, so per-file min/max stats prune BOTH
+    dimensions of box queries (the multi-dim half of data skipping —
+    measured 2.3x fewer row groups vs the best linear sort, SCALE.md).
+    Pure composition: :func:`optimize` does the read-identical commit
+    (deletion vectors materialized, ledger cleared, time travel kept,
+    race-aborted) and the layout comes from
+    :func:`functions.zorder.morton_key_scaled` over the tip's actual
+    value ranges (two scalar aggregates — model-sized driver traffic)."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.functions.zorder import morton_key_scaled
+
+    tip_df = read_versioned(spark, path)
+    mx, my = tip_df.agg(F.max(x), F.max(y)).collect()[0]  # two scalars
+    if mx is None or my is None:
+        raise ValueError(f"zorder columns {x}/{y} are all-NULL at {path}")
+
+    def recluster(df, n):
+        key = morton_key_scaled(
+            F.col(x), int(mx), F.col(y), int(my), bits=bits
+        )
+        return (
+            df.withColumn("_zorder", key)
+            .repartitionByRange(n, "_zorder")
+            .sortWithinPartitions("_zorder")
+            .drop("_zorder")
+        )
+
+    return optimize(
+        spark,
+        path,
+        target_rows_per_file=target_rows_per_file,
+        repartition_fn=recluster,
+    )
+
+
 def iter_manifest_diffs(
     path: str,
     start_v: int,

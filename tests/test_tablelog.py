@@ -948,3 +948,70 @@ def test_dv_scan_rejects_reserved_column_names(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved"):
         delete_where(spark, path, "k < 2", mode="dv")
+
+
+def test_optimize_zorder_read_identical_and_prunes_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): content unchanged, and a 2-D box query
+    touches fewer candidate files (per-file min/max on BOTH dims) than
+    under the best linear sort — the multi-dimensional skipping claim."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        optimize_zorder,
+    )
+
+    n, parts = 64_000, 16
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 48271 % 1024).alias("x"),
+        (F.col("id") * 16807 % 1024).alias("y"),
+    )
+    # baseline: the best LINEAR layout (range-sorted on x)
+    path = str(tmp_path / "t")
+    write_versioned(
+        df.repartitionByRange(parts, "x").sortWithinPartitions("x"),
+        path,
+        "append",
+    )
+
+    def box_candidates(version):
+        files = _read_manifest(path, version)["files"]
+        import os as _os
+
+        stats = (
+            spark.read.parquet(*[_os.path.join(path, f) for f in files])
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+            )
+            .collect()
+        )
+        # box: x in [100,200], y in [100,200]
+        return sum(
+            1 for r in stats
+            if r["x1"] >= 100 and r["x0"] <= 200
+            and r["y1"] >= 100 and r["y0"] <= 200
+        ), len(stats)
+
+    lin_hit, lin_total = box_candidates(0)
+    stats = optimize_zorder(
+        spark, path, "x", "y", target_rows_per_file=n // parts
+    )
+    assert stats["rows"] == n
+    z_hit, z_total = box_candidates(stats["version"])
+    # read-identical
+    got = read_versioned(spark, path).agg(
+        F.count(F.lit(1)), F.sum("k"), F.sum("x"), F.sum("y")
+    ).collect()[0]
+    want = df.agg(
+        F.count(F.lit(1)), F.sum("k"), F.sum("x"), F.sum("y")
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    # the linear sort prunes x only: every file's y-range spans the
+    # domain, so ~2/16 files survive on x alone; zorder must do at
+    # least as well AND better than the x-only bound would suggest
+    # relative to its file count
+    assert z_total >= parts - 2 and lin_total >= parts - 2
+    assert z_hit < lin_hit, (z_hit, lin_hit)
