@@ -324,6 +324,8 @@ def vacuum_managed(
         for key in ("change_file", "change_file_pre", "change_file_post"):
             if m.get(key):
                 referenced.add(m[key])
+                # change sets are directories too (distributed writes)
+                referenced_dirs.add(m[key])
         # deletion-vector entries are DIRECTORIES of parquet parts —
         # everything under a referenced dir is alive
         referenced_dirs.update(m.get("dv_files", []))

@@ -262,12 +262,17 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
                 if os.path.exists(full):
                     os.remove(full)
                     deleted.append(f)
-        # a dropped DML version's change files go with it — no retained
-        # consumer can ask for its feed rows anymore
+        # a dropped DML version's change sets go with it — no retained
+        # consumer can ask for its feed rows anymore (directories since
+        # the distributed-write change; single files from before that)
         for key in ("change_file", "change_file_pre", "change_file_post"):
             cf = m.get(key)
-            if cf and os.path.exists(os.path.join(path, cf)):
-                os.remove(os.path.join(path, cf))
+            full_cf = os.path.join(path, cf) if cf else None
+            if cf and os.path.isdir(full_cf):
+                _shutil.rmtree(full_cf, ignore_errors=True)
+                deleted.append(cf)
+            elif cf and os.path.exists(full_cf):
+                os.remove(full_cf)
                 deleted.append(cf)
         # deletion-vector dirs: the ledger is cumulative, so a retained
         # manifest may still reference a dropped version's DV — only
@@ -459,26 +464,17 @@ def _dml_hit_files(scan, pred) -> dict[str, int]:
 
 
 def _write_change_file(df, path: str, next_v: int, tag: str = "") -> str:
-    """Record change rows under ``_changes/`` with an ATTEMPT-unique name
-    (pid suffix): the atomic manifest commit is what binds version →
-    change file, so a racing DML's losing file is never visible (an
-    orphan for vacuum's sweep)."""
-    import shutil as _shutil
-
-    change_stage = os.path.join(
-        path, "_changes", f"stage{tag}-v{next_v:08d}-{os.getpid()}"
-    )
-    df.coalesce(1).write.mode("error").parquet(change_stage)
-    part = next(
-        n for n in os.listdir(change_stage) if n.endswith(".parquet")
-    )
+    """Record change rows under ``_changes/`` as a DISTRIBUTED parquet
+    directory with an ATTEMPT-unique name (pid suffix): the atomic
+    manifest commit is what binds version → change set, so a racing
+    DML's losing directory is never visible (an orphan for vacuum's
+    sweep). A directory, not a coalesce(1) file, because a change set is
+    O(changed rows) — a retention sweep deleting 30% of a 100 TB table
+    must not funnel terabytes through one task."""
     change_rel = os.path.join(
-        "_changes", f"v{next_v:08d}{tag}-{os.getpid()}.parquet"
+        "_changes", f"v{next_v:08d}{tag}-{os.getpid()}"
     )
-    os.replace(
-        os.path.join(change_stage, part), os.path.join(path, change_rel)
-    )
-    _shutil.rmtree(change_stage, ignore_errors=True)
+    df.write.mode("error").parquet(os.path.join(path, change_rel))
     return change_rel
 
 
@@ -606,10 +602,7 @@ def update_where(
 
         shutil.rmtree(stage, ignore_errors=True)
         for rel in (change_pre, change_post):
-            try:
-                os.remove(os.path.join(path, rel))
-            except FileNotFoundError:
-                pass
+            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
         raise
     return {
         "version": tip + 1,
@@ -809,10 +802,7 @@ def delete_where(
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
-        try:
-            os.remove(os.path.join(path, change_rel))
-        except FileNotFoundError:
-            pass
+        shutil.rmtree(os.path.join(path, change_rel), ignore_errors=True)
         raise
     return {
         "version": tip + 1,

@@ -567,6 +567,20 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             self.starting_version is not None
             and start_v == self.starting_version - 1
         )
+        def change_parts(cf: str) -> list[str]:
+            # change sets are DISTRIBUTED parquet directories (one
+            # partition per part — the whole point of not coalescing a
+            # 100 TB retention sweep through one task); single .parquet
+            # files from before that change read as one partition
+            full = os.path.join(self.path, cf)
+            if os.path.isdir(full):
+                return [
+                    os.path.join(cf, n)
+                    for n in sorted(os.listdir(full))
+                    if n.endswith(".parquet")
+                ]
+            return [cf]
+
         parts: list[_FilePartition] = []
         for v, added in self._diffs(start_v, end_v, synthetic_base):
             parts.extend(_FilePartition(rel, v, "insert") for rel in added)
@@ -587,7 +601,9 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                             f"recorded {key} — a streaming change feed "
                             "cannot reconstruct the images"
                         )
-                    parts.append(_FilePartition(cf, v, kind))
+                    parts.extend(
+                        _FilePartition(p, v, kind) for p in change_parts(cf)
+                    )
                 continue
             if op != "delete":
                 continue
@@ -600,7 +616,9 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                     "read_changes predicate fallback, or re-run the "
                     "delete with a delete_where that records changes)"
                 )
-            parts.append(_FilePartition(cf, v, "delete"))
+            parts.extend(
+                _FilePartition(p, v, "delete") for p in change_parts(cf)
+            )
         if not parts:
             return [_FilePartition(None)]
         return parts
