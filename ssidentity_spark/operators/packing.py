@@ -125,3 +125,117 @@ def pack_sequences(
     return pack_token_counts(
         counts, seq_len=seq_len, n_buckets=n_buckets
     )
+
+
+def pack_nosplit(
+    counts: DataFrame,
+    seq_len: int = 2048,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    order_col: str = "m",
+    oversize: str = "error",
+) -> DataFrame:
+    """NO-SPLIT packing: every document lands WHOLE inside one sequence
+    (the SFT / instruction-tuning constraint — an example must never
+    cross a sequence boundary), via next-fit-decreasing per bucket:
+    docs sort by token count DESC (deterministic (order, id) tiebreak),
+    and each doc joins the current open sequence if it fits, else opens
+    a new one. Unlike the split form, fill < 1.0 is inherent — the
+    per-sequence fill is the audit the caller monitors.
+
+    Scale shape: each bucket's fold is a per-key ARRAY aggregate (the
+    ts_ema / w6 pattern) — sequential by nature (bin packing is), so
+    parallelism comes from bucket count and bucket size is the memory
+    bound: size ``n_buckets`` so a bucket's (id, len) pairs fit a task
+    (tens of bytes per doc — 10M docs/bucket ≈ a few hundred MB; cap
+    accordingly). Next-fit (not first-fit) is deliberate: it needs O(1)
+    fold state, and on DESC-sorted input its fill is within a few
+    percent of first-fit-decreasing while staying engine-replayable as
+    a linear recurrence (the DuckDB oracle replays it as a recursive
+    CTE).
+
+    ``oversize``: a doc longer than ``seq_len`` cannot be packed whole —
+    ``'error'`` raises at evaluation (raise_error guard inside the
+    plan); ``'drop'`` excludes them (the caller truncates upstream).
+
+    Returns ``(bucket, seq_no, doc_id, n_tokens, seq_offset)`` — one row
+    per document."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if oversize not in ("error", "drop"):
+        raise ValueError(f"oversize must be error|drop, got {oversize!r}")
+    L = F.lit(seq_len)
+    t = counts.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(order_col).alias("m"),
+        (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
+        F.col(count_col).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    if oversize == "drop":
+        t = t.filter(F.col("n_tokens") <= L)
+    else:
+        t = t.withColumn(
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > L,
+                F.raise_error(
+                    F.concat(
+                        F.lit("pack_nosplit: doc "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(f" exceeds seq_len {seq_len}; truncate "
+                              "upstream or pass oversize='drop'"),
+                    )
+                ).cast("bigint"),
+            ).otherwise(F.col("n_tokens")),
+        )
+    # sort key: length DESC via (L - n), then (m, doc_id) — sort_array is
+    # ascending over the struct fields in order
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                (L - F.col("n_tokens")).alias("inv"),
+                F.col("m").alias("m"),
+                F.col("doc_id").alias("doc_id"),
+                F.col("n_tokens").alias("n"),
+            )
+        )
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("bin"),
+        F.lit(0).cast("long").alias("fill"),
+        F.expr(
+            "CAST(array() AS array<struct<doc_id: bigint, n: bigint,"
+            " bin: bigint, off: bigint>>)"
+        ).alias("out"),
+    )
+
+    def step(acc, e):
+        fits = acc["fill"] + e["n"] <= L
+        nbin = F.when(fits, acc["bin"]).otherwise(acc["bin"] + 1)
+        noff = F.when(fits, acc["fill"]).otherwise(F.lit(0).cast("long"))
+        nfill = noff + e["n"]
+        row = F.struct(
+            e["doc_id"].alias("doc_id"),
+            e["n"].alias("n"),
+            nbin.alias("bin"),
+            noff.alias("off"),
+        )
+        return F.struct(
+            nbin.alias("bin"),
+            nfill.alias("fill"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    folded = t.groupBy("bucket").agg(
+        F.aggregate(arr, zero, step).alias("st")
+    )
+    return folded.select(
+        "bucket", F.explode(F.col("st.out")).alias("e")
+    ).select(
+        "bucket",
+        F.col("e.bin").alias("seq_no"),
+        F.col("e.doc_id").alias("doc_id"),
+        F.col("e.n").alias("n_tokens"),
+        F.col("e.off").alias("seq_offset"),
+    )

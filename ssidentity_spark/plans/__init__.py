@@ -152,8 +152,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # `mm_image_dhash`, `dedup_image_neardup_pairs`, `mm_audio_features`,
 # `text_bigram_logprob`, `src_update_where`, `src_change_feed_updates`,
 # `pipe_pii_redact`, `text_wordpiece_train`, `src_delete_dv`, and
-# `text_bm25_scores`, `text_inverted_postings`, and
-# `text_source_kl_divergence` (hash-green locally at
+# `text_bm25_scores`, `text_inverted_postings`,
+# `text_source_kl_divergence`, and `pipe_pack_nosplit` (hash-green locally at
 # all three SFs, never driver-recorded): those go FIRST in the r8 window, like the 8 late-r6
 # queries did this round.
 # Then rotation is pure staleness order: first the ten r1-vintage greens the

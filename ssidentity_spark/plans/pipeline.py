@@ -820,3 +820,64 @@ def pipe_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_ipv4"].alias("n_ipv4"),
         F.md5(F.encode(redact_pii(F.col("t")), "UTF-8")).alias("redacted_md5"),
     )
+
+
+@register(
+    "pipe_pack_nosplit",
+    # The no-split packing fold replayed as a RECURSIVE CTE: one
+    # recursion step per bucket rank advances (bin, fill) through the
+    # identical next-fit-decreasing recurrence, so the hash gate covers
+    # the ORDER (len desc, md5, doc_id), the fit rule, the bin
+    # advancement, and every doc's offset. Oversize docs (> seq_len)
+    # are dropped on both engines (the 'drop' policy).
+    oracle=r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, md5(text) AS m,
+             CAST(doc_id % 8 AS INTEGER) AS bucket,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+               AS n
+      FROM documents
+    ), nz AS (
+      SELECT * FROM t WHERE n > 0 AND n <= 512
+    ), d AS (
+      SELECT bucket, doc_id, n,
+             row_number() OVER (
+               PARTITION BY bucket ORDER BY n DESC, m, doc_id) AS rn
+      FROM nz
+    ), f AS (
+      SELECT bucket, rn, doc_id, n,
+             CAST(0 AS BIGINT) AS bin, n AS fill, CAST(0 AS BIGINT) AS off
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.rn, d.doc_id, d.n,
+             CASE WHEN f.fill + d.n <= 512 THEN f.bin ELSE f.bin + 1 END,
+             CASE WHEN f.fill + d.n <= 512 THEN f.fill + d.n ELSE d.n END,
+             CASE WHEN f.fill + d.n <= 512 THEN f.fill
+                  ELSE CAST(0 AS BIGINT) END
+      FROM f JOIN d ON d.bucket = f.bucket AND d.rn = f.rn + 1
+    )
+    SELECT bucket, CAST(bin AS BIGINT) AS seq_no, doc_id,
+           CAST(n AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS seq_offset
+    FROM f
+    """,
+    survey="X1,W3,U6",
+)
+def pipe_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT packing of the documents corpus into 512-token
+    sequences (8 bucket streams): every document lands whole — the SFT
+    constraint — via next-fit-decreasing (operators/packing.py:
+    pack_nosplit). Returns one row per document with its sequence and
+    offset; per-sequence fill is the groupBy audit."""
+    from ssidentity_spark.operators.packing import pack_nosplit
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.md5("text").alias("m"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return pack_nosplit(
+        counts, seq_len=512, n_buckets=8, oversize="drop"
+    )

@@ -157,3 +157,50 @@ def test_global_ids_requires_order_cols(spark):
 
     with pytest.raises(ValueError, match="order_cols"):
         assign_global_ids(spark.range(3), [])
+
+
+def test_pack_nosplit_invariants(spark):
+    """No-split packing: no sequence overfilled, every doc lands whole
+    exactly once, reruns are identical, oversize docs error or drop per
+    policy, and NFD fill beats naive arrival-order next-fit."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from ssidentity_spark.operators.packing import pack_nosplit
+
+    L = 256
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("m"),
+        ((F.col("id") * 131) % 200 + 1).alias("n_tokens"),
+    )
+    out = pack_nosplit(df, seq_len=L, n_buckets=4)
+    rows = out.collect()
+    assert len(rows) == 200  # whole docs, one row each
+    fills: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["bucket"], r["seq_no"])
+        assert r["seq_offset"] == fills.get(key, 0)  # contiguous layout
+        fills[key] = fills.get(key, 0) + r["n_tokens"]
+    assert all(v <= L for v in fills.values())
+    # deterministic rerun
+    again = {(r["doc_id"], r["bucket"], r["seq_no"], r["seq_offset"])
+             for r in pack_nosplit(df, seq_len=L, n_buckets=4).collect()}
+    assert again == {(r["doc_id"], r["bucket"], r["seq_no"], r["seq_offset"])
+                     for r in rows}
+    # oversize policy
+    big = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("m"),
+        F.lit(L + 1).alias("n_tokens"),
+    )
+    assert pack_nosplit(big, seq_len=L, n_buckets=1, oversize="drop").count() == 0
+    with pytest.raises(Exception, match="exceeds seq_len"):
+        pack_nosplit(big, seq_len=L, n_buckets=1).collect()
+    # the next-fit guarantee: consecutive bins sum > L (else the second
+    # bin's first doc would have fitted the first), so per-bucket fill
+    # exceeds ~50% apart from the final bin
+    for b in range(4):
+        bucket_fills = [v for (bk, _), v in sorted(fills.items()) if bk == b]
+        for f1, f2 in zip(bucket_fills, bucket_fills[1:]):
+            assert f1 + f2 > L, (b, f1, f2)
