@@ -350,6 +350,19 @@ def vacuum_managed(
                 ):
                     os.remove(full)
                     orphans.append(rel)
+        # second pass, bottom-up: losing racers' now-empty attempt
+        # directories would otherwise accumulate forever (and be
+        # re-walked by every future vacuum)
+        for dirpath, _dirs, names in os.walk(
+            os.path.join(path, sub), topdown=False
+        ):
+            rel = os.path.relpath(dirpath, path)
+            if (
+                rel not in (sub, ".")
+                and rel not in referenced_dirs
+                and not os.listdir(dirpath)
+            ):
+                os.rmdir(dirpath)
     return {
         "data": sorted(deleted_data),
         "sidecars": sorted(dropped_sidecars),

@@ -203,17 +203,7 @@ def read_versioned(
     if m.get("dv_files"):
         # merge-on-read: anti-join the snapshot's deletion vectors out
         # (the DV read path — see delete_where(mode='dv'))
-        raw = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, f) for f in files]
-        )
-        cols = (
-            [n for n, _t in m["schema"]] if m.get("schema") else raw.columns
-        )
-        type_of = (
-            dict(m["schema"])
-            if m.get("schema")
-            else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
-        )
+        cols, type_of = _manifest_cols(spark, path, m, files)
         return _scan_with_positions(
             spark, path, m, files, cols, type_of
         ).drop("_f", "_p")
@@ -336,19 +326,7 @@ def optimize(
     # the read-cost debt dv-mode deletes accumulate is paid off exactly
     # once, in the maintenance job.
     if tip_m.get("dv_files"):
-        raw = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, f) for f in files]
-        )
-        cols = (
-            [n for n, _t in tip_m["schema"]]
-            if tip_m.get("schema")
-            else raw.columns
-        )
-        type_of = (
-            dict(tip_m["schema"])
-            if tip_m.get("schema")
-            else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
-        )
+        cols, type_of = _manifest_cols(spark, path, tip_m, files)
         df = _scan_with_positions(
             spark, path, tip_m, files, cols, type_of
         ).drop("_f", "_p")
@@ -398,6 +376,22 @@ def optimize(
     }
 
 
+def _manifest_cols(spark, path, m, files) -> tuple[list[str], dict]:
+    """(column order, name→simpleString) for a snapshot. From the
+    manifest's recorded schema when present — ZERO file I/O on the
+    common path — else inferred once via a mergeSchema reader (which
+    reads every file's footer; the price of a schema-less legacy log)."""
+    if m.get("schema"):
+        return [n for n, _t in m["schema"]], dict(m["schema"])
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    return (
+        list(raw.columns),
+        {f.name: f.dataType.simpleString() for f in raw.schema.fields},
+    )
+
+
 def _dv_positions(spark, path: str, dv_files: list[str]):
     """Union of deletion-vector position sets: (f rel-path, pos)."""
     return spark.read.parquet(
@@ -424,23 +418,36 @@ def _scan_with_positions(spark, path, manifest, files, cols, type_of):
     raw = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in files]
     )
-    # _metadata.file_path is a URI whose scheme slash count varies
-    # ("file:/abs" vs "file:///abs") — locate the table root inside it
-    # instead of assuming a prefix length
-    root = os.path.abspath(path) + "/"
-    esc = root.replace("\\", "\\\\").replace("'", "\\'")
-    rel = F.expr(
-        "substring(_metadata.file_path, "
-        f"instr(_metadata.file_path, '{esc}') + {len(root)})"
+    # _metadata.file_path is a URI (scheme slash count varies, and path
+    # characters like spaces arrive percent-ENCODED) — deriving the
+    # manifest-relative path by string surgery on it is fragile. Part
+    # BASENAMES are task-unique ASCII (Spark's part-<task>-<uuid> naming)
+    # and never percent-encoded, so map basename → manifest rel path via
+    # a broadcast join against the (file-count-sized) manifest list.
+    base_map = [(os.path.basename(f), f) for f in files]
+    if len({b for b, _ in base_map}) != len(base_map):
+        raise RuntimeError(
+            f"duplicate part basenames in manifest at {path} — cannot "
+            "attribute row positions to files"
+        )
+    mdf = spark.createDataFrame(
+        base_map, "__mt_base string, __mt_rel string"
     )
-    df = raw.select(
+    raw2 = raw.select(
         *[
             F.col(c) if c in raw.columns
             else F.lit(None).cast(type_of[c]).alias(c)
             for c in cols
         ],
-        rel.alias("_f"),
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("__mt_base"),
         F.col("_metadata.row_index").alias("_p"),
+    )
+    df = (
+        raw2.join(F.broadcast(mdf), "__mt_base")
+        .drop("__mt_base")
+        .withColumnRenamed("__mt_rel", "_f")
     )
     dvs = manifest.get("dv_files") or []
     if dvs:
@@ -521,17 +528,7 @@ def update_where(
             "files_rewritten": 0,
             "files_after": 0,
         }
-    raw = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in files]
-    )
-    cols = (
-        [n for n, _t in tip_m["schema"]] if tip_m.get("schema") else raw.columns
-    )
-    type_of = (
-        dict(tip_m["schema"])
-        if tip_m.get("schema")
-        else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
-    )
+    cols, type_of = _manifest_cols(spark, path, tip_m, files)
     bad = [c for c in assignments if c not in cols]
     if bad:
         raise ValueError(f"UPDATE of unknown column(s) {bad} at {path}")
@@ -692,17 +689,7 @@ def delete_where(
             "files_after": 0,
         }
     pred = F.expr(predicate)
-    raw = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in files]
-    )
-    cols = (
-        [n for n, _t in tip_m["schema"]] if tip_m.get("schema") else raw.columns
-    )
-    type_of = (
-        dict(tip_m["schema"])
-        if tip_m.get("schema")
-        else {f.name: f.dataType.simpleString() for f in raw.schema.fields}
-    )
+    cols, type_of = _manifest_cols(spark, path, tip_m, files)
     # pass 1: which files contain LIVE rows the predicate dooms?
     scan = _scan_with_positions(spark, path, tip_m, files, cols, type_of)
     hit_rel = _dml_hit_files(scan, pred)
@@ -727,6 +714,12 @@ def delete_where(
     # read path at all). Attempt-unique name, bound by the manifest
     # commit, vacuumed with its version (_write_change_file).
     doomed = src.filter(matched)
+    if mode == "dv":
+        # dv mode reads `doomed` TWICE (change file + position sidecar) —
+        # persist so the hit files are scanned and the predicate
+        # evaluated once, not per write (review: the double scan doubled
+        # the dominant read cost on dv's target workload)
+        doomed = doomed.persist()
     change_rel = _write_change_file(doomed.drop("_f", "_p"), path, tip + 1)
 
     if mode == "dv":
@@ -740,6 +733,7 @@ def delete_where(
         doomed.select(
             F.col("_f").alias("f"), F.col("_p").alias("pos")
         ).write.mode("error").parquet(os.path.join(path, dv_rel))
+        doomed.unpersist()
         meta = {
             "batch_ids": [int(b) for b in tip_m.get("batch_ids", [])],
             "predicate": predicate,
@@ -756,10 +750,12 @@ def delete_where(
             import shutil
 
             shutil.rmtree(os.path.join(path, dv_rel), ignore_errors=True)
-            try:
-                os.remove(os.path.join(path, change_rel))
-            except FileNotFoundError:
-                pass
+            # the change set is a DIRECTORY (distributed write) — rmtree,
+            # not os.remove, or the cleanup itself raises and masks the
+            # VersionConflict the caller's abort contract depends on
+            shutil.rmtree(
+                os.path.join(path, change_rel), ignore_errors=True
+            )
             raise
         return {
             "version": tip + 1,

@@ -153,12 +153,19 @@ def resample_interpolate(
         .when(F.col("nv").isNull(), F.col("pv"))
         .otherwise(blend)
     )
-    # engine-independent HALF-UP round: floor(x*10^dp + 0.5)/10^dp. The
-    # blend of 2-decimal bucket means by dyadic grid ratios lands EXACTLY
-    # on half-way doubles (e.g. 32.6509375 at sf0.1), where Spark's
-    # round() (HALF_UP) and DuckDB's (half-to-even) disagree — spelling
-    # the rule out as floor arithmetic makes both engines compute the
-    # identical double sequence, so the tie breaks identically.
+    # engine-independent round: floor(x*10^dp + 0.5)/10^dp — i.e. round
+    # half toward +INFINITY (for the non-negative measurements here that
+    # coincides with HALF_UP; for negative inputs it differs from both
+    # engines' native round, deliberately: the point is that both sides
+    # of the gate compute the IDENTICAL formula). The blend of 2-decimal
+    # bucket means by dyadic grid ratios lands EXACTLY on half-way
+    # doubles (e.g. 32.6509375 at sf0.1), where Spark's round()
+    # (HALF_UP) and DuckDB's (half-to-even) disagree — spelling the rule
+    # out as floor arithmetic makes the tie break identically. Domain
+    # note: floor() returns LongType, so |value| must stay below
+    # ~9.2e12 (2^63/10^dp) — far above any physical measurement here,
+    # and a regime where 6 fractional digits exceed double precision
+    # anyway.
     scale = F.lit(float(10**round_dp))
     rounded = F.floor(value * scale + F.lit(0.5)) / scale
     return bracketed.select(

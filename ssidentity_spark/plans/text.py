@@ -732,9 +732,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     at petabyte scale materialize the tf table once (write_versioned)
     and point every consumer at it."""
     d = load_table(spark, sf_dir, "documents")
-    wl = d.select(
+    # the MODEL (context counts, vocabulary) fits on ALL tokens — the
+    # oracle's tok CTE reads the unfiltered word lists, so a one-word
+    # document must contribute to c(a)/V on this side too even though it
+    # produces no bigram transitions (review: the >=2 filter previously
+    # sat upstream of everything, silently diverging on 1-word docs)
+    wl_all = d.select(
         "doc_id", F.filter(_words(), lambda x: x != "").alias("w")
-    ).where(F.size("w") >= 2)
+    )
+    wl = wl_all.where(F.size("w") >= 2)
     bg = wl.select(
         "doc_id",
         F.explode(
@@ -746,7 +752,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "p.a", "p.b")
     btf = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("tf"))
     model = btf.groupBy("a", "b").agg(F.sum("tf").cast("long").alias("cab"))
-    tok = wl.select("doc_id", F.explode("w").alias("term"))
+    tok = wl_all.select("doc_id", F.explode("w").alias("term"))
     uc = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
     vocab = uc.agg(F.count(F.lit(1)).alias("v"))
     logp = F.log((F.col("cab") + 1.0) / (F.col("c") + F.col("v")))

@@ -1015,3 +1015,36 @@ def test_optimize_zorder_read_identical_and_prunes_both_dims(spark, tmp_path):
     # relative to its file count
     assert z_total >= parts - 2 and lin_total >= parts - 2
     assert z_hit < lin_hit, (z_hit, lin_hit)
+
+
+def test_dv_delete_aborts_cleanly_on_version_race(spark, tmp_path):
+    """A dv-mode delete losing a version race must surface the
+    VersionConflict itself (not an IsADirectoryError from the cleanup)
+    and leave no committed damage; its change/DV directories become
+    unreferenced orphans."""
+    import ssidentity_spark.operators.tablelog as tl
+
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    real_commit = tl._commit
+    raced = {"done": False}
+
+    def racing_commit(p, version, files, operation, meta=None):
+        if not raced["done"]:
+            raced["done"] = True
+            write_versioned(_df(spark, 100, 103), path, "append")
+        return real_commit(p, version, files, operation, meta=meta)
+
+    tl._commit = racing_commit
+    try:
+        with pytest.raises(VersionConflict):
+            tl.delete_where(spark, path, "k < 5", mode="dv")
+    finally:
+        tl._commit = real_commit
+    assert read_versioned(spark, path).count() == 13
+    # no manifest references a dv or change set from the losing attempt
+    from ssidentity_spark.operators.tablelog import _read_manifest, history
+
+    for h in history(path):
+        m = _read_manifest(path, h["version"])
+        assert not m.get("dv_files") and not m.get("change_file")
