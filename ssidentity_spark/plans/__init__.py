@@ -148,14 +148,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # r8 ROTATION QUEUE: after CORRECTNESS_r07 lands, regenerate
 # DRIVER_VERIFIED_HISTORY (tools/driver_history.py) — if r7 goes green the
 # cumulative driver-verified set covers every oracled query EXCEPT the
-# late-r7 additions `src_delete_where`, `src_change_feed_deletes`,
+# 15 late-r7 additions — `src_delete_where`, `src_change_feed_deletes`,
 # `mm_image_dhash`, `dedup_image_neardup_pairs`, `mm_audio_features`,
 # `text_bigram_logprob`, `src_update_where`, `src_change_feed_updates`,
-# `pipe_pii_redact`, `text_wordpiece_train`, `src_delete_dv`, and
+# `pipe_pii_redact`, `text_wordpiece_train`, `src_delete_dv`,
 # `text_bm25_scores`, `text_inverted_postings`,
-# `text_source_kl_divergence`, and `pipe_pack_nosplit` (hash-green locally at
-# all three SFs, never driver-recorded): those go FIRST in the r8 window, like the 8 late-r6
-# queries did this round.
+# `text_source_kl_divergence`, and `pipe_pack_nosplit` — all hash-green
+# locally at ALL THREE SFs but never driver-recorded: those go FIRST in
+# the r8 window, like the 8 late-r6 queries did this round.
 # Then rotation is pure staleness order: first the ten r1-vintage greens the
 # r7 first-timers displaced mid-round (o1_global_sort_top,
 # o4_except_users, w2_transitions, w3_rolling_count_10min,
