@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,7 +55,10 @@ def _versions(path: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(d):
-        if name.startswith("v") and name.endswith(".json"):
+        # strict match: a stray file in _log/ (editor artifact, tool
+        # droppings) must be ignored, not crash every reader with a
+        # ValueError from int()
+        if re.fullmatch(r"v\d{8}\.json", name):
             out.append(int(name[1:-5]))
     return sorted(out)
 
@@ -73,6 +78,16 @@ class VersionConflict(Exception):
     retry (optimistic concurrency's contract)."""
 
 
+_CORE_MANIFEST_KEYS = ("version", "operation", "files", "parent")
+
+
+def _attempt_tag() -> str:
+    """pid + uuid: staging/change/DV paths must be unique across
+    PROCESSES and THREADS — two foreachBatch sinks in one driver racing
+    the same version would otherwise collide on a pid-only name."""
+    return f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+
 def _commit(
     path: str,
     version: int,
@@ -80,6 +95,14 @@ def _commit(
     operation: str,
     meta: dict | None = None,
 ) -> None:
+    clobber = [k for k in (meta or {}) if k in _CORE_MANIFEST_KEYS]
+    if clobber:
+        # meta is a public passthrough (write_versioned/commit_files) —
+        # letting it overwrite the core commit record would falsify the
+        # file list or history chain silently
+        raise ValueError(
+            f"meta must not override core manifest keys {clobber}"
+        )
     os.makedirs(_log_dir(path), exist_ok=True)
     manifest = {
         "version": version,
@@ -92,8 +115,14 @@ def _commit(
     # file first, then os.link() publishes it — link is atomic and fails
     # with FileExistsError if v{N} exists, so a crash mid-write leaves
     # only an invisible tmp (never a truncated manifest that would wedge
-    # latest_version), and exactly one racing writer can publish v{N}
-    tmp = _manifest_path(path, version) + f".tmp-{os.getpid()}"
+    # latest_version), and exactly one racing writer can publish v{N}.
+    # The tmp name carries a uuid, not just the pid: two THREADS in one
+    # driver (two foreachBatch sinks, retry loops) racing the same
+    # version must not share — and truncate — each other's tmp bytes.
+    tmp = (
+        _manifest_path(path, version)
+        + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
         f.flush()
@@ -106,6 +135,14 @@ def _commit(
         ) from e
     finally:
         os.unlink(tmp)
+    # durability needs the DIRECTORY entry on disk too, not only the
+    # file bytes: without this a power loss after the caller was told
+    # "committed" can silently roll the log back one version
+    dfd = os.open(_log_dir(path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _df_schema_spec(df: DataFrame) -> list[list[str]]:
@@ -170,7 +207,7 @@ def write_versioned(
             _read_manifest(path, parent).get("schema"), _df_schema_spec(df), mode
         )
     attempt_version = 0 if parent is None else parent + 1
-    stage = os.path.join(path, _DATA, f"s{attempt_version:08d}-{os.getpid()}")
+    stage = os.path.join(path, _DATA, f"s{attempt_version:08d}-{_attempt_tag()}")
     df.write.mode("error").parquet(stage)
     new_files = [
         os.path.relpath(os.path.join(stage, n), path)
@@ -338,7 +375,7 @@ def optimize(
             df = df.select(*[n for n, _t in tip_m["schema"]])
     n = df.count()
     n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
-    stage = os.path.join(path, _DATA, f"optimize-{tip + 1:08d}-{os.getpid()}")
+    stage = os.path.join(path, _DATA, f"optimize-{tip + 1:08d}-{_attempt_tag()}")
     # repartition_fn(df, n_files) lets layout-aware callers keep their
     # physical order through the rewrite (managed tables pass a
     # range-cluster-by-key partitioner so compaction never degrades the
@@ -355,7 +392,7 @@ def optimize(
     )
     # carry the cumulative stream-batch ledger and the recorded schema
     # forward like every commit
-    meta = {"batch_ids": [int(b) for b in tip_m.get("batch_ids", [])]}
+    meta = {"batch_ids": [str(b) for b in tip_m.get("batch_ids", [])]}
     if tip_m.get("schema"):
         meta["schema"] = tip_m["schema"]
     try:
@@ -408,11 +445,11 @@ def _scan_with_positions(spark, path, manifest, files, cols, type_of):
     files outside ``files`` are inert, so subset scans are safe."""
     from pyspark.sql import functions as F
 
-    clash = [c for c in cols if c in ("_f", "_p")]
+    clash = [c for c in cols if c in ("_f", "_p", "__mt_base", "__mt_rel")]
     if clash:
         raise ValueError(
             f"table at {path} has column(s) {clash} that collide with "
-            "the DV scan's internal position columns — rename them "
+            "the DV scan's internal columns — rename them "
             "(leading-underscore names are reserved, like Delta's)"
         )
     raw = spark.read.option("mergeSchema", "true").parquet(
@@ -460,6 +497,38 @@ def _scan_with_positions(spark, path, manifest, files, cols, type_of):
     return df
 
 
+def _require_deterministic(scan, sql_exprs: list[str], context: str) -> None:
+    """DML predicates/assignments are re-evaluated across SEVERAL
+    independent jobs (hit pass, rewrite, change files) — a
+    non-deterministic expression (rand(), uuid(), shuffle(), ...) would
+    commit data that silently disagrees with the recorded change feed.
+    Reject up front via the analyzer's own deterministic flag, as the
+    production lakehouses do. (Limitation: current_timestamp() carries
+    deterministic=true — it is per-QUERY constant — yet still varies
+    across this module's jobs; precompute time into a column.)"""
+    from pyspark.sql import functions as F
+
+    probe = scan.limit(0).select(
+        *[F.expr(e).alias(f"__det{i}") for i, e in enumerate(sql_exprs)]
+    )
+    try:
+        exprs = probe._jdf.queryExecution().analyzed().expressions()
+        bad = [
+            sql_exprs[i]
+            for i in range(exprs.length())
+            if not exprs.apply(i).deterministic()
+        ]
+    except Exception:  # introspection failure must not block valid DML
+        return
+    if bad:
+        raise ValueError(
+            f"{context} uses non-deterministic expression(s) {bad} — "
+            "DML evaluates expressions in multiple independent jobs, so "
+            "the committed data and the change feed would disagree; "
+            "precompute the value into a column first"
+        )
+
+
 def _dml_hit_files(scan, pred) -> dict[str, int]:
     """ONE distributed pass over a position-carrying scan: which files
     contain LIVE rows where ``pred`` is TRUE, and how many each. The
@@ -479,7 +548,7 @@ def _write_change_file(df, path: str, next_v: int, tag: str = "") -> str:
     O(changed rows) — a retention sweep deleting 30% of a 100 TB table
     must not funnel terabytes through one task."""
     change_rel = os.path.join(
-        "_changes", f"v{next_v:08d}{tag}-{os.getpid()}"
+        "_changes", f"v{next_v:08d}{tag}-{_attempt_tag()}"
     )
     df.write.mode("error").parquet(os.path.join(path, change_rel))
     return change_rel
@@ -534,6 +603,9 @@ def update_where(
         raise ValueError(f"UPDATE of unknown column(s) {bad} at {path}")
     pred = F.expr(predicate)
     scan = _scan_with_positions(spark, path, tip_m, files, cols, type_of)
+    _require_deterministic(
+        scan, [predicate, *assignments.values()], "UPDATE"
+    )
     hit_rel = _dml_hit_files(scan, pred)
     rows_updated = sum(hit_rel.values())
     if not hit_rel:
@@ -545,9 +617,12 @@ def update_where(
             "files_after": len(files),
         }
     kept = [f for f in files if f not in hit_rel]
+    # src backs THREE write jobs (rewritten parts, pre images, post
+    # images) — persist so the hit files are scanned once, not per
+    # consumer (the same fix dv-mode delete carries for its double scan)
     src = _scan_with_positions(
         spark, path, tip_m, sorted(hit_rel), cols, type_of
-    ).drop("_f", "_p")
+    ).drop("_f", "_p").persist()
     matched = F.coalesce(pred, F.lit(False))
 
     def post_col(c):
@@ -570,15 +645,16 @@ def update_where(
     )
     change_pre = _write_change_file(pre, path, tip + 1, tag="-pre")
     change_post = _write_change_file(post, path, tip + 1, tag="-post")
-    stage = os.path.join(path, _DATA, f"update-{tip + 1:08d}-{os.getpid()}")
+    stage = os.path.join(path, _DATA, f"update-{tip + 1:08d}-{_attempt_tag()}")
     rewritten.write.mode("error").parquet(stage)
+    src.unpersist()
     new_files = sorted(
         os.path.relpath(os.path.join(stage, n), path)
         for n in os.listdir(stage)
         if n.endswith(".parquet")
     )
     meta: dict = {
-        "batch_ids": [int(b) for b in tip_m.get("batch_ids", [])],
+        "batch_ids": [str(b) for b in tip_m.get("batch_ids", [])],
         "predicate": predicate,
         "assignments": dict(assignments),
         "rows_updated": rows_updated,
@@ -692,6 +768,7 @@ def delete_where(
     cols, type_of = _manifest_cols(spark, path, tip_m, files)
     # pass 1: which files contain LIVE rows the predicate dooms?
     scan = _scan_with_positions(spark, path, tip_m, files, cols, type_of)
+    _require_deterministic(scan, [predicate], "DELETE")
     hit_rel = _dml_hit_files(scan, pred)
     rows_deleted = sum(hit_rel.values())
     if not hit_rel:
@@ -728,14 +805,14 @@ def delete_where(
         # (no coalesce — at scale a DV can be large); the attempt-unique
         # directory is bound by the manifest commit like change files.
         dv_rel = os.path.join(
-            "_dv", f"v{tip + 1:08d}-{os.getpid()}"
+            "_dv", f"v{tip + 1:08d}-{_attempt_tag()}"
         )
         doomed.select(
             F.col("_f").alias("f"), F.col("_p").alias("pos")
         ).write.mode("error").parquet(os.path.join(path, dv_rel))
         doomed.unpersist()
         meta = {
-            "batch_ids": [int(b) for b in tip_m.get("batch_ids", [])],
+            "batch_ids": [str(b) for b in tip_m.get("batch_ids", [])],
             "predicate": predicate,
             "rows_deleted": rows_deleted,
             "change_file": change_rel,
@@ -768,7 +845,7 @@ def delete_where(
     kept = [f for f in files if f not in hit_rel]
     # pass 2 (cow): rewrite ONLY the hit files, keeping FALSE-or-NULL rows
     survivors = src.filter(~matched).drop("_f", "_p")
-    stage = os.path.join(path, _DATA, f"delete-{tip + 1:08d}-{os.getpid()}")
+    stage = os.path.join(path, _DATA, f"delete-{tip + 1:08d}-{_attempt_tag()}")
     if not kept:
         # every file is being rewritten: if the predicate doomed the whole
         # table the rewrite may stage zero parts, and a files=[] tip is
@@ -782,7 +859,7 @@ def delete_where(
         if n.endswith(".parquet")
     )
     meta = {
-        "batch_ids": [int(b) for b in tip_m.get("batch_ids", [])],
+        "batch_ids": [str(b) for b in tip_m.get("batch_ids", [])],
         "predicate": predicate,
         "rows_deleted": rows_deleted,
         "change_file": change_rel,
@@ -1099,27 +1176,31 @@ def read_changes(
     return out
 
 
-def committed_batch_ids(path: str) -> set[int]:
-    """Stream batch ids already durable in the log. The tip manifest
-    carries the cumulative ledger (``batch_ids``), so this is one JSON
-    read per call — not an O(versions) history scan, which would make
-    stream-commit cost quadratic over a query's lifetime. Falls back to
-    the full scan for logs written before the ledger existed."""
+def committed_batch_ids(path: str) -> set[str]:
+    """Stream batch TOKENS already durable in the log (bare batch ids,
+    or "<query_id>#<batch_id>" for identity-declaring writers). The tip
+    manifest carries the cumulative ledger (``batch_ids``), so this is
+    one JSON read per call — not an O(versions) history scan, which
+    would make stream-commit cost quadratic over a query's lifetime.
+    Falls back to the full scan for logs written before the ledger
+    existed."""
     tip = latest_version(path)
     if tip is None:
         return set()
     m = _read_manifest(path, tip)
     if "batch_ids" in m:
-        return {int(b) for b in m["batch_ids"]}
+        return {str(b) for b in m["batch_ids"]}
     out = set()
     for v in _versions(path):
         b = _read_manifest(path, v).get("batch_id")
         if b is not None:
-            out.add(int(b))
+            out.add(str(b))
     return out
 
 
-def versioned_stream_sink(stream_df: DataFrame, path: str, checkpoint: str):
+def versioned_stream_sink(
+    stream_df: DataFrame, path: str, checkpoint: str, query_id: str | None = None
+):
     """Structured-Streaming sink into the versioned table, exactly-once.
 
     foreachBatch's replay contract: after a crash between the data write
@@ -1132,7 +1213,7 @@ def versioned_stream_sink(stream_df: DataFrame, path: str, checkpoint: str):
     prefix of the stream."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        sink_batch(batch, batch_id, path)
+        sink_batch(batch, batch_id, path, query_id=query_id)
 
     return (
         stream_df.writeStream.foreachBatch(_sink)
@@ -1142,14 +1223,20 @@ def versioned_stream_sink(stream_df: DataFrame, path: str, checkpoint: str):
     )
 
 
-def sink_batch(batch: DataFrame, batch_id: int, path: str) -> int | None:
-    """One stream micro-batch → one append version, idempotent on
-    batch_id. Returns the committed version, or None for a replay."""
-    if int(batch_id) in committed_batch_ids(path):
+def sink_batch(
+    batch: DataFrame, batch_id: int, path: str, query_id: str | None = None
+) -> int | None:
+    """One stream micro-batch → one append version, idempotent on the
+    batch token. ``query_id`` scopes the token (Delta's appId idea):
+    WITHOUT it, two different streaming queries sinking into one table
+    would read each other's batch numbers as replays and silently drop
+    data — pass a stable per-query id (e.g. derived from the checkpoint
+    path) whenever more than one stream writes the table. Returns the
+    committed version, or None for a replay."""
+    token = f"{query_id}#{int(batch_id)}" if query_id else str(int(batch_id))
+    if token in committed_batch_ids(path):
         return None  # replayed batch — already committed, exactly-once
-    return write_versioned(
-        batch, path, "append", meta={"batch_id": int(batch_id)}
-    )
+    return write_versioned(batch, path, "append", meta={"batch_id": token})
 
 
 def commit_files(
@@ -1184,11 +1271,15 @@ def commit_files(
             files = list(new_files)
         # the cumulative stream-batch ledger rides every manifest so the
         # idempotence check is one tip read; it survives overwrites (it
-        # is about stream replay, not data)
-        ledger = [int(b) for b in parent_m.get("batch_ids", [])]
+        # is about stream replay, not data). Entries are string TOKENS —
+        # bare batch ids from single-writer streams, or
+        # "<query_id>#<batch_id>" when the writer declares an identity
+        # (two different streaming queries sinking into one table must
+        # not treat each other's batch numbers as replays)
+        ledger = [str(b) for b in parent_m.get("batch_ids", [])]
         full_meta = dict(meta or {})
         if full_meta.get("batch_id") is not None:
-            ledger = sorted(set(ledger) | {int(full_meta["batch_id"])})
+            ledger = sorted(set(ledger) | {str(full_meta["batch_id"])})
         full_meta["batch_ids"] = ledger
         # deletion vectors ride appends like the batch ledger: the carried
         # files' removed rows stay removed. An overwrite replaces the data,

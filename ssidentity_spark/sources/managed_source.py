@@ -209,7 +209,9 @@ class ManagedTableDataSource(DataSource):
             raise ValueError("managed_table requires .start(path)")
         if overwrite:
             raise ValueError("managed_table stream sink is append-only")
-        return ManagedTableStreamWriter(path, schema)
+        return ManagedTableStreamWriter(
+            path, schema, query_id=self.options.get("queryid")
+        )
 
 
 def _read_padded(full_path: str, field_specs):
@@ -360,12 +362,20 @@ def _arrow_schema(field_specs):
 
 
 class ManagedTableStreamWriter(DataSourceStreamWriter):
-    def __init__(self, path: str, schema: StructType):
+    def __init__(
+        self, path: str, schema: StructType, query_id: str | None = None
+    ):
         self.path = path
         self.field_names = list(schema.fieldNames())
         self.field_specs = [
             (f.name, f.dataType.simpleString()) for f in schema.fields
         ]
+        # .option("queryId", ...): scopes the exactly-once ledger token
+        # (Delta's appId idea) — two DIFFERENT streaming queries sinking
+        # into one table must not read each other's batch numbers as
+        # replays. Stable across restarts because the caller derives it
+        # from something checkpoint-scoped.
+        self.query_id = query_id
 
     def write(self, iterator):
         import uuid
@@ -393,7 +403,12 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
         )
 
         files = self._staged(messages)
-        if int(batchId) in committed_batch_ids(self.path):
+        token = (
+            f"{self.query_id}#{int(batchId)}"
+            if self.query_id
+            else str(int(batchId))
+        )
+        if token in committed_batch_ids(self.path):
             # replayed batch: already durable — drop this attempt's stage
             for rel in files:
                 try:
@@ -405,7 +420,7 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
             self.path,
             files,
             "append",
-            meta={"batch_id": int(batchId)},
+            meta={"batch_id": token},
             schema=[[n, t] for n, t in self.field_specs],
         )
 

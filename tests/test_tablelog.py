@@ -177,11 +177,12 @@ def test_streaming_sink_exactly_once_across_replay(spark, tmp_path):
     # replay an already-committed batch through the PRODUCTION sink path
     from ssidentity_spark.operators.tablelog import sink_batch
 
-    assert sink_batch(_df(spark, 0, 10), min(batch_ids), path) is None
+    numeric = sorted(int(b) for b in batch_ids if "#" not in b)
+    assert sink_batch(_df(spark, 0, 10), numeric[0], path) is None
     assert len(history(path)) == n_versions
     assert read_versioned(spark, path).count() == 25
     # a genuinely new batch id commits
-    new_v = sink_batch(_df(spark, 25, 30), max(batch_ids) + 1, path)
+    new_v = sink_batch(_df(spark, 25, 30), numeric[-1] + 1, path)
     assert new_v == n_versions
     assert read_versioned(spark, path).count() == 30
 
@@ -1048,3 +1049,50 @@ def test_dv_delete_aborts_cleanly_on_version_race(spark, tmp_path):
     for h in history(path):
         m = _read_manifest(path, h["version"])
         assert not m.get("dv_files") and not m.get("change_file")
+
+
+def test_two_streams_with_query_ids_share_a_table(spark, tmp_path):
+    """Two DIFFERENT streaming queries sinking into one table: with
+    query-scoped ledger tokens, query B's batch 0 is NOT mistaken for a
+    replay of query A's batch 0 (the Delta appId contract); replays
+    within each query still no-op."""
+    from ssidentity_spark.operators.tablelog import sink_batch
+
+    path = str(tmp_path / "t")
+    assert sink_batch(_df(spark, 0, 5), 0, path, query_id="qA") == 0
+    # same batch number, DIFFERENT query: must commit, not no-op
+    assert sink_batch(_df(spark, 100, 103), 0, path, query_id="qB") == 1
+    assert read_versioned(spark, path).count() == 8
+    # replay within each query no-ops
+    assert sink_batch(_df(spark, 0, 5), 0, path, query_id="qA") is None
+    assert sink_batch(_df(spark, 100, 103), 0, path, query_id="qB") is None
+    assert read_versioned(spark, path).count() == 8
+
+
+def test_dml_rejects_nondeterministic_expressions(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import delete_where, update_where
+
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    with pytest.raises(ValueError, match="non-deterministic"):
+        delete_where(spark, path, "rand() < 0.5")
+    with pytest.raises(ValueError, match="non-deterministic"):
+        update_where(spark, path, "k < 5", {"k": "CAST(rand() * 100 AS BIGINT)"})
+    assert read_versioned(spark, path).count() == 10  # nothing committed
+
+
+def test_commit_meta_cannot_clobber_core_keys(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="core manifest keys"):
+        write_versioned(
+            _df(spark, 0, 3), path, "append", meta={"files": ["evil"]}
+        )
+
+
+def test_stray_file_in_log_dir_is_ignored(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 3), path, "append")
+    open(os.path.join(path, "_log", "version.json"), "w").write("{}")
+    open(os.path.join(path, "_log", "v1.json.bak"), "w").write("junk")
+    assert latest_version(path) == 0
+    assert read_versioned(spark, path).count() == 3
