@@ -42,6 +42,24 @@ def _index_path(path: str, version: int) -> str:
     return os.path.join(path, "_index", f"bloom-v{version:08d}.json")
 
 
+def _write_sidecar(path: str, version: int, key: str, m_bits: int, index: dict) -> None:
+    """Publish the bloom sidecar ATOMICALLY (tmp + os.replace, the
+    fileindex.py pattern): a crash mid-write must leave the previous
+    state, never a truncated JSON that readers would choke on (the data
+    source degrades gracefully on a bad sidecar, but a clean one should
+    simply never exist)."""
+    import uuid
+
+    final = _index_path(path, version)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = final + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"key": key, "m_bits": m_bits, "k": INDEX_K, "files": index}, f
+        )
+    os.replace(tmp, final)
+
+
 def write_managed(
     spark: SparkSession,
     df: DataFrame,
@@ -83,12 +101,7 @@ def write_managed(
     )
     index = {rel: parent_index[rel] for rel in files if rel in parent_index}
     index.update(new_index)
-    os.makedirs(os.path.dirname(_index_path(path, version)), exist_ok=True)
-    with open(_index_path(path, version), "w") as f:
-        json.dump(
-            {"key": cluster_key, "m_bits": m_bits, "k": INDEX_K, "files": index},
-            f,
-        )
+    _write_sidecar(path, version, cluster_key, m_bits, index)
     return version
 
 
@@ -137,11 +150,7 @@ def optimize_managed(
     index = build_bloom_index(
         spark, path, key, m_bits=m_bits, files=files, write_sidecar=False
     )
-    os.makedirs(os.path.dirname(_index_path(path, version)), exist_ok=True)
-    with open(_index_path(path, version), "w") as f:
-        json.dump(
-            {"key": key, "m_bits": m_bits, "k": INDEX_K, "files": index}, f
-        )
+    _write_sidecar(path, version, key, m_bits, index)
     return {**stats, "indexed_files": len(index)}
 
 
@@ -208,11 +217,7 @@ def _reindex_incremental(
         else {}
     )
     index = {**carried, **new_index}
-    os.makedirs(os.path.dirname(_index_path(path, version)), exist_ok=True)
-    with open(_index_path(path, version), "w") as f:
-        json.dump(
-            {"key": key, "m_bits": m_bits, "k": INDEX_K, "files": index}, f
-        )
+    _write_sidecar(path, version, key, m_bits, index)
     return len(index)
 
 

@@ -54,8 +54,9 @@ from ssidentity_spark.operators.tablelog import (
 FORMAT_NAME = "managed_table"
 
 
-def _index_sidecar(path: str, version: int) -> str:
-    return os.path.join(path, "_index", f"bloom-v{version:08d}.json")
+# ONE definition of the sidecar path contract (operators/managed.py owns
+# it) — a rename there must not silently disable pruning here
+from ssidentity_spark.operators.managed import _index_path as _index_sidecar  # noqa: E402
 
 
 class ManagedTableDataSource(DataSource):
@@ -84,6 +85,17 @@ class ManagedTableDataSource(DataSource):
 
         base = self._table_schema()
         if self._cdf():
+            clash = [
+                f.name
+                for f in base.fields
+                if f.name in ("_commit_version", "_change_type")
+            ]
+            if clash:
+                raise ValueError(
+                    f"table columns {clash} collide with the change "
+                    "feed's metadata columns — rename them before "
+                    "reading with readChangeFeed"
+                )
             # change-feed reads append the CDF metadata columns to the
             # table schema — same contract as the batch read_changes
             return StructType(
@@ -191,6 +203,12 @@ class ManagedTableDataSource(DataSource):
             raise ValueError("managed_table requires .load(path)")
         sv = self.options.get("startingversion")
         mv = self.options.get("maxversionspertrigger")
+        if mv is not None and int(mv) < 1:
+            # 0 would cap every post-first-batch offset at _last_end + 0:
+            # the stream silently freezes forever instead of erroring
+            raise ValueError(
+                f"maxVersionsPerTrigger must be >= 1, got {mv}"
+            )
         ig = str(self.options.get("ignoredeletes", "false")).lower() == "true"
         iu = str(self.options.get("ignoreupdates", "false")).lower() == "true"
         return ManagedTableStreamReader(
@@ -215,27 +233,40 @@ class ManagedTableDataSource(DataSource):
 
 
 def _read_padded(full_path: str, field_specs):
-    """Read one part file projecting the DECLARED schema: columns the
+    """Stream one part file projecting the DECLARED schema: columns the
     file predates (additive evolution) are materialized as typed nulls,
     and order follows the declaration — so every emitted Arrow batch has
-    the identical layout regardless of which schema era wrote the part."""
+    the identical layout regardless of which schema era wrote the part.
+    Batches come from ``iter_batches`` (row-group granularity), so task
+    memory is bounded by one row group, not one file — a 1 GB compacted
+    part no longer materializes whole before the first batch."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     target = _arrow_schema(field_specs)
-    have = set(pq.read_schema(full_path).names)
+    pf = pq.ParquetFile(full_path)
+    have = set(pf.schema_arrow.names)
     present = [f.name for f in target if f.name in have]
-    table = pq.read_table(full_path, columns=present)
-    cols = []
-    for f in target:
-        if f.name in have:
-            col = table.column(f.name)
-            if col.type != f.type:
-                col = col.cast(f.type)
-            cols.append(col)
-        else:
-            cols.append(pa.nulls(table.num_rows, type=f.type))
-    yield from pa.table(dict(zip([f.name for f in target], cols)), schema=target).to_batches()
+    names = [f.name for f in target]
+    if not present:
+        # the file predates EVERY declared column: all-null rows
+        n = pf.metadata.num_rows
+        if n:
+            yield pa.RecordBatch.from_arrays(
+                [pa.nulls(n, type=f.type) for f in target], names=names
+            )
+        return
+    for batch in pf.iter_batches(columns=present):
+        cols = []
+        for f in target:
+            if f.name in have:
+                col = batch.column(batch.schema.get_field_index(f.name))
+                if col.type != f.type:
+                    col = col.cast(f.type)
+                cols.append(col)
+            else:
+                cols.append(pa.nulls(batch.num_rows, type=f.type))
+        yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 class _FilePartition(InputPartition):
@@ -272,8 +303,13 @@ class ManagedTableReader(DataSourceReader):
         self.index = None
         sidecar = _index_sidecar(path, version)
         if os.path.exists(sidecar):
-            with open(sidecar) as f:
-                self.index = json.load(f)
+            try:
+                with open(sidecar) as f:
+                    self.index = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # a crash-truncated sidecar must DEGRADE the scan (no
+                # pruning), never brick a fully committed version
+                self.index = None
         self.pruned_value = None  # set by pushFilters
 
     def pushFilters(self, filters: list[Filter]):
@@ -333,6 +369,62 @@ class _StagedFiles(WriterCommitMessage):
         self.rel_file = rel_file
 
 
+def _stage_rows(
+    iterator, field_names, field_specs, full_path, chunk_rows=65536
+) -> int:
+    """Stream rows into a staged parquet file in fixed-size Arrow chunks:
+    peak task memory is ONE chunk, not the whole partition (the previous
+    list-of-Rows + transposed-lists + arrow-table pattern held the
+    partition three times over). Returns rows written; 0 means no file
+    was created.
+
+    TIMEZONE contract: pyspark's Python data source hands write() naive
+    datetimes in the OS-LOCAL timezone, while the declared arrow type is
+    timestamp('us', tz='UTC'). pyarrow's schema-constrained conversion
+    keeps the WALL-CLOCK fields and ignores any tz offset (verified:
+    both naive 07:00 and aware 07:00-05:00 store as 07:00Z), so the fix
+    is to rewrite each value to its UTC WALL TIME first —
+    ``astimezone(timezone.utc)`` binds the OS zone to a naive value and
+    converts — making the stored instant correct on any host zone."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _arrow_schema(field_specs)
+    ts_cols = [n for n, t in field_specs if t == "timestamp"]
+    writer = None
+    total = 0
+    buf: list = []
+
+    def flush():
+        nonlocal writer, total
+        if not buf:
+            return
+        data = {c: [r[c] for r in buf] for c in field_names}
+        for c in ts_cols:
+            data[c] = [
+                None if v is None else v.astimezone(_dt.timezone.utc)
+                for v in data[c]
+            ]
+        tbl = pa.table(data, schema=schema)
+        if writer is None:
+            os.makedirs(os.path.dirname(full_path), exist_ok=True)
+            writer = pq.ParquetWriter(full_path, schema)
+        writer.write_table(tbl)
+        total += len(buf)
+        buf.clear()
+
+    for r in iterator:
+        buf.append(r)
+        if len(buf) >= chunk_rows:
+            flush()
+    flush()
+    if writer is not None:
+        writer.close()
+    return total
+
+
 def _arrow_schema(field_specs):
     """Spark (name, simpleString) pairs → explicit pyarrow schema, so
     staged parts carry the DECLARED types — never pa.table inference,
@@ -380,18 +472,14 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
     def write(self, iterator):
         import uuid
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        rows = list(iterator)
-        if not rows:
-            return _StagedFiles(None)
-        data = {c: [r[c] for r in rows] for c in self.field_names}
         rel = os.path.join("data", "stream", f"{uuid.uuid4().hex}.parquet")
-        full = os.path.join(self.path, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(pa.table(data, schema=_arrow_schema(self.field_specs)), full)
-        return _StagedFiles(rel)
+        n = _stage_rows(
+            iterator,
+            self.field_names,
+            self.field_specs,
+            os.path.join(self.path, rel),
+        )
+        return _StagedFiles(rel if n else None)
 
     def _staged(self, messages) -> list[str]:
         return [m.rel_file for m in messages if m is not None and m.rel_file]
@@ -685,18 +773,14 @@ class ManagedTableWriter(DataSourceWriter):
     def write(self, iterator):
         import uuid
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        rows = list(iterator)
-        if not rows:
-            return _StagedFiles(None)
-        data = {c: [r[c] for r in rows] for c in self.field_names}
         rel = os.path.join("data", "batch", f"{uuid.uuid4().hex}.parquet")
-        full = os.path.join(self.path, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(pa.table(data, schema=_arrow_schema(self.field_specs)), full)
-        return _StagedFiles(rel)
+        n = _stage_rows(
+            iterator,
+            self.field_names,
+            self.field_specs,
+            os.path.join(self.path, rel),
+        )
+        return _StagedFiles(rel if n else None)
 
     def commit(self, messages) -> None:
         import uuid

@@ -684,3 +684,80 @@ def test_batch_read_rejects_change_feed_option(spark, tmp_path):
             .load(path)
             .collect()
         )
+
+
+def test_stage_rows_naive_local_timestamps_store_correct_instants(tmp_path):
+    """pyspark hands write() naive OS-LOCAL datetimes; the staged parquet
+    declares timestamp('us', tz='UTC'). Without binding the local zone
+    first, Arrow would read the naive value as UTC wall time and shift
+    every instant by the host's UTC offset — pin the corrected behavior
+    under a non-UTC process timezone."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from ssidentity_spark.sources.managed_source import _stage_rows
+
+    old_tz = _os.environ.get("TZ")
+    _os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        # 2026-01-01 07:00 naive-local in New York == 12:00:00Z
+        naive = dt.datetime(2026, 1, 1, 7, 0, 0)
+        out = str(tmp_path / "part.parquet")
+        n = _stage_rows(
+            iter([{"k": 1, "ts": naive}]),
+            ["k", "ts"],
+            [("k", "bigint"), ("ts", "timestamp")],
+            out,
+        )
+        assert n == 1
+        col = pq.read_table(out).column("ts").to_pylist()[0]
+        assert col.astimezone(dt.timezone.utc) == dt.datetime(
+            2026, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc
+        )
+    finally:
+        if old_tz is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
+def test_max_versions_per_trigger_rejects_nonpositive(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import write_versioned
+
+    register(spark)
+    path = str(tmp_path / "t")
+    write_versioned(spark.range(3).selectExpr("id AS k"), path, "append")
+    import pytest
+
+    with pytest.raises(Exception, match="maxVersionsPerTrigger"):
+        (
+            spark.readStream.format("managed_table")
+            .option("maxVersionsPerTrigger", 0)
+            .load(path)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+
+
+def test_corrupt_sidecar_degrades_scan_instead_of_bricking(spark, tmp_path):
+    import os as _os
+
+    from ssidentity_spark.operators.managed import _index_path, write_managed
+
+    register(spark)
+    path = str(tmp_path / "m")
+    df = spark.range(100).selectExpr("id % 10 AS mac_key", "id AS seq")
+    write_managed(spark, df, path, "mac_key")
+    # simulate a crash-truncated sidecar
+    with open(_index_path(path, 0), "w") as f:
+        f.write('{"key": "mac_')
+    got = spark.read.format("managed_table").load(path)
+    assert got.count() == 100  # unpruned scan, not a JSONDecodeError
