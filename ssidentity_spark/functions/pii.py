@@ -47,9 +47,13 @@ def pii_counts(col: Column) -> dict[str, Column]:
     """Per-type occurrence counts on the RAW text (before redaction).
     Tallies are INDEPENDENT per pattern: a span matching two patterns
     (e.g. ``+123...@host`` is both an email and a phone) counts under
-    both, even though redaction's fixed order consumes it once."""
+    both, even though redaction's fixed order consumes it once. NULL
+    text counts 0 for every type (the coalesce matters: on legacy
+    non-ANSI clusters ``size(NULL)`` returns -1, which would skew count
+    aggregates negative and break the cross-engine contract)."""
+    safe = F.coalesce(col, F.lit(""))
     return {
-        f"n_{name}": F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        f"n_{name}": F.size(F.regexp_extract_all(safe, F.lit(pat), 0))
         for name, pat, _tok in PII_PATTERNS
     }
 

@@ -132,18 +132,10 @@ def _png_sum_pixels(
     return float(sum(px)), n_px * channels
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float]:
-    """Decode a PNG with stdlib zlib: (width, height, mean_channel).
-
-    Chunk walk (IHDR → PLTE? → IDAT* → IEND), ``zlib.decompress`` of the
-    concatenated IDAT stream, then per-scanline unfiltering (all five
-    filter types). Supported: 8-bit gray/RGB/palette/RGBA and 16-bit
-    gray/RGB/RGBA, non-interlaced AND Adam7-interlaced (each of the 7
-    sub-images is its own filtered run). Sub-byte palette depths raise
-    NotImplementedError — the boundary where a full codec library plugs
-    in. Mean is over colour channels only (alpha excluded; 16-bit
-    samples scaled to the 0-255 range), matching the BMP path.
-    """
+def _png_chunks(payload: bytes) -> tuple[bytes, bytes, bytes]:
+    """ONE chunk walk for both PNG decoders: (ihdr, concatenated idat,
+    palette). Raises for non-PNG signatures, truncated chunks, and
+    missing IHDR/IDAT."""
     if payload[:8] != _PNG_SIG:
         raise NotImplementedError("not a PNG payload")
     pos, ihdr, idat = 8, None, bytearray()
@@ -165,6 +157,22 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         pos += 12 + ln  # length + type + data + crc
     if ihdr is None or len(ihdr) < 13 or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT chunks")
+    return ihdr, bytes(idat), palette
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Decode a PNG with stdlib zlib: (width, height, mean_channel).
+
+    Chunk walk (IHDR → PLTE? → IDAT* → IEND), ``zlib.decompress`` of the
+    concatenated IDAT stream, then per-scanline unfiltering (all five
+    filter types). Supported: 8-bit gray/RGB/palette/RGBA and 16-bit
+    gray/RGB/RGBA, non-interlaced AND Adam7-interlaced (each of the 7
+    sub-images is its own filtered run). Sub-byte palette depths raise
+    NotImplementedError — the boundary where a full codec library plugs
+    in. Mean is over colour channels only (alpha excluded; 16-bit
+    samples scaled to the 0-255 range), matching the BMP path.
+    """
+    ihdr, idat, palette = _png_chunks(payload)
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, comp, filt, interlace = ihdr[8:13]
@@ -188,7 +196,7 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
     channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     bypp = channels * (depth // 8)
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = zlib.decompress(idat)
     except zlib.error as e:
         raise NotImplementedError(f"corrupt PNG IDAT stream: {e}") from e
 
@@ -291,7 +299,12 @@ def _wav_walk(payload: bytes):
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
-        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+        if cid == b"fmt ":
+            # honour the DECLARED chunk size: a short fmt chunk must
+            # fail here, not silently unpack the next chunk's bytes as
+            # garbage channels/rate (review finding)
+            if size < 16 or pos + 8 + 16 > len(payload):
+                raise NotImplementedError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
             fmt_body = payload[pos + 8 : pos + 8 + size]
         elif cid == b"data":
@@ -374,6 +387,8 @@ def decode_mp3_metadata(payload: bytes) -> dict:
         for b in payload[6:10]:
             size = (size << 7) | (b & 0x7F)  # syncsafe integer
         pos = 10 + size
+        if payload[5] & 0x10:
+            pos += 10  # ID3v2.4 footer flag: tag carries a 10-byte footer
     first = _mp3_frame_header(payload, pos)
     if first is None:
         raise NotImplementedError(
@@ -390,6 +405,8 @@ def decode_mp3_metadata(payload: bytes) -> dict:
         v, ly, kbps, r, _ch, frame_len, spf = h
         if (v, ly, r) != (version, layer, rate) or frame_len <= 4:
             break  # a mid-stream parameter change is not a valid frame
+        if pos + frame_len > len(payload):
+            break  # truncated final frame: header only, no audio body
         vbr = vbr or kbps != kbps0
         n_frames += 1
         n_samples += spf
@@ -437,6 +454,10 @@ def decode_audio_samples(payload: bytes):
     import numpy as np
 
     code, channels, rate, block_align, bits, data = _wav_walk(payload)
+    # truncate to whole FRAMES up front so the sample count always
+    # equals decode_audio's header-derived n_samples × channels — a
+    # trailing partial frame must not surface as orphan channel samples
+    data = data[: len(data) // block_align * block_align]
     if code == _WAV_FLOAT:
         if bits == 32:
             samples = np.frombuffer(
@@ -514,6 +535,8 @@ def wav_roundtrip_features(df: DataFrame, max_samples: int = 512) -> DataFrame:
             sums: list[int] = []
             peaks: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # NULL rows skip, like sub-minimum ones
                 b = text.encode("utf-8")
                 n = min(len(b) // 2, max_samples)
                 if n == 0:
@@ -554,6 +577,8 @@ def flac_roundtrip_features(df: DataFrame, max_samples: int = 512) -> DataFrame:
             sums: list[int] = []
             peaks: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # NULL rows skip, like sub-minimum ones
                 b = text.encode("utf-8")
                 n = min(len(b) // 2, max_samples)
                 if n == 0:
@@ -598,6 +623,8 @@ def extract_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             widths, heights, sizes, checks = [], [], [], []
             for payload in pdf["payload"]:
+                if payload is None:
+                    continue  # NULL rows skip, like sub-minimum ones
                 b = bytes(payload)
                 w, h = fake_decode(b)
                 widths.append(w)
@@ -637,6 +664,8 @@ def extract_image_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             ws, hs, ms = [], [], []
             for payload in pdf["payload"]:
+                if payload is None:
+                    continue  # NULL rows skip, like sub-minimum ones
                 w, h, m = decode_image(bytes(payload))
                 ws.append(w)
                 hs.append(h)
@@ -687,6 +716,8 @@ def png_roundtrip_features(df: DataFrame, width: int = 16, max_h: int = 16) -> D
             sums: list[int] = []
             ns: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # NULL rows skip, like sub-minimum ones
                 b = text.encode("utf-8")
                 h = min(len(b) // width, max_h)
                 if h == 0:
@@ -757,6 +788,8 @@ def gif_roundtrip_features(
             sums: list[int] = []
             ns: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # NULL rows skip, like sub-minimum ones
                 b = text.encode("utf-8")
                 h = min(len(b) // (2 * width), max_h)
                 if h == 0:
@@ -835,6 +868,8 @@ def sample_frames(
             pfxs: list[str] = []
             totals: list[int] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL rows skip, like sub-minimum ones
                 b = bytes(payload)
                 n_frames = len(b) // frame_bytes
                 for i in range(0, n_frames, stride):
@@ -853,24 +888,6 @@ def sample_frames(
             )
 
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
-
-
-__all__ = [
-    "FEATURE_SCHEMA",
-    "FRAME_SCHEMA",
-    "IMAGE_FEATURE_SCHEMA",
-    "decode_image",
-    "decode_png",
-    "decode_audio",
-    "decode_mp3_metadata",
-    "fake_decode",
-    "extract_features",
-    "extract_image_features",
-    "png_roundtrip_features",
-    "PNG_ROUNDTRIP_SCHEMA",
-    "resize_stub",
-    "sample_frames",
-]
 
 
 AVI_ROUNDTRIP_SCHEMA = StructType(
@@ -914,6 +931,8 @@ def avi_roundtrip_features(
             sums: list[int] = []
             npx: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # NULL rows skip, like sub-minimum ones
                 b = text.encode("utf-8")
                 n_frames = min(len(b) // frame_px, max_frames)
                 if n_frames < 2:
@@ -971,24 +990,7 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
     Anything but 8-bit gray color-type-0 raises NotImplementedError (the
     dHash path controls its own encoder, so the narrow support is a
     contract, not a gap)."""
-    if payload[:8] != _PNG_SIG:
-        raise NotImplementedError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(payload):
-        ln = int.from_bytes(payload[pos : pos + 4], "big")
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        if len(data) != ln:
-            raise NotImplementedError("truncated PNG chunk")
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln
-    if ihdr is None or len(ihdr) < 13 or not idat:
-        raise NotImplementedError("PNG missing IHDR/IDAT chunks")
+    ihdr, idat, _palette = _png_chunks(payload)
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, comp, filt, interlace = ihdr[8:13]
@@ -996,7 +998,7 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(
             "decode_png_gray supports 8-bit gray non-interlaced only"
         )
-    raw = zlib.decompress(bytes(idat))
+    raw = zlib.decompress(idat)
     if len(raw) != height * (width + 1):
         raise NotImplementedError("PNG pixel data size mismatch")
     return width, height, _png_unfilter(raw, width, height, 1)
@@ -1058,6 +1060,8 @@ def image_dhash_features(
                 "band2": [], "band3": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # NULL rows skip, like sub-minimum ones
                 b = text.encode("utf-8")
                 h = min(len(b) // width, max_h)
                 if h < 8:
@@ -1150,6 +1154,8 @@ def audio_frame_features(
                 "wht_1": [], "wht_2": [], "wht_4": [], "wht_8": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # NULL rows skip, like sub-minimum ones
                 b = text.encode("utf-8")
                 n = min(len(b) // 2, max_samples)
                 if n < frame:

@@ -64,6 +64,11 @@ def pack_token_counts(
     positions and would emit degenerate zero-width spans)."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_buckets < 1:
+        # % 0 is DIVIDE_BY_ZERO under ANSI and a silent one-partition
+        # collapse (bucket NULL) without — the exact trap this module
+        # exists to avoid
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     L = F.lit(seq_len)
     t = counts.select(
         F.col(id_col).alias("doc_id"),
@@ -163,6 +168,8 @@ def pack_nosplit(
     per document."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if oversize not in ("error", "drop"):
         raise ValueError(f"oversize must be error|drop, got {oversize!r}")
     L = F.lit(seq_len)

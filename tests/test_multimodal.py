@@ -632,3 +632,83 @@ def test_audio_frame_features_semantics(spark):
     assert r1["wht_1"] == 32 * (hi - lo)
     # and is orthogonal to the k=2,4,8 basis functions
     assert (r1["wht_2"], r1["wht_4"], r1["wht_8"]) == (0, 0, 0)
+
+
+def test_null_rows_skip_instead_of_crashing(spark):
+    """A NULL text/payload row must be skipped like a sub-minimum one,
+    not crash the executor task (review finding: every mapInPandas loop
+    called .encode()/bytes() on the raw value)."""
+    import pandas as pd
+
+    from ssidentity_spark.operators.multimodal import (
+        audio_frame_features,
+        image_dhash_features,
+        png_roundtrip_features,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["x" * 300, None]})
+    )
+    assert png_roundtrip_features(docs).count() == 1
+    assert image_dhash_features(docs).count() == 1
+    assert audio_frame_features(docs).count() > 0
+    pay = docs.select(
+        "doc_id",
+        F.when(F.col("text").isNotNull(), F.encode("text", "UTF-8")).alias(
+            "payload"
+        ),
+    )
+    assert sample_frames(pay).filter("doc_id = 2").count() == 0
+
+
+def test_wav_short_fmt_chunk_rejected():
+    import struct
+
+    from ssidentity_spark.operators.multimodal import _wav_walk
+    import pytest
+
+    # RIFF/WAVE with a 'fmt ' chunk DECLARING size 4 followed by data
+    fmt = b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    data = b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    body = b"WAVE" + fmt + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="fmt"):
+        _wav_walk(payload)
+
+
+def test_mp3_truncated_final_frame_not_counted():
+    import struct
+
+    from ssidentity_spark.operators.multimodal import decode_mp3_metadata
+
+    # MPEG1 Layer III, 128kbps, 44100Hz: header 0xFFFB9000, frame_len 417
+    header = bytes([0xFF, 0xFB, 0x90, 0x00])
+    full = header + bytes(413)
+    meta = decode_mp3_metadata(full + full)
+    assert meta["n_frames"] == 2
+    # cut the second frame to its header: it must not count
+    meta2 = decode_mp3_metadata(full + header)
+    assert meta2["n_frames"] == 1
+
+
+def test_wav_partial_trailing_frame_consistent():
+    import struct
+
+    import numpy as np
+
+    from ssidentity_spark.operators.multimodal import (
+        decode_audio,
+        decode_audio_samples,
+    )
+
+    # stereo 16-bit, data = 6 bytes (1.5 frames)
+    fmt_body = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    fmt = b"fmt " + struct.pack("<I", 16) + fmt_body
+    data = b"data" + struct.pack("<I", 6) + b"\x01\x00\x02\x00\x03\x00"
+    body = b"WAVE" + fmt + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    ch, rate, bits, n = decode_audio(payload)
+    _ch, _r, _b, samples = decode_audio_samples(payload)
+    assert n == 1 and len(samples) == ch * n  # orphan half-frame dropped
