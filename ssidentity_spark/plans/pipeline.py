@@ -33,6 +33,57 @@ def _doc_hash():
 
 
 # ---------------------------------------------------------------------------
+# Shared corpus expressions — the ONE definition of tokenization, the
+# content fingerprint, the quality gate, and the word-n-gram hashes. The
+# streaming intake (streaming/corpus.py) imports these, so stream ≡ batch
+# parity is held by construction instead of by hand-synchronized copies
+# of the same Column expressions (r7 review).
+# ---------------------------------------------------------------------------
+
+_MIN_WORDS, _MAX_WORDS = 5, 1000
+_STOP_LO, _STOP_HI = 0.01, 0.6
+_GRAM_N = 5
+
+
+def doc_words(col="text"):
+    """Lowercased whitespace tokenization — the corpus word array."""
+    return F.split(F.lower(col), r"\s+")
+
+
+def doc_fingerprint(col="text"):
+    """Whitespace-normalized content fingerprint for exact dedup."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+def stop_ratio_expr(w):
+    """Stopword fraction of a word-array Column."""
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.size(w)
+    )
+
+
+def quality_ok_expr(w):
+    """The C4-style quality gate: length bounds + stopword-ratio band."""
+    return F.size(w).between(_MIN_WORDS, _MAX_WORDS) & stop_ratio_expr(w).between(
+        _STOP_LO, _STOP_HI
+    )
+
+
+def gram_hashes_expr(w, n: int = _GRAM_N):
+    """md5 hashes of all word-n-grams; short documents yield an empty
+    array (guarded — Spark's sequence(1, 0) would count DOWN)."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
 # EXT-pipeline — deterministic train/val/test split
 # ---------------------------------------------------------------------------
 
@@ -107,9 +158,6 @@ def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXT-pipeline — C4-style clean/dedup verdict per document
 # ---------------------------------------------------------------------------
 
-_MIN_WORDS, _MAX_WORDS = 5, 1000
-_STOP_LO, _STOP_HI = 0.01, 0.6
-
 
 @register(
     "pipe_docs_clean",
@@ -145,19 +193,13 @@ def pipe_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit trail quality iteration needs (how much did each gate cut?).
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.col("text")), r"\s+")
-    fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    stop_ratio = (
-        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
-        / F.size(w)
-    )
+    w = doc_words()
     ranked = d.select(
         "doc_id",
         F.size(w).alias("n_words"),
-        stop_ratio.alias("stop_ratio"),
+        stop_ratio_expr(w).alias("stop_ratio"),
         F.row_number()
-        .over(Window.partitionBy(fp).orderBy("doc_id"))
+        .over(Window.partitionBy(doc_fingerprint()).orderBy("doc_id"))
         .alias("dup_rank"),
     )
     verdict = (
@@ -262,7 +304,6 @@ def pipe_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contamination hits at every SF: 5/3/152 docs at sf0.001/0.01/0.1)
 _BENCH_MOD = 17
 _BENCH_REM = 3
-_GRAM_N = 5
 
 
 @register(
@@ -310,16 +351,8 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # split once into a materialized array (lambda bodies defeat CSE —
     # slicing the raw split expression would re-split per gram)
-    t = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
-    w = F.col("w")
-    grams = F.when(
-        F.size(w) >= _GRAM_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (_GRAM_N - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, _GRAM_N))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = t.select("doc_id", F.explode(grams).alias("gram"))
+    t = d.select("doc_id", doc_words().alias("w"))
+    g = t.select("doc_id", F.explode(gram_hashes_expr(F.col("w"))).alias("gram"))
     is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
     bench = g.filter(is_bench).select("gram").distinct()
     corpus = g.filter(~is_bench).distinct()
@@ -462,20 +495,14 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram) plus the broadcast — the same budget as the worst single
     stage, not the sum of all three."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.col("text")), r"\s+")
-    fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    stop_ratio = (
-        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
-        / F.size(w)
-    )
+    w = doc_words()
     ranked = d.select(
         "doc_id",
         w.alias("w"),
         F.size(w).alias("n_words"),
-        stop_ratio.alias("stop_ratio"),
+        stop_ratio_expr(w).alias("stop_ratio"),
         F.row_number()
-        .over(Window.partitionBy(fp).orderBy("doc_id"))
+        .over(Window.partitionBy(doc_fingerprint()).orderBy("doc_id"))
         .alias("dup_rank"),
     )
     ok = ranked.filter(
@@ -483,17 +510,10 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
         & F.col("stop_ratio").between(_STOP_LO, _STOP_HI)
     )
-    wcol = F.col("w")
-    grams = F.when(
-        F.size(wcol) >= _GRAM_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(wcol) - (_GRAM_N - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(wcol, i, _GRAM_N))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = gram_hashes_expr(F.col("w"))
     is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
     bench_grams = (
-        d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        d.select("doc_id", doc_words().alias("w"))
         .filter(is_bench)
         .select(F.explode(grams).alias("gram"))
         .distinct()

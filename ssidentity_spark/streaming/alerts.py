@@ -48,6 +48,54 @@ STATE_SCHEMA = StructType(
     ]
 )
 
+_INTERVAL_UNITS_MS = {
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _interval_ms(spec: str) -> int:
+    """Parse ``"N seconds|minutes|hours|days"`` to milliseconds; unknown
+    strings raise instead of silently defaulting (a gap the caller did
+    not ask for is silently-wrong alert timing)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day)s?\s*", spec)
+    if not m:
+        raise ValueError(
+            f"unparseable interval {spec!r}; expected 'N seconds|minutes|hours|days'"
+        )
+    return int(m.group(1)) * _INTERVAL_UNITS_MS[m.group(2)]
+
+
+def _fold_presence(rows: pd.DataFrame, stored, gap_ms: int, mac):
+    """Fold one micro-batch's rows (any order) into presence state.
+
+    Scans INTRA-batch gaps too: a backfill batch carrying sightings at
+    09:00 and 19:00 emits the 09:30 departure and 19:00 re-arrival that
+    batch-min/max folding would lose — so alert output is deterministic
+    with respect to how the file source packs rows into micro-batches.
+    Late rows (at or before the stored last_seen) fold nothing: they
+    neither regress last_seen nor overwrite the last-seen sensor.
+
+    Returns (alert tuples, (present, last_seen, last_sensor))."""
+    present, last_seen, last_sensor = stored
+    alerts = []
+    order = rows.sort_values("_ms", kind="mergesort")
+    for t, sensor in zip(order["_ms"], order["sensor_id"]):
+        t, sensor = int(t), str(sensor)
+        if t <= last_seen and present:
+            continue  # late or duplicate — already folded past this point
+        if not present:
+            alerts.append((mac, "arrival", t, sensor))
+        elif t - last_seen > gap_ms:
+            alerts.append((mac, "departure", last_seen + gap_ms, last_sensor))
+            alerts.append((mac, "arrival", t, sensor))
+        present, last_seen, last_sensor = True, max(last_seen, t), sensor
+    return alerts, (present, last_seen, last_sensor)
+
 
 def _presence_fn(gap_ms: int):
     def fn(
@@ -76,22 +124,14 @@ def _presence_fn(gap_ms: int):
         if rows.empty:
             return
         # event-time millis arrive as datetime64 — normalize
-        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
-        newest = int(ts_ms.max())
-        newest_sensor = str(rows.loc[ts_ms.argmax(), "sensor_id"])
+        rows = rows.assign(_ms=rows["ts"].astype("int64") // 1_000_000)
 
-        present, last_seen = False, 0
+        stored = (False, 0, None)
         if state.exists:
-            present, last_seen, _sensor = state.get
-        alerts = []
-        if not present:
-            first_i = ts_ms.argmin()
-            alerts.append(
-                (mac, "arrival", int(ts_ms.min()), str(rows.loc[first_i, "sensor_id"]))
-            )
-        last_seen = max(last_seen, newest)
-        state.update((True, last_seen, newest_sensor))
-        state.setTimeoutTimestamp(last_seen + gap_ms)
+            stored = tuple(state.get)
+        alerts, new_state = _fold_presence(rows, stored, gap_ms, mac)
+        state.update(new_state)
+        state.setTimeoutTimestamp(new_state[1] + gap_ms)
         if alerts:
             yield pd.DataFrame(
                 alerts, columns=["mac", "alert_type", "event_ms", "sensor_id"]
@@ -111,7 +151,7 @@ def presence_alerts(
     Input: OBSERVATIONS_SCHEMA streaming DataFrame. Output:
     (mac, alert_type, event_ms, sensor_id) in append mode.
     """
-    gap_ms = {"15 minutes": 900_000, "30 minutes": 1_800_000}.get(gap, 1_800_000)
+    gap_ms = _interval_ms(gap)
     return (
         obs_stream.withWatermark("ts", watermark)
         .groupBy("mac")
@@ -139,17 +179,6 @@ def presence_alerts(
 # ---------------------------------------------------------------------------
 
 
-def _tws_available(spark) -> bool:
-    """transformWithState needs the RocksDB state store provider."""
-    try:
-        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
-            StatefulProcessor,
-        )
-    except ImportError:  # pragma: no cover - pyspark < 4
-        return False
-    return True
-
-
 def presence_alerts_tws(
     obs_stream: DataFrame,
     *,
@@ -167,7 +196,7 @@ def presence_alerts_tws(
         StatefulProcessorHandle,
     )
 
-    gap_ms = {"15 minutes": 900_000, "30 minutes": 1_800_000}.get(gap, 1_800_000)
+    gap_ms = _interval_ms(gap)
 
     class PresenceProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -182,30 +211,17 @@ def presence_alerts_tws(
             if not parts:
                 return
             batch = pd.concat(parts, ignore_index=True)
-            ts_ms = (batch["ts"].astype("int64") // 1_000_000).to_numpy()
-            newest = int(ts_ms.max())
-            newest_sensor = str(batch.loc[ts_ms.argmax(), "sensor_id"])
+            batch = batch.assign(_ms=batch["ts"].astype("int64") // 1_000_000)
 
-            present, last_seen = False, 0
+            stored = (False, 0, None)
             if self._state.exists():
-                present, last_seen, _sensor = self._state.get()
-            out = []
-            if not present:
-                first_i = ts_ms.argmin()
-                out.append(
-                    (
-                        mac,
-                        "arrival",
-                        int(ts_ms.min()),
-                        str(batch.loc[first_i, "sensor_id"]),
-                    )
-                )
-            last_seen = max(last_seen, newest)
-            self._state.update((True, last_seen, newest_sensor))
+                stored = tuple(self._state.get())
+            out, new_state = _fold_presence(batch, stored, gap_ms, mac)
+            self._state.update(new_state)
             # one live timer per key: re-arm at the new departure horizon
             for t in self._handle.listTimers():
                 self._handle.deleteTimer(t)
-            self._handle.registerTimer(last_seen + gap_ms)
+            self._handle.registerTimer(new_state[1] + gap_ms)
             if out:
                 yield pd.DataFrame(
                     out, columns=["mac", "alert_type", "event_ms", "sensor_id"]

@@ -27,8 +27,12 @@ from ssidentity_spark.plans.pipeline import (
     _MIN_WORDS,
     _STOP_HI,
     _STOP_LO,
+    doc_fingerprint,
+    doc_words,
+    gram_hashes_expr,
+    quality_ok_expr,
+    stop_ratio_expr,
 )
-from ssidentity_spark.plans.text import _STOPWORDS
 
 DOCS_STREAM_SCHEMA = "ts TIMESTAMP, doc_id LONG, text STRING"
 
@@ -46,20 +50,13 @@ def clean_documents_stream(
     Same thresholds as the batch verdict (``pipe_docs_clean``); the
     keep-first-by-doc_id tiebreak of the batch form becomes keep-one-per-
     fingerprint (arrival order across micro-batches; undefined within
-    one — dedup is an idempotency guarantee, not an ordering one)."""
-    w = F.split(F.lower(F.col("text")), r"\s+")
-    fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    stop_ratio = (
-        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
-        / F.size(w)
-    )
-    quality_ok = F.size(w).between(_MIN_WORDS, _MAX_WORDS) & stop_ratio.between(
-        _STOP_LO, _STOP_HI
-    )
+    one — dedup is an idempotency guarantee, not an ordering one).
+
+    Gate and fingerprint expressions are IMPORTED from the batch module
+    (plans/pipeline.py) — one definition, stream ≡ batch by construction."""
     return (
-        docs.filter(quality_ok)
-        .withColumn("fp", fp)
+        docs.filter(quality_ok_expr(doc_words()))
+        .withColumn("fp", doc_fingerprint())
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fp"])
         .drop("fp")
@@ -85,13 +82,15 @@ def decontaminate_stream(docs: DataFrame, bench_grams: DataFrame) -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
-    n = bench_grams.count()
-    if n > MAX_BENCH_GRAMS:
+    # one job, not count()-then-collect(): the gram set IS the row count
+    rows = bench_grams.select("gram").collect()
+    if len(rows) > MAX_BENCH_GRAMS:
         raise ValueError(
-            f"{n} benchmark grams exceed the broadcast cap {MAX_BENCH_GRAMS}; "
-            "decontaminate in batch (pipe_decontaminate) instead"
+            f"{len(rows)} benchmark grams exceed the broadcast cap "
+            f"{MAX_BENCH_GRAMS}; decontaminate in batch (pipe_decontaminate) "
+            "instead"
         )
-    bench_set = {r.gram for r in bench_grams.select("gram").collect()}
+    bench_set = {r.gram for r in rows}
     bc = docs.sparkSession.sparkContext.broadcast(bench_set)
 
     @pandas_udf("boolean")
@@ -99,31 +98,21 @@ def decontaminate_stream(docs: DataFrame, bench_grams: DataFrame) -> DataFrame:
         s = bc.value
         return grams.apply(lambda gs: any(g in s for g in gs))
 
-    t = docs.select("*", F.split(F.lower(F.col("text")), r"\s+").alias("w"))
-    w = F.col("w")
-    grams = F.when(
-        F.size(w) >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 4),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, 5))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return t.withColumn("g", grams).filter(~any_hit(F.col("g"))).drop("w", "g")
+    t = docs.select("*", doc_words().alias("w"))
+    return (
+        t.withColumn("g", gram_hashes_expr(F.col("w")))
+        .filter(~any_hit(F.col("g")))
+        .drop("w", "g")
+    )
 
 
 def benchmark_gram_set(docs: DataFrame) -> DataFrame:
     """Distinct word-5-gram hashes of an eval-set frame (static side for
-    ``decontaminate_stream``; same construction as the batch oracle)."""
-    t = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("w"))
-    w = F.col("w")
-    grams = F.when(
-        F.size(w) >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 4),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, 5))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return t.select(F.explode(grams).alias("gram")).distinct()
+    ``decontaminate_stream``; the batch module's gram builder)."""
+    t = docs.select(doc_words().alias("w"))
+    return t.select(
+        F.explode(gram_hashes_expr(F.col("w"))).alias("gram")
+    ).distinct()
 
 
 def quality_monitor_stream(
@@ -140,12 +129,8 @@ def quality_monitor_stream(
     state is one count per (window, verdict) — bounded by the watermark,
     independent of corpus size.
     """
-    w = F.split(F.lower(F.col("text")), r"\s+")
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    stop_ratio = (
-        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
-        / F.size(w)
-    )
+    w = doc_words()
+    stop_ratio = stop_ratio_expr(w)
     verdict = (
         F.when(F.size(w) < _MIN_WORDS, "too_short")
         .when(F.size(w) > _MAX_WORDS, "too_long")

@@ -87,9 +87,18 @@ def _funnel_fn(
 
 def funnel_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """(user_id, ts, event_id, event_type) stream → append-only per-batch
-    snapshots of each touched key's funnel progression."""
+    snapshots of each touched key's funnel progression.
+
+    Filters to the three funnel event types FIRST — the batch query's
+    domain is users with at least one funnel event, so a user whose
+    batch carries only e.g. 'click' rows must neither allocate state nor
+    emit level-0 snapshots (they would diverge from the batch result and
+    grow state with keys the semantics say don't exist)."""
+    from pyspark.sql import functions as F
+
     return (
-        events.withWatermark("ts", watermark)
+        events.filter(F.col("event_type").isin(*_STEPS))
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _funnel_fn,

@@ -88,9 +88,17 @@ def replay_observations_rate(
     from pyspark.sql import Window
 
     stored = spark.read.parquet(obs_path)
+    # global row_number is a single-partition sort — acceptable ONLY
+    # because this is the replay harness and the table is the replay
+    # corpus, not the 100 TB archive; persist so the 1-second ticks
+    # re-join the materialized index instead of re-sorting per batch
     w = Window.orderBy("ts", "mac", "ssid")
-    indexed = stored.withColumn("seq", F.row_number().over(w) - 1)
+    indexed = stored.withColumn("seq", F.row_number().over(w) - 1).persist()
     n = indexed.count()
+    if n == 0:
+        indexed.unpersist()
+        # value % 0 would be NULL per tick → a silently empty stream
+        raise ValueError(f"replay source {obs_path} is empty")
     ticks = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
@@ -185,16 +193,63 @@ def watchlist_hits_stream(obs_stream: DataFrame, watchlist: DataFrame) -> DataFr
     return obs_stream.join(F.broadcast(watchlist), "mac", "inner")
 
 
+_SETTINGS_KEEP = 3  # retained versions — covers any in-flight reader
+
+
+def _settings_current_dir(settings_path: str) -> str | None:
+    """Resolve the live settings version via the ``_CURRENT`` pointer.
+    Falls back to the path itself for a legacy flat layout (parquet files
+    directly under settings_path); None when nothing is readable yet."""
+    import os
+
+    ptr = os.path.join(settings_path, "_CURRENT")
+    if os.path.isfile(ptr):
+        with open(ptr) as f:
+            d = os.path.join(settings_path, f.read().strip())
+        return d if os.path.isdir(d) else None
+    if os.path.isdir(settings_path) and any(
+        f.endswith(".parquet") for f in os.listdir(settings_path)
+    ):
+        return settings_path
+    return None
+
+
 def update_settings(spark: SparkSession, settings_path: str, rows, schema: str) -> None:
-    """S6 write path: replace the settings table with a crash-safe swap
-    (remote-admin "settings change", ssidentity.c:29 / README.md:13). The
-    table is tiny by contract — full rewrite is the right granularity."""
-    from ssidentity_spark.operators.maintenance import _swap_in
+    """S6 write path: publish a NEW settings version, then flip the
+    ``_CURRENT`` pointer atomically (os.replace) — remote-admin "settings
+    change" (ssidentity.c:29 / README.md:13) while readers keep running.
+
+    The earlier swap-in-place (rename aside → rename in → rmtree backup)
+    raced the live query: a micro-batch that had just listed the old
+    files would open paths the swap deleted, killing the stream — and the
+    advertised use case IS editing settings mid-query. Version dirs make
+    publication write-only: in-flight reads of the previous version stay
+    valid; only versions older than the last ``_SETTINGS_KEEP`` are
+    pruned (a reader would have to lag that many consecutive edits inside
+    one micro-batch to race the prune). The table is tiny by contract —
+    full rewrite per edit is the right granularity."""
+    import os
+    import shutil
 
     df = rows if isinstance(rows, DataFrame) else spark.createDataFrame(rows, schema)
-    stage = settings_path + "._stage"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    _swap_in(stage, settings_path)
+    os.makedirs(settings_path, exist_ok=True)
+    versions = sorted(
+        int(d[2:])
+        for d in os.listdir(settings_path)
+        if d.startswith("v=") and d[2:].isdigit()
+    )
+    n = versions[-1] + 1 if versions else 0
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(settings_path, f"v={n}")
+    )
+    tmp = os.path.join(settings_path, f"_CURRENT.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(f"v={n}")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(settings_path, "_CURRENT"))
+    for v in versions[: -(_SETTINGS_KEEP - 1)] if _SETTINGS_KEEP > 1 else versions:
+        shutil.rmtree(os.path.join(settings_path, f"v={v}"), ignore_errors=True)
 
 
 def watchlist_hits_stream_live(
@@ -206,18 +261,26 @@ def watchlist_hits_stream_live(
     propagation story the static-join stand-in lacked. foreachBatch is the
     documented Spark idiom for refreshing a slowly-changing dimension
     against a stream; the per-batch read is one tiny parquet footer, and
-    the join broadcasts it."""
+    the join broadcasts it.
+
+    Exactly-once: foreachBatch is at-least-once, so hits land in a
+    ``batch_id=N`` partition under dynamic partition overwrite — a
+    replayed micro-batch overwrites its own partition instead of
+    appending duplicate hit rows."""
 
     def _match(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        import os
 
-        if not os.path.isdir(settings_path):
+        cur = _settings_current_dir(settings_path)
+        if cur is None:
             return
-        watchlist = spark.read.parquet(settings_path)
+        watchlist = spark.read.parquet(cur)
         (
             batch.join(F.broadcast(watchlist), "mac", "inner")
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_path)
         )
 
@@ -284,13 +347,27 @@ def roster_upsert_stream(
     each micro-batch dynamically overwrites ONLY the buckets its MACs fall
     in — per-batch cost is O(batch ∪ touched buckets), not O(roster). The
     round-1 version rewrote (and rmtree'd!) the whole roster every batch:
-    O(history) per batch and a crash window where the table did not exist."""
+    O(history) per batch and a crash window where the table did not exist.
+
+    Replay safety: the merge is NOT idempotent (n_probes is a running
+    sum), so each applied batch leaves a marker in ``_applied/``; a
+    replayed micro-batch (crash after the partition overwrite, before
+    the streaming checkpoint committed) finds its marker and no-ops
+    instead of double-counting. Residual window: a crash BETWEEN the
+    multi-bucket overwrite and the marker write can still re-apply —
+    closing that needs an atomic data+ledger commit, which is what the
+    versioned table gives (``tablelog.versioned_stream_sink``); use that
+    sink where the roster must be transactional."""
     import os
 
     from ssidentity_spark.operators.maintenance import mac_roster_upsert
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        marker_dir = os.path.join(roster_path, "_applied")
+        marker = os.path.join(marker_dir, f"batch-{int(batch_id)}")
+        if os.path.exists(marker):
+            return  # replayed micro-batch — already merged, skip
         bucket = F.substring("mac", 1, 2)
         exists = os.path.isdir(roster_path) and any(
             f.startswith("mac_bucket=") for f in os.listdir(roster_path)
@@ -319,6 +396,10 @@ def roster_upsert_stream(
             .partitionBy("mac_bucket")
             .parquet(roster_path)
         )
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "x") as f:
+            f.flush()
+            os.fsync(f.fileno())
 
     return (
         obs_stream.writeStream.foreachBatch(_merge)
@@ -337,11 +418,24 @@ def write_alert_table(
     df: DataFrame, out_path: str, checkpoint: str
 ) -> StreamingQuery:
     """T9: alert sink via foreachBatch → parquet alerts table + bounded
-    console echo per micro-batch."""
+    console echo per micro-batch.
+
+    Idempotent under foreachBatch's at-least-once replay: each batch
+    owns a ``batch_id=N`` partition and dynamic overwrite replaces it on
+    retry, so a crash between the data write and the checkpoint commit
+    cannot duplicate alerts. (A fully transactional multi-writer table
+    is ``tablelog.versioned_stream_sink``; this keeps the plain-parquet
+    layout.)"""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
-        batch.write.mode("append").parquet(out_path)
+        (
+            batch.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
         batch.limit(20).show(truncate=False)
         batch.unpersist()
 

@@ -315,6 +315,137 @@ def test_presence_alerts_arrival_and_departure(spark, tmp_path):
     assert dep.event_ms == expect_ms
 
 
+def test_presence_alerts_intra_batch_gap(spark, tmp_path):
+    """T7 determinism vs file packing: a silence longer than the gap that
+    falls INSIDE one micro-batch still emits the departure + re-arrival —
+    min/max folding would silently lose both (r7 review)."""
+    from ssidentity_spark.streaming.alerts import presence_alerts
+
+    # ONE chunk → one micro-batch: AAA at t0, then silent 10 h, then back
+    chunks = [[(0, "AAA", "s1"), (600, "AAA", "s2"), (601, "ZZZ", "s3")]]
+    src = _write_chunks(spark, tmp_path, chunks)
+    stream = read_observation_stream(spark, src)
+    alerts = presence_alerts(stream, gap="30 minutes", watermark="10 minutes")
+    out = _run(alerts, tmp_path, "gap_alerts", mode="append")
+    got = sorted(
+        (r.alert_type, r.event_ms, r.sensor_id)
+        for r in spark.read.parquet(out).collect()
+        if r.mac == "AAA"
+    )
+    base = dt.datetime(2016, 7, 21, 10, 0, 0, tzinfo=dt.timezone.utc)
+    ms = lambda m: int((base + dt.timedelta(minutes=m)).timestamp() * 1000)  # noqa: E731
+    assert ("arrival", ms(0), "s1") in got
+    assert ("departure", ms(30), "s1") in got  # last sensor BEFORE the gap
+    assert ("arrival", ms(600), "s2") in got
+
+
+def test_presence_gap_interval_parsing():
+    """Unknown gap strings raise instead of silently defaulting to 30 min."""
+    import pytest as _pytest
+
+    from ssidentity_spark.streaming.alerts import _interval_ms
+
+    assert _interval_ms("15 minutes") == 900_000
+    assert _interval_ms("1 hour") == 3_600_000
+    assert _interval_ms("45 seconds") == 45_000
+    with _pytest.raises(ValueError, match="unparseable interval"):
+        _interval_ms("soon")
+    with _pytest.raises(ValueError, match="unparseable interval"):
+        _interval_ms("5 fortnights")
+
+
+def _drop_last_commit(ck: str) -> None:
+    """Crash simulation: erase the newest streaming commit record (and its
+    checksum sidecar — a stale .crc makes the checkpoint manager report a
+    concurrent query) so the restarted query replays that micro-batch."""
+    import os
+
+    d = os.path.join(ck, "commits")
+    newest = max(f for f in os.listdir(d) if not f.startswith("."))
+    os.remove(os.path.join(d, newest))
+    crc = os.path.join(d, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_alert_sink_replay_does_not_duplicate(spark, tmp_path):
+    """T9 exactly-once: delete the last streaming commit record (crash
+    after the parquet write, before the checkpoint commit) and restart —
+    the replayed micro-batch must overwrite its own batch_id partition,
+    not append duplicate alert rows."""
+    import os
+
+    from ssidentity_spark.streaming.ingest import write_alert_table
+
+    chunks = [[(0, "AAA", "s1"), (1, "BBB", "s2")]]
+    src = _write_chunks(spark, tmp_path, chunks)
+    out = str(tmp_path / "alerts_sink")
+    ck = str(tmp_path / "alerts_sink_ck")
+
+    def _run_once():
+        q = write_alert_table(read_observation_stream(spark, src), out, ck)
+        q.awaitTermination(180)
+
+    _run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 2
+    # simulate the crash window: the data write survived, the commit didn't
+    _drop_last_commit(ck)
+    _run_once()  # replays the uncommitted batch
+    assert spark.read.parquet(out).count() == n1  # no duplicates
+
+
+def test_roster_upsert_replay_does_not_double_count(spark, tmp_path):
+    """S2/A4 replay safety: same crash simulation against the roster
+    merge — the running n_probes sum must NOT be applied twice."""
+    import os
+
+    from ssidentity_spark.streaming.ingest import roster_upsert_stream
+
+    chunks = [[(0, "AAA", "s1"), (5, "AAA", "s2"), (6, "BBB", "s1")]]
+    src = _write_chunks(spark, tmp_path, chunks)
+    roster_path = str(tmp_path / "roster_replay")
+    ck = str(tmp_path / "roster_replay_ck")
+
+    def _run_once():
+        q = roster_upsert_stream(
+            read_observation_stream(spark, src), roster_path, ck
+        )
+        q.awaitTermination(180)
+
+    _run_once()
+    _drop_last_commit(ck)
+    _run_once()  # replayed batch must find its marker and no-op
+    got = {r.mac: r.n_probes for r in spark.read.parquet(roster_path).collect()}
+    assert got == {"AAA": 2, "BBB": 1}
+
+
+def test_funnel_stream_ignores_non_funnel_event_types(spark, tmp_path):
+    """Streaming funnel domain == batch domain: a user whose rows are all
+    non-funnel types must not allocate state or emit snapshots."""
+    from ssidentity_spark.streaming.funnel import funnel_stream
+
+    base = dt.datetime(2026, 5, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (1, base, 7, "signup", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 9, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 9, "error", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "nf_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    out = _run(
+        funnel_stream(spark.readStream.schema(schema).parquet(src)),
+        tmp_path,
+        "nf_funnel",
+    )
+    got = {r.user_id for r in spark.read.parquet(out).collect()}
+    assert got == {7}  # user 9 (clicks/errors only) never appears
+
+
 def test_presence_alerts_crash_resume_no_duplicate_arrival(spark, tmp_path):
     """T7 exactly-once across restarts: stop the query, add data, restart on
     the SAME checkpoint — per-key state must be restored, so a device seen
