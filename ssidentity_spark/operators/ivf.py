@@ -146,9 +146,12 @@ def ivf_topk(
     """Top-k cosine neighbors per query, searching only the query's
     ``n_probes`` nearest cells. Returns (query_id, neighbor_id, cos, rnk).
     """
-    assigned = assign_cells(em, centroids).cache()
     v = F.transform("embedding", lambda x: x.cast("double"))
-    base = assigned.select(
+    # corpus side: the ONLY consumer of the cell-assignment UDF. The
+    # query side is built straight from `em` (queries need v/nrm, never
+    # cell), so assignment runs exactly once and nothing needs a cache
+    # that would outlive this call pinned in executor storage (r7 review).
+    base = assign_cells(em, centroids).select(
         "vec_id",
         "cell",
         v.alias("v"),
@@ -156,13 +159,20 @@ def ivf_topk(
     )
 
     check_query_cap(query_ids)
-    queries = base.filter(F.col("vec_id").isin(query_ids))
+    queries = em.filter(F.col("vec_id").isin(query_ids)).select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
     q_rows = queries.collect()  # |queries| is small — capped above
     probe_map = []
     for r in q_rows:
         qv = np.asarray(r.v)
         d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
-        for c in np.argsort(d2)[:n_probes]:
+        # stable sort: exact-tied centroid distances (bit-identical
+        # centroids survive seeding on a dup-heavy corpus) must resolve
+        # to the LOWEST cid, matching the oracle's ORDER BY d2, cid
+        for c in np.argsort(d2, kind="stable")[:n_probes]:
             probe_map.append((r.vec_id, int(c)))
     probes = em.sparkSession.createDataFrame(
         probe_map, "query_id LONG, probe_cell INT"

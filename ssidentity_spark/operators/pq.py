@@ -167,7 +167,9 @@ def ivf_pq_topk(
         qv = np.asarray(r.embedding, dtype=np.float64)
         lut = adc_lut(qv, codebooks).tolist()
         d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
-        for c in np.argsort(d2)[:n_probes]:
+        # stable: exact-tied cells resolve to the lowest cid, matching
+        # the oracle's ORDER BY d2, cid (see ivf.ivf_topk)
+        for c in np.argsort(d2, kind="stable")[:n_probes]:
             probe_rows.append((int(r.vec_id), int(c), lut))
     qdf = spark.createDataFrame(
         probe_rows, "query_id LONG, probe_cell INT, lut ARRAY<ARRAY<DOUBLE>>"

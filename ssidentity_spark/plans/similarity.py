@@ -330,9 +330,19 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Float discipline: cosine/ADC scores are rounded to 6 dp before every
 # rank on both engines (ties → id), matching the long-green pinned-IVF
-# oracle; argmin decisions (cell assignment, PQ codes) compare raw d2
-# with ties broken on centroid id — numpy's argmin picks the first index,
-# ``ORDER BY d2, cid`` picks the same one.
+# oracle; argmin decisions (cell assignment, PQ codes, probe selection)
+# compare raw d2 with EXACT ties broken on centroid id — numpy argmin /
+# stable argsort pick the first (lowest-cid) index, ``ORDER BY d2, cid``
+# picks the same one. Exact ties are the realistic cross-engine hazard
+# here: duplicate corpus vectors (this corpus plants them) produce
+# bit-equal d2 per engine. NON-tied d2 values could in principle still
+# order differently across engines (numpy pairwise/BLAS summation vs
+# DuckDB sequential list_sum, ~1e-13 relative), but only when two
+# centroid distances differ by less than that error — for distinct
+# synthetic vectors the nearest-cell gaps are many orders larger, and
+# rounding d2 before argmin would WIDEN the flip window (a value within
+# summation error of a rounding boundary flips with probability
+# error/step, far above error/gap), so raw-d2 compare is deliberate.
 # ---------------------------------------------------------------------------
 
 
@@ -540,10 +550,9 @@ def _ivfpq_rerank_oracle(cent_snap: str, books_snap: str) -> str:
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means cells + probe-limited search (see operators/ivf.py)."""
-    from ssidentity_spark.io import load_table as _lt
     from ssidentity_spark.operators.ivf import ivf_topk, train_centroids
 
-    em = _lt(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(em, k=IVF_K, iters=IVF_ITERS)
     _snapshot_centroid_model("ivf_centroids", cents)
     return ivf_topk(
@@ -562,10 +571,9 @@ def sim_ivf_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the driver). The scale path when the corpus outgrows
     ``train_centroids``'s 4096-vector driver sample; same probe-limited
     search as ``sim_ivf_topk``."""
-    from ssidentity_spark.io import load_table as _lt
     from ssidentity_spark.operators.ivf import ivf_topk, train_centroids_distributed
 
-    em = _lt(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids_distributed(em, k=IVF_K, iters=IVF_ITERS)
     _snapshot_centroid_model("ivf_centroids_dist", cents)
     return ivf_topk(
@@ -576,11 +584,13 @@ def sim_ivf_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PINNED_PROBES = 2
 PINNED_CENT_MOD = 97  # centroid set: vec_id % 97 == 0 → k grows with corpus
 
-
-@register(
-    "sim_ivf_pinned_topk",
-    oracle=f"""
-    WITH {_DUCK_VEC}, cent AS (
+# Shared oracle fragment: the pinned-IVF cell-assignment → probe →
+# candidate CTE chain. Interpolated into BOTH sim_ivf_pinned_topk and
+# sim_probe_batch (which runs the identical pipeline through the
+# streaming probe operator), so a tie-break or rounding fix applies to
+# both hash-gated queries at once instead of living as two hand-synced
+# 30-line copies (r7 review).
+_PINNED_IVF_CTES = f"""cent AS (
       SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
       WHERE vec_id % {PINNED_CENT_MOD} = 0
     ), ranked AS (
@@ -605,7 +615,13 @@ PINNED_CENT_MOD = 97  # centroid set: vec_id % 97 == 0 → k grows with corpus
       FROM probes p
       JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
       JOIN cells q ON q.vec_id = p.query_id
-    )
+    )"""
+
+
+@register(
+    "sim_ivf_pinned_topk",
+    oracle=f"""
+    WITH {_DUCK_VEC}, {_PINNED_IVF_CTES}
     SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rnk
@@ -694,10 +710,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall in this corpus's mid-similarity regime, ~1.0 on near-dups —
     the compression is for candidate generation + re-rank, not final
     ranking)."""
-    from ssidentity_spark.io import load_table as _lt
     from ssidentity_spark.operators.pq import pq_adc_topk, train_codebooks
 
-    em = _lt(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings")
     books = train_codebooks(em, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
     _snapshot_codebook_model("pq_codebooks", books)
     return pq_adc_topk(em, books, list(range(N_QUERIES)), top_k=TOP_K)
@@ -715,11 +730,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout: coarse cells prune the scan to ~n_probes/k of the corpus, PQ
     codes shrink what is scanned 64×. The equi-join on cell id keeps
     candidate generation a broadcast hash join; ADC stays JVM-side."""
-    from ssidentity_spark.io import load_table as _lt
     from ssidentity_spark.operators.ivf import train_centroids
     from ssidentity_spark.operators.pq import ivf_pq_topk, train_codebooks
 
-    em = _lt(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(em, k=IVF_K, iters=IVF_ITERS)
     books = train_codebooks(em, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
     _snapshot_centroid_model("ivfpq_centroids", cents)
@@ -747,11 +761,10 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@5 0.88 at sf0.01 / 0.80 at sf0.1 vs 0.26 for raw ADC ranking —
     ADC's error is confined to the candidate boundary while full vectors
     are read for O(queries × candidates) rows only."""
-    from ssidentity_spark.io import load_table as _lt
     from ssidentity_spark.operators.ivf import train_centroids
     from ssidentity_spark.operators.pq import ivf_pq_rerank_topk, train_codebooks
 
-    em = _lt(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(em, k=IVF_K, iters=IVF_ITERS)
     books = train_codebooks(em, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
     _snapshot_centroid_model("ivfpq_rr_centroids", cents)
@@ -815,32 +828,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate; the stream ≡ batch parity test then extends that evidence to
     # the streaming execution itself.
     oracle=f"""
-    WITH {_DUCK_VEC}, cent AS (
-      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-      WHERE vec_id % {PINNED_CENT_MOD} = 0
-    ), ranked AS (
-      SELECT vec_id, v, nrm, cid,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY cell_cos DESC, cid) AS rn
-      FROM (
-        SELECT n.vec_id, n.v, n.nrm, c.cid,
-               round(list_sum(list_transform(generate_series(1, len(n.v)),
-                              i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6)
-                 AS cell_cos
-        FROM n CROSS JOIN cent c)
-    ), cells AS (
-      SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
-    ), probes AS (
-      SELECT vec_id AS query_id, cid AS cell FROM ranked
-      WHERE vec_id < {N_QUERIES} AND rn <= {N_PINNED_PROBES}
-    ), cand AS (
-      SELECT p.query_id, c.vec_id AS neighbor_id,
-             round(list_sum(list_transform(generate_series(1, len(q.v)),
-                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
-      FROM probes p
-      JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
-      JOIN cells q ON q.vec_id = p.query_id
-    )
+    WITH {_DUCK_VEC}, {_PINNED_IVF_CTES}
     SELECT '2024-05-01 12:00:00' AS win_start,
            query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
     FROM (

@@ -57,14 +57,19 @@ def _index_from_centroids(
     """Shared index construction: collect the (capped) literal model and
     assign every corpus vector to its best cell by the same rounded
     cosine + cid tiebreak the stream-side probe uses."""
-    rows = cent.collect()
-    n_scalars = sum(len(r.cv) + 2 for r in rows)  # cv elems + cid + cnrm
+    # check the cap BEFORE collecting: the cap exists to protect the
+    # driver, so materializing the full frame first would OOM exactly in
+    # the oversized case the error message is for (r7 review)
+    n_scalars = int(
+        cent.agg(F.sum(F.size("cv") + 2)).collect()[0][0] or 0
+    )  # cv elems + cid + cnrm per centroid
     if n_scalars > MAX_MODEL_SCALARS:
         raise ValueError(
-            f"{len(rows)} centroids × dim would put {n_scalars} literal "
-            f"scalars in the plan, over the cap {MAX_MODEL_SCALARS}: use a "
-            "broadcast model table, not a literal-expression model"
+            f"centroid model would put {n_scalars} literal scalars in the "
+            f"plan, over the cap {MAX_MODEL_SCALARS}: use a broadcast model "
+            "table, not a literal-expression model"
         )
+    rows = cent.collect()
     model = [(r.cid, list(r.cv), float(r.cnrm)) for r in rows]
     scored = base.crossJoin(F.broadcast(cent)).select(
         "vec_id",
@@ -199,11 +204,18 @@ def probe_stream(
             _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
         ).alias("cos"),
     )
-    # bounded per-key state: candidates from <= n_probes cells
+    # bounded per-key state: candidates from <= n_probes cells.
+    # collect_SET, not list: at-least-once upstream delivery can put the
+    # same query event in a window twice, and duplicate (cos, vec_id)
+    # structs would fill top-k ranks with the same neighbor while
+    # pushing the true k-th out (r7 review). A re-query with a CHANGED
+    # embedding in one window still contributes both score structs —
+    # within-window re-embedding is a semantics question, not a
+    # delivery-duplicate one.
     agg = scored.groupBy(F.window("ts", window).alias("win"), "query_id").agg(
         F.slice(
             F.array_sort(
-                F.collect_list(F.struct((-F.col("cos")).alias("neg"), "vec_id"))
+                F.collect_set(F.struct((-F.col("cos")).alias("neg"), "vec_id"))
             ),
             1,
             k,
