@@ -47,7 +47,10 @@ def band_key_expr(b: int):
 
 
 def _words_col():
-    return F.split(F.lower(F.col("text")), r"\s+")
+    # the one tokenization definition — shared with the text family
+    from ssidentity_spark.plans.text import _words
+
+    return _words("text")
 
 
 # ---------------------------------------------------------------------------
@@ -68,8 +71,6 @@ def _words_col():
     bench=True,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     h = F.md5("text")
     w = Window.partitionBy(h)
@@ -396,29 +397,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="EXT-dedup",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucket ROLLUP, not a self-join: aliasing `chunks` on both join
+    # sides evaluated the whole tokenize → 32-way bit-vote signature
+    # subtree twice (no exchange reuse across the join boundary — the
+    # same measured trap _spark_lsh_pairs documents). The rollup computes
+    # signatures once; bucket payload is (doc_id, simhash) — two longs
     sig = dedup_simhash(spark, sf_dir)
     chunks = sig.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
     ).withColumn("chunk_val", F.expr("shiftright(simhash, c * 8) & 255"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("int")
+    buckets = (
+        chunks.groupBy("c", "chunk_val")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "members"
+            )
+        )
+        .filter(F.size("members") >= 2)
+    )
+    m = F.col("members")
+    pair_arr = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("int")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
@@ -461,33 +478,59 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="EXT-dedup",
 )
 def dedup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE evaluation of the shingle explode: per-doc shingle counts ride
+    # along via a window, then a shared-shingle bucket rollup expands
+    # intra-bucket pairs carrying both docs' sizes — the old shape
+    # (self-join a×b + a separate sizes aggregation) evaluated the
+    # explode subtree three times (r7 review; same measured
+    # no-exchange-reuse trap as _spark_lsh_pairs)
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
     sh = _spark_shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    tagged = sh.select(
+        "doc_id",
+        "shingle",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    groups = (
+        tagged.groupBy("shingle")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias(
+                "members"
+            )
+        )
+        .filter(F.size("members") >= 2)
+    )
+    m = F.col("members")
+    pair_arr = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("na"),
+                    y["n_sh"].alias("nb"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        groups.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("p.na").alias("na"),
+            F.first("p.nb").alias("nb"),
+        )
+    )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             F.round(
                 F.col("n_inter").cast("double")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
                 6,
             ).alias("jaccard"),
         )
@@ -602,21 +645,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(EMB_N_BANDS)
         ]
     )
-    # signature-only rows through the candidate join — vectors rejoin after
-    # the distinct, so the wide arrays never ride the band shuffle
+    # signature-only rows through the candidate stage — vectors rejoin
+    # after the distinct, so the wide arrays never ride the band shuffle.
+    # Candidates come from a bucket ROLLUP, not a bands⋈bands self-join:
+    # aliasing `bands` twice evaluated the 32-projection signature
+    # subtree twice (r7 review; the measured no-exchange-reuse trap
+    # _spark_lsh_pairs documents) — the rollup computes projections once
     bands = base.select("vec_id", F.explode(band_structs).alias("bs")).select(
         "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    m = F.col("members")
+    pair_arr = F.flatten(
+        F.transform(
+            m,
+            lambda p, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda q: F.struct(p.alias("vec_a"), q.alias("vec_b")),
+            ),
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
     x = base.select(
@@ -913,32 +968,50 @@ def dedup_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     h = image_dhash_features(d).select("doc_id", "band0", "band1", "band2", "band3")
     bands = F.array("band0", "band1", "band2", "band3")
+    # bucket ROLLUP, not an exploded⋈exploded self-join: the self-join's
+    # subtree contains the Arrow PNG decode → resize → dHash pass (the
+    # most expensive per-row work in this module) and would evaluate it
+    # twice (r7 review; the measured no-exchange-reuse trap
+    # _spark_lsh_pairs documents). Bucket payload is five longs per doc
     exploded = h.select(
         "doc_id", "band0", "band1", "band2", "band3",
         F.posexplode(bands).alias("band_idx", "band_val"),
     )
-    a = exploded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("band0").alias("a0"), F.col("band1").alias("a1"),
-        F.col("band2").alias("a2"), F.col("band3").alias("a3"),
-        "band_idx", "band_val",
-    )
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band0").alias("b0"), F.col("band1").alias("b1"),
-        F.col("band2").alias("b2"), F.col("band3").alias("b3"),
-        "band_idx", "band_val",
-    )
-    def _ham(x, y):
-        return F.bit_count(F.col(x).cast("long").bitwiseXOR(F.col(y).cast("long")))
-    pairs = (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b",
-            (_ham("a0", "b0") + _ham("a1", "b1")
-             + _ham("a2", "b2") + _ham("a3", "b3")).cast("int").alias("hamming"),
+    buckets = (
+        exploded.groupBy("band_idx", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("doc_id", "band0", "band1", "band2", "band3")
+                )
+            ).alias("members")
         )
+        .filter(F.size("members") >= 2)
+    )
+
+    def _ham(x, y, k):
+        return F.bit_count(x[k].cast("long").bitwiseXOR(y[k].cast("long")))
+
+    m = F.col("members")
+    pair_arr = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    (
+                        _ham(x, y, "band0") + _ham(x, y, "band1")
+                        + _ham(x, y, "band2") + _ham(x, y, "band3")
+                    ).cast("int").alias("hamming"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         # a pair matching in k bands appears k times — one verdict per pair
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= 6)

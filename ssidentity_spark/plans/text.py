@@ -168,8 +168,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = F.array(*[F.lit(v) for v in markers])
         return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
 
-    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
-    s = {k: scores[k] for k in ("en", "es", "de", "fr", "zh")}
+    s = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
     pred = (
         F.when(
             (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
@@ -610,16 +609,23 @@ doc_words AS (
          ' ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w> ' AS s,
          len(word) + 1 AS n_syms
   FROM doc_words
-), applied AS (
+), """
+    + ", ".join(
+        # coalesce: if training exhausted before round i, b{i} is empty,
+        # its scalar subqueries are NULL, and replace(s, NULL, NULL)
+        # would NULL-collapse every document — fall back to s (a no-op
+        # merge), matching the Spark side's graceful early-stop
+        f"""applied{i} AS (
   SELECT doc_id, n_syms,
-         replace(replace(replace(replace(replace(replace(s,
-           (SELECT ' '||lhs||'  '||rhs||' ' FROM b0), (SELECT ' '||lhs||rhs||' ' FROM b0)),
-           (SELECT ' '||lhs||'  '||rhs||' ' FROM b1), (SELECT ' '||lhs||rhs||' ' FROM b1)),
-           (SELECT ' '||lhs||'  '||rhs||' ' FROM b2), (SELECT ' '||lhs||rhs||' ' FROM b2)),
-           (SELECT ' '||lhs||'  '||rhs||' ' FROM b3), (SELECT ' '||lhs||rhs||' ' FROM b3)),
-           (SELECT ' '||lhs||'  '||rhs||' ' FROM b4), (SELECT ' '||lhs||rhs||' ' FROM b4)),
-           (SELECT ' '||lhs||'  '||rhs||' ' FROM b5), (SELECT ' '||lhs||rhs||' ' FROM b5)) AS s
-  FROM doc_spaced
+         coalesce(replace(s,
+           (SELECT ' '||lhs||'  '||rhs||' ' FROM b{i}),
+           (SELECT ' '||lhs||rhs||' ' FROM b{i})), s) AS s
+  FROM {"doc_spaced" if i == 0 else f"applied{i - 1}"}
+)"""
+        for i in range(_BPE_K)
+    )
+    + f""", applied AS (
+  SELECT doc_id, n_syms, s FROM applied{_BPE_K - 1}
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_words,

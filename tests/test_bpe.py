@@ -127,3 +127,33 @@ def test_wordpiece_objective_differs_from_bpe(spark):
     assert (row["pair_count"], row["lhs_count"], row["rhs_count"]) == (
         100, 100, 100,
     )
+
+
+def test_tokenize_oracle_parity_when_training_exhausts(spark, tmp_path):
+    """The DuckDB tokenize oracle must agree with the Spark query on a
+    corpus whose vocab exhausts before all _BPE_K merge rounds: the empty
+    late-round merge tables used to NULL the scalar replace patterns and
+    NULL-collapse every document's counts (r7 review); each stage now
+    coalesces back to the unmerged string, matching Spark's early stop."""
+    import duckdb
+
+    from ssidentity_spark.plans.text import _BPE_TOKENIZE_ORACLE, text_bpe_tokenize
+
+    rows = [(1, "aa aa ab"), (2, "aa b")]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_symbols_before, r.n_tokens, r.compression)
+        for r in text_bpe_tokenize(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: tuple(r[1:]) for r in con.execute(_BPE_TOKENIZE_ORACLE).fetchall()
+    }
+    assert want and None not in {v for t in want.values() for v in t}
+    assert got == want
