@@ -86,11 +86,10 @@ def ssid_len(frame: Column) -> Column:
 
 
 def ssid_raw(frame: Column) -> Column:
-    """P6: raw SSID bytes (offset 52, ssid_len bytes)."""
-    return F.expr(
-        f"substring(frame, {SSID_CHR_OFFSET + 1}, "
-        f"conv(hex(substring(frame, {SSID_LEN_OFFSET + 1}, 1)), 16, 10))"
-    )
+    """P6: raw SSID bytes (offset 52, ssid_len bytes) — built from the
+    ARGUMENT (the earlier F.expr string hardcoded the column name
+    ``frame``, silently ignoring whatever Column the caller passed)."""
+    return frame.substr(F.lit(SSID_CHR_OFFSET + 1), ssid_len(frame))
 
 
 def sanitize_ssid(raw: Column) -> Column:
@@ -139,9 +138,17 @@ def frequency(frame: Column) -> Column:
 
 def accept_predicate(frame: Column) -> Column:
     """P2 ∧ P3 ∧ ¬P4 ∧ P5 — the parseRaw null-return conditions
-    (ssidentity.c:144-146, :156)."""
+    (ssidentity.c:144-146, :156).
+
+    Leads with a frame-length guard: a frame truncated before the SSID
+    length byte makes the byte reads NULL, and a NULL predicate fails
+    BOTH filter(pred) and filter(~pred) — such frames used to vanish
+    from observations AND rejects with zero trace. FALSE & NULL = FALSE
+    under SQL three-valued logic, so with the guard first the predicate
+    is never NULL and every truncated frame lands in parse_rejects."""
     return (
-        is_probe_request(frame)
+        (F.length(frame) > SSID_LEN_OFFSET)
+        & is_probe_request(frame)
         & is_broadcast_dest(frame)
         & ~is_known_ip_protocol(frame)
         & ssid_len(frame).between(1, 32)
@@ -150,7 +157,10 @@ def accept_predicate(frame: Column) -> Column:
 
 def parse_observations(frames: DataFrame, ts_col: str = "recv_ts") -> DataFrame:
     """P10: the whole-frame parse — frames (RAW_FRAMES_SCHEMA) → observations
-    (OBSERVATIONS_SCHEMA). Works identically on batch and streaming inputs.
+    (PARSED_OBSERVATIONS_SCHEMA: the OBSERVATIONS_SCHEMA columns plus the
+    P12 ``ssid_was_escaped`` alarm flag). Works identically on batch and
+    streaming inputs; readers that declare the 8-column core schema over
+    a store written from this output silently project the flag away.
 
     One divergence from the reference, by design: the observation timestamp
     is the frame's receive time (event time), not parse-call wall clock
@@ -159,8 +169,7 @@ def parse_observations(frames: DataFrame, ts_col: str = "recv_ts") -> DataFrame:
     """
     f = F.col("frame")
     raw = ssid_raw(f)
-    pairs = F.regexp_extract_all(F.upper(F.hex(raw)), F.lit(".."), 0)
-    sanitized = F.concat_ws("", F.transform(pairs, _render_pair))
+    sanitized = sanitize_ssid(raw)
     r, fq = rssi(f), frequency(f)
     return (
         frames.filter(accept_predicate(f))
@@ -207,7 +216,8 @@ def parse_rejects(frames: DataFrame) -> DataFrame:
     reference's swallowed errors (ssidentity.c:108-111)."""
     f = F.col("frame")
     reason = (
-        F.when(~is_probe_request(f), "not_probe_request")
+        F.when(F.length(f) <= SSID_LEN_OFFSET, "truncated_frame")
+        .when(~is_probe_request(f), "not_probe_request")
         .when(~is_broadcast_dest(f), "not_broadcast_dest")
         .when(is_known_ip_protocol(f), "known_ip_protocol")
         .when(~ssid_len(f).between(1, 32), "bad_ssid_len")

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     StringType,
@@ -32,6 +33,16 @@ OBSERVATIONS_SCHEMA = StructType(
         StructField("freq", IntegerType(), True),  # MHz
         StructField("dist", DoubleType(), True),  # meters, FSPL, round(2)
     ]
+)
+
+# What parse_observations actually emits: the core observation row PLUS
+# the P12 non-printable-SSID alarm flag (ssidentity.c:193). A store
+# written from parse output carries 9 columns; readers declaring the
+# 8-column OBSERVATIONS_SCHEMA silently project the flag away — declare
+# THIS schema when the alarm must survive the read (r7 review).
+PARSED_OBSERVATIONS_SCHEMA = StructType(
+    list(OBSERVATIONS_SCHEMA.fields)
+    + [StructField("ssid_was_escaped", BooleanType(), True)]
 )
 
 RAW_FRAMES_SCHEMA = StructType(

@@ -60,7 +60,10 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
         try:
             master = spark.sparkContext.master
         except Exception:
-            master = "local"
+            # no sparkContext (e.g. Spark Connect) — we cannot prove the
+            # session is local, and overriding shuffle parallelism on a
+            # real cluster is the one thing this guard must never do
+            return spark
         if not master.startswith("local"):
             # on a real cluster never second-guess shuffle parallelism:
             # the submitting machine's CPU count is meaningless there,

@@ -177,3 +177,45 @@ def test_binaryfile_ingest_matches_parquet_replay(spark, tmp_path):
     )
     assert len(obs_b) > 0
     assert obs_b == obs_p
+
+
+def test_truncated_frame_lands_in_rejects_not_limbo(spark):
+    """A frame cut off before the SSID length byte used to make the
+    accept predicate NULL and vanish from BOTH observations and rejects;
+    it must appear in rejects with an explicit 'truncated_frame' reason,
+    and accepts + rejects must partition the input exactly."""
+    import datetime as dt
+
+    from ssidentity_spark.fixtures import build_frame
+    from ssidentity_spark.schemas import RAW_FRAMES_SCHEMA
+
+    full = build_frame()
+    truncated = full[:51]  # subtype/dest/proto present, SSID len byte gone
+    ts = dt.datetime(2016, 7, 21, 11, 41, 0)
+    rows = [
+        (bytearray(full), "ok", ts, len(full)),
+        (bytearray(truncated), "cut", ts, len(truncated)),
+    ]
+    frames = spark.createDataFrame(rows, RAW_FRAMES_SCHEMA)
+    accepts = parse_observations(frames)
+    rejects = parse_rejects(frames)
+    assert accepts.count() + rejects.count() == 2
+    got = {r.sensor_id: r.reject_reason for r in rejects.collect()}
+    assert got == {"cut": "truncated_frame"}
+
+
+def test_ssid_raw_uses_its_argument(spark):
+    """ssid_raw must read the Column it is given, not a hardcoded
+    'frame' name (the old F.expr body ignored the argument)."""
+    import datetime as dt
+
+    from ssidentity_spark.fixtures import build_frame
+    from ssidentity_spark.parse import ssid_raw
+
+    ts = dt.datetime(2016, 7, 21, 11, 41, 0)
+    df = spark.createDataFrame(
+        [(bytearray(build_frame()), "s", ts, 0)],
+        "payload BINARY, sensor_id STRING, recv_ts TIMESTAMP, frame_len INT",
+    )
+    out = df.select(ssid_raw(F.col("payload")).alias("raw")).collect()[0]
+    assert bytes(out.raw).decode() == "OPTUSVD3DA15E0_EXT"
