@@ -6,7 +6,6 @@ SURVEY §2.4-§2.7 surface with oracle twins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table
@@ -184,10 +183,18 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_min_max_by",
+    # Determinism: bare min_by/max_by leaves the returned key
+    # engine-nondeterministic when two orders in a group share the extreme
+    # price (o_totalprice already has duplicate values at sf0.1). Both
+    # sides therefore take the lexicographic min/max of (price, orderkey)
+    # — struct comparison in Spark, struct_pack in DuckDB — so the ties
+    # break on the key identically in both engines.
     oracle="""
     SELECT o_orderstatus,
-           min_by(o_orderkey, o_totalprice) AS cheapest_order,
-           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           min(struct_pack(p := o_totalprice, k := o_orderkey)).k
+             AS cheapest_order,
+           max(struct_pack(p := o_totalprice, k := o_orderkey)).k
+             AS priciest_order,
            round(min(o_totalprice), 2) AS min_price,
            round(max(o_totalprice), 2) AS max_price
     FROM orders GROUP BY 1
@@ -196,9 +203,12 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    pk = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
     return o.groupBy("o_orderstatus").agg(
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min(pk)["k"].alias("cheapest_order"),
+        F.max(pk)["k"].alias("priciest_order"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -267,7 +277,11 @@ def w1_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "o_orderkey",
         ntile_from_rn(rn, n, 4).cast("int").alias("quartile"),
-        F.round((rn - 1) / (n - 1), 6).alias("pct_rank"),
+        # n == 1 would make (rn-1)/(n-1) a NULL-producing 0/0; SQL's
+        # percent_rank() defines the single-row case as 0.0.
+        F.round(
+            F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
         F.round(rn / n, 6).alias("cume"),
     )
 
@@ -308,29 +322,48 @@ def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j9_above_nation_avg",
+    # Determinism: the membership test runs in EXACT integer cents
+    # (cents * n > sum_cents), never as `c_acctbal > avg(double)` — a
+    # balance exactly equal to its nation's average sits within 1 ulp of a
+    # float threshold, and the two engines' summation orders can land on
+    # opposite sides (the exact class tpch3.py's q22 postmortem records
+    # breaking at sf0.1). nation_avg is then ONE double division of exact
+    # integers, deterministic in both engines. Overflow headroom:
+    # cents ≈ 1e6, so cents * n stays inside int64 up to ~9e12 customers
+    # per nation — far beyond 100 TB scale.
     oracle="""
-    WITH nat_avg AS (
-      SELECT c_nationkey, avg(c_acctbal) AS nation_avg
-      FROM customer GROUP BY 1
+    WITH c2 AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ), nat_avg AS (
+      SELECT c_nationkey, sum(cents) AS sum_cents, count(*) AS n_cust
+      FROM c2 GROUP BY 1
     )
     SELECT c.c_custkey AS c_custkey,
            round(c.c_acctbal, 2) AS acctbal,
-           round(a.nation_avg, 4) AS nation_avg
-    FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
-    WHERE c.c_acctbal > a.nation_avg
+           round(a.sum_cents / (100.0 * a.n_cust), 4) AS nation_avg
+    FROM c2 c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
+    WHERE c.cents * a.n_cust > a.sum_cents
     """,
     survey="J9,A6",
 )
 def j9_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    nat = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg_raw"))
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    nat = c.groupBy("c_nationkey").agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_cust")
+    )
     return (
         c.join(F.broadcast(nat), "c_nationkey")
-        .filter(F.col("c_acctbal") > F.col("nation_avg_raw"))
+        .filter(F.col("cents") * F.col("n_cust") > F.col("sum_cents"))
         .select(
             "c_custkey",
             F.round("c_acctbal", 2).alias("acctbal"),
-            F.round("nation_avg_raw", 4).alias("nation_avg"),
+            F.round(F.col("sum_cents") / (F.col("n_cust") * 100.0), 4).alias(
+                "nation_avg"
+            ),
         )
     )
 
@@ -341,7 +374,11 @@ def j9_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (documented inline); Q7/Q8 map 1:1 onto the available columns.
 # ---------------------------------------------------------------------------
 
-_Q7_NATIONS = "('NATION_1', 'NATION_2', 'NATION_3')"
+# The Python tuple is the source of truth; the SQL IN-list is derived from
+# it (not the other way round — reverse-parsing the SQL fragment would
+# silently corrupt on any name containing a quote or comma).
+_Q7_NATION_NAMES = ("NATION_1", "NATION_2", "NATION_3")
+_Q7_NATIONS = "(" + ", ".join(f"'{n}'" for n in _Q7_NATION_NAMES) + ")"
 
 
 @register(
@@ -382,7 +419,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    nations = [x.strip(" '") for x in _Q7_NATIONS.strip("()").split(",")]
+    nations = list(_Q7_NATION_NAMES)
     n1 = n.filter(F.col("n_name").isin(nations)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )

@@ -134,10 +134,14 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J1,A6",
 )
 def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q19 shape: broadcast-able part dim joined under an OR-of-ANDs
-    predicate. The part-only conjuncts (brand set, size floor) are written
-    separately so Catalyst pushes them below the join as a dim prefilter;
-    the mixed lineitem×part disjunction stays a join residual."""
+    """Q19 shape: part dim joined under an OR-of-ANDs predicate. The
+    part-only conjuncts (brand set, size floor) are written separately so
+    Catalyst pushes them below the join as a dim prefilter; the mixed
+    lineitem×part disjunction stays a join residual. No broadcast hint:
+    the brand-filtered subset is ~12% of part — SF-proportional, so per
+    the module hint policy (tpch.py) AQE picks BHJ at test scale and is
+    free to demote to a shuffle join when the subset outgrows the
+    broadcast limit at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     arms = [
@@ -157,7 +161,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         resid = arm if resid is None else resid | arm
     return (
-        li.join(F.broadcast(p.filter(dim_pre)), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p.filter(dim_pre), F.col("l_partkey") == F.col("p_partkey"))
         .filter(resid)
         .agg(
             F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
