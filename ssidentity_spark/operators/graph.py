@@ -41,7 +41,6 @@ def connected_components(
     HashMin remains the default because shallow co-occurrence/near-dup
     graphs converge in a handful of rounds at lower per-round cost.
     """
-    spark = edges.sparkSession
     # undirected: symmetrize once
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -145,9 +144,10 @@ def connected_components_star(
         nbrs = e.select("u", "v").unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        with_self = nbrs.unionByName(
-            nbrs.select("u", F.col("u").alias("v")).distinct()
-        )
+        # no .distinct() on the self-edges: the only consumer is the
+        # duplicate-insensitive min() below, so deduping here would be a
+        # pure-waste extra shuffle per star phase
+        with_self = nbrs.unionByName(nbrs.select("u", F.col("u").alias("v")))
         m = with_self.groupBy("u").agg(F.min("v").alias("m"))
         joined = nbrs.join(m, "u")
         if large:
@@ -325,6 +325,14 @@ def pagerank(
         .cache()
     )
     n_nodes = state.count()  # scalar cardinality — model-sized driver read
+    if n_nodes == 0:
+        # empty edge frame (e.g. every transition was a self-loop): no
+        # nodes, so return an empty (node, rank) frame instead of tripping
+        # the driver-side 1.0 / n_nodes below
+        e.unpersist()
+        ew.unpersist()
+        state.unpersist()
+        return state.select("node", F.lit(0.0).alias("rank"))
 
     ranks = state.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iters):

@@ -29,6 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# units valid both for date_trunc AND as `interval 1 <unit>` literals
+_BUCKET_UNITS = {"year", "month", "week", "day", "hour", "minute", "second"}
+
 
 def max_concurrency_by_bucket(
     intervals: DataFrame,
@@ -38,11 +41,20 @@ def max_concurrency_by_bucket(
 ) -> DataFrame:
     """(start, end) intervals → per-bucket (n_segments, max_concurrent).
 
-    ``bucket`` is any ``date_trunc`` unit. Output columns: ``bucket_ts``
-    (the bucket's first instant), ``n_segments`` (intervals active in the
-    bucket, boundary-spanners counted in each bucket they touch),
-    ``max_concurrent``.
+    ``bucket`` is a unit valid BOTH as ``date_trunc`` and as an interval
+    literal: year, month, week, day, hour, minute, second. (``quarter``
+    is date_trunc-valid but ``interval 1 quarter`` does not parse, so it
+    is rejected up front rather than crashing at plan build.) Output
+    columns: ``bucket_ts`` (the bucket's first instant), ``n_segments``
+    (intervals active in the bucket, boundary-spanners counted in each
+    bucket they touch), ``max_concurrent``.
     """
+    if bucket.lower() not in _BUCKET_UNITS:
+        raise ValueError(
+            f"max_concurrency_by_bucket: unsupported bucket {bucket!r} — "
+            f"must be one of {sorted(_BUCKET_UNITS)} (a unit usable both "
+            "in date_trunc and as an interval literal)"
+        )
     one_bucket = F.expr(f"interval 1 {bucket}")
     seg = intervals.select(
         F.explode(

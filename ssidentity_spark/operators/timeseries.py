@@ -38,17 +38,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ssidentity_spark.functions.timeutil import epoch_s
+from ssidentity_spark.functions.timeutil import epoch_s, epoch_us
 
 
 def bucketize(ts_col: Column | str, bucket_secs: int) -> Column:
     """Epoch-second bucket floor — matches DuckDB
-    ``CAST(floor(epoch(ts) / n) * n AS BIGINT)`` exactly (both floor the
-    true epoch; flooring the whole-second epoch first is equivalent for
-    any bucket >= 1 s)."""
-    return (
-        F.floor(epoch_s(ts_col) / F.lit(float(bucket_secs))) * bucket_secs
-    ).cast("long")
+    ``CAST(floor(epoch(ts) / n) * n AS BIGINT)`` exactly, INCLUDING
+    pre-1970 timestamps: ``timestamp_diff(SECOND, ...)`` truncates toward
+    zero, so a sub-second pre-epoch value (e.g. 1969-12-31 23:59:59.5)
+    would otherwise land one bucket high of DuckDB's true floor. The
+    whole-second floor is recovered exactly (trunc minus one when a
+    negative value has sub-second residue), then the bucket floor is
+    ``sec - pmod(sec, n)`` — all integer arithmetic, no doubles, so no
+    2^53 precision cliff either."""
+    sec_trunc = epoch_s(ts_col)
+    sec_floor = sec_trunc - F.when(
+        epoch_us(ts_col) < sec_trunc * F.lit(1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (sec_floor - F.pmod(sec_floor, F.lit(bucket_secs))).cast("long")
 
 
 def resample_interpolate(

@@ -17,7 +17,7 @@ differs, absorbed by the final round(6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table
@@ -53,7 +53,11 @@ def _pagerank_oracle(iters: int, damping: float) -> str:
       SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev}
       WHERE node NOT IN (SELECT src FROM o)
     ), s{k} AS (
-      SELECT e.dst AS node, sum(r.rank * e.w / o.wout) AS m
+      -- parenthesized (e.w / o.wout) mirrors the operator's
+      -- pre-normalized p = w/wout, so each term is rank * p in the SAME
+      -- IEEE operation order on both engines; bare rank*w/wout would be
+      -- (rank*w)/wout, 1 ulp off p-multiplication on ~30% of triples
+      SELECT e.dst AS node, sum(r.rank * (e.w / o.wout)) AS m
       FROM e JOIN o ON e.src = o.src JOIN {prev} r ON r.node = e.src
       GROUP BY e.dst
     ), r{k} AS (
