@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ssidentity_spark.functions.timeutil import epoch_us
+
 
 def interests(obs: DataFrame) -> DataFrame:
     """A1: per-device probed-SSID profile (README.md:18)."""
@@ -50,17 +52,25 @@ def network_tree(obs: DataFrame) -> DataFrame:
 
 
 def mac_key_rollup(obs: DataFrame) -> DataFrame:
-    """A4: 'MAC as primary key, timestamps as CSV' (ssidentity.c:26)."""
+    """A4: 'MAC as primary key, timestamps as CSV' (ssidentity.c:26).
+
+    collect_set, not collect_list: repeated radio frames would otherwise
+    emit duplicate timestamps here while the siblings (plans
+    a4_mac_key_rollup, operators/maintenance.mac_roster_upsert) dedupe —
+    the same conceptual feature must have ONE output."""
     return obs.groupBy("mac").agg(
-        F.array_join(F.sort_array(F.collect_list("ts_str")), ",").alias("ts_csv"),
+        F.array_join(F.sort_array(F.collect_set("ts_str")), ",").alias("ts_csv"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 def dedup_observations(obs: DataFrame) -> DataFrame:
-    """A4/T6: drop repeated (mac, ssid, ts) captures — radio frames repeat
-    (rows 3-4 of observations.db are byte-identical)."""
-    return obs.dropDuplicates(["mac", "ssid", "ts"])
+    """A4/T6: drop repeated captures — radio frames repeat (rows 3-4 of
+    observations.db are byte-identical). Full-row distinct: keying on a
+    subset like (mac, ssid, ts) would nondeterministically pick a survivor
+    among rows that differ in sensor_id/rssi/dist, which are genuinely
+    distinct captures, not frame repeats."""
+    return obs.dropDuplicates()
 
 
 def signal_stats(obs: DataFrame) -> DataFrame:
@@ -100,7 +110,13 @@ def ssid_locations(obs: DataFrame, ssid_geo: DataFrame) -> DataFrame:
 def co_occurrence(obs: DataFrame, window: str = "30 seconds") -> DataFrame:
     """J2: companion devices — MAC pairs seen by the same sensor in the same
     time bucket (README.md:15-19 correlation network). Self-join on
-    (sensor, bucket): both sides share one shuffle partitioning."""
+    (sensor, bucket): both sides share one shuffle partitioning.
+
+    ``n_cowindows`` counts DISTINCT time buckets, not (sensor, bucket)
+    combinations: a pair caught once by k overlapping sensors is one
+    instant of co-presence, not k units of "repeatedly travel together"
+    support — counting combos would let a single multi-sensor sighting
+    pass companion_clusters' repeat threshold."""
     b = obs.select(
         "mac", "sensor_id", F.window("ts", window).alias("w")
     ).dropDuplicates(["mac", "sensor_id", "w"])
@@ -113,17 +129,43 @@ def co_occurrence(obs: DataFrame, window: str = "30 seconds") -> DataFrame:
             & (F.col("a.mac") < F.col("c.mac")),
         )
         .groupBy(F.col("a.mac").alias("mac_a"), F.col("c.mac").alias("mac_b"))
-        .agg(F.count(F.lit(1)).alias("n_cowindows"))
+        .agg(F.countDistinct("a.w").alias("n_cowindows"))
+    )
+
+
+_GAP_UNITS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+}
+
+
+def _gap_seconds(gap: str) -> int:
+    """Parse a '<N> <unit>' duration into seconds, or raise — a silent
+    default would sessionize with a wrong threshold and no error."""
+    parts = gap.strip().split()
+    if len(parts) == 2 and parts[0].isdigit() and parts[1].lower() in _GAP_UNITS:
+        return int(parts[0]) * _GAP_UNITS[parts[1].lower()]
+    raise ValueError(
+        f"unsupported gap {gap!r} — expected '<N> "
+        "seconds|minutes|hours' (e.g. '15 minutes')"
     )
 
 
 def sessionize(obs: DataFrame, gap: str = "15 minutes") -> DataFrame:
-    """W4: gap-based visit sessions per device (README.md:16-17)."""
-    gap_s = {"15 minutes": 900, "30 minutes": 1800}.get(gap, 900)
+    """W4: gap-based visit sessions per device (README.md:16-17).
+
+    Gaps are measured in exact microseconds (timeutil.epoch_us — the
+    NTZ-safe helper), so a 900.8 s gap splits the visit just like the
+    plans-layer twin (w4_sessionize) instead of truncating to 900."""
+    gap_us = _gap_seconds(gap) * 1_000_000
     w = Window.partitionBy("mac").orderBy("ts")
-    gap_col = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    gap_col = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     flagged = obs.withColumn(
-        "new_sess", F.when(gap_col.isNull() | (gap_col > gap_s), 1).otherwise(0)
+        "new_sess", F.when(gap_col.isNull() | (gap_col > gap_us), 1).otherwise(0)
     )
     with_id = flagged.withColumn(
         "session_id",
@@ -139,14 +181,15 @@ def sessionize(obs: DataFrame, gap: str = "15 minutes") -> DataFrame:
 
 def arrivals(obs: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """W2: batch arrival detection — first sighting after an absence gap
-    (README.md:19). The streaming twin is streaming/alerts.py (T7)."""
-    gap_s = 1800 if gap == "30 minutes" else 900
+    (README.md:19). The streaming twin is streaming/alerts.py (T7).
+    Same parsed-gap + exact-microsecond semantics as :func:`sessionize`."""
+    gap_us = _gap_seconds(gap) * 1_000_000
     w = Window.partitionBy("mac").orderBy("ts")
-    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    prev = F.lag(epoch_us("ts")).over(w)
     return (
         obs.withColumn(
             "is_arrival",
-            prev.isNull() | ((F.unix_timestamp("ts") - prev) > gap_s),
+            prev.isNull() | ((epoch_us("ts") - prev) > gap_us),
         )
         .filter(F.col("is_arrival"))
         .select("mac", "ts", "sensor_id", "rssi", "dist")
@@ -210,7 +253,11 @@ def scalable_global_row_number(
     Ties across buckets are impossible: equal leading values share a bucket,
     and the remaining order columns only break ties inside it. The first
     order column must be numeric; output adds ``rn`` (1-based, dense over
-    the whole frame) and ``n_total``.
+    the whole frame) and ``n_total``. NULL leading values get their own
+    bucket BELOW bucket 0 so they rank first, matching ``Window.orderBy``'s
+    ascending NULLS FIRST (min/max ignore NULLs, and the naive floor()
+    expression would otherwise drop NULL rows into the TOP bucket via
+    F.least's null-skipping).
 
     Plan note: attaching the 1-ROW stats aggregate is a condition-less
     broadcast join, which Spark prints as BroadcastNestedLoopJoin — with a
@@ -226,10 +273,14 @@ def scalable_global_row_number(
     )
     with_stats = df.join(F.broadcast(stats))
     width = (F.col("_mx") - F.col("_mn")) / F.lit(n_buckets)
-    bucket = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor((F.col(lead) - F.col("_mn")) / width),
+    bucket = (
+        F.when(F.col(lead).isNull(), F.lit(-1))
+        .when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col(lead) - F.col("_mn")) / width),
+            )
         )
     )
     bucketed = with_stats.withColumn("_bucket", bucket).drop("_mn", "_mx")

@@ -646,6 +646,25 @@ def w3_rolling_count_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a new session. Standard cumulative-sum-of-gap-flags idiom.
 # ---------------------------------------------------------------------------
 
+# 30-minute inactivity gap, shared by w4_sessionize and w5_max_concurrency —
+# ONE definition of "a session" so the two queries (and their oracles, which
+# both unroll this exact window arithmetic) cannot drift apart.
+_SESSION_GAP_US = 1_800_000_000
+
+
+def _event_sessions(ev: DataFrame) -> DataFrame:
+    """Attach ``session_id`` to events: per-user cumulative count of
+    gap-exceeding boundaries over the (ts, event_id) order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
+    return ev.withColumn(
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_US), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
 
 @register(
     "w4_sessionize",
@@ -675,16 +694,7 @@ def w3_rolling_count_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
-    flagged = ev.withColumn(
-        "new_sess",
-        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    per_sess = sess.groupBy("user_id", "session_id").agg(
+    per_sess = _event_sessions(ev).groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
     return per_sess.groupBy("user_id").agg(
@@ -1050,16 +1060,7 @@ def w5_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssidentity_spark.operators.intervals import max_concurrency_by_bucket
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
-    sess = ev.withColumn(
-        "new_sess",
-        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
-    ).withColumn(
-        "session_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    iv = sess.groupBy("user_id", "session_id").agg(
+    iv = _event_sessions(ev).groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
     )
     return max_concurrency_by_bucket(iv, "s_start", "s_end", "day")

@@ -289,7 +289,9 @@ def ref_visit_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b a JOIN b c
         ON a.sensor_id = c.sensor_id AND a.w = c.w AND a.mac < c.mac
       GROUP BY 1, 2
-      HAVING count(*) >= 1
+      -- DISTINCT buckets, mirroring co_occurrence's n_cowindows: one
+      -- multi-sensor instant is one unit of co-presence support
+      HAVING count(DISTINCT a.w) >= 1
     ),
     edges AS (
       SELECT mac_a AS u, mac_b AS v FROM pairs
