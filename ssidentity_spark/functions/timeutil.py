@@ -32,6 +32,18 @@ def epoch_us(col: Column | str) -> Column:
 
 
 def epoch_s(col: Column | str) -> Column:
-    """Whole seconds since the epoch (same contract as :func:`epoch_us`)."""
+    """FLOOR of epoch seconds (same contract as :func:`epoch_us`, and the
+    same value as DuckDB's whole-second ``epoch()``): equals
+    floor(epoch_us/1e6) for pre-1970 sub-second values too.
+    ``timestamp_diff(SECOND, ...)`` alone truncates toward zero, so
+    1969-12-31 23:59:59.5 would come back 0 instead of -1 — the exact
+    off-by-one that once lived in operators/timeseries.bucketize; the
+    correction is folded in here so every caller gets floor semantics."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_diff("SECOND", F.expr(_EPOCH_NTZ), c.cast("timestamp_ntz"))
+    epoch = F.expr(_EPOCH_NTZ)
+    ntz = c.cast("timestamp_ntz")
+    trunc = F.timestamp_diff("SECOND", epoch, ntz)
+    us = F.timestamp_diff("MICROSECOND", epoch, ntz)
+    return trunc - F.when(us < trunc * F.lit(1_000_000), F.lit(1)).otherwise(
+        F.lit(0)
+    )

@@ -77,7 +77,13 @@ def build_bloom(
     if m_bits % 64 or m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two and a multiple of 64")
     pos_rows = (
-        dim.select(
+        # NULL keys hash to NULL positions which would crash the driver
+        # fold below; the inner join this bloom guards drops NULL keys
+        # anyway, so excluding them preserves the no-false-negative
+        # contract (fileindex.build_bloom_index gets the same effect from
+        # collect_set's null-skipping)
+        dim.where(F.col(key).isNotNull())
+        .select(
             F.explode(F.array(*bloom_positions(F.col(key), m_bits, k))).alias("pos")
         )
         .distinct()

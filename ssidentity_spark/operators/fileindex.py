@@ -146,10 +146,22 @@ def point_lookup(
 ) -> tuple[DataFrame, int, int]:
     """→ (rows for key=value, files read, files total). Result is
     IDENTICAL to a full-scan filter — the index only skips files that
-    provably cannot match; the residual filter removes bloom FPs."""
+    provably cannot match; the residual filter removes bloom FPs.
+
+    The sidecar is read ONCE (single parse, no replaced-between-reads
+    race), and ``key`` is validated against the indexed column: pruning
+    by one column's bitmaps while filtering another would silently drop
+    matching files — the opposite of the no-false-negative contract."""
     with open(os.path.join(path, _INDEX_FILE)) as f:
-        n_total = len(json.load(f)["files"])
-    files = point_lookup_files(path, value)
+        idx = json.load(f)
+    if idx.get("key") != key:
+        raise ValueError(
+            f"point_lookup key {key!r} does not match the indexed column "
+            f"{idx.get('key')!r} at {path} — pruning by the wrong bitmaps "
+            "would silently return incomplete results"
+        )
+    n_total = len(idx["files"])
+    files = bloom_survivors(idx, value)
     if not files:
         df = spark.read.parquet(path).where(F.col(key) == F.lit(value)).limit(0)
         return df, 0, n_total

@@ -29,15 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# the stored-state schema: one row per key with mergeable partials
-# (n_values counts non-null values — the AVG denominator; n_events
-# counts rows — dividing the null-skipping sum by it would deflate the
-# average of any key whose log contains NULL values)
-_PARTIALS = ("n_events", "n_values", "sum_value", "min_value", "max_value")
-
-
 def rollup_partials(df: DataFrame, keys: list[str], value: str) -> DataFrame:
-    """Aggregate a slice of the log into mergeable partial state."""
+    """Aggregate a slice of the log into mergeable partial state: one row
+    per key with (n_events, n_values, sum_value, min_value, max_value).
+    n_values counts non-null values — the AVG denominator; n_events
+    counts rows (dividing the null-skipping sum by it would deflate the
+    average of any key whose log contains NULL values)."""
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(value).alias("n_values"),

@@ -38,23 +38,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ssidentity_spark.functions.timeutil import epoch_s, epoch_us
+from ssidentity_spark.functions.timeutil import epoch_s
 
 
 def bucketize(ts_col: Column | str, bucket_secs: int) -> Column:
     """Epoch-second bucket floor — matches DuckDB
     ``CAST(floor(epoch(ts) / n) * n AS BIGINT)`` exactly, INCLUDING
-    pre-1970 timestamps: ``timestamp_diff(SECOND, ...)`` truncates toward
-    zero, so a sub-second pre-epoch value (e.g. 1969-12-31 23:59:59.5)
-    would otherwise land one bucket high of DuckDB's true floor. The
-    whole-second floor is recovered exactly (trunc minus one when a
-    negative value has sub-second residue), then the bucket floor is
-    ``sec - pmod(sec, n)`` — all integer arithmetic, no doubles, so no
-    2^53 precision cliff either."""
-    sec_trunc = epoch_s(ts_col)
-    sec_floor = sec_trunc - F.when(
-        epoch_us(ts_col) < sec_trunc * F.lit(1_000_000), F.lit(1)
-    ).otherwise(F.lit(0))
+    pre-1970 sub-second timestamps (``epoch_s`` is a true floor, not a
+    toward-zero truncation). The bucket floor is ``sec - pmod(sec, n)``
+    — all integer arithmetic, no doubles, so no 2^53 precision cliff."""
+    sec_floor = epoch_s(ts_col)
     return (sec_floor - F.pmod(sec_floor, F.lit(bucket_secs))).cast("long")
 
 

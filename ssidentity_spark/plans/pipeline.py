@@ -525,7 +525,7 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    prefix = F.substring(_doc_hash(), 1, 2)
     return (
         corpus.join(contaminated, "doc_id", "left_anti")
         .select(
@@ -572,9 +572,7 @@ def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sampling.py."""
     d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        + 1
+        F.conv(F.substring(_doc_hash(), 1, 15), 16, 10).cast("long") + 1
     ).cast("double")
     return (
         d.withColumn("inv_priority", u / F.col("n_chars"))
@@ -774,8 +772,11 @@ def pipe_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different order breaks the hash on the redacted text itself.
     oracle="""
     WITH salted AS (
+      -- coalesce BEFORE salting (both engines): a NULL text would
+      -- otherwise null the whole salted string, making the oracle's
+      -- counts/md5 NULL while Spark's pii_counts coalesces to 0
       SELECT doc_id,
-             text || ' contact user' || CAST(doc_id AS VARCHAR)
+             coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
                   || '@example.com at '
                   || '10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
                   || ' call +1415' || lpad(CAST(doc_id % 10000 AS VARCHAR),
@@ -821,7 +822,7 @@ def pipe_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = d.select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com at "),
