@@ -25,23 +25,52 @@ from pyspark.sql import functions as F
 
 
 def upsert_by_key(
-    target: DataFrame, updates: DataFrame, keys: Sequence[str]
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    validate: bool = True,
 ) -> DataFrame:
     """MERGE INTO emulation: rows of ``target`` whose key collides with an
     update are replaced; new keys are appended. Pure DataFrame plan — the
     caller writes the result (or uses ``upsert_parquet`` for the swap).
 
+    ``validate`` (default on) raises when the update batch itself holds a
+    key twice — real MERGE INTO errors on multiple source matches, and
+    silently appending both rows would break the primary-key contract the
+    target table promises. The check is one bounded job over the batch;
+    pass ``validate=False`` only when the caller has already collapsed
+    the batch (e.g. via ``latest_per_key``).
+
     Both sides shuffle once on the key; with a bucketed target
     (io.write_observations_bucketed) the anti-join is shuffle-free.
     """
+    if validate:
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter("_n > 1")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"upsert_by_key: update batch contains key "
+                f"{tuple(dup[0][k] for k in keys)!r} more than once — "
+                "collapse the batch (latest_per_key) before merging"
+            )
     keep = target.join(updates.select(*keys).distinct(), list(keys), "left_anti")
     return keep.unionByName(updates)
 
 
 def latest_per_key(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
-    """SCD-1 collapse: keep each key's newest row (deterministic tiebreak on
-    the full ordering column)."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    """SCD-1 collapse: keep each key's newest row. Ties on ``order_col``
+    break on the lexicographically largest remaining-column tuple (struct
+    ordering), so the survivor is deterministic across shuffles and runs
+    — row_number over the bare order column alone would pick whichever
+    row a partition scanned first."""
+    rest = [c for c in df.columns if c not in keys and c != order_col]
+    tiebreak = [F.desc(F.struct(*rest))] if rest else []
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), *tiebreak)
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
     )
@@ -65,11 +94,17 @@ def mac_roster_upsert(
         .agg(
             F.min("first_seen").alias("first_seen"),
             F.max("last_seen").alias("last_seen"),
-            # re-sort the union of both CSV fields
+            # re-sort the union of both CSV fields; drop empty tokens —
+            # a batch whose ts_str values were all NULL produces
+            # ts_csv='' and split('', ',') yields [''], which would
+            # otherwise survive as a phantom leading-comma entry forever
             F.array_join(
                 F.array_sort(
-                    F.array_distinct(
-                        F.flatten(F.collect_list(F.split("ts_csv", ",")))
+                    F.filter(
+                        F.array_distinct(
+                            F.flatten(F.collect_list(F.split("ts_csv", ",")))
+                        ),
+                        lambda x: x != "",
                     )
                 ),
                 ",",
@@ -133,7 +168,16 @@ def upsert_parquet_partitioned(
     batch (a handful of dates), not by data volume. Returns the touched
     partition values."""
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    target = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    # isin() alone is a trap when the batch touches the NULL partition:
+    # isin([None]) is NULL for EVERY row, so the target read comes back
+    # empty and dynamic overwrite then rewrites
+    # __HIVE_DEFAULT_PARTITION__ with only the update rows — silently
+    # deleting every other row that lived there
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) < len(touched):
+        cond = cond | F.col(partition_col).isNull()
+    target = spark.read.parquet(path).filter(cond)
     merged = upsert_by_key(target, updates, keys)
     # break lineage from `path` before overwriting it (Spark refuses a
     # direct read-from/write-to cycle); bounded by the touched partitions

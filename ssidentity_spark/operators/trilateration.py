@@ -20,27 +20,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    IntegerType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+
+from ssidentity_spark.schemas import POSITIONS_SCHEMA
 
 METERS_PER_DEG_LAT = 111_320.0
 
-RESULT_SCHEMA = StructType(
-    [
-        StructField("mac", StringType()),
-        StructField("window_start", TimestampType()),
-        StructField("lat", DoubleType()),
-        StructField("lon", DoubleType()),
-        StructField("n_sensors", IntegerType()),
-        StructField("rmse_m", DoubleType()),
-    ]
-)
+# one schema definition — re-declaring POSITIONS_SCHEMA field-for-field
+# here let the two drift (the nullability flags already had)
+RESULT_SCHEMA = POSITIONS_SCHEMA
 
 
 def _solve_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -117,6 +104,11 @@ def trilaterate(
         "s_lon",
         "dist",
     )
-    return joined.groupBy("mac", "window_start").applyInPandas(
+    # drop unusable readings BEFORE the solve: one NULL dist becomes NaN
+    # in pandas and poisons the whole group's lstsq AND the centroid
+    # fallback (NaN is not None, so the fallback never fires) — three
+    # good sensors next to one bad reading would come back (NaN, NaN)
+    usable = joined.where(F.col("dist").isNotNull() & ~F.isnan("dist"))
+    return usable.groupBy("mac", "window_start").applyInPandas(
         _solve_group, schema=RESULT_SCHEMA
     )

@@ -9,6 +9,8 @@ expansion — here, probe-sequence → transition edges ("habitual movements",
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
@@ -27,7 +29,11 @@ class ProbeTransitions:
         if not ssids or len(ssids) < 2:
             return
         for prev, cur, t_prev, t_cur in zip(ssids, ssids[1:], ts_s, ts_s[1:]):
-            if prev != cur:
+            # SQL null semantics, not Python's: the declarative twin
+            # (filter on lag(ssid) != ssid) drops any pair involving a
+            # NULL ssid because the comparison is NULL — the UDTF must
+            # agree or the pinned lag-equivalence breaks on real data
+            if prev is not None and cur is not None and prev != cur:
                 yield (mac, prev, cur, int(t_cur - t_prev))
 
 
@@ -49,8 +55,19 @@ def probe_transitions(spark: SparkSession, obs: DataFrame) -> DataFrame:
             F.col("seq.t").alias("ts_s"),
         )
     )
-    packed.createOrReplaceTempView("_packed_probes")
-    return spark.sql(
-        "SELECT t.* FROM _packed_probes, "
-        "LATERAL probe_transitions(mac, ssids, ts_s) t"
-    )
+    # a UNIQUE per-call view name: a fixed session-global name races under
+    # concurrent callers of one SparkSession (caller B's
+    # createOrReplaceTempView can land between A's registration and A's
+    # spark.sql analysis, silently resolving A's query against B's data)
+    view = f"_packed_probes_{uuid.uuid4().hex}"
+    packed.createOrReplaceTempView(view)
+    try:
+        # spark.sql analyzes eagerly: the returned DataFrame's resolved
+        # plan no longer references the view name, so dropping it below
+        # neither invalidates the frame nor forces materialization
+        return spark.sql(
+            f"SELECT t.* FROM {view}, "
+            "LATERAL probe_transitions(mac, ssids, ts_s) t"
+        )
+    finally:
+        spark.catalog.dropTempView(view)

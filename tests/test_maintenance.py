@@ -186,3 +186,63 @@ def test_optimize_managed_requires_sidecar(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="not a managed table"):
         optimize_managed(spark, path)
+
+
+def test_upsert_by_key_rejects_duplicate_update_keys(spark, target):
+    """MERGE contract: a batch holding the same key twice must raise, not
+    silently append both rows into a key-unique table."""
+    updates = spark.createDataFrame(
+        [("A", 1, "new"), ("A", 2, "new")], "k STRING, v INT, src STRING"
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        upsert_by_key(target, updates, ["k"])
+
+
+def test_latest_per_key_deterministic_on_order_ties(spark):
+    """Equal order_col values must yield the same survivor every run."""
+    rows = [("A", 2, 20), ("A", 2, 21), ("B", 1, 5)]
+    df = spark.createDataFrame(rows, "k STRING, ver INT, v INT")
+    got = {
+        frozenset(
+            (r.k, r.v) for r in latest_per_key(df.repartition(n), ["k"], "ver").collect()
+        )
+        for n in (1, 3, 7)
+    }
+    assert got == {frozenset({("A", 21), ("B", 5)})}
+
+
+def test_partitioned_upsert_preserves_null_partition(spark, tmp_path):
+    """A batch touching the NULL partition must not delete the other rows
+    living there (isin([None]) is NULL for every row)."""
+    from ssidentity_spark.operators.maintenance import upsert_parquet_partitioned
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [("k1", None, 1), ("k2", None, 2), ("k3", "2024-01-01", 3)],
+        "k STRING, d STRING, v INT",
+    ).write.partitionBy("d").parquet(path)
+    updates = spark.createDataFrame([("k1", None, 99)], "k STRING, d STRING, v INT")
+    upsert_parquet_partitioned(spark, path, updates, ["k"], "d")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"k1": 99, "k2": 2, "k3": 3}
+
+
+def test_roster_merge_drops_phantom_empty_csv_entry(spark):
+    """A prior batch whose ts_str values were all NULL yields ts_csv='';
+    later merges must not keep a phantom '' token (leading comma)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    empty = spark.createDataFrame(
+        [],
+        "mac STRING, first_seen TIMESTAMP, last_seen TIMESTAMP, ts_csv STRING, n_probes LONG",
+    )
+    b1 = spark.createDataFrame(
+        [("AA", t0, None)], "mac STRING, ts TIMESTAMP, ts_str STRING"
+    )
+    b2 = spark.createDataFrame(
+        [("AA", t0, "01/01/24 - 12:01AM")], "mac STRING, ts TIMESTAMP, ts_str STRING"
+    )
+    roster = mac_roster_upsert(mac_roster_upsert(empty, b1), b2)
+    row = roster.collect()[0]
+    assert row.ts_csv == "01/01/24 - 12:01AM"

@@ -84,3 +84,27 @@ def test_residual_norm_bound(spark):
         assert abs(e.rmse_m - want_rmse) < max(5.0, 0.05 * want_rmse), (
             mac, e.rmse_m, want_rmse,
         )
+
+
+def test_null_dist_reading_does_not_poison_group(spark):
+    """One NULL dist among good readings must be dropped, not turn the
+    whole (mac, window) solve into NaN (NaN is not None, so the centroid
+    fallback never fired on the poisoned path)."""
+    import datetime as dt
+    import math as m
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("AA", t0, "s1", 100.0),
+        ("AA", t0, "s2", None),
+        ("AA", t0, "s3", 150.0),
+        ("AA", t0, "s4", 120.0),
+    ]
+    obs = spark.createDataFrame(
+        rows, "mac STRING, ts TIMESTAMP, sensor_id STRING, dist DOUBLE"
+    )
+    res = trilaterate(obs, sensors_df(spark)).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r.n_sensors == 3  # the NULL reading is gone, not averaged in
+    assert all(not m.isnan(v) for v in (r.lat, r.lon, r.rmse_m))
