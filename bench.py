@@ -184,6 +184,11 @@ def main() -> None:
         for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
         if (g := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
+    # round inference: the driver records BENCH_r{N}.json at the END of
+    # round N, so during round N the newest artifact is r{N-1} and max+1
+    # is correct. If bench is ever re-run AFTER the current round's
+    # artifact lands (inference would then mislabel the history file as
+    # next round's), set SPARK_GRAFT_ROUND explicitly.
     this_round = int(os.environ.get("SPARK_GRAFT_ROUND", max(rounds, default=0) + 1))
     full_path = os.path.join(hist_dir, f"r{this_round:02d}_sf{sf}_full.json")
     with open(full_path, "w") as f:
@@ -196,7 +201,7 @@ def main() -> None:
         "queries": timings,
         "regressions_over_1.3x": full["regressions_over_1.3x"],
         "regressions_over_1.3x_vs_best": full["regressions_over_1.3x_vs_best"],
-        "full_artifact": os.path.relpath(full_path, os.path.dirname(full_path) + "/.."),
+        "full_artifact": os.path.join("bench_history", os.path.basename(full_path)),
     }
     line = json.dumps(compact)
     # belt-and-braces: if headliner growth ever pushes the compact line

@@ -78,10 +78,27 @@ SNAPSHOT_DIR = os.path.join(
 )
 
 
-def snapshot_fixture(name: str, pdf: pd.DataFrame) -> str:
-    """Write ``pdf`` to ``.fixture_snapshots/<name>.parquet``, return path."""
+# snapshots already written by THIS process: fixture content is a pure
+# function of the name (seeded generators), so regenerating + rewriting
+# identical bytes on every query registration is pure waste — and a
+# non-atomic rewrite races any concurrently-running oracle reading it
+_SNAPSHOTS_WRITTEN: set[str] = set()
+
+
+def snapshot_fixture(name: str, pdf) -> str:
+    """Write a fixture to ``.fixture_snapshots/<name>.parquet``, return path.
+
+    ``pdf`` is a pandas DataFrame or a zero-arg callable producing one;
+    pass a callable for expensive inputs (generation loops, Spark
+    ``toPandas``) so the memoized fast path skips the work entirely.
+    The write is atomic (tmp + rename), so a reader never sees a
+    half-written snapshot."""
     os.makedirs(SNAPSHOT_DIR, exist_ok=True)
     path = os.path.join(SNAPSHOT_DIR, f"{name}.parquet")
+    if name in _SNAPSHOTS_WRITTEN and os.path.exists(path):
+        return path
+    if callable(pdf):
+        pdf = pdf()
     table = pa.Table.from_pandas(pdf, preserve_index=False)
     schema = pa.schema(
         [
@@ -91,7 +108,10 @@ def snapshot_fixture(name: str, pdf: pd.DataFrame) -> str:
             for f in table.schema
         ]
     )
-    pq.write_table(table.cast(schema), path)
+    tmp = path + ".tmp"
+    pq.write_table(table.cast(schema), tmp)
+    os.replace(tmp, path)
+    _SNAPSHOTS_WRITTEN.add(name)
     return path
 
 
@@ -187,6 +207,15 @@ def build_frame(
     n = len(ssid) if ssid_len is None else ssid_len
     buf[SSID_LEN_OFFSET] = n & 0xFF
     buf[SSID_CHR_OFFSET : SSID_CHR_OFFSET + len(ssid)] = ssid
+    if len(buf) != size:
+        # bytearray slice assignment EXTENDS when the right side is longer
+        # than the slice — a "truncated" negative case built via size=
+        # would silently come back full-length and invert its own intent
+        raise ValueError(
+            f"build_frame: size={size} cannot hold the {len(ssid)}-byte "
+            f"ssid at offset {SSID_CHR_OFFSET} (frame grew to {len(buf)}) "
+            "— truncate the returned frame instead of shrinking size"
+        )
     return bytes(buf)
 
 
@@ -340,7 +369,9 @@ def watchlist_df(spark: SparkSession, observed_macs: list[str]) -> DataFrame:
 # trilateration truth (FIXTURES.md §6)
 # ---------------------------------------------------------------------------
 
-METERS_PER_DEG_LAT = 111_320.0
+# the one geodesy constant — defined next to the solver so fixture truth
+# generation and the solve can never drift apart
+from ssidentity_spark.operators.trilateration import METERS_PER_DEG_LAT  # noqa: E402
 
 
 def _meters(lat1, lon1, lat2, lon2) -> float:

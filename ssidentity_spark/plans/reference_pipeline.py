@@ -1,19 +1,31 @@
 """The reference's own pipeline surface as driver-visible queries.
 
-r5 (VERDICT r4 ask #3): these queries now carry REAL hash oracles. Each one
+r5 (VERDICT r4 ask #3): these queries carry REAL hash oracles. Each one
 snapshots its deterministic fixture input (seed=42 — FIXTURES.md) to
-``.fixture_snapshots/*.parquet`` when invoked, the Spark plan runs over the
-snapshot, and the DuckDB oracle ``read_parquet()``s the very same file — so
-both engines see byte-identical inputs and the driver's gate hash-compares
-the full session/cluster/alert analytics the reference's README declares
-(README.md:15-19, ssidentity.c:23-37). The correctness gate always executes
-the Spark side first (tools/check_correctness.py run_one), so the snapshot
+``.fixture_snapshots/*.parquet`` when invoked and the DuckDB oracle
+``read_parquet()``s that file. The correctness gate always executes the
+Spark side first (tools/check_correctness.py run_one), so the snapshot
 exists by the time the oracle SQL runs.
 
-Only ``ref_trilateration``'s lstsq solve remains rows-only (numpy lstsq is
-not SQL-expressible); its input aggregation is oracled separately by
-``ref_trilateration_inputs`` and the solver itself by pytest truth tests
-(tests/test_trilateration.py).
+What the gate verifies differs per query — be precise about the claim:
+
+- ``ref_visit_sessions`` / ``ref_companion_clusters`` /
+  ``ref_watchlist_alerts``: the Spark plan READS the snapshot parquet, so
+  both engines consume byte-identical inputs and the full analytic is
+  independently recomputed (window SQL / recursive CTE) — a genuine
+  two-engine gate.
+- ``ref_parse_pipeline``: the snapshot is Spark's OWN parsed output fed
+  back to the oracle. The byte-level field extraction therefore cannot be
+  caught here (a byte-offset bug reproduces identically on both sides);
+  what the oracle independently verifies is every DERIVATION over the
+  extracted fields — ts_str formatting, mac u64→hex render, FSPL distance.
+  The extraction itself is held by the golden/property tests in
+  tests/test_parse.py against hand-built frames.
+- ``ref_trilateration`` / ``ref_trilateration_inputs``: the Spark solver
+  runs over the live fixture frame (the snapshot is the same deterministic
+  content written for the oracle); the closed-form 2×2 normal-equation
+  oracle (r6) independently re-derives the solve, and pytest truth tests
+  hold the geometry (tests/test_trilateration.py).
 
 They ignore ``sf_dir`` by design; pytest holds the parser's strong golden /
 property assertions (tests/test_parse.py, test_operators.py).
@@ -79,7 +91,7 @@ def ref_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "ssid_was_escaped",
     )
-    snapshot_fixture("parse_obs_200", base.toPandas())
+    snapshot_fixture("parse_obs_200", lambda: base.toPandas())
     return parsed
 
 
@@ -168,7 +180,7 @@ def ref_trilateration(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs, _ = trilat_truth_observations(spark)
     import pandas as pd
 
-    snapshot_fixture("trilat_obs", obs.toPandas())
+    snapshot_fixture("trilat_obs", lambda: obs.toPandas())
     snapshot_fixture(
         "trilat_sensors",
         pd.DataFrame(list(SENSORS), columns=["sensor_id", "lat", "lon"]),
@@ -206,7 +218,7 @@ def ref_trilateration_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssidentity_spark.fixtures import snapshot_fixture, trilat_truth_observations
 
     obs, _ = trilat_truth_observations(spark)
-    snapshot_fixture("trilat_obs", obs.toPandas())
+    snapshot_fixture("trilat_obs", lambda: obs.toPandas())
     snapped = spark.read.parquet(_snap("trilat_obs"))
     return snapped.groupBy("mac", "sensor_id").agg(
         F.count(F.lit(1)).alias("n_obs"),
@@ -255,7 +267,7 @@ def ref_visit_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssidentity_spark.fixtures import observations_pdf, snapshot_fixture
     from ssidentity_spark.operators.analytics import sessionize
 
-    snapshot_fixture("observations_2000", observations_pdf(2000))
+    snapshot_fixture("observations_2000", lambda: observations_pdf(2000))
     obs = spark.read.parquet(_snap("observations_2000")).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -318,7 +330,7 @@ def ref_companion_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssidentity_spark.fixtures import observations_pdf, snapshot_fixture
     from ssidentity_spark.operators.graph import companion_clusters
 
-    snapshot_fixture("observations_800", observations_pdf(800))
+    snapshot_fixture("observations_800", lambda: observations_pdf(800))
     obs = spark.read.parquet(_snap("observations_800")).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -365,7 +377,7 @@ def ref_watchlist_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ssidentity_spark.operators.analytics import arrivals, watchlist_hits
 
-    snapshot_fixture("observations_2000", observations_pdf(2000))
+    snapshot_fixture("observations_2000", lambda: observations_pdf(2000))
     obs = spark.read.parquet(_snap("observations_2000")).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )

@@ -71,3 +71,44 @@ def test_documents_source_format(sf: str) -> None:
         f"SELECT count(*) FROM '{path}' WHERE source NOT SIMILAR TO 'src[0-9]+'"
     ).fetchone()[0]
     assert bad == 0, f"{sf}: {bad} documents.source values not matching src<N>"
+
+
+def test_watchlist_ghost_macs_never_observed() -> None:
+    """ref_watchlist_alerts' oracle models the watchlist as exactly the 5
+    smallest observed macs; the Spark side's watchlist_df also carries two
+    hardcoded ghost entries that must match NOTHING, or Spark emits alert
+    rows the oracle lacks. Pin that the ghosts stay unobservable for every
+    fixture size the ref_* queries use."""
+    from ssidentity_spark.fixtures import observations_pdf
+
+    ghosts = {"000000000001", "FFFFFFFFFFF0"}
+    for n in (800, 2000):
+        macs = set(observations_pdf(n)["mac"])
+        assert not (ghosts & macs), f"ghost mac observed at n_rows={n}"
+
+
+def test_trilat_fixture_geometry_matches_oracle_assumptions(spark) -> None:
+    """ref_trilateration's closed-form oracle divides by the normal-equation
+    determinant and has NO degenerate-geometry branch (the Spark solver
+    falls back to a weighted centroid). Pin that every (mac, 30 s window)
+    group in the fixture has >= 3 sensors and non-collinear geometry, so
+    the two sides cannot diverge on a singular group."""
+    import numpy as np
+
+    from ssidentity_spark.fixtures import SENSORS, trilat_truth_observations
+    from ssidentity_spark.operators.trilateration import METERS_PER_DEG_LAT
+
+    obs, _ = trilat_truth_observations(spark)
+    pdf = obs.toPandas()
+    pdf["w"] = pdf["ts"].astype("int64") // 10**9 // 30
+    pos = {s[0]: (s[1], s[2]) for s in SENSORS}
+    for (mac, w), grp in pdf.groupby(["mac", "w"]):
+        sids = sorted(set(grp["sensor_id"]))
+        assert len(sids) >= 3, (mac, w, sids)
+        lat0 = np.mean([pos[s][0] for s in sids])
+        mlon = METERS_PER_DEG_LAT * np.cos(np.radians(lat0))
+        xy = np.array(
+            [(pos[s][1] * mlon, pos[s][0] * METERS_PER_DEG_LAT) for s in sids]
+        )
+        A = np.column_stack([2 * (xy[1:, 0] - xy[0, 0]), 2 * (xy[1:, 1] - xy[0, 1])])
+        assert np.linalg.matrix_rank(A) >= 2, (mac, w, "collinear sensor set")
