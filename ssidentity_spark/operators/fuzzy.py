@@ -73,7 +73,14 @@ def fuzzy_self_join(
             "id_b",
             "text_a",
             "text_b",
-            F.levenshtein("text_a", "text_b").alias("dist"),
+            # threshold form (Spark >= 3.5): bounds the DP band to
+            # O(max_dist * n) per pair and short-circuits to -1 past the
+            # threshold, which the dist >= min_dist filter (min_dist >= 0)
+            # already excludes — unbounded Levenshtein is O(len_a * len_b)
+            # per candidate pair for distances we were going to discard
+            F.levenshtein("text_a", "text_b", threshold=int(max_dist)).alias(
+                "dist"
+            ),
         )
         .filter((F.col("dist") >= min_dist) & (F.col("dist") <= max_dist))
     )

@@ -621,19 +621,24 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            widths, heights, sizes, checks = [], [], [], []
-            for payload in pdf["payload"]:
+            # collect ids ALONGSIDE features: passing the full-batch
+            # pdf['doc_id'] against skip-shortened feature lists would let
+            # pandas index alignment attribute features to the WRONG rows
+            # (and NaN-pad the tail, breaking the int32 Arrow schema)
+            ids, widths, heights, sizes, checks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
                     continue  # NULL rows skip, like sub-minimum ones
                 b = bytes(payload)
                 w, h = fake_decode(b)
+                ids.append(int(doc_id))
                 widths.append(w)
                 heights.append(h)
                 sizes.append(len(b))
                 checks.append(len(b) % 251)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "doc_id": pd.Series(ids, dtype="int64"),
                     "fake_width": pd.Series(widths, dtype="int32"),
                     "fake_height": pd.Series(heights, dtype="int32"),
                     "n_bytes": pd.Series(sizes, dtype="int64"),
@@ -662,17 +667,19 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ws, hs, ms = [], [], []
-            for payload in pdf["payload"]:
+            # ids collected alongside features — see extract_features
+            ids, ws, hs, ms = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
                     continue  # NULL rows skip, like sub-minimum ones
                 w, h, m = decode_image(bytes(payload))
+                ids.append(int(doc_id))
                 ws.append(w)
                 hs.append(h)
                 ms.append(m)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "doc_id": pd.Series(ids, dtype="int64"),
                     "width": pd.Series(ws, dtype="int32"),
                     "height": pd.Series(hs, dtype="int32"),
                     "mean_px": pd.Series(ms, dtype="float64"),

@@ -51,14 +51,29 @@ def assign_global_ids(
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
     order = [F.col(c) for c in order_cols]
+    if n_parts is not None and n_parts < 1:
+        raise ValueError(f"n_parts must be >= 1, got {n_parts}")
     if bucket is not None:
         keyed = df.withColumn("_b", bucket)
     else:
-        n = n_parts or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        if n_parts is not None:
+            n = n_parts
+        else:
+            # the conf is not always numeric ('auto' on AQE-auto
+            # platforms) — fall back to the input's own partition count
+            raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            try:
+                n = int(raw)
+            except (TypeError, ValueError):
+                n = max(1, df.rdd.getNumPartitions())
         ranged = df.repartitionByRange(int(n), *order)
         # persist: BOTH branches below read this one materialization, so
         # the sampled range boundaries are fixed once — not re-sampled
-        # per consumer if exchange reuse doesn't dedupe the plan
+        # per consumer if exchange reuse doesn't dedupe the plan. The
+        # cache lives until the returned frame is garbage-collected
+        # (ContextCleaner) or evicted (MEMORY_AND_DISK); callers chaining
+        # many large frames should prefer the bucket= path, which needs
+        # no materialization at all
         keyed = ranged.withColumn("_b", F.spark_partition_id()).persist()
     w = Window.partitionBy("_b").orderBy(*order)
     local = keyed.withColumn("_local", F.row_number().over(w) - 1)

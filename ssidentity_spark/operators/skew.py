@@ -19,20 +19,31 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col: str = "_salt") -> DataFrame:
-    """Deterministic row salt: stable hash of the whole row id-space is
-    unnecessary — a per-row uniform salt from a cheap hash of a unique-ish
-    column set keeps the result reproducible (no rand())."""
+    """Per-ROW salt from ``monotonically_increasing_id`` (partition id ×
+    position), not a hash of the row's VALUES: value-hashing gives every
+    duplicate row the SAME salt, so a hot key made of identical rows — the
+    exact case salting exists for — would not spread at all (and hashing
+    all columns also crashes on MapType and pays a full-payload hash per
+    row). The salt value never reaches any result below (counts/sums/
+    top-k merge associatively across salts), so result determinism does
+    not depend on salt determinism."""
     return df.withColumn(
-        col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
 
 
 def salted_count(
     df: DataFrame, keys: Sequence[str], n_salts: int = 16
 ) -> DataFrame:
-    """Two-phase count per key: (key, salt) partials → merge. Equivalent to
-    ``df.groupBy(*keys).count()`` but no single reducer ever sees a hot key's
-    full row set."""
+    """Two-phase count per key: (key, salt) partials → merge. Honest scope
+    note: for ALGEBRAIC aggregates like count/sum Spark's map-side partial
+    aggregation already bounds what any reducer sees (one partial per map
+    task), so plain ``groupBy().count()`` is usually the right call; this
+    two-phase form matters when partial aggregation is unavailable or
+    degraded — hash-agg fallback to sort on very wide/high-cardinality
+    keys, or engines/paths without map-side combine. The genuinely
+    salt-requiring case is non-algebraic state: see
+    ``top_k_per_key_skew_safe`` below."""
     salted = with_salt(df, n_salts)
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_pc"))
     return partial.groupBy(*keys).agg(F.sum("_pc").cast("long").alias("n"))
@@ -41,6 +52,7 @@ def salted_count(
 def salted_sum(
     df: DataFrame, keys: Sequence[str], value: str, n_salts: int = 16
 ) -> DataFrame:
+    """Two-phase sum — same scope note as :func:`salted_count`."""
     salted = with_salt(df, n_salts)
     partial = salted.groupBy(*keys, "_salt").agg(F.sum(value).alias("_ps"))
     return partial.groupBy(*keys).agg(F.sum("_ps").alias(f"sum_{value}"))
@@ -55,9 +67,7 @@ def salted_broadcast_join(
     is the pattern for when the dim is just over the broadcast threshold.)"""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
-    big_salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
-    )
+    big_salted = with_salt(big, n_salts)
     return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")
 
 

@@ -283,10 +283,18 @@ def mm_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decoded_features",
+    # BYTE math like every other mm oracle: fake_decode reads the first
+    # two BYTES of the utf-8 encoding, while ascii(substr(text,...))
+    # would return Unicode CODEPOINTS — identical only for pure-ASCII
+    # corpora (a doc starting 'é' is 0xC3=195 byte-wise but 233 as a
+    # codepoint). try_cast+coalesce covers the <2-byte documents, where
+    # fake_decode returns 0.
     oracle="""
     SELECT doc_id,
-           CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS fake_width,
-           CAST(ascii(substr(text, 2, 1)) AS INTEGER) AS fake_height,
+           COALESCE(TRY_CAST('0x' || substr(hex(encode(text)), 1, 2)
+                             AS INTEGER), 0) AS fake_width,
+           COALESCE(TRY_CAST('0x' || substr(hex(encode(text)), 3, 2)
+                             AS INTEGER), 0) AS fake_height,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(octet_length(encode(text)) % 251 AS BIGINT) AS checksum_mod
     FROM documents

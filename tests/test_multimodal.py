@@ -712,3 +712,15 @@ def test_wav_partial_trailing_frame_consistent():
     ch, rate, bits, n = decode_audio(payload)
     _ch, _r, _b, samples = decode_audio_samples(payload)
     assert n == 1 and len(samples) == ch * n  # orphan half-frame dropped
+
+
+def test_extract_features_null_payload_alignment(spark):
+    """A NULL payload must be SKIPPED, not shift features onto the wrong
+    doc_ids via pandas index alignment (and not NaN-pad the int32 cols)."""
+    from ssidentity_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(10, b"AB"), (11, None), (12, b"XY")], "doc_id LONG, payload BINARY"
+    )
+    got = {r.doc_id: (r.fake_width, r.n_bytes) for r in extract_features(df).collect()}
+    assert got == {10: (ord("A"), 2), 12: (ord("X"), 2)}

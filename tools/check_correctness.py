@@ -27,6 +27,11 @@ from ssidentity_spark.session import get_spark  # noqa: E402
 def canon_value(v) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, (bytes, bytearray)):
+        # PySpark hands BinaryType back as bytearray, DuckDB as bytes —
+        # str() of the two differs ("bytearray(b'..')" vs "b'..'"), so a
+        # binary-returning oracled query would false-fail on equal values
+        return bytes(v).hex()
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
@@ -96,7 +101,11 @@ def main() -> int:
         try:
             ok, msg = run_one(spark, con, name, sf_dir)
         except Exception as e:  # noqa: BLE001
-            ok, msg = False, f"EXC {type(e).__name__}: {str(e).splitlines()[0][:300]}"
+            # (str(e).splitlines() or ['']) — a bare `raise ValueError()`
+            # has an empty message, and [0] on [] would crash the gate's
+            # own error path instead of printing FAIL and moving on
+            first = (str(e).splitlines() or [""])[0]
+            ok, msg = False, f"EXC {type(e).__name__}: {first[:300]}"
         status = "PASS" if ok else "FAIL"
         if not ok:
             failures += 1
