@@ -20,9 +20,11 @@ known width/height/mean-pixel).
 
 Scale: mapInPandas streams Arrow record batches per partition; payload bytes
 never transit the driver, and batch size is governed by
-spark.sql.execution.arrow.maxRecordsPerBatch. Partition count follows the
-input scan, so a 100 TB binary corpus processes with per-executor memory
-bounded by (batch rows × max payload size).
+spark.sql.execution.arrow.maxRecordsPerBatch. Every decode entry point
+spreads its input first (``spread_for_decode``): the scan's partitioning
+packs ~128 MB of TEXT per split, which is hours of Python decode in one
+task — the repartition is cheap next to the decode and bounds per-executor
+memory at (batch rows × max payload size) while using every core.
 """
 
 from __future__ import annotations
@@ -556,7 +558,7 @@ def wav_roundtrip_features(df: DataFrame, max_samples: int = 512) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(_roundtrip, schema=WAV_ROUNDTRIP_SCHEMA)
+    return spread_for_decode(df).mapInPandas(_roundtrip, schema=WAV_ROUNDTRIP_SCHEMA)
 
 
 def flac_roundtrip_features(df: DataFrame, max_samples: int = 512) -> DataFrame:
@@ -599,7 +601,23 @@ def flac_roundtrip_features(df: DataFrame, max_samples: int = 512) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(_roundtrip, schema=WAV_ROUNDTRIP_SCHEMA)
+    return spread_for_decode(df).mapInPandas(_roundtrip, schema=WAV_ROUNDTRIP_SCHEMA)
+
+
+def spread_for_decode(df: DataFrame) -> DataFrame:
+    """Repartition a (id, payload) frame before a CPU-heavy Python decode.
+
+    Decode stages must NOT inherit the scan's partitioning: parquet packs
+    ~128 MB of text per split, so one split can be hours of decode in ONE
+    task (measured at sf0.1: documents.parquet scans as a single
+    partition, serializing the whole PNG round-trip on a 32-core box).
+    A round-robin repartition of small (id, payload) rows is cheap next
+    to the decode and buys full-cluster parallelism; we never shrink an
+    already-wider layout.
+    """
+    spark = df.sparkSession
+    target = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(target)
 
 
 def fake_decode(payload: bytes) -> tuple[int, int]:
@@ -646,7 +664,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return spread_for_decode(df).mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
 IMAGE_FEATURE_SCHEMA = StructType(
@@ -686,7 +704,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(_extract, schema=IMAGE_FEATURE_SCHEMA)
+    return spread_for_decode(df).mapInPandas(_extract, schema=IMAGE_FEATURE_SCHEMA)
 
 
 PNG_ROUNDTRIP_SCHEMA = StructType(
@@ -753,7 +771,7 @@ def png_roundtrip_features(df: DataFrame, width: int = 16, max_h: int = 16) -> D
                 }
             )
 
-    return df.mapInPandas(_roundtrip, schema=PNG_ROUNDTRIP_SCHEMA)
+    return spread_for_decode(df).mapInPandas(_roundtrip, schema=PNG_ROUNDTRIP_SCHEMA)
 
 
 GIF_ROUNDTRIP_SCHEMA = StructType(
@@ -829,7 +847,7 @@ def gif_roundtrip_features(
                 }
             )
 
-    return df.mapInPandas(_roundtrip, schema=GIF_ROUNDTRIP_SCHEMA)
+    return spread_for_decode(df).mapInPandas(_roundtrip, schema=GIF_ROUNDTRIP_SCHEMA)
 
 
 def resize_stub(df: DataFrame, max_px: int = 256) -> DataFrame:
@@ -841,7 +859,7 @@ def resize_stub(df: DataFrame, max_px: int = 256) -> DataFrame:
         for pdf in batches:
             yield pdf  # a real implementation re-encodes each payload
 
-    return df.mapInPandas(_resize, schema=df.schema)
+    return spread_for_decode(df).mapInPandas(_resize, schema=df.schema)
 
 
 FRAME_SCHEMA = StructType(
@@ -894,7 +912,7 @@ def sample_frames(
                 }
             )
 
-    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+    return spread_for_decode(df).mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
 AVI_ROUNDTRIP_SCHEMA = StructType(
@@ -968,7 +986,7 @@ def avi_roundtrip_features(
                 }
             )
 
-    return df.mapInPandas(_roundtrip, schema=AVI_ROUNDTRIP_SCHEMA)
+    return spread_for_decode(df).mapInPandas(_roundtrip, schema=AVI_ROUNDTRIP_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1102,7 +1120,7 @@ def image_dhash_features(
                 }
             )
 
-    return df.mapInPandas(_hash, schema=DHASH_SCHEMA)
+    return spread_for_decode(df).mapInPandas(_hash, schema=DHASH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1191,4 +1209,4 @@ def audio_frame_features(
                 }
             )
 
-    return df.mapInPandas(_feats, schema=AUDIO_FEATURES_SCHEMA)
+    return spread_for_decode(df).mapInPandas(_feats, schema=AUDIO_FEATURES_SCHEMA)
