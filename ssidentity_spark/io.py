@@ -71,6 +71,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a frame to at least the session's default parallelism before
+    a CPU-heavy per-row stage (Python decode, shingle explode + k-hash).
+
+    Scan partitioning follows BYTES (~128 MB splits), but these stages'
+    cost follows rows × per-row work — a single small parquet file
+    otherwise serializes the whole stage on one core (measured at sf0.1:
+    the PNG round-trip and the MinHash signature stage both ran as ONE
+    task on a 32-core box). Round-robin repartition of the compact input
+    rows is cheap next to the stage itself; never shrinks an
+    already-wider layout, so at 100 TB (naturally ~byte-proportional
+    partitions) it is a no-op."""
+    spark = df.sparkSession
+    target = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -605,19 +605,14 @@ def flac_roundtrip_features(df: DataFrame, max_samples: int = 512) -> DataFrame:
 
 
 def spread_for_decode(df: DataFrame) -> DataFrame:
-    """Repartition a (id, payload) frame before a CPU-heavy Python decode.
+    """Repartition a (id, payload) frame before a CPU-heavy Python decode
+    (measured at sf0.1: documents.parquet scans as a single partition,
+    serializing the whole PNG round-trip on a 32-core box). Delegates to
+    the shared :func:`ssidentity_spark.io.spread` — same rule as the
+    MinHash signature stage."""
+    from ssidentity_spark.io import spread
 
-    Decode stages must NOT inherit the scan's partitioning: parquet packs
-    ~128 MB of text per split, so one split can be hours of decode in ONE
-    task (measured at sf0.1: documents.parquet scans as a single
-    partition, serializing the whole PNG round-trip on a 32-core box).
-    A round-robin repartition of small (id, payload) rows is cheap next
-    to the decode and buys full-cluster parallelism; we never shrink an
-    already-wider layout.
-    """
-    spark = df.sparkSession
-    target = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
-    return df.repartition(target)
+    return spread(df)
 
 
 def fake_decode(payload: bytes) -> tuple[int, int]:

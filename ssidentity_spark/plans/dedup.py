@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ssidentity_spark.io import load_table
+from ssidentity_spark.io import load_table, spread
 from ssidentity_spark.registry import register
 
 N_MINHASH = 8  # k independent min-hashes
@@ -121,7 +121,15 @@ def _spark_shingles(d: DataFrame) -> DataFrame:
     # lambda bodies, so building shingles off the raw split expression
     # re-ran the regex split per element_at (3 × n_shingles per row) —
     # the same 10-20× trap measured on text_fingerprint at sf0.1
-    t = d.select("doc_id", _words_col().alias("w")).filter(F.size("w") >= 3)
+    # spread BEFORE the tokenize/explode/k-hash work: the signature stage's
+    # cost is rows × (split + n_shingles × 3 md5), not bytes, so inheriting
+    # a small file's single scan partition serializes it (io.spread is a
+    # no-op once the scan is already byte-wide)
+    t = (
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", _words_col().alias("w"))
+        .filter(F.size("w") >= 3)
+    )
     w = F.col("w")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(w) - 2),

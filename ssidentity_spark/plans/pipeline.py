@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ssidentity_spark.io import load_table
+from ssidentity_spark.io import load_table, spread
 from ssidentity_spark.plans.text import _STOPWORDS
 from ssidentity_spark.registry import register
 
@@ -350,8 +350,11 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     # split once into a materialized array (lambda bodies defeat CSE —
-    # slicing the raw split expression would re-split per gram)
-    t = d.select("doc_id", doc_words().alias("w"))
+    # slicing the raw split expression would re-split per gram); spread
+    # first — the split + gram-hash explode is rows × per-row work, and a
+    # small documents file scans as ONE partition (io.spread is a no-op
+    # once the scan is byte-wide)
+    t = spread(d.select("doc_id", "text")).select("doc_id", doc_words().alias("w"))
     g = t.select("doc_id", F.explode(gram_hashes_expr(F.col("w"))).alias("gram"))
     is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
     bench = g.filter(is_bench).select("gram").distinct()

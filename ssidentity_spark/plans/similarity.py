@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ssidentity_spark.io import load_table
+from ssidentity_spark.io import load_table, spread
 from ssidentity_spark.registry import register
 
 N_QUERIES = 10  # deterministic query subset: vec_id < 10
@@ -34,8 +34,12 @@ RERANK_CANDIDATES = 100
 
 
 def _norm_vec(em: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    # spread first: everything downstream of this frame (norms here, then
+    # per-row dot products / projections / cell assignments) is rows ×
+    # vector-dim work, and a small embeddings file scans as ONE partition
+    # — io.spread is a no-op once the scan is already byte-wide
     v = F.transform("embedding", lambda x: x.cast("double"))
-    return em.select(
+    return spread(em).select(
         F.col(id_col),
         v.alias("v"),
         F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
