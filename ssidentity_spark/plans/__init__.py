@@ -156,6 +156,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # `text_source_kl_divergence`, and `pipe_pack_nosplit` — all hash-green
 # locally at ALL THREE SFs but never driver-recorded: those go FIRST in
 # the r8 window, like the 8 late-r6 queries did this round.
+# SECOND: the four history-parked queries whose ORACLE TEXT changed in
+# the r7 review waves — `agg_min_max_by` (struct-lexicographic tiebreak),
+# `j9_above_nation_avg` (integer-cents membership), `mm_decoded_features`
+# (byte math instead of codepoints), `ref_companion_clusters` (distinct-
+# bucket HAVING) — their historical green rows were recorded against the
+# old oracles, so the standing evidence is stale until re-recorded (all
+# four re-verified green locally at sf0.01 post-change; graph_pagerank's
+# oracle also changed but it sits in the CURRENT window and r7's driver
+# run re-records it).
 # Then rotation is pure staleness order: first the ten r1-vintage greens the
 # r7 first-timers displaced mid-round (o1_global_sort_top,
 # o4_except_users, w2_transitions, w3_rolling_count_10min,
