@@ -80,11 +80,15 @@ def spread(df: DataFrame) -> DataFrame:
     otherwise serializes the whole stage on one core (measured at sf0.1:
     the PNG round-trip and the MinHash signature stage both ran as ONE
     task on a 32-core box). Round-robin repartition of the compact input
-    rows is cheap next to the stage itself; never shrinks an
-    already-wider layout, so at 100 TB (naturally ~byte-proportional
-    partitions) it is a no-op."""
+    rows is cheap next to the stage itself. A TRUE no-op when the frame
+    is already at least default-parallelism wide (returns ``df``
+    unchanged — ``repartition(n)`` would still shuffle even at the same
+    n), so at 100 TB byte-proportional scans, and inside loops over an
+    already-spread persisted frame, no exchange is added."""
     spark = df.sparkSession
-    target = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 
