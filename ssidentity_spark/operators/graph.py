@@ -265,8 +265,11 @@ def pagerank(
     - ``"persist"``: no truncation — rounds compose lazily into one DAG
       with each round's state persisted (MEMORY_AND_DISK) for reuse by
       the two downstream consumers. Full lineage is retained, so recovery
-      is Spark-native recompute; analysis cost grows linearly with
-      ``iters`` (fine for single digits, not for hundreds).
+      is Spark-native recompute; analysis cost grows with ``iters``
+      (measured at sf0.1, 6 rounds: 4.3× slower end-to-end than
+      ``"local"`` — the compounding plan dominates, so this mode is for
+      environments that cannot checkpoint at all, not a performance
+      choice).
 
     ``partitions`` fixes the loop's shuffle width. Default (None) derives
     it from the edge count — ~2M edges per partition, floor 1, no upper
