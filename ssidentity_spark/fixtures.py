@@ -13,6 +13,7 @@ from __future__ import annotations
 import datetime as dt
 import math
 import os
+import uuid
 import zlib
 from dataclasses import dataclass
 
@@ -85,17 +86,22 @@ SNAPSHOT_DIR = os.path.join(
 _SNAPSHOTS_WRITTEN: set[str] = set()
 
 
-def snapshot_fixture(name: str, pdf) -> str:
+def snapshot_fixture(name: str, pdf, memo: bool = True) -> str:
     """Write a fixture to ``.fixture_snapshots/<name>.parquet``, return path.
 
     ``pdf`` is a pandas DataFrame or a zero-arg callable producing one;
     pass a callable for expensive inputs (generation loops, Spark
     ``toPandas``) so the memoized fast path skips the work entirely.
-    The write is atomic (tmp + rename), so a reader never sees a
-    half-written snapshot."""
+    The memo assumes content is a PURE FUNCTION OF ``name`` (seeded
+    generators) — pass ``memo=False`` for content that depends on
+    anything else (e.g. trained-model snapshots derived from a specific
+    sf_dir), or a second sf_dir in the same process would silently keep
+    the first one's snapshot. The write is atomic (process-unique tmp +
+    rename), so neither a concurrent reader nor a concurrent writer in
+    another process sees or clobbers a half-written snapshot."""
     os.makedirs(SNAPSHOT_DIR, exist_ok=True)
     path = os.path.join(SNAPSHOT_DIR, f"{name}.parquet")
-    if name in _SNAPSHOTS_WRITTEN and os.path.exists(path):
+    if memo and name in _SNAPSHOTS_WRITTEN and os.path.exists(path):
         return path
     if callable(pdf):
         pdf = pdf()
@@ -108,7 +114,7 @@ def snapshot_fixture(name: str, pdf) -> str:
             for f in table.schema
         ]
     )
-    tmp = path + ".tmp"
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
     pq.write_table(table.cast(schema), tmp)
     os.replace(tmp, path)
     _SNAPSHOTS_WRITTEN.add(name)

@@ -84,8 +84,26 @@ def spread(df: DataFrame) -> DataFrame:
     is already at least default-parallelism wide (returns ``df``
     unchanged — ``repartition(n)`` would still shuffle even at the same
     n), so at 100 TB byte-proportional scans, and inside loops over an
-    already-spread persisted frame, no exchange is added."""
+    already-spread persisted frame, no exchange is added.
+
+    CONTRACT: pass a scan-stage frame (reads + narrow projections/
+    filters only). The width probe uses ``df.rdd``, and converting a
+    frame that contains joins/aggregates forces AQE to finalize — and
+    EXECUTE — the upstream shuffle stages at plan-build time, then
+    reports the pre-coalesce width; such frames are detected from the
+    analyzed plan and returned unchanged (their upstream shuffle already
+    set the parallelism)."""
+    import re
+
     spark = df.sparkSession
+    plan = df._jdf.queryExecution().analyzed().toString()  # analysis only
+    # node-position match (tree-prefixed line starts), not substring — a
+    # column named join_key must not read as a Join node
+    if re.search(
+        r"(?m)^[\s+:|-]*(Join|Aggregate|Window|Repartition|RepartitionByExpression|Sort|Deduplicate) ",
+        plan,
+    ):
+        return df
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

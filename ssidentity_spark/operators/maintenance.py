@@ -68,7 +68,19 @@ def latest_per_key(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFr
     ordering), so the survivor is deterministic across shuffles and runs
     — row_number over the bare order column alone would pick whichever
     row a partition scanned first."""
-    rest = [c for c in df.columns if c not in keys and c != order_col]
+    from pyspark.sql.types import MapType
+
+    # unorderable columns (MapType) are excluded from the tiebreak struct
+    # — including them would fail analysis for frames the bare ordering
+    # handled fine; ties among rows differing ONLY in a map column remain
+    # arbitrary (no total order exists for them)
+    rest = [
+        c
+        for c in df.columns
+        if c not in keys
+        and c != order_col
+        and not isinstance(df.schema[c].dataType, MapType)
+    ]
     tiebreak = [F.desc(F.struct(*rest))] if rest else []
     w = Window.partitionBy(*keys).orderBy(F.desc(order_col), *tiebreak)
     return (
@@ -167,6 +179,11 @@ def upsert_parquet_partitioned(
     partition-value collect is bounded by the number of partitions in one
     batch (a handful of dates), not by data volume. Returns the touched
     partition values."""
+    # the batch is consumed three times (touched-partition scan, the
+    # duplicate-key validation inside upsert_by_key, and the final
+    # write); persist once so a non-trivial updates plan is not
+    # recomputed per consumer
+    updates = updates.persist()
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     # isin() alone is a trap when the batch touches the NULL partition:
     # isin([None]) is NULL for EVERY row, so the target read comes back
@@ -177,17 +194,21 @@ def upsert_parquet_partitioned(
     cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
     if len(non_null) < len(touched):
         cond = cond | F.col(partition_col).isNull()
-    target = spark.read.parquet(path).filter(cond)
-    merged = upsert_by_key(target, updates, keys)
-    # break lineage from `path` before overwriting it (Spark refuses a
-    # direct read-from/write-to cycle); bounded by the touched partitions
-    merged = merged.localCheckpoint(eager=True)
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
+    try:
+        target = spark.read.parquet(path).filter(cond)
+        merged = upsert_by_key(target, updates, keys)
+        # break lineage from `path` before overwriting it (Spark refuses
+        # a direct read-from/write-to cycle); bounded by the touched
+        # partitions
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        updates.unpersist()
     return touched
 
 

@@ -21,13 +21,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import StructField, StructType
+
 from ssidentity_spark.schemas import POSITIONS_SCHEMA
 
 METERS_PER_DEG_LAT = 111_320.0
 
-# one schema definition — re-declaring POSITIONS_SCHEMA field-for-field
-# here let the two drift (the nullability flags already had)
-RESULT_SCHEMA = POSITIONS_SCHEMA
+# names/types come from the ONE shared definition, but nullability is
+# relaxed: a group keyed by a NULL mac or NULL ts (→ NULL window) must
+# come back as a null-keyed row, not crash the pandas→Arrow conversion
+# against a non-nullable field
+RESULT_SCHEMA = StructType(
+    [StructField(f.name, f.dataType, True) for f in POSITIONS_SCHEMA]
+)
 
 
 def _solve_group(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -362,7 +362,10 @@ def _snapshot_centroid_model(name: str, cents) -> None:
             "cv": [[float(x) for x in row] for row in cents],
         }
     )
-    snapshot_fixture(name, pdf)
+    # memo=False: the model is trained from a specific sf_dir's
+    # embeddings — NOT a pure function of the snapshot name, so the
+    # process-level memo must not skip a retrain for a different SF
+    snapshot_fixture(name, pdf, memo=False)
 
 
 def _snapshot_codebook_model(name: str, books) -> None:
@@ -375,7 +378,8 @@ def _snapshot_codebook_model(name: str, books) -> None:
     rows = [
         (j, c, [float(x) for x in books[j][c]]) for j in range(m) for c in range(k)
     ]
-    snapshot_fixture(name, pdf=pd.DataFrame(rows, columns=["j", "c", "cv"]))
+    # memo=False — sf_dir-dependent model content (see _snapshot_centroid_model)
+    snapshot_fixture(name, pd.DataFrame(rows, columns=["j", "c", "cv"]), memo=False)
 
 
 def _model_snap(name: str) -> str:

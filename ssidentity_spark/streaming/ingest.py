@@ -125,11 +125,15 @@ def ingest_stream(
 
     Streaming dedup replaces the reference's repeated byte-identical rows
     (observations.db rows 3-4): state is bounded by the watermark
-    (dropDuplicatesWithinWatermark, T6/T8).
+    (dropDuplicatesWithinWatermark, T6/T8). FULL-ROW key, matching the
+    batch twin (operators/analytics.dedup_observations, r7 review): a
+    subset key like (mac, ssid, ts) would nondeterministically drop one
+    of two same-instant captures from DIFFERENT sensors, making a stream
+    load and a batch backfill of the same frames disagree.
     """
     obs = parse_observations(frames).withWatermark("ts", watermark)
     if dedup:
-        obs = obs.dropDuplicatesWithinWatermark(["mac", "ssid", "ts"])
+        obs = obs.dropDuplicatesWithinWatermark()
     return (
         obs.writeStream.format("parquet")
         .option("path", out_path)
