@@ -43,17 +43,20 @@ from ssidentity_spark.plans import (  # noqa: F401
 from ssidentity_spark.registry import REGISTRY
 
 # The 50 queries the driver's correctness gate will record, in order.
-# r7 ROTATION (executes the queue staged at the end of r6, per VERDICT r6
+# r8 ROTATION (executes the queue staged at the end of r7, per VERDICT r7
 # ask #1): bench headliners stay windowed (perf artifact and correctness
-# artifact must cover the same set), THEN the 8 r6 queries that landed
-# after the 50-slot window filled and so carry only local-gate evidence —
-# the driver artifact is the durable record, so they go first — THEN
-# strict staleness-ordered re-verification: the entire r1 vintage (never
-# re-verified under the driver since round 1), with the last five slots
-# spent on the stalest member of each module the staleness order alone
-# would have left unwindowed (per-module coverage outranks strict age).
-# New r7 first-time hash candidates displace r1-vintage analytics slots
-# (analytics is multiply covered by window + history) as they land.
+# artifact must cover the same set), THEN the 15 late-r7 queries that
+# landed after the 50-slot window filled and so carry only local-gate
+# evidence (tools/check_correctness.py 15/15 PASS at sf0.01 in r7, but
+# never driver-recorded — the driver artifact is the durable record),
+# THEN the 4 history-parked queries whose ORACLE TEXT changed in the r7
+# review waves (their standing green rows predate the oracle edits, so
+# the evidence is stale until re-recorded), THEN per-module anchors
+# (stalest history member of each module the queue alone leaves
+# unwindowed — module coverage outranks strict age), THEN strict
+# staleness-ordered re-verification of the r1 vintage. New r8 first-time
+# hash candidates displace the r1-vintage staleness slots as they land
+# (analytics is multiply covered by window + history).
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed)
     "flagship_hourly_top_types",
@@ -73,105 +76,59 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_pagerank",
     "j10_bloom_pruned_join",
     "w5_max_concurrency",
-    # the 8 locally-verified r6 queries (tools/check_correctness.py 8/8
-    # PASS at sf0.01 in r6, but never driver-recorded) — first priority
-    "a13_analyze_profile",
-    "graph_triangles",
-    "src_datasource_scan",
-    "src_managed_lookup",
-    "src_versioned_timetravel",
-    "text_unigram_logprob",
-    "ts_ema",
-    "w6_funnel_progression",
-    # staleness rotation: the full r1 vintage — green in round 1, never
-    # re-verified under the driver since
-    "a3_network_tree",
-    "d7_array_funcs",
-    "d7_array_manipulation",
-    "d7_from_json_struct",
-    "d7_math_funcs",
-    "d7_string_funcs",
-    "dedup_jaccard_topk",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "mm_binary_metadata",
-    # per-module anchors: stalest member of each module the r1 vintage
-    # leaves unwindowed (tpch2/tpch3/tpch4/sqlapi are r4 vintage;
-    # reference_pipeline is r6 — all six ref_* re-recorded last round)
-    "agg_ordered_listagg",
-    "tpch_q19_disjunctive_revenue",
-    # NEW in r7: versioned OPTIMIZE — small-file compaction committed as
-    # a read-identical version, time travel + physical file-count claim
-    # under the hash gate (o1_global_sort_top parks to history; O1 stays
-    # covered by green rows and the windowed j9_q3 TakeOrdered)
-    "src_compacted_timetravel",
-    # NEW in r7: sequence packing — the boundary map of the concat-and-
-    # chunk corpus packing under the hash gate (o4_except_users parks to
-    # history; O4 stays covered by green rows)
     "pipe_pack_sequences",
-    # NEW in r7: SemDeDup-shape semantic dedup over the embedding space
-    # (w2_transitions parks to history; W2 stays covered by green rows)
     "dedup_semantic_cells",
-    # NEW in r7: the TRAINED-codebook SemDeDup variant, hash-gated via a
-    # model snapshot like the r6 ANN family (w3_rolling_count_10min
-    # parks to history; W3 stays covered by green rows)
-    "dedup_semantic_trained",
-    # NEW in r7: the composed tokenize->pack pipeline — BPE-real token
-    # counts through the packing arithmetic as ONE hash-gated plan
-    # (a9_rollup_type_hour parks to history; A9 keeps cube + history)
-    "pipe_tokenize_pack",
-    # NEW in r7: blocked-Levenshtein approximate join — the entity-
-    # resolution join family (a1_user_interests parks to history; A1
-    # stays covered by the windowed flagship + green rows)
-    "j11_fuzzy_part_match",
-    # NEW in r7: the change data feed — append diffs stamped with commit
-    # versions, optimize contributing nothing (a2_active_hours parks to
-    # history; A2 stays covered by green rows)
-    "src_change_feed",
-    # NEW in r7: min/max range file skipping — the BETWEEN half of the
-    # data-skipping pair (a4_mac_key_rollup parks to history; A4 stays
-    # covered by green rows)
-    "src_minmax_range_scan",
-    # NEW in r7: additive schema evolution — manifest-recorded schema,
-    # mergeSchema reads, padded data-source batches (a6_value_stats
-    # parks to history; A6 stays covered by green rows)
-    "src_schema_evolution",
-    # NEW in r7: scale-correct global row numbering — two-phase range
-    # partition + local rank + offset join, never a global single-
-    # partition window (a9_cube_type_dow parks to history)
-    "pipe_global_row_ids",
-    "tpch_q17_small_quantity_revenue",
-    "sql_api_daily_type_summary",
-    "ref_visit_sessions",
+    # the 15 late-r7 queries (local 15/15 green in r7, never
+    # driver-recorded) — first priority, like the 8 late-r6 ones in r7
+    "src_delete_where",
+    "src_update_where",
+    "src_delete_dv",
+    "src_change_feed_deletes",
+    "src_change_feed_updates",
+    "mm_image_dhash",
+    "dedup_image_neardup_pairs",
+    "mm_audio_features",
+    "text_bigram_logprob",
+    "text_wordpiece_train",
+    "text_bm25_scores",
+    "text_inverted_postings",
+    "text_source_kl_divergence",
+    "pipe_pii_redact",
+    "pipe_pack_nosplit",
+    # the 4 oracle-changed history queries (green rows recorded against
+    # pre-r7-review oracle text; re-verified green locally post-change)
+    "agg_min_max_by",
+    "j9_above_nation_avg",
+    "mm_decoded_features",
+    "ref_companion_clusters",
+    # per-module anchors: stalest history-green member of each module the
+    # queue alone leaves unwindowed (last-green rounds in parens)
+    "j9_q16_supplier_variety",  # extras (r5)
+    "d7_date_funcs",  # scalars (r4)
+    "tpch_q22_global_sales_opportunity",  # tpch3 (r4)
+    "tpch_q20_excess_suppliers",  # tpch4 (r4)
+    "sql_api_nation_order_stats",  # sqlapi (r4)
+    # staleness rotation: r1 vintage (green in round 1, never re-verified
+    # under the driver since; o4_except_users / w2_transitions /
+    # w3_rolling_count_10min stay parked on history — next in the r9 queue)
+    "a1_user_interests",
+    "a2_active_hours",
+    "a4_mac_key_rollup",
+    "a6_value_stats",
+    "a9_cube_type_dow",
+    "a9_rollup_type_hour",
+    "o1_global_sort_top",
 )
 
-# r8 ROTATION QUEUE: after CORRECTNESS_r07 lands, regenerate
-# DRIVER_VERIFIED_HISTORY (tools/driver_history.py) — if r7 goes green the
-# cumulative driver-verified set covers every oracled query EXCEPT the
-# 15 late-r7 additions — `src_delete_where`, `src_change_feed_deletes`,
-# `mm_image_dhash`, `dedup_image_neardup_pairs`, `mm_audio_features`,
-# `text_bigram_logprob`, `src_update_where`, `src_change_feed_updates`,
-# `pipe_pii_redact`, `text_wordpiece_train`, `src_delete_dv`,
-# `text_bm25_scores`, `text_inverted_postings`,
-# `text_source_kl_divergence`, and `pipe_pack_nosplit` — all hash-green
-# locally at ALL THREE SFs but never driver-recorded: those go FIRST in
-# the r8 window, like the 8 late-r6 queries did this round.
-# SECOND: the four history-parked queries whose ORACLE TEXT changed in
-# the r7 review waves — `agg_min_max_by` (struct-lexicographic tiebreak),
-# `j9_above_nation_avg` (integer-cents membership), `mm_decoded_features`
-# (byte math instead of codepoints), `ref_companion_clusters` (distinct-
-# bucket HAVING) — their historical green rows were recorded against the
-# old oracles, so the standing evidence is stale until re-recorded (all
-# four re-verified green locally at sf0.01 post-change; graph_pagerank's
-# oracle also changed but it sits in the CURRENT window and r7's driver
-# run re-records it).
-# Then rotation is pure staleness order: first the ten r1-vintage greens the
-# r7 first-timers displaced mid-round (o1_global_sort_top,
-# o4_except_users, w2_transitions, w3_rolling_count_10min,
-# a9_rollup_type_hour, a1_user_interests, a2_active_hours,
-# a4_mac_key_rollup, a6_value_stats, a9_cube_type_dow — all
-# history-green, never
-# re-verified since r1), then the r3 vintage (a10_heavy_hitters,
+# r9 ROTATION QUEUE: after CORRECTNESS_r08 lands, regenerate
+# DRIVER_VERIFIED_HISTORY (tools/driver_history.py) — if r8 goes green the
+# cumulative driver-verified set covers every oracled query with
+# current-oracle evidence. Any r8-new queries that land after the window
+# filled (src_merge_versioned, range-pushdown datasource gates, ...) go
+# FIRST in the r9 window, like the late-r6/late-r7 batches did. Then
+# rotation is pure staleness order: the three r1-vintage greens this
+# round's queue displaced (o4_except_users, w2_transitions,
+# w3_rolling_count_10min), then the r3 vintage (a10_heavy_hitters,
 # a2_habitual_hour, a4_distinct_pairs, dedup_embedding_cosine,
 # dedup_simhash_pairs, o3_union_split, o4_intersect_users, pipe_docs_clean,
 # pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
@@ -179,7 +136,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # w3_rolling_avg_rows), then the r4 vintage, then r5, oldest-first, with
 # the per-module coverage rule outranking strict age as usual.
 # Queries hash-verified green by the driver in at least one prior round
-# (union of CORRECTNESS_r01..r06.json rows with hash_match=true). A query
+# (union of CORRECTNESS_r01..r07.json rows with hash_match=true). A query
 # may be parked past the window ONLY if it appears here — its green row is
 # the standing evidence — so rotation strictly grows the cumulative
 # driver-verified set. Regenerate via tools/driver_history.py.
@@ -188,6 +145,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "a10_heavy_hitters",
         "a11_type_correlation",
         "a12_equidepth_histogram",
+        "a13_analyze_profile",
         "a1_user_interests",
         "a2_active_hours",
         "a2_habitual_hour",
@@ -218,12 +176,16 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "dedup_jaccard_topk",
         "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures",
+        "dedup_semantic_cells",
+        "dedup_semantic_trained",
         "dedup_simhash",
         "dedup_simhash_pairs",
         "flagship_hourly_top_types",
         "graph_pagerank",
+        "graph_triangles",
         "ivm_daily_rollup",
         "j10_bloom_pruned_join",
+        "j11_fuzzy_part_match",
         "j1_brand_pricing",
         "j1_region_revenue",
         "j2_supplier_volume",
@@ -256,8 +218,11 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "pipe_domain_mix",
         "pipe_embed_quantize",
         "pipe_end_to_end",
+        "pipe_global_row_ids",
+        "pipe_pack_sequences",
         "pipe_split_assign",
         "pipe_stratified_sample",
+        "pipe_tokenize_pack",
         "pipe_weighted_sample",
         "pivot_status_by_priority",
         "pivot_user_type_matrix",
@@ -286,7 +251,14 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "sql_api_nation_order_stats",
         "sql_api_source_quality_rank",
         "src_avro_roundtrip",
+        "src_change_feed",
+        "src_compacted_timetravel",
+        "src_datasource_scan",
         "src_interchange_roundtrip",
+        "src_managed_lookup",
+        "src_minmax_range_scan",
+        "src_schema_evolution",
+        "src_versioned_timetravel",
         "text_bigram_profile",
         "text_bpe_tokenize",
         "text_bpe_train",
@@ -296,6 +268,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "text_repetition_scores",
         "text_tfidf_top_terms",
         "text_token_stats",
+        "text_unigram_logprob",
         "tpch_q11_important_value",
         "tpch_q12_late_priority",
         "tpch_q13_custdist",
@@ -313,6 +286,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "tpch_q7_volume_shipping",
         "tpch_q8_market_share",
         "tpch_q9_profit_by_nation",
+        "ts_ema",
         "ts_gapfill_interpolate",
         "unpivot_customer_metrics",
         "w1_distribution_ranks",
@@ -323,6 +297,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "w3_rolling_count_10min",
         "w4_sessionize",
         "w5_max_concurrency",
+        "w6_funnel_progression",
         "zorder_key",
     }
 )
