@@ -42,6 +42,14 @@ def _index_path(path: str, version: int) -> str:
     return os.path.join(path, "_index", f"bloom-v{version:08d}.json")
 
 
+def _minmax_path(path: str, version: int) -> str:
+    """Per-version min/max sidecar — the RANGE half of data skipping
+    (the bloom sidecar answers equality). Same per-file-immutability
+    contract: a file's [min, max] never changes, so appends carry the
+    parent's entries and scan only new files."""
+    return os.path.join(path, "_index", f"minmax-v{version:08d}.json")
+
+
 def _write_sidecar(path: str, version: int, key: str, m_bits: int, index: dict) -> None:
     """Publish the bloom sidecar ATOMICALLY (tmp + os.replace, the
     fileindex.py pattern): a crash mid-write must leave the previous
@@ -58,6 +66,60 @@ def _write_sidecar(path: str, version: int, key: str, m_bits: int, index: dict) 
             {"key": key, "m_bits": m_bits, "k": INDEX_K, "files": index}, f
         )
     os.replace(tmp, final)
+
+
+def _write_minmax_sidecar(path: str, version: int, key: str, index: dict) -> None:
+    """Atomic publish (tmp + os.replace) — same crash contract as the
+    bloom sidecar above."""
+    import uuid
+
+    final = _minmax_path(path, version)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = final + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"key": key, "files": index}, f)
+    os.replace(tmp, final)
+
+
+def _maintain_minmax(
+    spark: SparkSession, path: str, key: str, version: int, files: list[str]
+) -> int:
+    """Min/max sidecar for ``version`` at O(new files) cost: entries for
+    files present in the parent's sidecar are carried (per-file stats
+    are immutable), only files new to this version are scanned. Returns
+    indexed file count; 0 (and no sidecar) when the key type doesn't
+    support exact JSON round-tripping — readers degrade to
+    no-range-pruning, never to wrong results."""
+    from ssidentity_spark.operators.fileindex import build_minmax_index
+
+    parent: dict[str, list] = {}
+    if version > 0:
+        prev = _minmax_path(path, version - 1)
+        if os.path.exists(prev):
+            try:
+                with open(prev) as f:
+                    pidx = json.load(f)
+                if pidx.get("key") == key:
+                    parent = pidx["files"]
+            except (json.JSONDecodeError, OSError):
+                parent = {}
+    carried = {rel: parent[rel] for rel in files if rel in parent}
+    new_files = [rel for rel in files if rel not in carried]
+    try:
+        new_index = (
+            build_minmax_index(
+                spark, path, key, files=new_files, write_sidecar=False
+            )
+            if new_files
+            else {}
+        )
+    except TypeError:
+        # float/other key: minmax sidecar unsupported (JSON ordering
+        # semantics) — bloom index still works, range scans read all
+        return 0
+    index = {**carried, **new_index}
+    _write_minmax_sidecar(path, version, key, index)
+    return len(index)
 
 
 def write_managed(
@@ -102,6 +164,7 @@ def write_managed(
     index = {rel: parent_index[rel] for rel in files if rel in parent_index}
     index.update(new_index)
     _write_sidecar(path, version, cluster_key, m_bits, index)
+    _maintain_minmax(spark, path, cluster_key, version, list(files))
     return version
 
 
@@ -151,6 +214,7 @@ def optimize_managed(
         spark, path, key, m_bits=m_bits, files=files, write_sidecar=False
     )
     _write_sidecar(path, version, key, m_bits, index)
+    _maintain_minmax(spark, path, key, version, list(files))
     return {**stats, "indexed_files": len(index)}
 
 
@@ -218,6 +282,7 @@ def _reindex_incremental(
     )
     index = {**carried, **new_index}
     _write_sidecar(path, version, key, m_bits, index)
+    _maintain_minmax(spark, path, key, version, files)
     return len(index)
 
 

@@ -117,7 +117,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a6_value_stats",
     "a9_cube_type_dow",
     "a9_rollup_type_hour",
-    "o1_global_sort_top",
+    # NEW in r8: range-predicate pushdown through the managed_table
+    # format — min/max sidecar prunes partitions inside the source
+    # (o1_global_sort_top parks to history; O1 stays covered by green
+    # rows and the windowed j9_q3 TakeOrdered)
+    "src_range_pushdown_scan",
 )
 
 # r9 ROTATION QUEUE: after CORRECTNESS_r08 lands, regenerate

@@ -40,12 +40,16 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
-from ssidentity_spark.operators.fileindex import bloom_survivors
+from ssidentity_spark.operators.fileindex import bloom_survivors, range_survivors
 from ssidentity_spark.operators.tablelog import (
     _read_manifest,
     latest_version,
@@ -56,7 +60,10 @@ FORMAT_NAME = "managed_table"
 
 # ONE definition of the sidecar path contract (operators/managed.py owns
 # it) — a rename there must not silently disable pruning here
-from ssidentity_spark.operators.managed import _index_path as _index_sidecar  # noqa: E402
+from ssidentity_spark.operators.managed import (  # noqa: E402
+    _index_path as _index_sidecar,
+    _minmax_path as _minmax_sidecar,
+)
 
 
 class ManagedTableDataSource(DataSource):
@@ -310,7 +317,17 @@ class ManagedTableReader(DataSourceReader):
                 # a crash-truncated sidecar must DEGRADE the scan (no
                 # pruning), never brick a fully committed version
                 self.index = None
+        self.minmax = None
+        mm_sidecar = _minmax_sidecar(path, version)
+        if os.path.exists(mm_sidecar):
+            try:
+                with open(mm_sidecar) as f:
+                    self.minmax = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                self.minmax = None
         self.pruned_value = None  # set by pushFilters
+        self.range_lo = None  # tightest lower bound on the indexed key
+        self.range_hi = None  # tightest upper bound
 
     def pushFilters(self, filters: list[Filter]):
         for flt in filters:
@@ -322,8 +339,30 @@ class ManagedTableReader(DataSourceReader):
                 and self.pruned_value is None
             ):
                 self.pruned_value = flt.value
+            # Range predicates on the min/max-indexed key tighten the
+            # [range_lo, range_hi] band the scan must intersect. Strict
+            # bounds (>, <) are widened to inclusive — a file whose max
+            # EQUALS a GreaterThan bound survives as a false positive
+            # the engine's re-applied filter removes; stats pruning may
+            # over-read, never over-drop.
+            elif (
+                self.minmax is not None
+                and isinstance(
+                    flt,
+                    (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+                )
+                and len(flt.attribute) == 1
+                and flt.attribute[0] == self.minmax["key"]
+            ):
+                if isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
+                    if self.range_lo is None or flt.value > self.range_lo:
+                        self.range_lo = flt.value
+                else:
+                    if self.range_hi is None or flt.value < self.range_hi:
+                        self.range_hi = flt.value
             # every filter goes back to Spark: bloom pruning is
-            # approximate (fp possible), so the engine must re-apply —
+            # approximate (fp possible) and min/max pruning keeps whole
+            # files for one matching row, so the engine must re-apply —
             # the "partially pushed" contract
             yield flt
 
@@ -332,6 +371,13 @@ class ManagedTableReader(DataSourceReader):
         if self.pruned_value is not None and self.index is not None:
             files = bloom_survivors(
                 self.index, self.pruned_value, restrict=set(files)
+            )
+        if (
+            self.minmax is not None
+            and (self.range_lo is not None or self.range_hi is not None)
+        ):
+            files = range_survivors(
+                self.minmax, self.range_lo, self.range_hi, restrict=set(files)
             )
         if not files:
             # bloom pruned everything — one empty partition (Spark calls

@@ -4,6 +4,8 @@ filter-pushdown file pruning, and snapshot isolation through the format."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -74,6 +76,108 @@ def test_pushdown_prunes_partitions(spark, table):
     reader.pruned_value = 123
     n_pruned = len(reader.partitions())
     assert n_pruned <= 4 < n_all == 32
+
+
+def test_range_pushdown_prunes_partitions(spark, table):
+    """r8 (VERDICT r7 ask #2): range predicates on the indexed key reach
+    the min/max sidecar — a BETWEEN scan through the format plans
+    partitions only for stat-surviving files, and every filter is
+    returned to Spark for exact re-application."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    r = spark.read.format("managed_table").load(table)
+    reader = ManagedTableReader(table, 1, r.schema)
+    n_all = len(reader.partitions())
+    returned = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("mac_key",), 40),
+                LessThanOrEqual(("mac_key",), 60),
+            ]
+        )
+    )
+    assert len(returned) == 2  # partially-pushed contract: all come back
+    assert reader.range_lo == 40 and reader.range_hi == 60
+    n_pruned = len(reader.partitions())
+    assert n_pruned <= 6 < n_all == 32
+
+
+def test_range_pushdown_strict_bounds_stay_exact(spark, table):
+    """Strict > / < are widened to inclusive pruning bounds (a file whose
+    max equals the bound survives as a false positive), and the engine's
+    re-applied filter keeps the RESULT exact."""
+    r = spark.read.format("managed_table").load(table)
+    direct = read_versioned(spark, table)
+    for pred in [
+        (F.col("mac_key") > 40) & (F.col("mac_key") < 60),
+        (F.col("mac_key") >= 197),
+        (F.col("mac_key") < 3),
+        (F.col("mac_key") > 40) & (F.col("mac_key") <= 41),
+    ]:
+        got = r.where(pred)
+        want = direct.where(pred)
+        assert got.count() == want.count()
+        assert (
+            got.agg(F.sum("seq")).collect() == want.agg(F.sum("seq")).collect()
+        )
+    # out-of-domain band prunes to the empty marker partition
+    assert r.where((F.col("mac_key") >= 900) & (F.col("mac_key") <= 950)).count() == 0
+
+
+def test_corrupt_minmax_sidecar_degrades_to_unpruned(spark, tmp_path):
+    from ssidentity_spark.operators.managed import _minmax_path, write_managed
+
+    register(spark)
+    path = str(tmp_path / "mm")
+    df = spark.range(1_000).selectExpr("id % 50 AS mac_key", "id AS seq")
+    write_managed(spark, df, path, "mac_key")
+    with open(_minmax_path(path, 0), "w") as f:
+        f.write('{"key": "mac_')
+    got = spark.read.format("managed_table").load(path)
+    assert got.where(F.col("mac_key").between(10, 20)).count() == 220
+
+
+def test_minmax_sidecar_maintained_across_dml_and_optimize(spark, tmp_path):
+    """The minmax sidecar follows every write path that maintains the
+    bloom sidecar: append (incremental), delete/update (O(rewritten
+    files)), optimize (rebuild)."""
+    import json as _json
+
+    from ssidentity_spark.operators.managed import (
+        _minmax_path,
+        delete_managed,
+        optimize_managed,
+        write_managed,
+    )
+
+    path = str(tmp_path / "dmlmm")
+    df = spark.range(2_000).selectExpr("id % 100 AS mac_key", "id AS seq")
+    write_managed(spark, df, path, "mac_key", n_files=8)
+    write_managed(
+        spark,
+        spark.range(2_000, 3_000).selectExpr("id % 100 AS mac_key", "id AS seq"),
+        path,
+        "mac_key",
+        n_files=8,
+    )
+    stats = delete_managed(spark, path, "mac_key = 7")
+    v = stats["version"]
+    assert os.path.exists(_minmax_path(path, v))
+    stats2 = optimize_managed(spark, path, target_rows_per_file=10_000)
+    v2 = stats2["version"]
+    with open(_minmax_path(path, v2)) as f:
+        idx = _json.load(f)
+    assert idx["key"] == "mac_key"
+    from ssidentity_spark.operators.tablelog import _read_manifest
+
+    assert set(idx["files"]) == set(_read_manifest(path, v2)["files"])
+    # scans through the format stay exact across the whole chain
+    register(spark)
+    t = spark.read.format("managed_table").load(path)
+    want = read_versioned(spark, path).where(F.col("mac_key").between(30, 40))
+    got = t.where(F.col("mac_key").between(30, 40))
+    assert got.count() == want.count()
+    assert got.agg(F.sum("seq")).collect() == want.agg(F.sum("seq")).collect()
 
 
 def test_version_pin_is_isolation_boundary(spark, table):
