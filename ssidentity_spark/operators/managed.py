@@ -319,6 +319,51 @@ def update_managed(
     return {**stats, "indexed_files": n}
 
 
+def merge_managed(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    assignments: dict[str, str],
+    delete_when: str | None = None,
+    change_key: str | None = None,
+) -> dict:
+    """File-pruned MERGE on the managed table: :func:`tablelog.merge_into`
+    (upsert a changelog rewriting only key-overlapping files), then the
+    incremental bloom + min/max sidecars for the new version — the same
+    O(rewritten files) reindex contract as delete/update. Note the merge
+    key need not be the cluster key; pruning locality follows how well
+    the CHANGELOG's keys align with the cluster layout."""
+    tip = latest_version(path)
+    if tip is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    sidecar = _index_path(path, tip)
+    if not os.path.exists(sidecar):
+        raise FileNotFoundError(
+            f"no bloom sidecar for tip version {tip} at {path} — not a "
+            "managed table (use tablelog.merge_into for unindexed tables)"
+        )
+    with open(sidecar) as f:
+        idx = json.load(f)
+    ikey, m_bits = idx["key"], idx["m_bits"]
+
+    from ssidentity_spark.operators.tablelog import merge_into
+
+    stats = merge_into(
+        spark,
+        path,
+        changes,
+        key,
+        assignments,
+        delete_when=delete_when,
+        change_key=change_key,
+    )
+    if stats["version"] == tip:  # no-op merge
+        return {**stats, "indexed_files": len(idx["files"])}
+    n = _reindex_incremental(spark, path, idx, ikey, m_bits, stats["version"])
+    return {**stats, "indexed_files": n}
+
+
 def managed_point_lookup(
     spark: SparkSession,
     path: str,
@@ -422,7 +467,12 @@ def vacuum_managed(
                     orphans.append(rel)
         # second pass, bottom-up: losing racers' now-empty attempt
         # directories would otherwise accumulate forever (and be
-        # re-walked by every future vacuum)
+        # re-walked by every future vacuum). The SAME age cutoff as the
+        # file sweep (ADVICE r7): a concurrent writer's just-created,
+        # momentarily-empty staging/change/DV attempt dir must not be
+        # rmdir'd mid-write — the attempt-unique-dir design explicitly
+        # supports that writer, and racing its first part write would
+        # fail its job.
         for dirpath, _dirs, names in os.walk(
             os.path.join(path, sub), topdown=False
         ):
@@ -431,6 +481,7 @@ def vacuum_managed(
                 rel not in (sub, ".")
                 and rel not in referenced_dirs
                 and not os.listdir(dirpath)
+                and os.path.getmtime(dirpath) <= cutoff
             ):
                 os.rmdir(dirpath)
     return {

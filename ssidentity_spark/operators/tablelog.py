@@ -57,8 +57,14 @@ def _versions(path: str) -> list[int]:
     for name in os.listdir(d):
         # strict match: a stray file in _log/ (editor artifact, tool
         # droppings) must be ignored, not crash every reader with a
-        # ValueError from int()
-        if re.fullmatch(r"v\d{8}\.json", name):
+        # ValueError from int(). \d{8,}, not \d{8}: _manifest_path's
+        # zero-pad WIDENS past version 99,999,999 (a per-micro-batch
+        # sink can get there), and a fixed-width pattern would make
+        # that committed version invisible — latest_version sticks,
+        # the next writer re-attempts it, and the log wedges in
+        # perpetual VersionConflict (ADVICE r7). The numeric sort
+        # below handles wider names.
+        if re.fullmatch(r"v\d{8,}\.json", name):
             out.append(int(name[1:-5]))
     return sorted(out)
 
@@ -292,7 +298,12 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
         # a dropped DML version's change sets go with it — no retained
         # consumer can ask for its feed rows anymore (directories since
         # the distributed-write change; single files from before that)
-        for key in ("change_file", "change_file_pre", "change_file_post"):
+        for key in (
+            "change_file",
+            "change_file_pre",
+            "change_file_post",
+            "change_file_insert",
+        ):
             cf = m.get(key)
             full_cf = os.path.join(path, cf) if cf else None
             if cf and os.path.isdir(full_cf):
@@ -886,6 +897,255 @@ def delete_where(
     }
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    assignments: dict[str, str],
+    delete_when: str | None = None,
+    change_key: str | None = None,
+) -> dict:
+    """File-pruned MERGE INTO the versioned table — the fourth DML verb
+    (VERDICT r7 ask #3): upsert a changelog into the tip WITHOUT
+    rewriting untouched files, the reference's S5 fan-in
+    (ssidentity.c:102-113, each parsed record appended into the device
+    table) at 100 TB fact scale.
+
+    Clause semantics (the relational MERGE, same as
+    :func:`ssidentity_spark.operators.merge.merge_upsert`):
+
+    - matched + ``delete_when``          → row removed
+    - matched otherwise                  → ``assignments`` applied
+    - change with no base match          → inserted from ``assignments``
+    - base row with no change            → kept byte-identical
+
+    ``assignments`` maps base column → SQL expression over the joined
+    row (``b.col`` = base/preimage, ``c.col`` = change); results are
+    CAST to the column's manifest type (MERGE can never silently retype
+    a column). Unassigned non-key columns keep their base value on
+    update and insert as typed NULL.
+
+    Scale shape — what distinguishes this from ``merge_upsert`` over a
+    full snapshot read:
+
+    - ONE key-column pass (parquet column pruning: only ``key`` and the
+      position metadata are read) semi-joins the snapshot against the
+      DISTINCT change keys to find HIT files; the collect is
+      file-count-bounded. Kept files carry into the new version **by
+      reference** — never read again, never rewritten. A changelog
+      aligned with the cluster key touches O(matching files), not
+      O(table).
+    - The merge join itself runs over the hit files only — full-outer
+      on the key, sort-merge at scale, AQE-broadcast when the changelog
+      is small (the dimension-maintenance common case). This is exact,
+      not approximate: a kept file provably contains NO matching key,
+      so every unmatched change row is a true insert.
+    - Change files record all four row classes (deleted, update
+      pre/post images, inserted — the Delta CDF shape), so batch and
+      streaming feeds read facts, never re-derive them.
+    - CONCURRENCY: pinned-parent commit; a version race aborts (staged
+      data + change files removed), never retries — a blind retry would
+      drop a concurrent append's rows from the rewrite.
+    - Tip deletion vectors are APPLIED during the rewrite for hit files
+      (their entries become inert) and carried for kept files.
+
+    An empty changelog commits nothing. Returns ``{"version",
+    "rows_updated", "rows_inserted", "rows_deleted", "files_kept",
+    "files_rewritten", "files_after"}``.
+    """
+    from pyspark.sql import functions as F
+
+    ck = change_key or key
+    tip = latest_version(path)
+    if tip is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    tip_m = _read_manifest(path, tip)
+    files = tip_m["files"]
+    cols, type_of = _manifest_cols(spark, path, tip_m, files)
+    if key not in cols:
+        raise ValueError(f"merge key {key!r} not a column of {path}")
+    bad = [c for c in assignments if c not in cols]
+    if bad:
+        raise ValueError(f"MERGE assigns unknown column(s) {bad} at {path}")
+
+    changes = changes.persist()  # read by hit pass + merge + counts
+    try:
+        # pass 1: which files contain LIVE rows whose key appears in the
+        # changelog? Key-column-only scan, file-count-bounded collect.
+        ckeys = changes.select(F.col(ck).alias(key)).distinct()
+        if files:
+            scan = _scan_with_positions(spark, path, tip_m, files, cols, type_of)
+            hit_rel = {
+                r["_f"]: r["count"]
+                for r in scan.select(key, "_f")
+                .join(ckeys, key, "left_semi")
+                .groupBy("_f")
+                .count()
+                .collect()
+            }
+        else:
+            hit_rel = {}
+        kept = [f for f in files if f not in hit_rel]
+
+        if hit_rel:
+            base = (
+                _scan_with_positions(
+                    spark, path, tip_m, sorted(hit_rel), cols, type_of
+                )
+                .drop("_f", "_p")
+                .persist()
+            )
+        else:
+            base = (
+                spark.createDataFrame(
+                    [], ", ".join(f"`{c}` {type_of[c]}" for c in cols)
+                ).persist()
+            )
+
+        b, c = base.alias("b"), changes.alias("c")
+        joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{ck}"), "full_outer")
+        # determinism gate probes the JOINED frame — merge expressions
+        # reference b./c. aliases that resolve only there
+        _require_deterministic(
+            joined,
+            [*assignments.values()] + ([delete_when] if delete_when else []),
+            "MERGE",
+        )
+        matched = F.col(f"b.{key}").isNotNull() & F.col(f"c.{ck}").isNotNull()
+        insert_only = F.col(f"b.{key}").isNull()
+        has_change = F.col(f"c.{ck}").isNotNull()
+        doom = (
+            matched & F.coalesce(F.expr(delete_when), F.lit(False))
+            if delete_when is not None
+            else F.lit(False)
+        )
+
+        def out_col(name):
+            if name == key:
+                return F.coalesce(F.col(f"b.{key}"), F.col(f"c.{ck}")).cast(
+                    type_of[key]
+                ).alias(key)
+            if name in assignments:
+                return (
+                    F.when(has_change, F.expr(assignments[name]))
+                    .otherwise(F.col(f"b.{name}"))
+                    .cast(type_of[name])
+                    .alias(name)
+                )
+            return F.col(f"b.{name}").cast(type_of[name]).alias(name)
+
+        out_cols = [out_col(name) for name in cols]
+
+        # one pass over the join for the manifest's row counts
+        counts = joined.agg(
+            F.sum(F.when(doom, 1).otherwise(0)).alias("d"),
+            F.sum(F.when(matched & ~doom & has_change, 1).otherwise(0)).alias(
+                "u"
+            ),
+            F.sum(F.when(insert_only, 1).otherwise(0)).alias("i"),
+        ).collect()[0]
+        rows_deleted = int(counts["d"] or 0)
+        rows_updated = int(counts["u"] or 0)
+        rows_inserted = int(counts["i"] or 0)
+        if rows_deleted == rows_updated == rows_inserted == 0:
+            return {
+                "version": tip,
+                "rows_updated": 0,
+                "rows_inserted": 0,
+                "rows_deleted": 0,
+                "files_kept": len(files),
+                "files_rewritten": 0,
+                "files_after": len(files),
+            }
+
+        next_v = tip + 1
+        base_cols = [F.col(f"b.{n}").alias(n) for n in cols]
+        change_files: list[str] = []
+        meta: dict = {
+            "batch_ids": [str(x) for x in tip_m.get("batch_ids", [])],
+            "merge_key": key,
+            "assignments": dict(assignments),
+            "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted,
+            "rows_deleted": rows_deleted,
+        }
+        if delete_when is not None:
+            meta["delete_when"] = delete_when
+        if rows_deleted:
+            rel = _write_change_file(
+                joined.where(doom).select(*base_cols), path, next_v
+            )
+            meta["change_file"] = rel
+            change_files.append(rel)
+        if rows_updated:
+            upd = matched & ~doom & has_change
+            rel = _write_change_file(
+                joined.where(upd).select(*base_cols), path, next_v, tag="-pre"
+            )
+            meta["change_file_pre"] = rel
+            change_files.append(rel)
+            rel = _write_change_file(
+                joined.where(upd).select(*out_cols), path, next_v, tag="-post"
+            )
+            meta["change_file_post"] = rel
+            change_files.append(rel)
+        if rows_inserted:
+            rel = _write_change_file(
+                joined.where(insert_only).select(*out_cols),
+                path,
+                next_v,
+                tag="-ins",
+            )
+            meta["change_file_insert"] = rel
+            change_files.append(rel)
+
+        rewritten = joined.where(~doom).select(*out_cols)
+        stage = os.path.join(path, _DATA, f"merge-{next_v:08d}-{_attempt_tag()}")
+        if not kept:
+            # whole table rewritten: pin one (possibly empty) part so a
+            # merge that deletes everything stays readable (the
+            # empty-overwrite contract)
+            rewritten = rewritten.coalesce(1)
+        rewritten.write.mode("error").parquet(stage)
+        new_files = sorted(
+            os.path.relpath(os.path.join(stage, n), path)
+            for n in os.listdir(stage)
+            if n.endswith(".parquet")
+        )
+        if tip_m.get("dv_files"):
+            # kept files' DVs still apply; rewritten files' entries are
+            # inert (their rel paths left the manifest) and hit-file DV
+            # rows were dropped during the positioned scan
+            meta["dv_files"] = tip_m["dv_files"]
+        if tip_m.get("schema"):
+            meta["schema"] = tip_m["schema"]
+        try:
+            _commit(path, next_v, kept + new_files, "merge", meta=meta)
+        except VersionConflict:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            for rel in change_files:
+                shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+            raise
+        return {
+            "version": next_v,
+            "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted,
+            "rows_deleted": rows_deleted,
+            "files_kept": len(kept),
+            "files_rewritten": len(hit_rel),
+            "files_after": len(kept) + len(new_files),
+        }
+    finally:
+        changes.unpersist()
+        try:
+            base.unpersist()
+        except NameError:
+            pass
+
+
 def optimize_zorder(
     spark: SparkSession,
     path: str,
@@ -1023,6 +1283,22 @@ def iter_manifest_diffs(
                 "update_preimage/update_postimage rows; a change-feed "
                 "stream (.option('readChangeFeed','true')) emits them too."
             )
+        if m.get("operation") == "merge" and v != consume_whole_version:
+            # a merge both rewrites files (its diff would re-emit old
+            # rows) and inserts new ones — same gate as update: the
+            # recorded change files are the only faithful row-level view
+            if on_update == "skip":
+                prev = cur
+                continue
+            raise ValueError(
+                f"version {v} at {path} is a MERGE "
+                f"(updated: {m.get('rows_updated')}, inserted: "
+                f"{m.get('rows_inserted')}, deleted: "
+                f"{m.get('rows_deleted')}) — {context} is append-only. "
+                "Batch: read_changes(include_deletes=True) emits the "
+                "recorded insert/update/delete rows; a change-feed "
+                "stream (.option('readChangeFeed','true')) emits them too."
+            )
         if m.get("operation") == "overwrite" or not prev <= cur:
             if v != consume_whole_version:
                 raise ValueError(
@@ -1110,6 +1386,27 @@ def read_changes(
     if include_deletes:
         for v in range(start_version + 1, end + 1):
             m = _read_manifest(path, v)
+            if m.get("operation") == "merge":
+                # recorded facts for all four row classes (insert rows
+                # come from the change file, NOT the file diff — the
+                # rewritten parts also carry pre-existing rows)
+                for mkey, kind in (
+                    ("change_file", "delete"),
+                    ("change_file_pre", "update_preimage"),
+                    ("change_file_post", "update_postimage"),
+                    ("change_file_insert", "insert"),
+                ):
+                    if m.get(mkey):
+                        parts.append(
+                            stamp(
+                                spark.read.parquet(
+                                    os.path.join(path, m[mkey])
+                                ),
+                                v,
+                                kind,
+                            )
+                        )
+                continue
             if m.get("operation") == "update":
                 for key, kind in (
                     ("change_file_pre", "update_preimage"),
@@ -1165,7 +1462,29 @@ def read_changes(
                     )
                 )
     if not parts:
-        # typed-empty: the schema comes from the end snapshot
+        # typed-empty. Prefer the manifest's RECORDED schema — zero file
+        # I/O, and a snapshot read of `end` would raise when `end` was
+        # vacuumed or its file list is empty (ADVICE r7: an all-quiet
+        # feed over such a table must return empty, not error). Fall
+        # back to the nearest READABLE retained manifest's record, then
+        # to the snapshot read only as a last resort (schema-less
+        # legacy logs).
+        spec = None
+        try:
+            spec = _read_manifest(path, end).get("schema")
+        except FileNotFoundError:
+            pass
+        if spec is None:
+            for v in reversed(_versions(path)):
+                s = _read_manifest(path, v).get("schema")
+                if s is not None:
+                    spec = s
+                    break
+        if spec is not None:
+            empty = spark.createDataFrame(
+                [], ", ".join(f"`{n}` {t}" for n, t in spec)
+            )
+            return stamp(empty, 0, "insert").limit(0)
         return stamp(read_versioned(spark, path, end), 0, "insert").limit(0)
     out = parts[0]
     for p in parts[1:]:
@@ -1261,6 +1580,26 @@ def commit_files(
     ledger): a schema-oblivious caller must not erase the record."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    # managed bookkeeping keys are maintained INSIDE this function (the
+    # parent-carry logic below) or by the DML verbs' private _commit
+    # calls — caller meta smuggling one in would suppress the carry and
+    # silently drop or fabricate the DV ledger / recorded schema /
+    # change-feed pointers for the new version (ADVICE r7)
+    _BOOKKEEPING = (
+        "dv_files",
+        "schema",
+        "batch_ids",
+        "change_file",
+        "change_file_pre",
+        "change_file_post",
+        "change_file_insert",
+    )
+    smuggled = [k for k in (meta or {}) if k in _BOOKKEEPING]
+    if smuggled:
+        raise ValueError(
+            f"meta must not set managed bookkeeping key(s) {smuggled} — "
+            "they are maintained by the commit path itself"
+        )
     for _ in range(max_retries):
         parent = latest_version(path)
         version = 0 if parent is None else parent + 1

@@ -116,7 +116,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a4_mac_key_rollup",
     "a6_value_stats",
     "a9_cube_type_dow",
-    "a9_rollup_type_hour",
+    # NEW in r8: file-pruned MERGE INTO the versioned table — the fourth
+    # DML verb, change-feed-recorded, untouched files by reference
+    # (a9_rollup_type_hour parks to history; A9 stays covered by the
+    # windowed cube + green rows)
+    "src_merge_versioned",
     # NEW in r8: range-predicate pushdown through the managed_table
     # format — min/max sidecar prunes partitions inside the source
     # (o1_global_sort_top parks to history; O1 stays covered by green

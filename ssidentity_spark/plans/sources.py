@@ -573,6 +573,90 @@ def src_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_merge_versioned",
+    # r8 (VERDICT r7 ask #3): MERGE INTO the versioned table under the
+    # gate — a key-band changelog (deletes, updates, inserts) merged
+    # into a range-clustered snapshot, answered from the committed tip.
+    # The oracle recomputes the post-merge table from the raw parquet
+    # (full-outer-join semantics spelled as CASE/UNION), so a dropped
+    # concurrent row, a double-applied clause, or a resurrection of a
+    # deleted key breaks the hash; `pruned` pins the PHYSICAL claim
+    # (untouched files carried by reference) into the hashed result.
+    # Update arithmetic is +1.0 on a double (exact IEEE, bitwise
+    # identical across engines); the band bound is integer division of
+    # max(p_partkey), computed identically on both sides.
+    oracle="""
+    WITH band AS (SELECT max(p_partkey) // 8 AS hi FROM part)
+    SELECT p_partkey AS key,
+           CASE WHEN p_partkey <= (SELECT hi FROM band)
+                     AND p_partkey % 10 <> 0
+                THEN p_retailprice + 1.0 ELSE p_retailprice END AS price,
+           p_brand AS brand,
+           TRUE AS pruned
+    FROM part
+    WHERE NOT (p_partkey <= (SELECT hi FROM band) AND p_partkey % 10 = 0)
+    UNION ALL
+    SELECT p_partkey + 10000000 AS key,
+           9.99 AS price,
+           'NEWBRAND' AS brand,
+           TRUE AS pruned
+    FROM part
+    WHERE p_partkey <= (SELECT hi FROM band) AND p_partkey % 7 = 3
+    """,
+    survey="S5,M1,S2",
+)
+def src_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → range-clustered versioned table → file-pruned MERGE INTO
+    (operators/tablelog.py:merge_into) of a changelog covering the
+    lowest 1/8 of the key space: delete every 10th key, bump the rest
+    by 1.0, insert shifted new keys — the reference's S5 fan-in
+    (ssidentity.c:102-113) as a single atomic DML version that rewrites
+    only key-overlapping files."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        merge_into,
+        read_versioned,
+        write_versioned,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_brand").alias("brand"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"merge_part_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(part.repartitionByRange(8, "key"), path, "append")
+    # single-scalar collect: the band bound (matches the oracle's
+    # max(p_partkey) // 8)
+    hi = part.agg(F.max("key")).collect()[0][0] // 8
+    band = part.where(F.col("key") <= hi)
+    changes = band.select(
+        "key",
+        (F.col("price") + 1.0).alias("price"),
+        F.when(F.col("key") % 10 == 0, "D").otherwise("U").alias("op"),
+    ).unionByName(
+        band.where(F.col("key") % 7 == 3).select(
+            (F.col("key") + 10_000_000).alias("key"),
+            F.lit(9.99).alias("price"),
+            F.lit("I").alias("op"),
+        )
+    )
+    stats = merge_into(
+        spark,
+        path,
+        changes,
+        "key",
+        {"price": "c.price", "brand": "CASE WHEN c.op = 'I' THEN 'NEWBRAND' ELSE b.brand END"},
+        delete_when="c.op = 'D'",
+    )
+    return read_versioned(spark, path).withColumn(
+        "pruned", F.lit(0 < stats["files_rewritten"] < stats["files_kept"])
+    )
+
+
+@register(
     "src_range_pushdown_scan",
     # r8 (VERDICT r7 ask #2): the RANGE predicate pushed through the
     # registered format — the BETWEEN reaches pushFilters, the min/max

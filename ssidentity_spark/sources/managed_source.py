@@ -738,6 +738,23 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 continue  # the base snapshot was consumed whole as inserts
             m = _read_manifest(self.path, v)
             op = m.get("operation")
+            if op == "merge":
+                # all four recorded row classes; insert rows come from
+                # the change file, never the file diff (rewritten parts
+                # also carry pre-existing rows)
+                for key, kind in (
+                    ("change_file", "delete"),
+                    ("change_file_pre", "update_preimage"),
+                    ("change_file_post", "update_postimage"),
+                    ("change_file_insert", "insert"),
+                ):
+                    cf = m.get(key)
+                    if cf:
+                        parts.extend(
+                            _FilePartition(p, v, kind)
+                            for p in change_parts(cf)
+                        )
+                continue
             if op == "update":
                 for key, kind in (
                     ("change_file_pre", "update_preimage"),
