@@ -244,3 +244,42 @@ def j11_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text_b").alias("name_b"),
         F.col("dist").cast("int").alias("dist"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@register(
+    "j11_fuzzy_symspell",
+    # Deletion-neighborhood (SymSpell-style) fuzzy join under the gate.
+    # Unlike j11_fuzzy_part_match, whose oracle REPLICATES the blocking
+    # (pairs outside the block are lost by both sides), this oracle is
+    # the EXHAUSTIVE all-pairs truth with no blocking clause at all —
+    # the hash match itself proves the exact-recall claim: every
+    # distance-1 pair in the corpus, found without the O(n²) scan.
+    # (tools/fuzzy_recall.py measures the same property at scale:
+    # recall 1.000 at 0.02-0.04% of the pair ceiling.)
+    oracle="""
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) = 1
+    GROUP BY 1, 2
+    """,
+    survey="J3,J9,EXT-dedup",
+)
+def j11_fuzzy_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall approximate join on part names
+    (operators/fuzzy.py deletion_neighborhood_join): every pair at edit
+    distance exactly 1, via the public SymSpell deletion-neighborhood
+    index — explode O(len) deletion keys per string, equi-join, verify.
+    The oracle is the unblocked O(n²) pairwise scan, so a single missed
+    pair anywhere breaks the hash; candidate volume stays near the true
+    match structure (measured 0.04% of the pair ceiling)."""
+    from ssidentity_spark.operators.fuzzy import deletion_neighborhood_join
+
+    p = load_table(spark, sf_dir, "part")
+    pairs = deletion_neighborhood_join(
+        p, id_col="p_partkey", text_col="p_name", max_dist=1, min_dist=1
+    )
+    return pairs.groupBy(
+        F.col("text_a").alias("name_a"),
+        F.col("text_b").alias("name_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
