@@ -132,8 +132,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # DRIVER_VERIFIED_HISTORY (tools/driver_history.py) — if r8 goes green the
 # cumulative driver-verified set covers every oracled query with
 # current-oracle evidence. Any r8-new queries that land after the window
-# filled (j11_fuzzy_symspell — exact-recall deletion-neighborhood join,
-# local-gate green in r8, ...) go
+# filled (j11_fuzzy_symspell — exact-recall deletion-neighborhood join;
+# dedup_span_exact — substring-level duplicated-span profile; both
+# local-gate green in r8) go
 # FIRST in the r9 window, like the late-r6/late-r7 batches did. Then
 # rotation is pure staleness order: the three r1-vintage greens this
 # round's queue displaced (o4_except_users, w2_transitions,

@@ -1025,3 +1025,92 @@ def dedup_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 6)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup (duplicated spans, the suffix-array-dedup
+# result shape): which parts of each document are verbatim repeats of
+# text seen in OTHER documents — finer than every doc-level family
+# above (a doc can be 95% boilerplate and 5% unique; doc-level MinHash
+# scores it one way, a trainer wants the 95% measured).
+# ---------------------------------------------------------------------------
+
+SPAN_K = 40  # window length (chars); the public exact-substring-dedup
+# threshold shape — long enough that a 40-char verbatim match is
+# duplication, not coincidence, short enough to catch boilerplate
+
+
+@register(
+    "dedup_span_exact",
+    # Both engines enumerate EVERY k-char window (stride 1 — what makes
+    # the result exact rather than shingle-sampled), mark windows whose
+    # gram occurs in >= 2 distinct docs, and aggregate per doc. Counts
+    # are exact integers; the gram STRING is the key on both sides, so
+    # there is no hash-collision caveat under the gate.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             substr(text, CAST(unnest(generate_series(1, len(text) - {SPAN_K - 1})) AS INTEGER), {SPAN_K}) AS gram
+      FROM documents
+      WHERE len(text) >= {SPAN_K}
+    ),
+    gd AS (SELECT gram, doc_id, count(*) AS c FROM w GROUP BY 1, 2),
+    nd AS (SELECT gram, count(*) AS ndocs FROM gd GROUP BY 1)
+    SELECT gd.doc_id,
+           CAST(sum(gd.c) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN nd.ndocs >= 2 THEN gd.c ELSE 0 END) AS BIGINT) AS n_dup_windows
+    FROM gd JOIN nd USING (gram)
+    GROUP BY 1
+    """,
+    survey="EXT-dedup",
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span profile per document: slide a 40-char
+    window at stride 1 over every doc, count windows whose exact text
+    recurs in at least one OTHER document. The doc-level dedup family
+    answers "is this doc a near-copy"; this answers "how much of this
+    doc is copied" — the substring-granularity result of the public
+    suffix-array training-data dedup recipe, re-expressed as three
+    keyed aggregations instead of a suffix array (which does not
+    distribute).
+
+    Scale shape: explode emits one row per char (the same amplification
+    the corpus's tokenizer pipeline already pays), then ONE corpus-sized
+    exchange — explicitly on gram alone, which both the (gram, doc_id)
+    aggregate and the per-gram doc-count window then reuse (subset-key
+    clustering), so the lineage explodes once and shuffles the wide rows
+    once; the only other exchange is the tiny per-doc rollup. A
+    self-join formulation would re-explode the corpus for the per-gram
+    side (measured in the plan audit) — the window form replaces that
+    with a sort within already-colocated partitions. The gate groups on
+    the literal gram string for oracle exactness; at 100 TB you shuffle
+    xxhash64(gram) (8 bytes vs 40, collision odds ~2^-64 per pair) —
+    same plan, narrower keys. No all-pairs stage anywhere: cost is
+    linear in corpus chars."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.where(F.length("text") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {SPAN_K - 1}),"
+                    f" i -> substring(text, i, {SPAN_K}))"
+                )
+            ).alias("gram"),
+        )
+    )
+    gd = (
+        w.repartition(F.col("gram"))
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gstats = gd.withColumn(
+        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    return gstats.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_windows"),
+    )
