@@ -133,7 +133,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # cumulative driver-verified set covers every oracled query with
 # current-oracle evidence. Any r8-new queries that land after the window
 # filled (j11_fuzzy_symspell — exact-recall deletion-neighborhood join;
-# dedup_span_exact — substring-level duplicated-span profile; both
+# dedup_span_exact + dedup_span_trim — substring-level dedup profile
+# and keep-first trim; all
 # local-gate green in r8) go
 # FIRST in the r9 window, like the late-r6/late-r7 batches did. Then
 # rotation is pure staleness order: the three r1-vintage greens this

@@ -1114,3 +1114,150 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dup_windows"),
     )
+
+
+@register(
+    "dedup_span_trim",
+    # The FIX operator for the span profile above: remove every later
+    # occurrence of a duplicated 40-char window (keep the corpus-first,
+    # in (doc_id, pos) order), merging overlapping doomed windows into
+    # maximal cut intervals. Both engines run the identical pipeline —
+    # first-occurrence via row_number over (gram → doc_id, pos),
+    # gaps-and-islands interval merge, then rebuild the trimmed text —
+    # and the md5 of the REBUILT TEXT is under the hash, so a one-char
+    # disagreement in any interval boundary breaks the gate.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, pos, substr(text, pos, 40) AS gram
+      FROM (
+        SELECT doc_id, text,
+               CAST(unnest(generate_series(1, len(text) - 39)) AS INTEGER) AS pos
+        FROM documents WHERE len(text) >= 40
+      )
+    ),
+    r AS (
+      SELECT doc_id, pos, pos + 39 AS e
+      FROM (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM w)
+      WHERE rn > 1
+    ),
+    m AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM r
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ),
+    iv AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e FROM isl GROUP BY 1, 2),
+    seg AS (
+      SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+             s - 1 AS ge
+      FROM iv
+      UNION ALL
+      SELECT iv.doc_id, max(iv.e) + 1 AS gs, max(len(d.text)) AS ge
+      FROM iv JOIN documents d USING (doc_id) GROUP BY iv.doc_id
+    ),
+    cut AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_cut FROM iv GROUP BY 1),
+    trm AS (
+      SELECT seg.doc_id,
+             string_agg(CASE WHEN ge >= gs THEN substr(d.text, gs, ge - gs + 1)
+                        ELSE '' END, '' ORDER BY gs) AS trimmed
+      FROM seg JOIN documents d USING (doc_id) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_cut, 0) AS n_cut_chars,
+           CAST(len(coalesce(t.trimmed, d.text)) AS BIGINT) AS n_kept_chars,
+           md5(coalesce(t.trimmed, d.text)) AS trimmed_md5
+    FROM documents d
+    LEFT JOIN cut c USING (doc_id)
+    LEFT JOIN trm t USING (doc_id)
+    """,
+    survey="EXT-dedup,X3",
+)
+def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, the surgical form: every 40-char window
+    whose text occurred earlier in the corpus ((doc_id, pos) order) is
+    doomed; overlapping/adjacent doomed windows merge into maximal cut
+    intervals (gaps-and-islands); the cut text is REBUILT per doc by a
+    single fold over the sorted interval array. First occurrences stay,
+    so corpus-wide every duplicated span survives exactly once — the
+    public exact-substring training-data recipe, distributed as two
+    keyed windows + one fold instead of a suffix array.
+
+    Scale shape: same single corpus-sized gram exchange as
+    dedup_span_exact (row_number instead of count over the gram key),
+    then strictly per-doc windows over the DOOMED subset (tiny: the
+    duplicated fraction), a per-doc interval rollup, and one broadcast-
+    friendly join back to documents. The fold is an O(intervals)
+    expression, JVM-side, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    K = SPAN_K
+    w = (
+        d.where(F.length("text") >= K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {K - 1}),"
+                    f" i -> substring(text, i, {K}))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("gram").orderBy("doc_id", "pos")
+    )
+    doomed = (
+        w.withColumn("rn", rn)
+        .where(F.col("rn") > 1)
+        .select("doc_id", "pos", (F.col("pos") + K - 1).alias("e"))
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_e = F.max("e").over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = doomed.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pos") > F.coalesce(prev_max_e, F.lit(-1)) + 1, 1)
+            .otherwise(0)
+        ).over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = iv.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_cut"),
+    )
+    # rebuild: fold over sorted cut intervals, emitting the kept text
+    # between the cursor and each interval start, then the tail
+    trimmed = F.when(F.col("ivs").isNull(), F.col("text")).otherwise(
+        F.expr(
+            "aggregate(ivs,"
+            " named_struct('cur', 1, 'acc', ''),"
+            " (st, x) -> named_struct("
+            "   'cur', x.e + 1,"
+            "   'acc', concat(st.acc, substring(text, st.cur, x.s - st.cur))),"
+            " st -> concat(st.acc, substring(text, st.cur,"
+            "                     length(text) - st.cur + 1)))"
+        )
+    )
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .withColumn("trimmed", trimmed)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_cut"), F.lit(0)).cast("long").alias("n_cut_chars"),
+            F.length("trimmed").cast("long").alias("n_kept_chars"),
+            F.md5(F.encode("trimmed", "UTF-8")).alias("trimmed_md5"),
+        )
+    )

@@ -64,3 +64,105 @@ def test_identical_docs_are_fully_duplicated(spark, tmp_path):
     got = _run(spark, tmp_path, [t, t])
     n = 200 - SPAN_K + 1
     assert got[0] == (n, n) and got[1] == (n, n)
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_trim: keep-first, interval merge, rebuilt text
+# ---------------------------------------------------------------------------
+#
+# Fixture discipline: filler text must be APERIODIC — "a" * 50 contains
+# eleven identical 40-char windows WITHIN one doc, which keep-first
+# correctly dooms (that's the operator working, not a bug), so naive
+# constant/periodic filler makes "untouched" expectations wrong. _rand
+# gives collision-free filler; every expectation below is then exact.
+
+
+def _rand(seed, n):
+    import random
+
+    r = random.Random(seed)
+    return "".join(r.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+
+def _trim(spark, tmp_path, docs):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = REGISTRY["dedup_span_trim"].fn(spark, sf)
+    return {r["doc_id"]: (r["n_cut_chars"], r["n_kept_chars"], r["trimmed_md5"])
+            for r in out.collect()}
+
+
+def _md5(s):
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_trim_keeps_first_occurrence_cuts_second(spark, tmp_path):
+    shared = "S" * SPAN_K
+    a = _rand(1, 50) + shared + _rand(2, 50)
+    b = _rand(3, 50) + shared + _rand(4, 50)
+    got = _trim(spark, tmp_path, [a, b])
+    # doc 0 holds the first occurrence — untouched
+    assert got[0] == (0, len(a), _md5(a))
+    # doc 1 loses exactly the shared span
+    want_b = _rand(3, 50) + _rand(4, 50)
+    assert got[1] == (SPAN_K, len(want_b), _md5(want_b))
+
+
+def test_trim_merges_overlapping_windows_into_maximal_region(spark, tmp_path):
+    """A duplicated region of length L > K dooms L - K + 1 overlapping
+    windows in the later doc; the cut must be the single merged region
+    of length L, not K*(L-K+1)."""
+    region = _rand(10, 60)
+    a = _rand(11, 30) + region + _rand(12, 30)
+    b = _rand(13, 30) + region + _rand(14, 30)
+    got = _trim(spark, tmp_path, [a, b])
+    assert got[0] == (0, len(a), _md5(a))
+    want_b = _rand(13, 30) + _rand(14, 30)
+    assert got[1] == (60, len(want_b), _md5(want_b))
+
+
+def test_trim_within_doc_repeat_keeps_first_only(spark, tmp_path):
+    span = "R" * SPAN_K
+    mid = _rand(20, 60)
+    a = span + mid + span
+    got = _trim(spark, tmp_path, [a])
+    want = span + mid
+    assert got[0] == (SPAN_K, len(want), _md5(want))
+
+
+def test_trim_adjacent_cut_regions_merge(spark, tmp_path):
+    """Two doomed regions that touch end-to-start form one contiguous
+    cut (no phantom 1-char gap survives between them)."""
+    r1, r2 = "X" * SPAN_K, "Y" * SPAN_K
+    a = _rand(30, 20) + r1 + _rand(31, 20) + r2 + _rand(32, 20)
+    b = _rand(33, 20) + r1 + r2 + _rand(34, 20)  # adjacent in the later doc
+    got = _trim(spark, tmp_path, [a, b])
+    assert got[0] == (0, len(a), _md5(a))
+    want_b = _rand(33, 20) + _rand(34, 20)
+    assert got[1] == (2 * SPAN_K, len(want_b), _md5(want_b))
+
+
+def test_trim_cut_at_text_boundaries(spark, tmp_path):
+    """Cut intervals touching position 1 and the final char: the fold's
+    head segment is empty and the tail substring length is zero — both
+    must produce '' rather than NULL-poisoning the concat."""
+    span = "Z" * SPAN_K
+    a = _rand(40, 60) + span          # first occurrence mid-corpus
+    b = span + _rand(41, 30)          # doc starts with the doomed span
+    c = _rand(42, 30) + span          # doc ends with it
+    got = _trim(spark, tmp_path, [a, b, c])
+    assert got[0] == (0, len(a), _md5(a))
+    assert got[1] == (SPAN_K, 30, _md5(_rand(41, 30)))
+    assert got[2] == (SPAN_K, 30, _md5(_rand(42, 30)))
+
+
+def test_trim_noop_and_short_docs_pass_through(spark, tmp_path):
+    u = _rand(50, 120)
+    got = _trim(spark, tmp_path, [u, "tiny"])
+    assert got[0] == (0, 120, _md5(u))
+    assert got[1] == (0, 4, _md5("tiny"))
