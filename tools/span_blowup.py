@@ -46,10 +46,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.shuffle.partitions", str(cpu_count()))
     fn = REGISTRY["dedup_span_exact"].fn
+    fn_trim = REGISTRY["dedup_span_trim"].fn
 
     docs = load_table(spark, SF_DIR, "documents")
-    print("| mode | factor | docs | corpus chars | out rows | dup-window frac | sec |")
-    print("|---|---|---|---|---|---|---|")
+    print("| mode | factor | docs | corpus chars | out rows | dup-window frac | profile sec | trim sec | cut frac |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for mode in ("salted", "verbatim"):
         for factor in FACTORS:
             reps = spark.range(factor).select(F.col("id").alias("rep"))
@@ -85,9 +86,20 @@ def main() -> None:
                     F.sum("n_dup_windows").alias("dw"),
                 ).collect()[0]
                 dt = time.perf_counter() - t0
+                # trim is the stress twin: verbatim mode dooms all but
+                # the first replica's windows, so the doomed subset is
+                # ~(factor-1)/factor of ALL windows — worst case for the
+                # per-doc island windows and the interval fold
+                t1 = time.perf_counter()
+                tr = fn_trim(spark, tmp).agg(
+                    F.sum("n_cut_chars").alias("cut"),
+                    F.sum("n_cut_chars") + F.sum("n_kept_chars"),
+                ).collect()[0]
+                dt_trim = time.perf_counter() - t1
                 print(
                     f"| {mode} | {factor}x | {stats[0]} | {stats[1]} "
-                    f"| {agg['rows']} | {agg['dw'] / agg['w']:.4f} | {dt:.2f} |"
+                    f"| {agg['rows']} | {agg['dw'] / agg['w']:.4f} | {dt:.2f} "
+                    f"| {dt_trim:.2f} | {tr['cut'] / tr[1]:.4f} |"
                 )
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
