@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -366,6 +367,9 @@ class ManagedTableReader(DataSourceReader):
         self.pruned_value = None  # set by pushFilters
         self.range_lo = None  # tightest lower bound on the indexed key
         self.range_hi = None  # tightest upper bound
+        # IN-list values per indexed key name (ANDed lists on the same
+        # key intersect; lists on different indexed keys prune independently)
+        self.in_values: dict[str, set] = {}
 
     def pushFilters(self, filters: list[Filter]):
         for flt in filters:
@@ -398,6 +402,40 @@ class ManagedTableReader(DataSourceReader):
                 else:
                     if self.range_hi is None or flt.value < self.range_hi:
                         self.range_hi = flt.value
+            # EqualTo on the min/max-indexed key is a degenerate range
+            # [v, v] — prunes even when the bloom index is absent or
+            # keyed on a different column (conflicting equalities across
+            # ANDed filters collapse the band to empty, correctly)
+            elif (
+                self.minmax is not None
+                and isinstance(flt, EqualTo)
+                and len(flt.attribute) == 1
+                and flt.attribute[0] == self.minmax["key"]
+            ):
+                if self.range_lo is None or flt.value > self.range_lo:
+                    self.range_lo = flt.value
+                if self.range_hi is None or flt.value < self.range_hi:
+                    self.range_hi = flt.value
+            # IN-list on either indexed key: survivors are the UNION of
+            # per-value lookups (tighter than the [min, max] envelope
+            # for sparse lists); ANDed IN-lists intersect value sets
+            elif (
+                isinstance(flt, In)
+                and len(flt.attribute) == 1
+                and (
+                    (self.index is not None
+                     and flt.attribute[0] == self.index["key"])
+                    or (self.minmax is not None
+                        and flt.attribute[0] == self.minmax["key"])
+                )
+            ):
+                key = flt.attribute[0]
+                vals = set(flt.value)
+                self.in_values[key] = (
+                    vals
+                    if key not in self.in_values
+                    else self.in_values[key] & vals
+                )
             # every filter goes back to Spark: bloom pruning is
             # approximate (fp possible) and min/max pruning keeps whole
             # files for one matching row, so the engine must re-apply —
@@ -417,6 +455,23 @@ class ManagedTableReader(DataSourceReader):
             files = range_survivors(
                 self.minmax, self.range_lo, self.range_hi, restrict=set(files)
             )
+        # IN-lists: survivors are the UNION of per-value lookups against
+        # whichever index covers the key, intersected with prior pruning
+        for key, vals in self.in_values.items():
+            if self.index is not None and key == self.index["key"]:
+                hit: set[str] = set()
+                for v in vals:
+                    hit.update(
+                        bloom_survivors(self.index, v, restrict=set(files))
+                    )
+                files = sorted(hit)
+            elif self.minmax is not None and key == self.minmax["key"]:
+                hit = set()
+                for v in vals:
+                    hit.update(
+                        range_survivors(self.minmax, v, v, restrict=set(files))
+                    )
+                files = sorted(hit)
         if not files:
             # bloom pruned everything — one empty partition (Spark calls
             # read(None) when partitions() is empty, so keep one marker)

@@ -978,3 +978,56 @@ def test_corrupt_sidecar_degrades_scan_instead_of_bricking(spark, tmp_path):
         f.write('{"key": "mac_')
     got = spark.read.format("managed_table").load(path)
     assert got.count() == 100  # unpruned scan, not a JSONDecodeError
+
+
+def test_in_list_pushdown_prunes_partitions(spark, table):
+    """r8: IN-lists on the indexed key prune as the UNION of per-value
+    lookups — a sparse list opens only its values' files, not the
+    [min, max] envelope, and results stay exact."""
+    from pyspark.sql.datasource import In
+
+    r = spark.read.format("managed_table").load(table)
+    reader = ManagedTableReader(table, 1, r.schema)
+    n_all = len(reader.partitions())
+    returned = list(reader.pushFilters([In(("mac_key",), (3, 150))]))
+    assert len(returned) == 1  # partially-pushed: the filter comes back
+    n_pruned = len(reader.partitions())
+    assert n_pruned <= 8 < n_all == 32
+
+    # pin v1: an earlier test appends a v2 to the module-scoped table
+    r1 = spark.read.format("managed_table").option("version", 1).load(table)
+    got = r1.where(F.col("mac_key").isin(3, 150))
+    want = read_versioned(spark, table, 1).where(F.col("mac_key").isin(3, 150))
+    assert got.count() == want.count() == 400
+    assert got.agg(F.sum("seq")).collect() == want.agg(F.sum("seq")).collect()
+    # values outside the domain return nothing (and prune to nothing)
+    assert r.where(F.col("mac_key").isin(900_000, 900_001)).count() == 0
+
+
+def test_anded_in_lists_intersect_values(spark, table):
+    from pyspark.sql.datasource import In
+
+    r = spark.read.format("managed_table").load(table)
+    reader = ManagedTableReader(table, 1, r.schema)
+    list(reader.pushFilters([In(("mac_key",), (3, 150)), In(("mac_key",), (150, 180))]))
+    assert reader.in_values["mac_key"] == {150}
+    # disjoint ANDed lists: provably empty, one marker partition
+    reader2 = ManagedTableReader(table, 1, r.schema)
+    list(reader2.pushFilters([In(("mac_key",), (3,)), In(("mac_key",), (150,))]))
+    parts = reader2.partitions()
+    assert len(parts) == 1 and parts[0].rel_file is None
+
+
+def test_equality_on_minmax_key_prunes_without_bloom(spark, table):
+    """EqualTo on the min/max-indexed key collapses the range band to
+    [v, v] — pruning holds even where the bloom path doesn't apply
+    (here both indexes share the key, so the band just tightens)."""
+    from pyspark.sql.datasource import EqualTo
+
+    r = spark.read.format("managed_table").load(table)
+    reader = ManagedTableReader(table, 1, r.schema)
+    reader.index = None  # simulate a table with only the min/max sidecar
+    list(reader.pushFilters([EqualTo(("mac_key",), 123)]))
+    assert reader.range_lo == 123 and reader.range_hi == 123
+    n_pruned = len(reader.partitions())
+    assert n_pruned <= 4 < 32
