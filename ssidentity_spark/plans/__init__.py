@@ -134,8 +134,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # current-oracle evidence. Any r8-new queries that land after the window
 # filled (j11_fuzzy_symspell — exact-recall deletion-neighborhood join;
 # dedup_span_exact + dedup_span_trim — substring-level dedup profile
-# and keep-first trim; all
-# local-gate green in r8) go
+# and keep-first trim; dedup_incremental_pairs — change-feed delta
+# probes the band index; src_in_pushdown_scan — IN-list file pruning
+# through the format; all local-gate green in r8) go
 # FIRST in the r9 window, like the late-r6/late-r7 batches did. Then
 # rotation is pure staleness order: the three r1-vintage greens this
 # round's queue displaced (o4_except_users, w2_transitions,

@@ -726,6 +726,62 @@ def src_range_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_in_pushdown_scan",
+    # r8: IN-list pushdown through the registered format — the isin
+    # reaches pushFilters as an In filter, survivors are the UNION of
+    # per-value index lookups (tighter than the [min,max] envelope for
+    # a sparse list), and the engine re-applies the predicate exactly.
+    # `pruned` pins the physical claim into the hashed result.
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           TRUE AS pruned
+    FROM events
+    WHERE user_id IN (7, 83, 121)
+    GROUP BY user_id
+    """,
+    survey="S4,S2,P11",
+)
+def src_in_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → managed table (range-clustered + bloom + min/max
+    sidecars) → sparse IN-list scan THROUGH
+    ``spark.read.format("managed_table")`` — the reference's "these N
+    devices" watchlist shape (ssidentity.c:26 MAC-keyed store) with the
+    skipping inside the source: three scattered keys open only their
+    values' files, not the whole [7, 121] band."""
+    from pyspark.sql.datasource import In
+
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.managed import write_managed
+    from ssidentity_spark.sources.managed_source import (
+        ManagedTableReader,
+        register as register_ds,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"in_ds_events_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_managed(spark, ev, path, "user_id")
+    register_ds(spark)
+    t = spark.read.format("managed_table").load(path)
+    reader = ManagedTableReader(path, 0, t.schema)
+    n_all = len(reader.partitions())
+    list(reader.pushFilters([In(("user_id",), (7, 83, 121))]))
+    n_pruned = len(reader.partitions())
+    return (
+        t.where(F.col("user_id").isin(7, 83, 121))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .withColumn("pruned", F.lit(n_pruned < n_all))
+    )
+
+
+@register(
     "src_compacted_timetravel",
     # OPTIMIZE under the gate: the table is committed as FOUR small
     # appends (16+ tiny parts), compacted into one version, then answered
