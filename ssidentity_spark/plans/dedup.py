@@ -1263,6 +1263,62 @@ def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def incremental_probe_pairs(full: DataFrame, delta_ids: DataFrame) -> DataFrame:
+    """Candidate pairs touching at least one ``delta_ids`` doc, from ONE
+    pass of the signature pipeline: delta membership is broadcast-joined
+    onto the band keys BEFORE the bucket rollup, so each bucket carries
+    its member list plus its delta sublist and pairs fall out of an
+    array expression — never a second signature computation for the
+    probe side (the same double-subtree trap the r5 plan audit fixed in
+    _spark_lsh_pairs; the first draft of this operator had it and the
+    plan audit showed two full Generate→minhash branches). Buckets with
+    no delta member never reach the pair stage."""
+    sigs = _spark_minhash(_spark_shingles(full))
+    band_exprs = [
+        F.struct(F.lit(b).alias("b"), band_key_expr(b).alias("band_key"))
+        for b in range(N_MINHASH // BAND_ROWS)
+    ]
+    keyed = sigs.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key")
+    )
+    flagged = keyed.join(
+        F.broadcast(delta_ids.withColumn("is_delta", F.lit(True))),
+        "doc_id",
+        "left",
+    )
+    buckets = (
+        flagged.groupBy("b", "band_key")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            # collect_list drops the NULLs non-delta members produce
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_delta"), F.col("doc_id")))
+            ).alias("dmembers"),
+        )
+        .filter((F.size("dmembers") >= 1) & (F.size("members") >= 2))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("dmembers"),
+            lambda d: F.transform(
+                F.filter(F.col("members"), lambda m: m != d),
+                lambda m: F.struct(
+                    F.least(d, m).alias("doc_a"), F.greatest(d, m).alias("doc_b")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "dedup_incremental_pairs",
     # The INCREMENTAL ingest gate: docs arrive as an append to the
@@ -1319,31 +1375,4 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     full = read_versioned(spark, path).select("doc_id", "text")
-    sigs = _spark_minhash(_spark_shingles(full))
-    band_exprs = [
-        F.struct(F.lit(b).alias("b"), band_key_expr(b).alias("band_key"))
-        for b in range(N_MINHASH // BAND_ROWS)
-    ]
-    keyed = sigs.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
-    ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
-    # the maintained index: bucket -> member list (size-1 buckets can't
-    # pair and stay out of the probe's build side)
-    buckets = (
-        keyed.groupBy("b", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
-        .filter(F.size("members") >= 2)
-    )
-    probe = (
-        keyed.join(F.broadcast(delta_ids), "doc_id")
-        .join(buckets, ["b", "band_key"])
-        .select("doc_id", F.explode("members").alias("member"))
-        .where(F.col("member") != F.col("doc_id"))
-    )
-    return (
-        probe.select(
-            F.least("doc_id", "member").alias("doc_a"),
-            F.greatest("doc_id", "member").alias("doc_b"),
-        )
-        .distinct()
-    )
+    return incremental_probe_pairs(full, delta_ids)

@@ -10,45 +10,19 @@ from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table
 from ssidentity_spark.plans.dedup import (
-    BAND_ROWS,
-    N_MINHASH,
     _spark_lsh_pairs,
-    _spark_minhash,
-    _spark_shingles,
-    band_key_expr,
+    incremental_probe_pairs,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def _probe_pairs(snapshot, batch_ids):
-    """Delta band keys probe the bucket rollup of ``snapshot`` — the
-    shipped incremental shape (plans/dedup.dedup_incremental_pairs)."""
-    sigs = _spark_minhash(_spark_shingles(snapshot))
-    band_exprs = [
-        F.struct(F.lit(b).alias("b"), band_key_expr(b).alias("band_key"))
-        for b in range(N_MINHASH // BAND_ROWS)
-    ]
-    keyed = sigs.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
-    ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
-    buckets = (
-        keyed.groupBy("b", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
-        .filter(F.size("members") >= 2)
-    )
-    probe = (
-        keyed.join(F.broadcast(batch_ids), "doc_id")
-        .join(buckets, ["b", "band_key"])
-        .select("doc_id", F.explode("members").alias("member"))
-        .where(F.col("member") != F.col("doc_id"))
-    )
+    """The SHIPPED probe (plans/dedup.incremental_probe_pairs) — the test
+    must exercise the operator the query runs, not a re-implementation."""
     return {
         (r["doc_a"], r["doc_b"])
-        for r in probe.select(
-            F.least("doc_id", "member").alias("doc_a"),
-            F.greatest("doc_id", "member").alias("doc_b"),
-        ).distinct().collect()
+        for r in incremental_probe_pairs(snapshot, batch_ids).collect()
     }
 
 
