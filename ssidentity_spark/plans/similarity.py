@@ -872,3 +872,81 @@ def sim_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "cos",
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN — metadata predicate INSIDE the search (pre-filter).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_filtered_topk",
+    # Filtered vector search, the production pattern the plain top-k
+    # family skips: each query retrieves only among candidates sharing
+    # its label. PRE-filtering (predicate becomes the join key) beats
+    # post-filtering (over-fetch k' >> k then filter, recall unbounded
+    # when a label is rare): correctness is exact by construction and
+    # scoring work is Σ per-label candidates, not corpus × queries.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS label,
+             c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM n q JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, label, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    survey="U5,J1",
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors among SAME-LABEL vectors only — filtered
+    vector search with the predicate pushed into the candidate join
+    (label is the join key, so each query scores its label's slice, not
+    the corpus). At 100 TB this is the difference between a partitioned
+    per-label scan and an over-fetch heuristic whose recall collapses on
+    rare labels; exactness is by construction and the oracle recomputes
+    the whole filtered search."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = spread(em).select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = base.join(
+        F.broadcast(queries),
+        (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("qlabel").alias("label"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "label", "neighbor_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
