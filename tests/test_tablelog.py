@@ -1020,11 +1020,35 @@ def test_optimize_zorder_read_identical_and_prunes_both_dims(spark, tmp_path):
     ).collect()[0]
     assert tuple(got) == tuple(want)
     # the linear sort prunes x only: every file's y-range spans the
-    # domain, so ~2/16 files survive on x alone; zorder must do at
-    # least as well AND better than the x-only bound would suggest
-    # relative to its file count
+    # domain, so ~2/16 files survive on x alone; zorder must never be
+    # worse on the 2-D box. Strict `<` here flaked under the full
+    # suite: repartitionByRange samples boundaries with a seed derived
+    # from rdd.id (session-order dependent), so both layouts' hit
+    # counts wobble ±1 and the thin 2-box margin can tie — the robust
+    # multi-dim assertion is the Y-ONLY stripe below, whose margin is
+    # structural (16/16 vs ≤ half), not a sampling accident.
     assert z_total >= parts - 2 and lin_total >= parts - 2
-    assert z_hit < lin_hit, (z_hit, lin_hit)
+    assert z_hit <= lin_hit, (z_hit, lin_hit)
+
+    def y_candidates(version):
+        files = _read_manifest(path, version)["files"]
+        import os as _os
+
+        stats = (
+            spark.read.parquet(*[_os.path.join(path, f) for f in files])
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(F.min("y").alias("y0"), F.max("y").alias("y1"))
+            .collect()
+        )
+        return sum(1 for r in stats if r["y1"] >= 100 and r["y0"] <= 200), len(stats)
+
+    lin_y_hit, lin_y_total = y_candidates(0)
+    z_y_hit, z_y_total = y_candidates(stats["version"])
+    # x-linear clustering cannot prune a y-only predicate at all...
+    assert lin_y_hit == lin_y_total
+    # ...while the Morton layout bands y too: at most half the files
+    # survive a 10%-of-domain y stripe
+    assert z_y_hit <= z_y_total // 2, (z_y_hit, z_y_total)
 
 
 def test_dv_delete_aborts_cleanly_on_version_race(spark, tmp_path):
