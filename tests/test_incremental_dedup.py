@@ -6,8 +6,6 @@ query's driver-gate hash row pins the single-append case vs DuckDB)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from ssidentity_spark.io import load_table
 from ssidentity_spark.plans.dedup import (
     _spark_lsh_pairs,

@@ -1031,3 +1031,44 @@ def test_equality_on_minmax_key_prunes_without_bloom(spark, table):
     assert reader.range_lo == 123 and reader.range_hi == 123
     n_pruned = len(reader.partitions())
     assert n_pruned <= 4 < 32
+
+
+def test_engine_delivers_in_filter_to_the_source(spark, tmp_path):
+    """End-to-end proof the ENGINE pushes isin into pushFilters (not
+    just the driver-side reader simulation): every file outside the
+    IN-list's survivor set is deleted from disk, so the filtered scan
+    succeeds iff the source actually planned only pruned partitions —
+    an unpruned scan would hit the missing files and fail."""
+    import glob
+
+    from ssidentity_spark.operators.fileindex import bloom_survivors
+    from ssidentity_spark.operators.managed import write_managed
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4_000).select(
+        (F.col("id") % 40).alias("mac_key"),
+        F.col("id").alias("seq"),
+    )
+    write_managed(spark, df, path, "mac_key")
+    register(spark)
+    r = spark.read.format("managed_table").load(path)
+    reader = ManagedTableReader(path, 0, r.schema)
+    keep = set()
+    for v in (3, 17):
+        keep.update(bloom_survivors(reader.index, v, restrict=set(reader.files)))
+    assert keep and len(keep) < len(reader.files)
+    victims = [f for f in reader.files if f not in keep]
+    assert victims  # the proof is vacuous if nothing gets deleted
+    for f in victims:
+        os.remove(os.path.join(path, f))
+
+    got = r.where(F.col("mac_key").isin(3, 17)).agg(
+        F.count(F.lit(1)), F.sum("seq")
+    ).collect()[0]
+    want = df.where(F.col("mac_key").isin(3, 17)).agg(
+        F.count(F.lit(1)), F.sum("seq")
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    # control: an unfiltered scan must hit the deleted files
+    with pytest.raises(Exception):
+        spark.read.format("managed_table").load(path).count()
