@@ -136,3 +136,46 @@ def test_deletion_neighborhood_matches_exhaustive_truth(spark):
         if lev(x["name"], y["name"]) == 1
     }
     assert got == want
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 991])
+def test_deletion_neighborhood_randomized_exhaustive(spark, seed):
+    """Randomized property pin of exact recall at BOTH radii: a small
+    alphabet and short lengths force dense near-pair structure
+    (hundreds of true pairs per corpus), and every corpus is compared
+    against the O(n²) python brute force — the operator must emit
+    exactly the distance-banded truth, for k=1 and the heavier k=2
+    neighborhood alike."""
+    import itertools
+    import random
+
+    r = random.Random(seed)
+    names = list(
+        {
+            "".join(r.choice("abc") for _ in range(r.randint(1, 8)))
+            for _ in range(120)
+        }
+    )
+    rows = _df(spark, names).collect()
+    truth = {}
+    for x, y in itertools.combinations(rows, 2):
+        d = _lev(x["name"], y["name"])
+        if d <= 2:
+            truth[(min(x["id"], y["id"]), max(x["id"], y["id"]))] = d
+    for k in (1, 2):
+        got = _dn_pairs(spark, names, max_dist=k, min_dist=1)
+        want = {p: d for p, d in truth.items() if 1 <= d <= k}
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+    assert sum(1 for d in truth.values() if d == 2) > 50  # non-vacuous
