@@ -738,7 +738,7 @@ def src_range_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(value), 4) AS sum_value,
            TRUE AS pruned
     FROM events
-    WHERE user_id IN (7, 83, 121)
+    WHERE user_id IN (3, 7, 11)
     GROUP BY user_id
     """,
     survey="S4,S2,P11",
@@ -749,7 +749,8 @@ def src_in_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.read.format("managed_table")`` — the reference's "these N
     devices" watchlist shape (ssidentity.c:26 MAC-keyed store) with the
     skipping inside the source: three scattered keys open only their
-    values' files, not the whole [7, 121] band."""
+    values' files, not the whole band (keys chosen inside every SF's
+    user_id domain so the gate is non-trivial at sf0.001 too)."""
     from pyspark.sql.datasource import In
 
     from ssidentity_spark.io import load_table
@@ -768,10 +769,10 @@ def src_in_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = spark.read.format("managed_table").load(path)
     reader = ManagedTableReader(path, 0, t.schema)
     n_all = len(reader.partitions())
-    list(reader.pushFilters([In(("user_id",), (7, 83, 121))]))
+    list(reader.pushFilters([In(("user_id",), (3, 7, 11))]))
     n_pruned = len(reader.partitions())
     return (
-        t.where(F.col("user_id").isin(7, 83, 121))
+        t.where(F.col("user_id").isin(3, 7, 11))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
