@@ -166,3 +166,25 @@ def test_trim_noop_and_short_docs_pass_through(spark, tmp_path):
     got = _trim(spark, tmp_path, [u, "tiny"])
     assert got[0] == (0, 120, _md5(u))
     assert got[1] == (0, 4, _md5("tiny"))
+
+
+def test_trim_is_character_based_on_multibyte_text(spark, tmp_path):
+    """Window positions, interval arithmetic, and the rebuild fold are
+    all CHARACTER-based, never byte-based: multi-byte text (2-, 3- and
+    4-byte UTF-8 code points) around and inside a shared span must trim
+    to exactly the python-string expectation. (The driver corpus is
+    pure ASCII, so the oracle gate can't pin this — the python md5
+    reference here does.)"""
+    span = "déjà中文🎈" * 5  # 35 chars, 4 distinct byte widths
+    assert len(span) < SPAN_K
+    shared = span + "x" * (SPAN_K - len(span))  # exactly K chars
+    a = _rand(60, 45) + shared + _rand(61, 45)
+    b = _rand(62, 45) + shared + _rand(63, 45)
+    got = _trim(spark, tmp_path, [a, b])
+    assert got[0] == (0, len(a), _md5(a))
+    want_b = _rand(62, 45) + _rand(63, 45)
+    assert got[1] == (SPAN_K, len(want_b), _md5(want_b))
+
+    prof = _run(spark, tmp_path, [a, b])
+    assert prof[0] == (len(a) - SPAN_K + 1, 1)
+    assert prof[1] == (len(b) - SPAN_K + 1, 1)
