@@ -179,3 +179,15 @@ def test_deletion_neighborhood_randomized_exhaustive(spark, seed):
         want = {p: d for p, d in truth.items() if 1 <= d <= k}
         assert got == want, f"k={k}: {len(got)} vs {len(want)}"
     assert sum(1 for d in truth.values() if d == 2) > 50  # non-vacuous
+
+
+def test_deletion_neighborhood_is_character_based_on_multibyte(spark):
+    """Deletion keys are built with substring/length — both CHARACTER
+    semantics — so a one-code-point edit in multibyte text is distance
+    1 regardless of byte width (é=2, 中=3, 🎈=4 bytes)."""
+    names = ["café中🎈", "cafe中🎈", "café中", "café中🎈x", "cafX中🎈"]
+    got = _dn_pairs(spark, names, max_dist=1, min_dist=1)
+    # substitution of a multibyte char (0-1, 0-4, 1-4), deletion of a
+    # 4-byte emoji (0-2), and an ASCII append (0-3) are each ONE edit;
+    # every other pair is distance 2 and must be absent
+    assert got == {(0, 1): 1, (0, 2): 1, (0, 3): 1, (0, 4): 1, (1, 4): 1}
