@@ -1286,7 +1286,10 @@ def incremental_probe_pairs(full: DataFrame, delta_ids: DataFrame) -> DataFrame:
         "doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key")
     )
     flagged = keyed.join(
-        F.broadcast(delta_ids.withColumn("is_delta", F.lit(True))),
+        # distinct: a duplicated delta id would double-match each keyed
+        # row, putting the doc into `members` twice and fabricating an
+        # (x, x) self-pair downstream
+        F.broadcast(delta_ids.distinct().withColumn("is_delta", F.lit(True))),
         "doc_id",
         "left",
     )
