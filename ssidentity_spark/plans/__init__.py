@@ -137,7 +137,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # and keep-first trim; dedup_incremental_pairs — change-feed delta
 # probes the band index; src_in_pushdown_scan — IN-list file pruning
 # through the format; sim_filtered_topk — pre-filtered vector search;
-# all local-gate green in r8) go
+# pipe_temperature_mix — n^alpha mixture rebalancing;
+# all local-gate green in r8 at sf0.001+sf0.01+sf0.1) go
 # FIRST in the r9 window, like the late-r6/late-r7 batches did. Then
 # rotation is pure staleness order: the three r1-vintage greens this
 # round's queue displaced (o4_except_users, w2_transitions,

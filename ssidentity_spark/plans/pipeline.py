@@ -905,3 +905,88 @@ def pipe_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_nosplit(
         counts, seq_len=512, n_buckets=8, oversize="drop"
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-pipeline — temperature-based mixture rebalancing (the multilingual
+# n^alpha sampling recipe): downweight dominant groups toward uniform.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_temperature_mix",
+    # Float-determinism discipline: the per-lang keep probability is
+    # 0.5 * sqrt(n_max / n_lang) — division, sqrt and one multiply are
+    # all IEEE correctly-rounded, identical operand order on both
+    # engines, and there is deliberately NO cross-group float sum (a
+    # sum's addition order is engine-chosen and its last ulp would flip
+    # boundary docs). The probability becomes an exact integer
+    # threshold against the first 6 hex chars of md5(doc_id) — the same
+    # deterministic-slice idiom as pipe_split_assign — so the per-doc
+    # verdicts (and the kept-id sums pinning them) hash bit-equal.
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    t AS (
+      SELECT lang, n,
+             CAST(least(floor(least(1.0,
+                      0.5 * sqrt(CAST((SELECT max(n) FROM c) AS DOUBLE)
+                                 / CAST(n AS DOUBLE)))
+                      * 16777216), 16777215) AS BIGINT) AS thr
+      FROM c
+    ),
+    dec AS (
+      SELECT d.doc_id, d.lang, t.n, t.thr,
+             substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+               <= printf('%06x', t.thr) AS kept
+      FROM documents d JOIN t USING (lang)
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_total,
+           CAST(max(thr) AS BIGINT) AS threshold,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM dec GROUP BY lang
+    """,
+    survey="EXT-pipeline,A6",
+)
+def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling over the language mix (alpha = 0.5 on the
+    relative ratios): the dominant language keeps 50%, every smaller one
+    keeps 0.5 * sqrt(n_max / n) (capped at 1), flattening the mixture
+    toward uniform — the public multilingual-pretraining rebalance,
+    deterministic under reruns because the per-doc decision is an
+    id-hash threshold, never a random draw. Output is the per-lang
+    audit; kept_id_sum pins the exact membership under the hash.
+
+    Scale shape: one tiny groupBy for counts (5 rows), a 5-row window
+    for the max (no driver collect), broadcast join of thresholds back
+    onto the corpus, one narrow map for the verdict, one audit
+    aggregation. No corpus-sized shuffle beyond the audit."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # lang-count frame is group-cardinality-sized (5 rows): the
+    # unpartitioned window is bounded, not a scale trap
+    nmax = F.max("n").over(Window.partitionBy(F.lit(1)))
+    prob = F.least(
+        F.lit(1.0),
+        F.lit(0.5) * F.sqrt(nmax.cast("double") / F.col("n").cast("double")),
+    )
+    thr = F.least(
+        F.floor(prob * F.lit(16777216)).cast("long"), F.lit(16777215)
+    )
+    t = counts.select("lang", "n", thr.alias("thr"))
+    kept = F.substring(_doc_hash(), 1, 6) <= F.format_string("%06x", F.col("thr"))
+    return (
+        d.join(F.broadcast(t), "lang")
+        .select("lang", "n", "thr", "doc_id", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_total"),
+            F.max("thr").cast("long").alias("threshold"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+    )
