@@ -43,20 +43,19 @@ from ssidentity_spark.plans import (  # noqa: F401
 from ssidentity_spark.registry import REGISTRY
 
 # The 50 queries the driver's correctness gate will record, in order.
-# r8 ROTATION (executes the queue staged at the end of r7, per VERDICT r7
-# ask #1): bench headliners stay windowed (perf artifact and correctness
-# artifact must cover the same set), THEN the 15 late-r7 queries that
-# landed after the 50-slot window filled and so carry only local-gate
-# evidence (tools/check_correctness.py 15/15 PASS at sf0.01 in r7, but
-# never driver-recorded — the driver artifact is the durable record),
-# THEN the 4 history-parked queries whose ORACLE TEXT changed in the r7
-# review waves (their standing green rows predate the oracle edits, so
-# the evidence is stale until re-recorded), THEN per-module anchors
-# (stalest history member of each module the queue alone leaves
-# unwindowed — module coverage outranks strict age), THEN strict
-# staleness-ordered re-verification of the r1 vintage. New r8 first-time
-# hash candidates displace the r1-vintage staleness slots as they land
-# (analytics is multiply covered by window + history).
+# r9 ROTATION (executes the queue staged at the end of r8, per VERDICT r8
+# asks #1-2): bench headliners stay windowed (perf artifact and
+# correctness artifact must cover the same set), THEN the 8 first-timers
+# — the 7 late-r8 queries that landed after the window filled (local
+# 7/7 PASS at sf0.01 in r8, never driver-recorded) plus
+# text_inverted_postings, r8's one driver-red row (raw array<long>
+# output crashed the driver canonicalizer; now flattened to CSV per the
+# repo convention and local-green) — THEN per-module anchors (stalest
+# history member of each module the queue alone leaves unwindowed —
+# module coverage outranks strict age), THEN strict staleness-ordered
+# re-verification: the r1 vintage, then the r3 vintage. New r9
+# first-time hash candidates displace the oldest staleness slots as
+# they land.
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed)
     "flagship_hourly_top_types",
@@ -78,79 +77,62 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "w5_max_concurrency",
     "pipe_pack_sequences",
     "dedup_semantic_cells",
-    # the 15 late-r7 queries (local 15/15 green in r7, never
-    # driver-recorded) — first priority, like the 8 late-r6 ones in r7
-    "src_delete_where",
-    "src_update_where",
-    "src_delete_dv",
-    "src_change_feed_deletes",
-    "src_change_feed_updates",
-    "mm_image_dhash",
-    "dedup_image_neardup_pairs",
-    "mm_audio_features",
-    "text_bigram_logprob",
-    "text_wordpiece_train",
-    "text_bm25_scores",
+    # the 8 first-timers: 7 late-r8 queries (never driver-recorded) + the
+    # repaired r8 driver-red row — first priority, like prior rounds' late
+    # batches
     "text_inverted_postings",
-    "text_source_kl_divergence",
-    "pipe_pii_redact",
-    "pipe_pack_nosplit",
-    # the 4 oracle-changed history queries (green rows recorded against
-    # pre-r7-review oracle text; re-verified green locally post-change)
-    "agg_min_max_by",
-    "j9_above_nation_avg",
-    "mm_decoded_features",
-    "ref_companion_clusters",
+    "j11_fuzzy_symspell",
+    "dedup_span_exact",
+    "dedup_span_trim",
+    "dedup_incremental_pairs",
+    "pipe_temperature_mix",
+    "sim_filtered_topk",
+    "src_in_pushdown_scan",
     # per-module anchors: stalest history-green member of each module the
     # queue alone leaves unwindowed (last-green rounds in parens)
-    "j9_q16_supplier_variety",  # extras (r5)
-    "d7_date_funcs",  # scalars (r4)
-    "tpch_q22_global_sales_opportunity",  # tpch3 (r4)
-    "tpch_q20_excess_suppliers",  # tpch4 (r4)
-    "sql_api_nation_order_stats",  # sqlapi (r4)
+    "ref_parse_pipeline",  # reference_pipeline (r6)
+    "d1_fspl_distance",  # scalars (r5)
+    "sql_api_source_quality_rank",  # sqlapi (r5)
+    "tpch_q13_custdist",  # tpch3 (r5)
+    "tpch_q21_waiting_suppliers",  # tpch4 (r4)
     # staleness rotation: r1 vintage (green in round 1, never re-verified
-    # under the driver since; o4_except_users / w2_transitions /
-    # w3_rolling_count_10min stay parked on history — next in the r9 queue)
-    "a1_user_interests",
-    "a2_active_hours",
-    "a4_mac_key_rollup",
-    "a6_value_stats",
-    "a9_cube_type_dow",
-    # NEW in r8: file-pruned MERGE INTO the versioned table — the fourth
-    # DML verb, change-feed-recorded, untouched files by reference
-    # (a9_rollup_type_hour parks to history; A9 stays covered by the
-    # windowed cube + green rows)
-    "src_merge_versioned",
-    # NEW in r8: range-predicate pushdown through the managed_table
-    # format — min/max sidecar prunes partitions inside the source
-    # (o1_global_sort_top parks to history; O1 stays covered by green
-    # rows and the windowed j9_q3 TakeOrdered)
-    "src_range_pushdown_scan",
+    # under the driver since)
+    "a9_rollup_type_hour",
+    "o1_global_sort_top",
+    "o4_except_users",
+    "w2_transitions",
+    "w3_rolling_count_10min",
+    # staleness rotation: r3 vintage, alphabetical (text_langid /
+    # text_quality / w3_rolling_avg_rows stay parked on history — next in
+    # the r10 queue)
+    "a10_heavy_hitters",
+    "a2_habitual_hour",
+    "a4_distinct_pairs",
+    "dedup_embedding_cosine",
+    "dedup_simhash_pairs",
+    "o3_union_split",
+    "o4_intersect_users",
+    "pipe_docs_clean",
+    "pipe_embed_quantize",
+    "pivot_user_type_matrix",
+    "sim_label_centroids",
+    "sim_lsh_bucketed",
+    "text_bigram_profile",
 )
 
-# r9 ROTATION QUEUE: after CORRECTNESS_r08 lands, regenerate
-# DRIVER_VERIFIED_HISTORY (tools/driver_history.py) — if r8 goes green the
-# cumulative driver-verified set covers every oracled query with
-# current-oracle evidence. Any r8-new queries that land after the window
-# filled (j11_fuzzy_symspell — exact-recall deletion-neighborhood join;
-# dedup_span_exact + dedup_span_trim — substring-level dedup profile
-# and keep-first trim; dedup_incremental_pairs — change-feed delta
-# probes the band index; src_in_pushdown_scan — IN-list file pruning
-# through the format; sim_filtered_topk — pre-filtered vector search;
-# pipe_temperature_mix — n^alpha mixture rebalancing;
-# all local-gate green in r8 at sf0.001+sf0.01+sf0.1) go
-# FIRST in the r9 window, like the late-r6/late-r7 batches did. Then
-# rotation is pure staleness order: the three r1-vintage greens this
-# round's queue displaced (o4_except_users, w2_transitions,
-# w3_rolling_count_10min), then the r3 vintage (a10_heavy_hitters,
-# a2_habitual_hour, a4_distinct_pairs, dedup_embedding_cosine,
-# dedup_simhash_pairs, o3_union_split, o4_intersect_users, pipe_docs_clean,
-# pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
-# sim_lsh_bucketed, text_bigram_profile, text_langid, text_quality,
-# w3_rolling_avg_rows), then the r4 vintage, then r5, oldest-first, with
-# the per-module coverage rule outranking strict age as usual.
+# r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate
+# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). Any r9-new queries
+# that land after the window filled go FIRST in the r10 window, like the
+# late-r7/late-r8 batches did. Then rotation is pure staleness order:
+# the rest of the r3 vintage (text_langid, text_quality,
+# w3_rolling_avg_rows), then the r4 vintage
+# (j3_customers_without_orders, j8_cross_region_nation,
+# j9_q10_returned_revenue, j9_q5_local_supplier_volume,
+# pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
+# tpch_q18_big_orders, ...), then r5, oldest-first, with the per-module
+# coverage rule outranking strict age as usual.
 # Queries hash-verified green by the driver in at least one prior round
-# (union of CORRECTNESS_r01..r07.json rows with hash_match=true). A query
+# (union of CORRECTNESS_r01..r08.json rows with hash_match=true). A query
 # may be parked past the window ONLY if it appears here — its green row is
 # the standing evidence — so rotation strictly grows the cumulative
 # driver-verified set. Regenerate via tools/driver_history.py.
@@ -187,6 +169,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "dedup_cc_clusters",
         "dedup_embedding_cosine",
         "dedup_exact",
+        "dedup_image_neardup_pairs",
         "dedup_jaccard_topk",
         "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures",
@@ -215,12 +198,14 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "j9_q2_min_cost_supplier",
         "j9_q3_top_orders",
         "j9_q5_local_supplier_volume",
+        "mm_audio_features",
         "mm_avi_frames",
         "mm_binary_metadata",
         "mm_decoded_features",
         "mm_flac_decode",
         "mm_frame_sample",
         "mm_gif_decode",
+        "mm_image_dhash",
         "mm_png_decode",
         "mm_wav_decode",
         "o1_global_sort_top",
@@ -233,7 +218,9 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "pipe_embed_quantize",
         "pipe_end_to_end",
         "pipe_global_row_ids",
+        "pipe_pack_nosplit",
         "pipe_pack_sequences",
+        "pipe_pii_redact",
         "pipe_split_assign",
         "pipe_stratified_sample",
         "pipe_tokenize_pack",
@@ -266,23 +253,34 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "sql_api_source_quality_rank",
         "src_avro_roundtrip",
         "src_change_feed",
+        "src_change_feed_deletes",
+        "src_change_feed_updates",
         "src_compacted_timetravel",
         "src_datasource_scan",
+        "src_delete_dv",
+        "src_delete_where",
         "src_interchange_roundtrip",
         "src_managed_lookup",
+        "src_merge_versioned",
         "src_minmax_range_scan",
+        "src_range_pushdown_scan",
         "src_schema_evolution",
+        "src_update_where",
         "src_versioned_timetravel",
+        "text_bigram_logprob",
         "text_bigram_profile",
+        "text_bm25_scores",
         "text_bpe_tokenize",
         "text_bpe_train",
         "text_fingerprint",
         "text_langid",
         "text_quality",
         "text_repetition_scores",
+        "text_source_kl_divergence",
         "text_tfidf_top_terms",
         "text_token_stats",
         "text_unigram_logprob",
+        "text_wordpiece_train",
         "tpch_q11_important_value",
         "tpch_q12_late_priority",
         "tpch_q13_custdist",

@@ -949,9 +949,12 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_inverted_postings",
     # The index-BUILD shape of retrieval: term -> (document frequency,
     # total term frequency, the first 20 postings by doc_id). Postings
-    # arrays hash deterministically because they are sorted and capped
-    # by doc_id, never by float score; the df >= 3 floor keeps the
-    # artifact the index's dictionary-and-head, not a full dump.
+    # hash deterministically because they are sorted and capped by
+    # doc_id, never by float score; the df >= 3 floor keeps the
+    # artifact the index's dictionary-and-head, not a full dump. The
+    # posting head is emitted as a CSV string, not a raw array — the
+    # repo-wide flat-output convention (cf. plans/analytics.py
+    # array_join) that the driver's pandas canonicalizer requires.
     oracle="""
     WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
@@ -963,7 +966,8 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT term,
            CAST(count(*) AS BIGINT) AS df,
            CAST(sum(tf) AS BIGINT) AS total_tf,
-           (list(doc_id ORDER BY doc_id))[1:20] AS postings
+           array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+             AS postings_csv
     FROM tf GROUP BY term HAVING count(*) >= 3
     """,
     survey="U6,A1,O1",
@@ -987,9 +991,13 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("df"),
             F.sum("tf").cast("long").alias("total_tf"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
-                "postings"
-            ),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_csv"),
         )
         .filter(F.col("df") >= 3)
     )
