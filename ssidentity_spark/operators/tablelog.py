@@ -920,6 +920,14 @@ def merge_into(
     - change with no base match          → inserted from ``assignments``
     - base row with no change            → kept byte-identical
 
+    The changelog must carry AT MOST ONE row per (non-NULL) change key —
+    a duplicated key raises (Delta's "multiple source rows matched"):
+    letting it through would fan the full-outer join out, duplicating
+    the matched base row in both the table and the change feed. Row
+    provenance in the join comes from explicit side markers, so base
+    rows whose key column is NULL are preserved untouched, never
+    miscounted as inserts.
+
     ``assignments`` maps base column → SQL expression over the joined
     row (``b.col`` = base/preimage, ``c.col`` = change); results are
     CAST to the column's manifest type (MERGE can never silently retype
@@ -971,6 +979,28 @@ def merge_into(
 
     changes = changes.persist()  # read by hit pass + merge + counts
     try:
+        # MERGE contract: at most ONE source row per change key. A
+        # duplicated key would fan the full-outer join out — the matched
+        # base row multiplies, every copy lands in the rewrite and the
+        # change feed (duplicated rows in the table, fabricated
+        # update_preimage facts). Delta raises the same way ("multiple
+        # source rows matched"). NULL change keys are exempt: they never
+        # equi-match a base row, so each is an independent insert.
+        dup = (
+            changes.where(F.col(ck).isNotNull())
+            .groupBy(ck)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE changelog has {dup[0]['count']} rows for "
+                f"{ck}={dup[0][0]!r} — merge requires at most one source "
+                "row per change key (dedupe the changelog first, e.g. "
+                "keep the latest row per key with max_by)"
+            )
         # pass 1: which files contain LIVE rows whose key appears in the
         # changelog? Key-column-only scan, file-count-bounded collect.
         ckeys = changes.select(F.col(ck).alias(key)).distinct()
@@ -1003,8 +1033,17 @@ def merge_into(
                 ).persist()
             )
 
-        b, c = base.alias("b"), changes.alias("c")
-        joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{ck}"), "full_outer")
+        # Row provenance comes from explicit side markers, NOT key
+        # nullability: a pre-existing base row whose merge-key column is
+        # NULL (in a hit file) must classify as an untouched base row —
+        # keying provenance off b.<key> IS NULL would misread it as an
+        # insert, inflating rows_inserted and fabricating a
+        # _change_type='insert' fact on every merge touching its file.
+        b = base.withColumn("_is_base", F.lit(True)).alias("b")
+        c = changes.withColumn("_is_change", F.lit(True)).alias("c")
+        joined = b.join(
+            c, F.col(f"b.{key}") == F.col(f"c.{ck}"), "full_outer"
+        ).persist()  # read by counts + up to 4 change/data writes
         # determinism gate probes the JOINED frame — merge expressions
         # reference b./c. aliases that resolve only there
         _require_deterministic(
@@ -1012,9 +1051,10 @@ def merge_into(
             [*assignments.values()] + ([delete_when] if delete_when else []),
             "MERGE",
         )
-        matched = F.col(f"b.{key}").isNotNull() & F.col(f"c.{ck}").isNotNull()
-        insert_only = F.col(f"b.{key}").isNull()
-        has_change = F.col(f"c.{ck}").isNotNull()
+        has_base = F.col("b._is_base").isNotNull()
+        has_change = F.col("c._is_change").isNotNull()
+        matched = has_base & has_change
+        insert_only = ~has_base
         doom = (
             matched & F.coalesce(F.expr(delete_when), F.lit(False))
             if delete_when is not None
@@ -1144,6 +1184,10 @@ def merge_into(
             base.unpersist()
         except NameError:
             pass
+        try:
+            joined.unpersist()
+        except NameError:
+            pass
 
 
 def optimize_zorder(
@@ -1200,6 +1244,7 @@ def iter_manifest_diffs(
     context: str = "the version walk",
     on_delete: str = "raise",
     on_update: str = "raise",
+    on_merge: str = "raise",
 ):
     """ONE implementation of the manifest diff semantics shared by the
     streaming source and the batch change feed (r7 review: they must
@@ -1214,6 +1259,12 @@ def iter_manifest_diffs(
       downstream explicitly accepts never seeing the removed rows (the
       rewritten survivor files are NOT re-emitted: their rows already
       flowed downstream when first appended);
+    - ``merge`` versions raise by default with their own gate:
+      ``on_merge='skip'`` (the ``skipMergeCommits`` stream option)
+      advances the baseline without yielding. Deliberately NOT covered
+      by ``on_update``: a merge also inserts genuinely new rows, and
+      skipping it drops those inserts — the caller must accept that by
+      name, not via an option named for updates;
     - ``overwrite`` versions — or any baseline violation — raise, UNLESS
       the version equals ``consume_whole_version`` (the streaming
       ``startingVersion`` snapshot, consumed whole);
@@ -1246,6 +1297,8 @@ def iter_manifest_diffs(
         raise ValueError(f"on_delete must be raise|skip, got {on_delete!r}")
     if on_update not in ("raise", "skip"):
         raise ValueError(f"on_update must be raise|skip, got {on_update!r}")
+    if on_merge not in ("raise", "skip"):
+        raise ValueError(f"on_merge must be raise|skip, got {on_merge!r}")
     if base_files is not None:
         prev = set(base_files)
     elif start_v >= 0:
@@ -1285,9 +1338,12 @@ def iter_manifest_diffs(
             )
         if m.get("operation") == "merge" and v != consume_whole_version:
             # a merge both rewrites files (its diff would re-emit old
-            # rows) and inserts new ones — same gate as update: the
-            # recorded change files are the only faithful row-level view
-            if on_update == "skip":
+            # rows) AND inserts genuinely new ones, so it gets its OWN
+            # gate: skipping a merge drops the merge's inserts too —
+            # data loss that ignoreUpdates (named for updates) must not
+            # silently opt into. on_merge='skip' is the explicit
+            # Delta-skipChangeCommits-style acceptance of that.
+            if on_merge == "skip":
                 prev = cur
                 continue
             raise ValueError(
@@ -1295,9 +1351,14 @@ def iter_manifest_diffs(
                 f"(updated: {m.get('rows_updated')}, inserted: "
                 f"{m.get('rows_inserted')}, deleted: "
                 f"{m.get('rows_deleted')}) — {context} is append-only. "
-                "Batch: read_changes(include_deletes=True) emits the "
-                "recorded insert/update/delete rows; a change-feed "
-                "stream (.option('readChangeFeed','true')) emits them too."
+                "Streams: .option('skipMergeCommits', 'true') skips merge "
+                "versions (downstream will NOT see the merge's updated "
+                "values OR its newly inserted rows — ignoreUpdates alone "
+                "deliberately does not cover merges, precisely because "
+                "they also insert); batch: "
+                "read_changes(include_deletes=True) emits the recorded "
+                "insert/update/delete rows; a change-feed stream "
+                "(.option('readChangeFeed','true')) emits them too."
             )
         if m.get("operation") == "overwrite" or not prev <= cur:
             if v != consume_whole_version:
@@ -1372,6 +1433,9 @@ def read_changes(
         context="the change feed",
         on_delete="skip" if include_deletes else "raise",
         on_update="skip" if include_deletes else "raise",
+        # merge versions are emitted from their recorded change files in
+        # the include_deletes branch below, never from the file diff
+        on_merge="skip" if include_deletes else "raise",
     ):
         if added:
             parts.append(

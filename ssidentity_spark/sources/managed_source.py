@@ -219,6 +219,10 @@ class ManagedTableDataSource(DataSource):
             )
         ig = str(self.options.get("ignoredeletes", "false")).lower() == "true"
         iu = str(self.options.get("ignoreupdates", "false")).lower() == "true"
+        sm = (
+            str(self.options.get("skipmergecommits", "false")).lower()
+            == "true"
+        )
         return ManagedTableStreamReader(
             path,
             schema,
@@ -226,6 +230,7 @@ class ManagedTableDataSource(DataSource):
             None if mv is None else int(mv),
             ignore_deletes=ig,
             ignore_updates=iu,
+            skip_merge_commits=sm,
             read_change_feed=self._cdf(),
         )
 
@@ -687,6 +692,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         max_versions_per_trigger: int | None = None,
         ignore_deletes: bool = False,
         ignore_updates: bool = False,
+        skip_merge_commits: bool = False,
         read_change_feed: bool = False,
     ):
         self.path = path
@@ -733,6 +739,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # fails loudly with the ways out.
         self.ignore_deletes = ignore_deletes
         self.ignore_updates = ignore_updates
+        # .option("skipMergeCommits", "true"): advance past MERGE
+        # versions without emitting anything. Deliberately SEPARATE from
+        # ignoreUpdates: a merge also INSERTS new rows, and an option
+        # named for updates must not silently drop inserts — the caller
+        # opts into that loss by name (Delta's skipChangeCommits shape).
+        self.skip_merge_commits = skip_merge_commits
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
@@ -775,6 +787,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # partitions()
         skip_d = self.ignore_deletes or self.read_change_feed
         skip_u = self.ignore_updates or self.read_change_feed
+        skip_m = self.skip_merge_commits or self.read_change_feed
         yield from iter_manifest_diffs(
             self.path,
             start_v,
@@ -786,6 +799,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             context="the managed_table stream",
             on_delete="skip" if skip_d else "raise",
             on_update="skip" if skip_u else "raise",
+            on_merge="skip" if skip_m else "raise",
         )
 
     def partitions(self, start: dict, end: dict):

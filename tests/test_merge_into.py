@@ -262,6 +262,105 @@ def test_quiet_change_feed_over_vacuumed_table_returns_typed_empty(
     assert "k" in feed.columns and "_commit_version" in feed.columns
 
 
+# --- r8 ADVICE hardening -------------------------------------------------
+
+
+def test_merge_rejects_duplicate_change_keys(spark, base_table):
+    """ADVICE r8 (high): two changelog rows for one key must raise — a
+    full-outer join would fan the matched base row out, duplicating it in
+    the rewrite and fabricating duplicate update_preimage facts."""
+    dup = spark.createDataFrame(
+        [(1, 11.0), (1, 12.0), (2, 20.5)], "k bigint, price double"
+    )
+    with pytest.raises(ValueError, match="at most one source row"):
+        merge_into(spark, base_table, dup, "k", {"price": "c.price"})
+    # nothing committed, table untouched
+    assert latest_version(base_table) == 0
+    assert read_versioned(spark, base_table).count() == 1000
+
+
+def test_merge_null_change_keys_insert_independently(spark, tmp_path):
+    """NULL change keys never equi-match a base row: each is an
+    independent insert, exempt from the duplicate-key gate."""
+    path = str(tmp_path / "nk")
+    write_versioned(
+        spark.createDataFrame([(1, 10.0)], "k bigint, price double"),
+        path,
+        "append",
+    )
+    ch = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0)], "k bigint, price double"
+    )
+    stats = merge_into(spark, path, ch, "k", {"price": "c.price"})
+    assert stats["rows_inserted"] == 2
+    assert stats["rows_updated"] == 0
+    got = {(r["k"], r["price"]) for r in read_versioned(spark, path).collect()}
+    assert got == {(1, 10.0), (None, 1.0), (None, 2.0)}
+
+
+def test_merge_preserves_null_key_base_rows(spark, tmp_path):
+    """ADVICE r8 (medium): a base row whose merge-key column is NULL in a
+    HIT file must pass through untouched — not inflated into
+    rows_inserted, no fabricated _change_type='insert' fact."""
+    path = str(tmp_path / "nb")
+    write_versioned(
+        spark.createDataFrame(
+            [(None, 1.0), (7, 70.0)], "k bigint, price double"
+        ).coalesce(1),
+        path,
+        "append",
+    )
+    stats = merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(7, 77.0)], "k bigint, price double"),
+        "k",
+        {"price": "c.price"},
+    )
+    assert stats["rows_updated"] == 1
+    assert stats["rows_inserted"] == 0
+    got = {(r["k"], r["price"]) for r in read_versioned(spark, path).collect()}
+    assert got == {(None, 1.0), (7, 77.0)}
+    feed = read_changes(spark, path, 0, include_deletes=True)
+    assert feed.where("_change_type = 'insert'").count() == 0
+
+
+def test_stream_merge_gate_has_its_own_knob(spark, base_table, tmp_path):
+    """ADVICE r8 (low): ignoreUpdates must NOT silently drop a merge
+    version (merges also insert); skipMergeCommits opts in by name."""
+    from ssidentity_spark.sources.managed_source import register
+
+    register(spark)
+    merge_into(
+        spark,
+        base_table,
+        _changes(spark),
+        "k",
+        {"price": "c.price"},
+        delete_when="c.op = 'D'",
+    )
+
+    def run(opts, ck, out):
+        r = spark.readStream.format("managed_table")
+        for kk, vv in opts.items():
+            r = r.option(kk, vv)
+        q = (
+            r.load(base_table).writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # an option named for updates does not cover merges — loud failure
+    # that names the dedicated knob and the insert-loss consequence
+    with pytest.raises(Exception, match="skipMergeCommits"):
+        run({"ignoreUpdates": "true"}, str(tmp_path / "c1"), str(tmp_path / "o1"))
+    run({"skipMergeCommits": "true"}, str(tmp_path / "c2"), str(tmp_path / "o2"))
+    got = spark.read.parquet(str(tmp_path / "o2"))
+    assert got.count() == 1000  # the v0 snapshot only; merge emitted nothing
+
+
 def test_vacuum_managed_keeps_fresh_empty_dirs(spark, tmp_path):
     """ADVICE r7: a concurrent writer's just-created empty attempt dir
     must survive the rmdir pass; an AGED empty dir is swept."""
