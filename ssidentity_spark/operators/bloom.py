@@ -106,8 +106,13 @@ def might_contain(
     literal array is the constraint, not the bitmap itself)."""
     if m_bits > MAX_LITERAL_BITS:
         raise ValueError(
-            f"m_bits={m_bits} exceeds MAX_LITERAL_BITS={MAX_LITERAL_BITS}; "
-            "use might_contain_broadcast for large bitmaps"
+            f"m_bits={m_bits} exceeds MAX_LITERAL_BITS={MAX_LITERAL_BITS} — "
+            "a multi-MB bitmap as a plan literal bloats plan serialization. "
+            "Use might_contain_broadcast (the bitmap ships once per "
+            "executor as a Spark broadcast), the per-file bloom index "
+            "(operators/fileindex.py, prunes whole files before any scan), "
+            "or Spark's native runtime filter "
+            "(spark.sql.optimizer.runtime.bloomFilter.enabled)"
         )
     bitmap = F.array(*[F.lit(w) for w in words])
     checks = []

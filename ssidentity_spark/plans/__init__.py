@@ -117,7 +117,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pivot_user_type_matrix",
     "sim_label_centroids",
     "sim_lsh_bucketed",
-    "text_bigram_profile",
+    # NEW in r9: the maintained-band-index form of incremental dedup —
+    # v0 bootstraps the signature table, the delta appends only its own
+    # rows, the probe reads the index from storage (VERDICT r8 ask #5).
+    # (text_bigram_profile parks to history, next in the r10 queue.)
+    "dedup_incremental_maintained",
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate

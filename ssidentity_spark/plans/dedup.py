@@ -1265,27 +1265,34 @@ def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def incremental_probe_pairs(full: DataFrame, delta_ids: DataFrame) -> DataFrame:
-    """Candidate pairs touching at least one ``delta_ids`` doc, from ONE
-    pass of the signature pipeline: delta membership is broadcast-joined
-    onto the band keys BEFORE the bucket rollup, so each bucket carries
-    its member list plus its delta sublist and pairs fall out of an
-    array expression — never a second signature computation for the
-    probe side (the same double-subtree trap the r5 plan audit fixed in
-    _spark_lsh_pairs; the first draft of this operator had it and the
-    plan audit showed two full Generate→minhash branches). Buckets with
-    no delta member never reach the pair stage."""
-    sigs = _spark_minhash(_spark_shingles(full))
+def band_index(docs: DataFrame) -> DataFrame:
+    """The LSH band index rows ``(doc_id, b, band_key)`` for ``docs`` —
+    the representation a MAINTAINED signature table persists: one row
+    per (doc, band), equi-joinable on (b, band_key). Computing it costs
+    the full shingle→minhash pipeline over ``docs``, which is exactly
+    why production persists it and appends only each delta's rows."""
+    sigs = _spark_minhash(_spark_shingles(docs))
     band_exprs = [
         F.struct(F.lit(b).alias("b"), band_key_expr(b).alias("band_key"))
         for b in range(N_MINHASH // BAND_ROWS)
     ]
-    keyed = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
     ).select(
         "doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key")
     )
-    flagged = keyed.join(
+
+
+def probe_band_index(index: DataFrame, delta_ids: DataFrame) -> DataFrame:
+    """Candidate pairs touching at least one ``delta_ids`` doc, from a
+    PRE-KEYED band index (``band_index`` rows — live or read back from a
+    maintained table): delta membership is broadcast-joined onto the
+    band keys BEFORE the bucket rollup, so each bucket carries its
+    member list plus its delta sublist and pairs fall out of an array
+    expression. Buckets with no delta member never reach the pair
+    stage. No shingling happens here — the probe's cost is one rollup
+    of the index plus the matched buckets' pair expansion."""
+    flagged = index.join(
         # distinct: a duplicated delta id would double-match each keyed
         # row, putting the doc into `members` twice and fabricating an
         # (x, x) self-pair downstream
@@ -1320,6 +1327,18 @@ def incremental_probe_pairs(full: DataFrame, delta_ids: DataFrame) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+def incremental_probe_pairs(full: DataFrame, delta_ids: DataFrame) -> DataFrame:
+    """Candidate pairs touching at least one ``delta_ids`` doc, from ONE
+    pass of the signature pipeline over the live corpus — never a
+    second signature computation for the probe side (the same
+    double-subtree trap the r5 plan audit fixed in _spark_lsh_pairs;
+    the first draft of this operator had it and the plan audit showed
+    two full Generate→minhash branches). Composition of
+    :func:`band_index` (the one signature pass) and
+    :func:`probe_band_index` (the delta-flagged bucket rollup)."""
+    return probe_band_index(band_index(full), delta_ids)
 
 
 @register(
@@ -1379,3 +1398,72 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = read_versioned(spark, path).select("doc_id", "text")
     return incremental_probe_pairs(full, delta_ids)
+
+
+@register(
+    "dedup_incremental_maintained",
+    # The MAINTAINED-index form of the incremental gate (VERDICT r8 ask
+    # #5): the band index itself is the versioned table. v0 persists the
+    # base corpus's signatures; the delta appends ONLY its own signature
+    # rows; the probe reads the maintained index back from storage — the
+    # base corpus is never re-shingled (pinned by plan test). Oracle =
+    # the full-recompute pair set filtered to delta-touching pairs, so
+    # hash equality proves index maintenance loses nothing vs rebuilding
+    # the index from scratch — the property that makes a 100 TB
+    # signature table an asset you append to, not a cost you re-pay
+    # per batch.
+    oracle=f"""
+    WITH {_lsh_pairs_sql_ctes()}
+    SELECT doc_a, doc_b FROM pairs
+    WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+    """,
+    survey="EXT-dedup,S5,V2",
+)
+def dedup_incremental_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full medallion loop for incremental near-dup detection:
+
+    1. BOOTSTRAP — the base corpus's band index (``band_index``:
+       one (doc_id, b, band_key) row per doc per band) is committed as
+       v0 of a versioned managed table. This is the one full
+       shingle+minhash pass the base ever pays.
+    2. INGEST — a new batch arrives; ONLY its documents are shingled,
+       and their index rows are appended as v1. The append is the
+       maintenance: no base row is read, rewritten, or re-hashed.
+    3. PROBE — the tip of the maintained index is scanned back from
+       parquet and the delta's ids (recovered from the index's own
+       change feed — v1's rows name exactly the new docs) flag the
+       bucket rollup. Pairs touching at least one new doc fall out.
+
+    Scale shape: step 2 costs O(delta) signature work + one append;
+    step 3 is one rollup of the index (a narrow 3-column table, ~bands
+    × corpus rows) + pair expansion on matched buckets only. Nothing
+    is O(corpus) in TEXT bytes after v0 — the index rows are the only
+    thing the probe ever rescans, and partition pruning on band_key
+    ranges (Z-order/OPTIMIZE on the index table) tightens even that."""
+    import os
+    import shutil
+
+    from ssidentity_spark.fixtures import SNAPSHOT_DIR
+    from ssidentity_spark.operators.tablelog import (
+        read_changes,
+        read_versioned,
+        write_versioned,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"incr_index_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    # v0: bootstrap — the base corpus's signatures, persisted
+    write_versioned(band_index(d.where("doc_id % 5 != 0")), path, "append")
+    # v1: the delta's signatures appended — the ONLY new signature work
+    write_versioned(band_index(d.where("doc_id % 5 = 0")), path, "append")
+
+    index = read_versioned(spark, path)  # the maintained index, from disk
+    delta_ids = (
+        read_changes(spark, path, 0)
+        .where("_commit_version = 1")
+        .select("doc_id")
+        .distinct()
+    )
+    return probe_band_index(index, delta_ids)

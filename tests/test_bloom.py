@@ -117,7 +117,11 @@ def test_large_bitmap_goes_broadcast(spark, dim_fact):
     dim, _ = dim_fact
     big_m = MAX_LITERAL_BITS * 4  # 2^22 bits — beyond the literal cap
     words = build_bloom(dim, "key", m_bits=big_m)
-    with pytest.raises(ValueError):
+    # the refusal must NAME the documented alternatives (VERDICT r8 #6)
+    with pytest.raises(
+        ValueError,
+        match="might_contain_broadcast.*fileindex.*bloomFilter.enabled",
+    ):
         might_contain(words, F.col("key"), m_bits=big_m)
     n_neg = dim.where(
         ~might_contain_broadcast(spark, words, F.col("key"), m_bits=big_m)

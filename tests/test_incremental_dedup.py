@@ -85,3 +85,57 @@ def test_streamed_batches_probe_to_the_full_recompute_answer(spark, tmp_path):
     }
     assert got == want
     assert want  # non-vacuous: the corpus has delta-touching candidates
+
+
+def test_maintained_index_probe_reuses_persisted_signatures(spark, tmp_path):
+    """VERDICT r8 ask #5: the maintained-index probe must read the base's
+    signatures back from the persisted table, never re-shingle the base —
+    and a second batch must probe v2's index with only v2's new rows
+    computed. Pinned two ways: (a) the probe plan contains NO shingle
+    pipeline (no minhash aggregate, no Python/regex tokenize — it is a
+    parquet scan + rollup), and (b) two successive maintained batches
+    produce exactly the full-recompute answer, cumulatively."""
+    from ssidentity_spark.operators.tablelog import (
+        read_changes,
+        read_versioned,
+        write_versioned,
+    )
+    from ssidentity_spark.plans.dedup import band_index, probe_band_index
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "index")
+    write_versioned(band_index(d.where("doc_id % 5 != 0")), path, "append")
+    write_versioned(band_index(d.where("doc_id % 10 = 0")), path, "append")
+    write_versioned(band_index(d.where("doc_id % 10 = 5")), path, "append")
+
+    got: set = set()
+    for v in (1, 2):
+        index = read_versioned(spark, path, v)
+        delta_ids = (
+            read_changes(spark, path, 0, v)
+            .where(f"_commit_version = {v}")
+            .select("doc_id")
+            .distinct()
+        )
+        probe = probe_band_index(index, delta_ids)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # (a) no signature recomputation in the probe plan: the shingle
+        # pipeline's fingerprints are the minhash partial aggregate and
+        # the tokenizing regex split — neither may appear
+        assert "mh0" not in plan
+        assert "split" not in plan.lower()
+        got.update((r["doc_a"], r["doc_b"]) for r in probe.collect())
+
+    full = (
+        d.where("doc_id % 5 != 0")
+        .unionByName(d.where("doc_id % 5 = 0"))
+    )
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in _spark_lsh_pairs(full).collect()
+        if r["doc_a"] % 5 == 0 or r["doc_b"] % 5 == 0
+    }
+    # v1's probe sees only v1's docs as delta; v2's probe covers v2 vs all
+    # of v0+v1+v2 — the union is exactly the delta-touching recompute set
+    assert got == want
+    assert want
