@@ -1070,44 +1070,86 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurs in at least one OTHER document. The doc-level dedup family
     answers "is this doc a near-copy"; this answers "how much of this
     doc is copied" — the substring-granularity result of the public
-    suffix-array training-data dedup recipe, re-expressed as three
-    keyed aggregations instead of a suffix array (which does not
-    distribute).
+    suffix-array training-data dedup recipe, re-expressed as keyed
+    aggregations instead of a suffix array (which does not distribute).
+    Plan shape and the skew study that chose it: :func:`span_profile`."""
+    return span_profile(load_table(spark, sf_dir, "documents"))
 
-    Scale shape: explode emits one row per char (the same amplification
-    the corpus's tokenizer pipeline already pays), then ONE corpus-sized
-    exchange — explicitly on gram alone, which both the (gram, doc_id)
-    aggregate and the per-gram doc-count window then reuse (subset-key
-    clustering), so the lineage explodes once and shuffles the wide rows
-    once; the only other exchange is the tiny per-doc rollup. A
-    self-join formulation would re-explode the corpus for the per-gram
-    side (measured in the plan audit) — the window form replaces that
-    with a sort within already-colocated partitions. The gate groups on
-    the literal gram string for oracle exactness; at 100 TB you shuffle
-    xxhash64(gram) (8 bytes vs 40, collision odds ~2^-64 per pair) —
-    same plan, narrower keys. No all-pairs stage anywhere: cost is
-    linear in corpus chars."""
-    d = load_table(spark, sf_dir, "documents")
-    w = (
-        d.where(F.length("text") >= SPAN_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {SPAN_K - 1}),"
-                    f" i -> substring(text, i, {SPAN_K}))"
-                )
-            ).alias("gram"),
+
+def _span_windows(d: DataFrame) -> DataFrame:
+    return d.where(F.length("text") >= SPAN_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {SPAN_K - 1}),"
+                f" i -> substring(text, i, {SPAN_K}))"
+            )
+        ).alias("gram"),
+    )
+
+
+def span_profile(
+    d: DataFrame, mode: str = "repartition", salt: int = 16
+) -> DataFrame:
+    """Per-doc (n_windows, n_dup_windows) over stride-1 SPAN_K windows.
+
+    Three plan shapes, measured against each other on a PLANTED
+    90%-one-gram corpus (the boilerplate worst case VERDICT r8 ask #4
+    named) and a verbatim-replicated corpus, 39M windows each
+    (tools/span_skew.py; full table in SCALE.md "span-dedup skew"):
+
+    - ``repartition`` (SHIPPED): one explicit gram exchange of RAW
+      window rows reused by the (gram, doc_id) aggregate and the
+      per-gram window (subset-key clustering — the lineage explodes
+      once and shuffles once). Fastest on realistic corpora (59 s vs
+      91/204 s at 30x) and within 22% of the best even on the planted
+      corpus locally. Its scale exposure: the hottest gram's entire
+      WINDOW MASS serializes through one task (90% of rows on the
+      planted corpus) — survivable in one local JVM, a straggler/OOM
+      on a real cluster once one gram's windows outgrow an executor.
+    - ``twophase``: partial+final aggregation on (gram, doc_id) — a
+      boilerplate doc's repeated windows collapse map-side, then the
+      per-gram window runs over the aggregated frame. Skew bound drops
+      from windows-per-gram to DOCS-per-gram; costs a second
+      corpus-sized exchange (91 s vs 59 s uniform at 30x, but 51 s vs
+      63 s planted — it wins exactly when boilerplate dominates). The
+      100 TB boilerplate-corpus choice, with AQE skew-join handling
+      the residual docs-per-gram hot key.
+    - ``salted``: twophase + a salted ndocs join instead of the window
+      — no per-gram colocation at all. Measured HONESTLY BAD on
+      realistic corpora (204 s at 30x): replicating EVERY gram's ndocs
+      row ``salt``-fold multiplies the join input by the full gram
+      vocabulary. Only the hot grams need salting; at real scale use
+      twophase + AQE skew-join (which splits exactly the oversized
+      partitions) rather than this blanket form — kept as the measured
+      reference point, not a recommendation.
+
+    All three produce identical results (cross-checked per run by the
+    probe, and the shipped mode is under the driver's oracle hash)."""
+    w = _span_windows(d)
+    if mode == "repartition":
+        gd = (
+            w.repartition(F.col("gram"))
+            .groupBy("gram", "doc_id")
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-    )
-    gd = (
-        w.repartition(F.col("gram"))
-        .groupBy("gram", "doc_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    gstats = gd.withColumn(
-        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-    )
+    else:
+        gd = w.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    if mode == "salted":
+        nd = gd.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
+        nd_s = nd.select(
+            "gram",
+            "ndocs",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt"),
+        )
+        gd_s = gd.withColumn(
+            "_salt", F.pmod(F.hash("doc_id"), F.lit(salt)).cast("int")
+        )
+        gstats = gd_s.join(nd_s, ["gram", "_salt"])
+    else:
+        gstats = gd.withColumn(
+            "ndocs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
     return gstats.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_windows"),
         F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(F.lit(0)))

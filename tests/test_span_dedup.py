@@ -188,3 +188,34 @@ def test_trim_is_character_based_on_multibyte_text(spark, tmp_path):
     prof = _run(spark, tmp_path, [a, b])
     assert prof[0] == (len(a) - SPAN_K + 1, 1)
     assert prof[1] == (len(b) - SPAN_K + 1, 1)
+
+
+def test_span_profile_modes_agree(spark):
+    """VERDICT r8 ask #4: the three span_profile plan shapes (shipped
+    repartition, skew-hardened twophase, salted join) are semantically
+    one operator — identical result multisets on a corpus that plants a
+    hot gram across most docs (the boilerplate case the modes exist
+    for). Timings live in SCALE.md 'span-dedup skew'."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.plans.dedup import span_profile
+
+    boiler = "a" * 120
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 4 < 3, F.lit(boiler)
+        ).otherwise(
+            F.concat(F.lit("unique-"), F.col("id").cast("string"),
+                     F.lit("-" * 60), F.col("id").cast("string"))
+        ).alias("text"),
+    )
+    results = [
+        {tuple(r) for r in span_profile(docs, mode=m, salt=4).collect()}
+        for m in ("repartition", "twophase", "salted")
+    ]
+    assert results[0] == results[1] == results[2]
+    assert results[0]  # non-vacuous
+    # the boilerplate docs' windows are all duplicated
+    dup = {r for r in results[0] if r[1] == r[2]}
+    assert len(dup) == 30
