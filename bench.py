@@ -110,6 +110,19 @@ CANARY = "tpch_q6_forecast_revenue"
 # re-planning, which is the intended 100×-scale behaviour. The vs-best
 # gate stays: it is exactly what turned a suspicion into a 15-minute
 # falsifiable check.
+# r9 drift verdict (VERDICT r8 ask #3): a quiet-window 9-run probe
+# (fresh session, warm-up discarded, load avg 0.5) re-measured the three
+# r8-flagged queries WITH the untouched-plan canary first:
+#   tpch_q6 (canary)      0.281 s = 1.82x vs best   ← the machine factor
+#   j1_region_revenue     0.938 s = 1.38x vs best   → 0.76x normalized
+#   j4_range_join_funnel  0.299 s = 1.33x vs best   → 0.73x normalized
+#   sim_topk_bruteforce   0.482 s = 1.43x vs best   → 0.79x normalized
+# Every flagged query drifts LESS than the canary, so all three are
+# environmental (this box's best-ever rounds ran on a ~1.8x faster
+# machine state); no plan changed (git log confirms) and nothing needs a
+# fix. The BEST_ROUND floors stay as recorded — they are real numbers
+# this hardware has hit — and the canary ratio in each artifact is the
+# normalization the reader applies.
 BEST_ROUND = {
     "dedup_exact": (0.163, "r6"),
     "dedup_minhash_lsh_pairs": (0.975, "r7"),
