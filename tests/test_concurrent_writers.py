@@ -189,3 +189,185 @@ def test_concurrent_append_and_pinned_delete(spark, log_path):
     got = read_versioned(spark, log_path)
     assert got.where("writer = 'deleter'").count() == 1
     assert got.where("writer = 'alpha'").count() >= N_COMMITS - 1
+
+
+# --- r9 (VERDICT r8 stretch #9): merge vs append, DV delete vs OPTIMIZE ---
+
+
+def _ambush_appender(path: str, trigger_glob: str, out: "mp.Queue") -> None:
+    """Pre-stage an append part, signal readiness, poll until
+    ``trigger_glob`` matches (the victim DML has written its first
+    private artifact but not yet committed), then land the commit —
+    everything slow happens BEFORE the trigger so the victim's
+    pinned-parent commit reliably loses the race."""
+    import glob
+    import time
+
+    from ssidentity_spark.operators.tablelog import commit_files
+
+    rel = _stage(path, "ambush", 0)
+    open(os.path.join(path, ".ambush_ready"), "w").close()
+    while not glob.glob(os.path.join(path, trigger_glob)):
+        time.sleep(0.001)
+    v = commit_files(
+        path,
+        [rel],
+        mode="append",
+        max_retries=200,
+        schema=[("k", "bigint"), ("writer", "string")],
+    )
+    out.put(("ambush", v, rel))
+
+
+def _ambush_optimizer(path: str, trigger_glob: str, out: "mp.Queue") -> None:
+    """Protocol-level OPTIMIZE racing a DV delete: compact the CURRENT
+    tip's parts into one pre-staged file, then — once the delete's
+    first private artifact appears — commit ``operation='optimize'``.
+    The interaction the abort exists for: a DV pinned to the old rel
+    paths must NOT land on a manifest whose files were just
+    rewritten."""
+    import glob
+    import time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ssidentity_spark.operators.tablelog import (
+        _commit,
+        _read_manifest,
+        latest_version,
+    )
+
+    tip = latest_version(path)
+    m = _read_manifest(path, tip)
+    tbl = _pa.concat_tables(
+        [_pq.read_table(os.path.join(path, f)) for f in sorted(m["files"])]
+    )
+    rel = os.path.join("data", "ambush-compact-0001.parquet")
+    _pq.write_table(tbl, os.path.join(path, rel))
+    open(os.path.join(path, ".ambush_ready"), "w").close()
+    while not glob.glob(os.path.join(path, trigger_glob)):
+        time.sleep(0.001)
+    _commit(
+        path, tip + 1, [rel], "optimize", meta={"schema": m.get("schema")}
+    )
+    out.put(("optimizer", tip + 1, rel))
+
+
+def _await_ready(path: str, timeout_s: float = 60.0) -> None:
+    import time
+
+    marker = os.path.join(path, ".ambush_ready")
+    t0 = time.time()
+    while not os.path.exists(marker):
+        assert time.time() - t0 < timeout_s, "ambush child never signalled"
+        time.sleep(0.01)
+
+
+def test_merge_race_aborts_cleans_and_retries_cleanly(spark, tmp_path):
+    """merge_into's pinned-parent claim under a REAL two-process race: an
+    append lands between the merge's tip read and its commit → the merge
+    must raise VersionConflict, remove its staged data AND change files,
+    and leave the table readable; a fresh merge then succeeds WITH the
+    ambush row intact."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.tablelog import (
+        VersionConflict,
+        merge_into,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "mr")
+    write_versioned(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit("seed").alias("writer")
+        ),
+        path,
+        "append",
+    )
+    changes = spark.createDataFrame([(3, "merged")], "k bigint, writer string")
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    child = ctx.Process(
+        target=_ambush_appender, args=(path, "_changes/*", q)
+    )
+    child.start()
+    try:
+        _await_ready(path)
+        with pytest.raises(VersionConflict):
+            merge_into(spark, path, changes, "k", {"writer": "c.writer"})
+        role, av, arel = q.get(timeout=60)
+    finally:
+        child.join(timeout=60)
+    assert child.exitcode == 0
+    assert (role, av) == ("ambush", 1)
+    # abort cleaned ALL private staging: no merge data dirs, no change sets
+    assert glob.glob(os.path.join(path, "data", "merge-*")) == []
+    assert glob.glob(os.path.join(path, "_changes", "*")) == []
+    # the table is intact and the ambush append survived
+    assert latest_version(path) == 1
+    got = read_versioned(spark, path)
+    assert got.count() == 11
+    # the retry (fresh tip read) lands cleanly on top of the append
+    stats = merge_into(spark, path, changes, "k", {"writer": "c.writer"})
+    assert stats["version"] == 2 and stats["rows_updated"] == 1
+    rows = {(r["k"], r["writer"]) for r in read_versioned(spark, path).collect()}
+    assert (3, "merged") in rows and (0, "ambush") in rows
+    assert len(rows) == 11
+
+
+def test_dv_delete_race_with_optimize_aborts_then_lands(spark, tmp_path):
+    """DV delete vs OPTIMIZE, two processes: the compactor rewrites the
+    file set while the delete's DV (pinned to the OLD rel paths) is
+    staged but uncommitted. The delete must abort — a committed DV
+    naming rewritten files would be inert and resurrect the rows — clean
+    its sidecar + change set, and succeed on retry against the compacted
+    tip."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.tablelog import (
+        VersionConflict,
+        delete_where,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "dvr")
+    write_versioned(
+        spark.range(10)
+        .select(F.col("id").alias("k"), F.lit("seed").alias("writer"))
+        .repartition(2),
+        path,
+        "append",
+    )
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    child = ctx.Process(target=_ambush_optimizer, args=(path, "_changes/*", q))
+    child.start()
+    try:
+        _await_ready(path)
+        with pytest.raises(VersionConflict):
+            delete_where(spark, path, "k = 3", mode="dv")
+        role, ov, orel = q.get(timeout=60)
+    finally:
+        child.join(timeout=60)
+    assert child.exitcode == 0
+    assert (role, ov) == ("optimizer", 1)
+    # abort cleaned the DV sidecar and the change set
+    assert glob.glob(os.path.join(path, "_dv", "*")) == []
+    assert glob.glob(os.path.join(path, "_changes", "*")) == []
+    # the compacted tip reads all 10 rows
+    assert latest_version(path) == 1
+    assert read_versioned(spark, path).count() == 10
+    # retry pins the COMPACTED file set; the delete lands and reads back
+    stats = delete_where(spark, path, "k = 3", mode="dv")
+    assert stats["version"] == 2 and stats["rows_deleted"] == 1
+    got = {r["k"] for r in read_versioned(spark, path).collect()}
+    assert got == set(range(10)) - {3}
