@@ -116,12 +116,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipe_embed_quantize",
     "pivot_user_type_matrix",
     "sim_label_centroids",
-    "sim_lsh_bucketed",
     # NEW in r9: the maintained-band-index form of incremental dedup —
     # v0 bootstraps the signature table, the delta appends only its own
     # rows, the probe reads the index from storage (VERDICT r8 ask #5).
-    # (text_bigram_profile parks to history, next in the r10 queue.)
     "dedup_incremental_maintained",
+    # NEW in r9: filtered ANN composed with the pinned-IVF index —
+    # candidates = probed cells ∩ label, recall curve in SCALE.md
+    # (VERDICT r8 stretch #8). (sim_lsh_bucketed and text_bigram_profile
+    # park to history, next in the r10 queue.)
+    "sim_filtered_ivf_topk",
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate

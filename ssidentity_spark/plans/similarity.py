@@ -950,3 +950,160 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "label", "neighbor_id", "cos", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+FILTERED_IVF_PROBES = 4  # label thins each cell, so probe wider than the
+# unfiltered pinned search (2) — recall curve in SCALE.md (r9)
+
+
+def filtered_ivf_candidates(em: DataFrame, n_probes: int) -> DataFrame:
+    """The scored candidate set of the filtered-IVF search: a candidate
+    must be in one of the query's ``n_probes`` nearest cells AND share
+    the query's label — the predicate intersects the index instead of
+    replacing it (``sim_filtered_topk`` is the exact per-label scan;
+    this is the sub-linear path for when a label's slice is itself too
+    big to scan). Split from the rank stage so tools/filtered_recall.py
+    can count EXACTLY what gets scored per probe setting."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = spread(em).select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    cent = base.filter(F.col("vec_id") % PINNED_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "v",
+        "nrm",
+        "cid",
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("cell_cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cid")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "label", "v", "nrm", F.col("cid").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= n_probes)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    qv = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    return (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        # the FILTER composes with the index here: same-label only, and
+        # it prunes before any exact cosine is computed
+        .filter(F.col("label") == F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+
+
+def filtered_ivf_topk(em: DataFrame, n_probes: int) -> DataFrame:
+    """Rank stage over :func:`filtered_ivf_candidates` — the shipped
+    filtered-IVF search."""
+    cand = filtered_ivf_candidates(em, n_probes)
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            "cos",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "sim_filtered_ivf_topk",
+    # Filtered ANN with an INDEX (VERDICT r8 stretch #8): the exact
+    # per-label scan (sim_filtered_topk) is the rare-label tier; this
+    # composes the predicate with the pinned-IVF cells so common labels
+    # get a sub-linear path — candidates = probed cells ∩ same label.
+    # Pinned centroids (vec_id % 97) make the whole assign → probe →
+    # filter → exact-cosine pipeline SQL-expressible, so the driver
+    # hash-verifies the composed search, not a trained approximation.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), cent AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % {PINNED_CENT_MOD} = 0
+    ), ranked AS (
+      SELECT vec_id, label, v, nrm, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cell_cos DESC, cid) AS rn
+      FROM (
+        SELECT n.vec_id, n.label, n.v, n.nrm, c.cid,
+               round(list_sum(list_transform(generate_series(1, len(n.v)),
+                              i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6)
+                 AS cell_cos
+        FROM n CROSS JOIN cent c)
+    ), cells AS (
+      SELECT vec_id, label, v, nrm, cid AS cell FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM ranked
+      WHERE vec_id < {N_QUERIES} AND rn <= {FILTERED_IVF_PROBES}
+    ), cand AS (
+      SELECT p.query_id, q.label, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM probes p
+      JOIN cells q ON q.vec_id = p.query_id
+      JOIN cells c ON c.cell = p.cell AND c.label = q.label
+                   AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, label, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {TOP_K}
+    """,
+    survey="U5,J1",
+)
+def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered top-k through the pinned-IVF index: candidates must fall
+    in one of the query's {FILTERED_IVF_PROBES} nearest cells AND carry
+    the query's label. Scale shape: one O(corpus × k) broadcast
+    assignment pass, one corpus shuffle for the argmax window, then the
+    probe join scores only (probed cell ∩ label) slices — at 10^9
+    vectors the per-query candidate set is cell-sized-thinned-by-label,
+    not label-sized (the exact tier's cost) and never corpus-sized.
+    Recall vs the exact filtered scan is measured per-probe-count in
+    SCALE.md (tools/filtered_recall.py); rare labels stay on the exact
+    tier, which is precisely the two-tier production layout."""
+    return filtered_ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), FILTERED_IVF_PROBES
+    )
