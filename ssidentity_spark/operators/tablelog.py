@@ -1235,6 +1235,86 @@ def optimize_zorder(
     )
 
 
+def restore_version(path: str, version: int) -> dict:
+    """RESTORE the table to a prior snapshot as a NEW commit (the Delta
+    ``RESTORE TABLE ... TO VERSION AS OF`` verb) — the rollback half of
+    time travel: reading an old version answers "what was true", restore
+    makes it true AGAIN at the tip, without rewriting a byte of data.
+
+    Semantics:
+
+    - The new manifest references ``version``'s files (and its deletion
+      vectors and recorded schema) BY REFERENCE — restore is a pure log
+      operation, O(manifest), never O(data). A 100 TB rollback commits
+      in milliseconds.
+    - HISTORY is preserved: every version between ``version`` and the
+      pre-restore tip still time-travels (restore appends to the log,
+      it never truncates it — re-restoring forward works too).
+    - The STREAM walker raises on restore versions (same gate as
+      overwrite): re-added files would re-emit their rows as fresh
+      appends downstream. Snapshot-read across it, or restart the
+      stream at the restored snapshot with ``startingVersion``.
+    - The cumulative stream-batch ledger (``batch_ids``) is carried
+      from the TIP, not the restored version — a restarted
+      exactly-once sink must still see every batch id it ever
+      committed, or it would re-apply the batches the rollback undid.
+    - VACUUM interaction: restore requires ``version``'s data files to
+      still exist; if retention already reclaimed them the restore
+      fails LOUDLY naming vacuum (Delta errors the same way).
+    - CONCURRENCY: pinned-parent commit; a version race raises
+      :class:`VersionConflict` — nothing is staged, so there is
+      nothing to clean.
+
+    Returns ``{"version", "restored_from", "files"}``."""
+    tip = latest_version(path)
+    if tip is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if not 0 <= version <= tip:
+        raise ValueError(
+            f"RESTORE target must be a committed version in [0, {tip}], "
+            f"got {version}"
+        )
+    if version == tip:
+        # restoring to the tip is the identity — no commit, like an
+        # empty-changelog merge
+        return {"version": tip, "restored_from": version, "files": None}
+    try:
+        m = _read_manifest(path, version)
+    except FileNotFoundError:
+        retained = _versions(path)
+        oldest = retained[0] if retained else None
+        raise ValueError(
+            f"cannot RESTORE {path} to version {version}: its manifest "
+            f"has been vacuumed from the log (oldest retained: {oldest})"
+        ) from None
+    missing = [
+        f
+        for f in list(m["files"]) + list(m.get("dv_files", []))
+        if not os.path.exists(os.path.join(path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE {path} to version {version}: {len(missing)} "
+            f"data file(s) were reclaimed by vacuum (first: {missing[0]}). "
+            "Restore targets must be within the vacuum retention window."
+        )
+    tip_m = _read_manifest(path, tip)
+    meta: dict = {
+        "batch_ids": [str(b) for b in tip_m.get("batch_ids", [])],
+        "restored_from": version,
+    }
+    if m.get("dv_files"):
+        meta["dv_files"] = m["dv_files"]
+    if m.get("schema"):
+        meta["schema"] = m["schema"]
+    _commit(path, tip + 1, list(m["files"]), "restore", meta=meta)
+    return {
+        "version": tip + 1,
+        "restored_from": version,
+        "files": len(m["files"]),
+    }
+
+
 def iter_manifest_diffs(
     path: str,
     start_v: int,
@@ -1360,13 +1440,18 @@ def iter_manifest_diffs(
                 "insert/update/delete rows; a change-feed stream "
                 "(.option('readChangeFeed','true')) emits them too."
             )
-        if m.get("operation") == "overwrite" or not prev <= cur:
+        # restore is gated like overwrite even when its file list happens
+        # to be a superset of the baseline: re-added files carry rows the
+        # stream already emitted before the rollback — yielding them
+        # would duplicate downstream
+        if m.get("operation") in ("overwrite", "restore") or not prev <= cur:
             if v != consume_whole_version:
                 raise ValueError(
                     f"version {v} at {path} is not append-only "
-                    f"(overwrite/replaced files) — {context} requires an "
-                    "append-only history; snapshot-read across it "
-                    "(read_versioned)"
+                    f"(overwrite/restore/replaced files) — {context} "
+                    "requires an append-only history; snapshot-read "
+                    "across it (read_versioned) or restart the stream at "
+                    "it with .option('startingVersion', ...)"
                 )
         yield v, sorted(cur - prev)
         prev = cur

@@ -115,7 +115,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipe_docs_clean",
     "pipe_embed_quantize",
     "pivot_user_type_matrix",
-    "sim_label_centroids",
+    # NEW in r9: RESTORE — the rollback verb, manifest-only commit;
+    # deleted-era time travel and the zero-copy claim under the hash
+    # (sim_label_centroids parks to history, next in the r10 queue)
+    "src_restore_timetravel",
     # NEW in r9: the maintained-band-index form of incremental dedup —
     # v0 bootstraps the signature table, the delta appends only its own
     # rows, the probe reads the index from storage (VERDICT r8 ask #5).

@@ -841,6 +841,67 @@ def src_compacted_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_restore_timetravel",
+    # RESTORE under the gate (the rollback verb, r9): full corpus at v1,
+    # a cow DELETE removes the %5 slice at v2, RESTORE TO v1 at v3. The
+    # result reads the restored TIP (every deleted row must be back,
+    # byte-identical — the oracle reads the untouched parquet) and pins
+    # two claims into the hash: `was_deleted` proves v2 still
+    # time-travels AFTER the rollback (restore appends to history, never
+    # truncates it), and `zero_copy` pins the O(manifest) claim — the
+    # restored tip references v1's rel paths by identity, no data was
+    # rewritten.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           (doc_id % 5 = 0) AS was_deleted,
+           TRUE AS zero_copy
+    FROM documents
+    """,
+    survey="S2,S5,V2",
+)
+def src_restore_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (operators/tablelog.py:restore_version): roll the table
+    back to a prior snapshot as a new manifest-only commit. v0 = even
+    doc_ids, v1 = append the odd ones (full corpus), v2 = DELETE the
+    doc_id%5 slice (cow rewrite), v3 = RESTORE TO v1. The tip equals the
+    pre-delete corpus again without rewriting a byte, and the deleted
+    era stays fully time-travelable."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        delete_where,
+        read_versioned,
+        restore_version,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"restore_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(base.where("doc_id % 2 = 0"), path, "append")  # v0
+    v1 = write_versioned(base.where("doc_id % 2 = 1"), path, "append")
+    delete_where(spark, path, "doc_id % 5 = 0")  # v2 (cow)
+    stats = restore_version(path, v1)  # v3: manifest-only rollback
+    zero_copy = set(_read_manifest(path, stats["version"])["files"]) == set(
+        _read_manifest(path, v1)["files"]
+    )
+
+    tip = read_versioned(spark, path).select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5")
+    )
+    at_v2 = read_versioned(spark, path, 2).select(
+        F.col("doc_id").alias("d_id"), F.lit(True).alias("survived_v2")
+    )
+    return tip.join(at_v2, tip.doc_id == at_v2.d_id, "left").select(
+        "doc_id",
+        "text_md5",
+        (~F.coalesce("survived_v2", F.lit(False))).alias("was_deleted"),
+        F.lit(zero_copy).alias("zero_copy"),
+    )
+
+
+@register(
     "src_change_feed",
     # The change data feed under the gate: the table is committed as
     # appends with an OPTIMIZE in the middle, and the result is exactly

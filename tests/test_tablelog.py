@@ -1174,3 +1174,94 @@ def test_change_feed_roundtrips_through_orc_and_csv(spark, tmp_path):
                ).csv(csv_dir).collect()}
     assert got_orc == want
     assert got_csv == want
+
+
+# --- r9: RESTORE (rollback) verb ------------------------------------------
+
+
+def test_restore_rolls_back_and_preserves_history(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import (
+        delete_where,
+        history,
+        restore_version,
+    )
+
+    path = str(tmp_path / "rst")
+    write_versioned(_df(spark, 0, 10), path, "append")  # v0
+    delete_where(spark, path, "k < 3")  # v1 (cow)
+    assert read_versioned(spark, path).count() == 7
+    stats = restore_version(path, 0)
+    assert stats == {"version": 2, "restored_from": 0, "files": stats["files"]}
+    # tip equals v0 again, byte-identical file references
+    assert {r["k"] for r in read_versioned(spark, path).collect()} == set(range(10))
+    from ssidentity_spark.operators.tablelog import _read_manifest
+
+    assert _read_manifest(path, 2)["files"] == _read_manifest(path, 0)["files"]
+    # the deleted era still time-travels
+    assert read_versioned(spark, path, 1).count() == 7
+    assert history(path)[-1]["operation"] == "restore"
+    # restoring to the tip is the identity — no new version
+    assert restore_version(path, 2)["version"] == 2
+    assert latest_version(path) == 2
+
+
+def test_restore_carries_deletion_vectors(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import (
+        delete_where,
+        restore_version,
+    )
+
+    path = str(tmp_path / "rdv")
+    write_versioned(_df(spark, 0, 10), path, "append")  # v0
+    delete_where(spark, path, "k = 4", mode="dv")  # v1: DV, files untouched
+    delete_where(spark, path, "k = 5", mode="dv")  # v2
+    restore_version(path, 1)  # v3: back to "only k=4 deleted"
+    got = {r["k"] for r in read_versioned(spark, path).collect()}
+    assert got == set(range(10)) - {4}
+
+
+def test_restore_rejects_vacuumed_targets(spark, tmp_path):
+    from ssidentity_spark.operators.tablelog import restore_version, vacuum
+
+    path = str(tmp_path / "rvac")
+    write_versioned(_df(spark, 0, 5), path, "append")  # v0
+    write_versioned(_df(spark, 5, 8), path, "overwrite")  # v1: v0 files orphan
+    vacuum(path, keep_latest=1)  # drops v0's manifest + data
+    with pytest.raises(ValueError, match="vacuum"):
+        restore_version(path, 0)
+    with pytest.raises(ValueError, match="committed version"):
+        restore_version(path, 99)
+
+
+def test_restore_gates_streams_but_restarts_cleanly(spark, tmp_path):
+    """A stream must NOT silently re-emit the rows a restore re-added;
+    startingVersion at the restored snapshot is the documented restart."""
+    from ssidentity_spark.operators.tablelog import (
+        delete_where,
+        restore_version,
+    )
+    from ssidentity_spark.sources.managed_source import register
+
+    register(spark)
+    path = str(tmp_path / "rs")
+    write_versioned(_df(spark, 0, 10), path, "append")  # v0
+    delete_where(spark, path, "k < 3")  # v1
+    restore_version(path, 0)  # v2
+
+    def run(opts, ck, out):
+        r = spark.readStream.format("managed_table")
+        for kk, vv in opts.items():
+            r = r.option(kk, vv)
+        q = (
+            r.load(path).writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="restore|startingVersion"):
+        run({"ignoreDeletes": "true"}, str(tmp_path / "c1"), str(tmp_path / "o1"))
+    run({"startingVersion": "2"}, str(tmp_path / "c2"), str(tmp_path / "o2"))
+    got = {r["k"] for r in spark.read.parquet(str(tmp_path / "o2")).collect()}
+    assert got == set(range(10))
