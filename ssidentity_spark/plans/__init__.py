@@ -54,8 +54,10 @@ from ssidentity_spark.registry import REGISTRY
 # history member of each module the queue alone leaves unwindowed —
 # module coverage outranks strict age), THEN strict staleness-ordered
 # re-verification: the r1 vintage, then the r3 vintage. New r9
-# first-time hash candidates displace the oldest staleness slots as
-# they land.
+# first-time hash candidates displace the queue TAIL (the newest
+# staleness slots) as they land — first-time verification grows the
+# cumulative set, so it outranks refreshing fresher history, while the
+# stalest r1/r3 entries at the head keep their slots.
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed)
     "flagship_hourly_top_types",
@@ -113,8 +115,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "o3_union_split",
     "o4_intersect_users",
     "pipe_docs_clean",
-    "pipe_embed_quantize",
-    "pivot_user_type_matrix",
+    # NEW in r9: quality-aware canonical selection per near-dup cluster
+    # (keep the longest copy, not the min-id one) — clustering AND the
+    # selection rule under one hash (pipe_embed_quantize parks)
+    "dedup_cluster_keep_best",
+    # NEW in r9: exact containment + Jaccard verify stage over LSH
+    # candidate pairs — the asymmetric subset signal doc-level scores
+    # miss (pivot_user_type_matrix parks)
+    "dedup_containment_pairs",
     # NEW in r9: RESTORE — the rollback verb, manifest-only commit;
     # deleted-era time travel and the zero-copy claim under the hash
     # (sim_label_centroids parks to history, next in the r10 queue)

@@ -319,6 +319,156 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment_pairs",
+    # ASYMMETRIC near-dup scoring (r9): Jaccard treats "A is a quarter
+    # of B" and "B is a quarter of A" identically; containment
+    # |A∩B|/|A| tells you A is ENTIRELY inside B (the quote/boilerplate/
+    # superset case doc-level symmetric scores miss — the Broder
+    # containment estimator's exact form). Scored only on LSH candidate
+    # pairs, so the shingle-intersection join is candidate-bounded,
+    # never corpus².
+    oracle=f"""
+    WITH {_lsh_pairs_sql_ctes()}, sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shingles GROUP BY 1
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN shingles sa ON sa.doc_id = p.doc_a
+      JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE) / za.n, 6) AS containment_a,
+           round(CAST(i.n_common AS DOUBLE) / zb.n, 6) AS containment_b,
+           round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.doc_a
+    JOIN sz zb ON zb.doc_id = i.doc_b
+    """,
+    survey="EXT-dedup,X11",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment + Jaccard for every LSH candidate pair:
+    `containment_a` = |A∩B|/|A| (1.0 ⇒ A's shingles are a subset of
+    B's — A is contained in B), computed from the TRUE shingle sets,
+    not the MinHash estimate (candidates are few enough post-LSH that
+    exactness is affordable — the standard verify stage). Scale shape:
+    shingles restricted to pair members via semi-join (the corpus's
+    non-candidate docs never re-shingle into this), ONE shingle-keyed
+    equi-join between the two sides, count per pair, then two
+    model-sized size joins. All work is candidate-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _spark_lsh_pairs(d)
+    sh = _spark_shingles(d)
+    member = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    psh = sh.join(member, "doc_id", "left_semi")
+    sz = psh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        pairs.join(
+            psh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            psh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("na"), 6).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("nb"), 6).alias("containment_b"),
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    # The SELECTION stage of cluster dedup (r9): real pipelines keep the
+    # BEST copy per near-dup cluster (most content), not an arbitrary
+    # one — min-id canonicals throw away the longest variant of a page
+    # whenever a truncated copy has a smaller id. Same recursive-CTE
+    # component fixpoint as dedup_cc_clusters, then a quality argmax
+    # per cluster; both the clustering AND the selection rule are under
+    # the hash.
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pairs_sql_ctes()}, edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ), comp AS (
+      SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u
+    ), clustered AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             CAST(len(d.text) AS BIGINT) AS n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, n_chars,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) = 1 AS keep
+    FROM clustered
+    """,
+    survey="EXT-dedup,A3,W1",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster: connected components over the LSH pair
+    graph, then ONE row per document with its cluster id, its quality
+    (content length — the standard keep-the-longest heuristic) and the
+    keep verdict: the cluster's quality argmax survives, ties break on
+    doc_id. Scale shape: the component solve is the O(log diameter)
+    star algorithm; selection adds exactly one cluster-keyed window
+    over a 3-column frame — no text moves through the argmax, only
+    (doc, cluster, length)."""
+    from ssidentity_spark.operators.graph import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _spark_lsh_pairs(d)
+    comp = connected_components_star(pairs, src="doc_a", dst="doc_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    clustered = (
+        d.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash: 32-bit signature; weighted bit votes from md5-derived token hashes
 # ---------------------------------------------------------------------------
