@@ -90,3 +90,65 @@ def assign_global_ids(
         .withColumn(id_col, (F.col("_off") + F.col("_local")).cast("bigint"))
         .drop("_b", "_local", "_off")
     )
+
+
+def assign_running_total(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "running_before",
+    bucket: Column | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Add ``out_col``: the sum of ``value_col`` over all rows STRICTLY
+    BEFORE each row in the total order — the global prefix sum behind
+    budgeted selection ("keep docs in quality order until the token
+    budget is spent"), without the single-partition global-window trap.
+
+    Same two-phase shape as :func:`assign_global_ids` (and the same
+    contracts: deterministic monotone ``bucket`` preferred, order key
+    must be UNIQUE for a deterministic result): an intra-bucket
+    cumulative sum runs in parallel, bucket totals cumulate over
+    #buckets rows, and the broadcast-joined offsets complete the global
+    prefix. ``order`` takes Column expressions so descending orders
+    (quality DESC) work; a caller's ``bucket`` must then be monotone in
+    that SAME direction."""
+    if not order:
+        raise ValueError("order must name at least one column expression")
+    if bucket is not None:
+        keyed = df.withColumn("_b", bucket)
+    else:
+        if n_parts is not None:
+            if n_parts < 1:
+                raise ValueError(f"n_parts must be >= 1, got {n_parts}")
+            n = n_parts
+        else:
+            raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            try:
+                n = int(raw)
+            except (TypeError, ValueError):
+                n = max(1, df.rdd.getNumPartitions())
+        # persist for the same exchange-pinning reason as assign_global_ids
+        keyed = (
+            df.repartitionByRange(int(n), *order)
+            .withColumn("_b", F.spark_partition_id())
+            .persist()
+        )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = keyed.withColumn(
+        "_local", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    )
+    sums = keyed.groupBy("_b").agg(F.sum(value_col).alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn(out_col, (F.col("_off") + F.col("_local")).cast("bigint"))
+        .drop("_b", "_local", "_off")
+    )

@@ -114,7 +114,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "o3_union_split",
     "o4_intersect_users",
-    "pipe_docs_clean",
+    # NEW in r9: budgeted quality-ordered selection — the global prefix
+    # sum in its two-phase scalable form, cum_before under the hash
+    # (pipe_docs_clean parks to history, next in the r10 queue)
+    "pipe_token_budget",
     # NEW in r9: quality-aware canonical selection per near-dup cluster
     # (keep the longest copy, not the min-id one) — clustering AND the
     # selection rule under one hash (pipe_embed_quantize parks)

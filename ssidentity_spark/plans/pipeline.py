@@ -990,3 +990,93 @@ def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_id_sum"),
         )
     )
+
+
+@register(
+    "pipe_token_budget",
+    # Budgeted quality-ordered selection (r9): "spend a 30%-of-corpus
+    # token budget on the best documents first" — the data-selection
+    # step between scoring and training. The interesting part is the
+    # GLOBAL PREFIX SUM: a row is kept iff the tokens of every
+    # better-quality doc before it still leave room. The naive form is
+    # a no-partitionBy running-total window (the single-partition trap);
+    # the shipped form is the two-phase bucket cumulative sum
+    # (operators/rowids.assign_running_total), and cum_before rides the
+    # hash so the oracle verifies the prefix sums themselves, not just
+    # the verdicts.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS quality
+      FROM w
+    ), tot AS (
+      SELECT CAST(floor(0.3 * sum(n_tokens)) AS BIGINT) AS budget FROM t
+    ), c AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT c.doc_id, c.n_tokens, c.quality, c.cum_before,
+           (c.cum_before + c.n_tokens <= tot.budget) AS kept
+    FROM c CROSS JOIN tot
+    """,
+    survey="EXT-pipeline,X10,W3",
+)
+def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents in (quality DESC, doc_id) order until a token
+    budget (30% of the corpus) is spent: quality = unique-token ratio,
+    a doc is kept iff the cumulative tokens of all docs ordered before
+    it plus its own still fit.
+
+    Scale shape: the global running total uses the two-phase bucket
+    formulation — quality quantized to 17 monotone buckets
+    (floor((1-q)*16)), intra-bucket windows run in parallel, bucket
+    totals cumulate over 17 rows and broadcast back. The budget scalar
+    is an aggregate cross-joined in (never collected to the driver).
+    The naive ORDER BY-only window would serialize the corpus through
+    one task — the exact trap operators/rowids.py exists to avoid."""
+    from ssidentity_spark.operators.rowids import assign_running_total
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    base = spread(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("quality"),
+    )
+    budget = base.agg(
+        F.floor(0.3 * F.sum("n_tokens")).cast("long").alias("budget")
+    )
+    ranked = assign_running_total(
+        base,
+        order=[F.desc("quality"), F.asc("doc_id")],
+        value_col="n_tokens",
+        out_col="cum_before",
+        # monotone in the DESC-quality order: equal quality -> one bucket
+        bucket=F.floor((F.lit(1.0) - F.col("quality")) * 16).cast("int"),
+    )
+    return ranked.crossJoin(F.broadcast(budget)).select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "cum_before",
+        (F.col("cum_before") + F.col("n_tokens") <= F.col("budget")).alias(
+            "kept"
+        ),
+    )

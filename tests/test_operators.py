@@ -481,3 +481,59 @@ def test_pii_redaction_semantics(spark):
         assert (got[i]["e"], got[i]["c"], got[i]["p"], got[i]["q"]) == (
             e, c, p, q,
         ), i
+
+
+def test_running_total_matches_global_window(spark):
+    """assign_running_total (r9): the two-phase bucket prefix sum equals
+    the naive global running-total window on every row, for a DESC float
+    order with a monotone quantized bucket — including ties resolved by
+    the id tiebreaker and the empty-prefix row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.rowids import assign_running_total
+
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.pmod(F.hash("id"), F.lit(100)) / 100.0).alias("q"),
+        (F.pmod(F.hash("id", F.lit(1)), F.lit(50)) + 1).alias("v"),
+    )
+    got = assign_running_total(
+        df,
+        order=[F.desc("q"), F.asc("id")],
+        value_col="v",
+        bucket=F.floor((F.lit(1.0) - F.col("q")) * 16).cast("int"),
+    )
+    w = Window.orderBy(F.desc("q"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = df.withColumn(
+        "running_before", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("bigint")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the first row in the order has an empty prefix
+    first = got.orderBy(F.desc("q"), F.asc("id")).limit(1).collect()[0]
+    assert first["running_before"] == 0
+
+
+def test_running_total_sampled_bucket_path(spark):
+    """The bucket-less (repartitionByRange) fallback produces the same
+    prefix sums as the explicit-bucket path."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.rowids import assign_running_total
+
+    df = spark.range(300).select(
+        F.col("id"), (F.pmod(F.hash("id"), F.lit(7)) + 1).alias("v")
+    )
+    a = assign_running_total(
+        df, order=[F.asc("id")], value_col="v", n_parts=8
+    )
+    b = assign_running_total(
+        df,
+        order=[F.asc("id")],
+        value_col="v",
+        bucket=(F.col("id") / 40).cast("int"),
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
