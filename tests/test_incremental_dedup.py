@@ -139,3 +139,70 @@ def test_maintained_index_probe_reuses_persisted_signatures(spark, tmp_path):
     # of v0+v1+v2 — the union is exactly the delta-touching recompute set
     assert got == want
     assert want
+
+
+def test_streaming_ingest_maintains_the_index_and_probes(spark, tmp_path):
+    """The full streaming medallion loop for X12b: a readChangeFeed
+    stream over the CORPUS drives, per batch, (1) append ONLY the
+    batch's band_index rows to the maintained index table, (2) probe
+    the index tip with the batch's ids. No batch ever re-shingles the
+    base; the union of all probes equals the full-recompute answer."""
+    from ssidentity_spark.operators.tablelog import (
+        read_versioned,
+        write_versioned,
+    )
+    from ssidentity_spark.plans.dedup import band_index, probe_band_index
+    from ssidentity_spark.sources.managed_source import register
+
+    register(spark)
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    write_versioned(d.where("doc_id % 5 != 0"), corpus, "append")  # v0 base
+    write_versioned(d.where("doc_id % 10 = 0"), corpus, "append")  # v1
+    write_versioned(d.where("doc_id % 10 = 5"), corpus, "append")  # v2
+    # bootstrap: the base's index rows — the ONE full signature pass
+    write_versioned(band_index(d.where("doc_id % 5 != 0")), index, "append")
+
+    got: set = set()
+
+    def ingest(batch_df, _bid):
+        rows = batch_df.select("doc_id", "text", "_commit_version").collect()
+        by_v: dict = {}
+        for r in rows:
+            by_v.setdefault(r["_commit_version"], []).append(
+                (r["doc_id"], r["text"])
+            )
+        for v in sorted(by_v):
+            if v == 0:
+                continue  # the bootstrap pass above covers the base
+            batch = spark.createDataFrame(
+                by_v[v], "doc_id long, text string"
+            )
+            # (1) maintain: append ONLY this batch's signature rows
+            write_versioned(band_index(batch), index, "append")
+            # (2) probe the maintained tip with the batch's ids
+            ids = batch.select("doc_id")
+            pairs = probe_band_index(read_versioned(spark, index), ids)
+            got.update((r["doc_a"], r["doc_b"]) for r in pairs.collect())
+
+    q = (
+        spark.readStream.format("managed_table")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", 1)
+        .load(corpus)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    full = read_versioned(spark, corpus).select("doc_id", "text")
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in _spark_lsh_pairs(full).collect()
+        if r["doc_a"] % 5 == 0 or r["doc_b"] % 5 == 0
+    }
+    assert got == want
+    assert want
