@@ -113,7 +113,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_simhash_pairs",
     "o3_union_split",
-    "o4_intersect_users",
+    # NEW in r9: leakage-safe splitting — the md5 split rule applied to
+    # the near-dup CLUSTER id, so no test doc has a train-side near-copy
+    # (o4_intersect_users parks to history, next in the r10 queue)
+    "pipe_cluster_safe_split",
     # NEW in r9: budgeted quality-ordered selection — the global prefix
     # sum in its two-phase scalable form, cum_before under the hash
     # (pipe_docs_clean parks to history, next in the r10 queue)

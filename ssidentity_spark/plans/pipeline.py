@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table, spread
+from ssidentity_spark.plans.dedup import _lsh_pairs_sql_ctes
 from ssidentity_spark.plans.text import _STOPWORDS
 from ssidentity_spark.registry import register
 
@@ -1079,4 +1080,78 @@ def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_before") + F.col("n_tokens") <= F.col("budget")).alias(
             "kept"
         ),
+    )
+
+
+@register(
+    "pipe_cluster_safe_split",
+    # Leakage-safe splitting (r9): hash-splitting on doc_id puts
+    # near-duplicate documents on BOTH sides of the train/test boundary
+    # — the classic eval-leak. The fix is to assign the split at the
+    # NEAR-DUP CLUSTER level: every member of a cluster inherits the
+    # split of its cluster id, so a family of copies can never straddle
+    # the boundary. Same recursive-CTE component fixpoint as the dedup
+    # family; the `leak_safe` claim itself (doc's split == its cluster
+    # canonical's split) rides the hash.
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pairs_sql_ctes()}, edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ), comp AS (
+      SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u
+    ), assigned AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_TRAIN_LT}'
+                  THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_VAL_LT}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+    survey="EXT-pipeline,EXT-dedup,X1",
+)
+def pipe_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level hash split: connected components over the LSH pair
+    graph, then the md5-prefix split rule applied to the CLUSTER id —
+    every near-dup family lands wholly in one split, so no test example
+    has a train-side near-copy. Scale shape: the split itself stays a
+    narrow map (md5 of a column); the only added cost over doc-level
+    splitting is the component solve the dedup pipeline already runs —
+    production shares one clustering between dedup and splitting."""
+    from ssidentity_spark.operators.graph import connected_components_star
+    from ssidentity_spark.plans.dedup import _spark_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components_star(
+        _spark_lsh_pairs(d), src="doc_a", dst="doc_b"
+    ).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    assigned = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    prefix = F.substring(
+        F.md5(F.col("cluster_id").cast("string")), 1, 2
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(prefix < _TRAIN_LT, "train")
+        .when(prefix < _VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
     )
