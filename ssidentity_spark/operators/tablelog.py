@@ -1235,6 +1235,41 @@ def optimize_zorder(
     )
 
 
+def optimize_similarity_layout(
+    spark: SparkSession,
+    path: str,
+    text_col: str = "text",
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """OPTIMIZE CLUSTER BY SimHash: compact the tip with near-duplicate
+    documents laid out adjacently, so parquet's page-local compression
+    sees them together — measured −11.5% bytes vs a shuffled corpus at
+    30% near-dups (SCALE.md "r9: layout"; prefix sort gets only −4.6%).
+    The text twin of :func:`optimize_zorder`: pure composition through
+    :func:`optimize`'s ``repartition_fn`` (read-identical commit, DVs
+    materialized, time travel kept, race-aborted), and the layout key
+    (:func:`functions.textlayout.simhash32`) is a single Column
+    expression — the range repartition is the only exchange."""
+    from ssidentity_spark.functions.textlayout import simhash32
+
+    def recluster(df, n):
+        from pyspark.sql import functions as F
+
+        return (
+            df.withColumn("_simhash", simhash32(F.col(text_col)))
+            .repartitionByRange(n, "_simhash")
+            .sortWithinPartitions("_simhash")
+            .drop("_simhash")
+        )
+
+    return optimize(
+        spark,
+        path,
+        target_rows_per_file=target_rows_per_file,
+        repartition_fn=recluster,
+    )
+
+
 def restore_version(path: str, version: int) -> dict:
     """RESTORE the table to a prior snapshot as a NEW commit (the Delta
     ``RESTORE TABLE ... TO VERSION AS OF`` verb) — the rollback half of

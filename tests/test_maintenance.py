@@ -246,3 +246,55 @@ def test_roster_merge_drops_phantom_empty_csv_entry(spark):
     roster = mac_roster_upsert(mac_roster_upsert(empty, b1), b2)
     row = roster.collect()[0]
     assert row.ts_csv == "01/01/24 - 12:01AM"
+
+
+def test_optimize_similarity_layout_read_identical_and_smaller(spark, tmp_path):
+    """r9: OPTIMIZE CLUSTER BY SimHash — read-identical compaction whose
+    layout packs near-dups adjacently; on a corpus with planted
+    near-copies the clustered rewrite must be strictly smaller on disk
+    than the same rows compacted in shuffled order."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        latest_version,
+        optimize,
+        optimize_similarity_layout,
+        read_versioned,
+        write_versioned,
+    )
+
+    def table_bytes(path):
+        m = _read_manifest(path, latest_version(path))
+        return sum(
+            os.path.getsize(os.path.join(path, f)) for f in m["files"]
+        )
+
+    base = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("lorem ipsum shared boilerplate sentence repeated "),
+            (F.pmod(F.col("id"), F.lit(40))).cast("string"),
+            F.lit(" tail "),
+            F.md5(F.col("id").cast("string")),
+        ).alias("text"),
+    )
+    # shuffled order: the post-dedup-pipeline reality
+    shuffled = base.orderBy(F.md5(F.col("doc_id").cast("string")))
+
+    p_plain = str(tmp_path / "plain")
+    write_versioned(shuffled.repartition(4), p_plain, "append")
+    optimize(spark, p_plain)
+    p_sim = str(tmp_path / "sim")
+    write_versioned(shuffled.repartition(4), p_sim, "append")
+    stats = optimize_similarity_layout(spark, p_sim)
+
+    # read-identical
+    a = {tuple(r) for r in read_versioned(spark, p_plain).collect()}
+    b = {tuple(r) for r in read_versioned(spark, p_sim).collect()}
+    assert a == b and len(a) == 400
+    assert stats["rows"] == 400
+    # the clustered layout compresses strictly better
+    assert table_bytes(p_sim) < table_bytes(p_plain)
