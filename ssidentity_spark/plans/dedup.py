@@ -360,14 +360,20 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join between the two sides, count per pair, then two
     model-sized size joins. All work is candidate-bounded."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = _spark_lsh_pairs(d)
-    sh = _spark_shingles(d)
+    # persist the two shared subtrees: `pairs` feeds the member list AND
+    # both sides of the intersection join, `psh` feeds the size aggregate
+    # AND both join sides — without pinning one materialization each,
+    # Spark re-evaluates the whole shingle→minhash→band pipeline per
+    # reference (first plan audit showed 33 exchanges; cf. the same fix
+    # in operators/rowids.py). Cache lifetime ends with the frame
+    # (ContextCleaner), the rowids contract.
+    pairs = _spark_lsh_pairs(d).persist()
     member = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select("doc_b"))
         .distinct()
     )
-    psh = sh.join(member, "doc_id", "left_semi")
+    psh = _spark_shingles(d).join(member, "doc_id", "left_semi").persist()
     sz = psh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     inter = (
         pairs.join(
