@@ -30,23 +30,47 @@ from pyspark.sql import functions as F
 def simhash32(text: Column) -> Column:
     """32-bit SimHash of whitespace-tokenized ``text`` as a single
     Column expression: per token, an md5-slice 60-bit hash votes ±1 on
-    each of 32 bits; the signature sets the bits with positive votes."""
+    each of 32 bits; the signature sets the bits with positive votes.
+
+    Evaluation shape matters here (the lambda-CSE trap plans/dedup.py
+    documents): the md5 per token is computed ONCE as the aggregate's
+    INPUT array — ``transform(toks, h)`` — and everything inside the
+    fold is integer bit math on the precomputed hash. The first draft
+    ran one aggregate per bit with ``h(t)`` inside each lambda, which
+    re-evaluated the md5 32x per token (caught in review)."""
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
-
-    def h(t: Column) -> Column:
-        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-
-    def vote(b: int) -> Column:
-        return F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + (F.shiftright(h(t), b).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(32):
-        out = out + F.when(vote(b) > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0)
-        )
-    return out
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    bit_idx = F.sequence(F.lit(0), F.lit(31))
+    votes = F.aggregate(
+        hashes,
+        F.expr("array_repeat(CAST(0 AS BIGINT), 32)"),
+        lambda acc, hv: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, b: a
+            + (
+                F.call_function("shiftright", hv, b.cast("int")).bitwiseAND(
+                    F.lit(1)
+                )
+                * 2
+                - 1
+            ),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            bit_idx,
+            lambda v, b: F.when(
+                v > 0,
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), b.cast("int")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

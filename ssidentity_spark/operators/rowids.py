@@ -38,6 +38,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _null_safe_bucket(bucket: Column) -> Column:
+    # the offsets join below is an equality join on _b: a NULL bucket
+    # would silently DROP the row (NULL never equals NULL) — fail loudly
+    # instead and tell the caller to map NULLs to a sentinel bucket
+    return F.when(bucket.isNotNull(), bucket).otherwise(
+        F.raise_error(
+            F.lit(
+                "bucket expression evaluated to NULL for some row — map "
+                "NULL inputs to an explicit sentinel bucket (the offsets "
+                "equi-join would silently drop NULL-bucket rows)"
+            )
+        )
+    )
+
+
 def assign_global_ids(
     df: DataFrame,
     order_cols: list[str],
@@ -54,7 +69,7 @@ def assign_global_ids(
     if n_parts is not None and n_parts < 1:
         raise ValueError(f"n_parts must be >= 1, got {n_parts}")
     if bucket is not None:
-        keyed = df.withColumn("_b", bucket)
+        keyed = df.withColumn("_b", _null_safe_bucket(bucket))
     else:
         if n_parts is not None:
             n = n_parts
@@ -116,7 +131,7 @@ def assign_running_total(
     if not order:
         raise ValueError("order must name at least one column expression")
     if bucket is not None:
-        keyed = df.withColumn("_b", bucket)
+        keyed = df.withColumn("_b", _null_safe_bucket(bucket))
     else:
         if n_parts is not None:
             if n_parts < 1:

@@ -989,14 +989,16 @@ def merge_into(
         dup = (
             changes.where(F.col(ck).isNotNull())
             .groupBy(ck)
-            .count()
-            .where(F.col("count") > 1)
+            # aliased count: .count() would emit a column literally named
+            # "count", ambiguous whenever the change KEY is named count
+            .agg(F.count(F.lit(1)).alias("_n_dup"))
+            .where(F.col("_n_dup") > 1)
             .limit(1)
             .collect()
         )
         if dup:
             raise ValueError(
-                f"MERGE changelog has {dup[0]['count']} rows for "
+                f"MERGE changelog has {dup[0]['_n_dup']} rows for "
                 f"{ck}={dup[0][0]!r} — merge requires at most one source "
                 "row per change key (dedupe the changelog first, e.g. "
                 "keep the latest row per key with max_by)"

@@ -1282,6 +1282,10 @@ def span_profile(
 
     All three produce identical results (cross-checked per run by the
     probe, and the shipped mode is under the driver's oracle hash)."""
+    if mode not in ("repartition", "twophase", "salted"):
+        raise ValueError(
+            f"mode must be repartition|twophase|salted, got {mode!r}"
+        )
     w = _span_windows(d)
     if mode == "repartition":
         gd = (

@@ -33,6 +33,21 @@ def _doc_hash():
     return F.md5(F.col("doc_id").cast("string"))
 
 
+def _split_of(key):
+    """THE split rule: md5-prefix of ``key`` against the train/val/test
+    thresholds. One definition shared by the doc-level splitter, the
+    split-dependent pipeline stages, and the cluster-level leak-safe
+    splitter — a rule change (hash, prefix width, a fourth split) lands
+    everywhere at once or nowhere (r9 review)."""
+    prefix = F.substring(F.md5(key.cast("string")), 1, 2)
+    return (
+        F.when(prefix < _TRAIN_LT, "train")
+        .when(prefix < _VAL_LT, "val")
+        .otherwise("test")
+        .alias("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared corpus expressions — the ONE definition of tokenization, the
 # content fingerprint, the quality gate, and the word-n-gram hashes. The
@@ -109,14 +124,7 @@ def pipe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitioning, backfills, and incremental corpus growth — unlike
     rand()-based splits, which leak across reruns."""
     d = load_table(spark, sf_dir, "documents")
-    prefix = F.substring(_doc_hash(), 1, 2)
-    return d.select(
-        "doc_id",
-        F.when(prefix < _TRAIN_LT, "train")
-        .when(prefix < _VAL_LT, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return d.select("doc_id", _split_of(F.col("doc_id")))
 
 
 # ---------------------------------------------------------------------------
@@ -529,15 +537,11 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    prefix = F.substring(_doc_hash(), 1, 2)
     return (
         corpus.join(contaminated, "doc_id", "left_anti")
         .select(
             "doc_id",
-            F.when(prefix < _TRAIN_LT, "train")
-            .when(prefix < _VAL_LT, "val")
-            .otherwise("test")
-            .alias("split"),
+            _split_of(F.col("doc_id")),
             F.col("n_words").cast("int").alias("n_words"),
         )
     )
@@ -1144,14 +1148,6 @@ def pipe_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         )
     )
-    prefix = F.substring(
-        F.md5(F.col("cluster_id").cast("string")), 1, 2
-    )
     return assigned.select(
-        "doc_id",
-        "cluster_id",
-        F.when(prefix < _TRAIN_LT, "train")
-        .when(prefix < _VAL_LT, "val")
-        .otherwise("test")
-        .alias("split"),
+        "doc_id", "cluster_id", _split_of(F.col("cluster_id"))
     )

@@ -379,3 +379,36 @@ def test_vacuum_managed_keeps_fresh_empty_dirs(spark, tmp_path):
     vacuum_managed(path, keep_latest=1, min_orphan_age_s=3600)
     assert os.path.isdir(fresh)
     assert not os.path.exists(aged)
+
+
+def test_merge_works_when_key_is_named_count(spark, tmp_path):
+    """r9 review: the duplicate-key gate must not collide with a change
+    key literally named 'count' (groupBy().count() would emit an
+    ambiguous second 'count' column)."""
+    path = str(tmp_path / "cnt")
+    write_versioned(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "count bigint, price double"),
+        path,
+        "append",
+    )
+    stats = merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(1, 11.0)], "count bigint, price double"),
+        "count",
+        {"price": "c.price"},
+    )
+    assert stats["rows_updated"] == 1
+    got = {(r["count"], r["price"]) for r in read_versioned(spark, path).collect()}
+    assert got == {(1, 11.0), (2, 20.0)}
+    # and the gate itself still fires on real duplicates
+    with pytest.raises(ValueError, match="at most one source row"):
+        merge_into(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, 1.0), (1, 2.0)], "count bigint, price double"
+            ),
+            "count",
+            {"price": "c.price"},
+        )

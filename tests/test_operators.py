@@ -537,3 +537,23 @@ def test_running_total_sampled_bucket_path(spark):
         bucket=(F.col("id") / 40).cast("int"),
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_running_total_rejects_null_buckets(spark):
+    """r9 review: a NULL bucket would silently DROP the row at the
+    offsets equi-join — it must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.rowids import assign_running_total
+
+    df = spark.range(10).select(
+        "id",
+        F.when(F.col("id") < 5, F.col("id")).alias("maybe_null"),
+        F.lit(1).alias("v"),
+    )
+    out = assign_running_total(
+        df, order=[F.asc("id")], value_col="v", bucket=F.col("maybe_null")
+    )
+    with pytest.raises(Exception, match="sentinel bucket"):
+        out.collect()

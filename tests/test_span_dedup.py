@@ -219,3 +219,18 @@ def test_span_profile_modes_agree(spark):
     # the boilerplate docs' windows are all duplicated
     dup = {r for r in results[0] if r[1] == r[2]}
     assert len(dup) == 30
+
+
+def test_span_profile_rejects_unknown_mode(spark):
+    """r9 review: a typo'd mode must raise, not silently fall through to
+    a different plan shape."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.plans.dedup import span_profile
+
+    docs = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("a" * 50).alias("text")
+    )
+    with pytest.raises(ValueError, match="repartition\\|twophase\\|salted"):
+        span_profile(docs, mode="two-phase")
