@@ -112,7 +112,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a4_distinct_pairs",
     "dedup_embedding_cosine",
     "dedup_simhash_pairs",
-    "o3_union_split",
+    # NEW in r9: RAG-style overlapping chunking — fixed token windows
+    # with stable offsets, chunk md5 under the hash, zero-shuffle map
+    # (o3_union_split parks to history, next in the r10 queue)
+    "pipe_chunk_documents",
     # NEW in r9: leakage-safe splitting — the md5 split rule applied to
     # the near-dup CLUSTER id, so no test doc has a train-side near-copy
     # (o4_intersect_users parks to history, next in the r10 queue)

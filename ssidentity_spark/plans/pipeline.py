@@ -1151,3 +1151,94 @@ def pipe_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "doc_id", "cluster_id", _split_of(F.col("cluster_id"))
     )
+
+
+_CHUNK_LEN = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "pipe_chunk_documents",
+    # RAG/embedding chunking (r9): split long documents into fixed-size
+    # overlapping token windows with stable offsets — the inverse of
+    # packing (packing concatenates docs toward a context length;
+    # chunking splits docs toward an embedder's window). Chunk text md5
+    # rides the hash, so an off-by-one in the stride/slice arithmetic on
+    # EITHER engine breaks the gate.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+      FROM w WHERE len(toks) > 0
+    ), c AS (
+      SELECT doc_id, n_toks,
+             unnest(generate_series(0,
+               CAST(greatest(ceil(CAST(n_toks - {_CHUNK_LEN} AS DOUBLE)
+                                  / {_CHUNK_STRIDE}), 0) AS BIGINT))) AS chunk_id,
+             toks
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_LEN}, n_toks - chunk_id * {_CHUNK_STRIDE})
+                AS BIGINT) AS chunk_toks,
+           md5(array_to_string(list_slice(toks,
+                 chunk_id * {_CHUNK_STRIDE} + 1,
+                 chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' ')) AS chunk_md5
+    FROM c
+    """,
+    survey="EXT-pipeline,U5,X8b",
+)
+def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking: {_CHUNK_LEN}-token windows at
+    stride {_CHUNK_STRIDE} (16-token overlap), one row per (doc, chunk)
+    with the chunk's 1-based token offset, its true length (the tail
+    chunk is shorter), and the md5 of its rebuilt text. Scale shape: a
+    narrow map — tokenize once per doc, chunk count from arithmetic,
+    one explode; no shuffle at all (chunking is embarrassingly
+    parallel), so the stage extends whatever partitioning the corpus
+    scan already has. The chunk id is derivable from (doc_id, offset),
+    so downstream embedding tables join back without a global id
+    pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    base = (
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n_toks", F.size("toks").cast("long"))
+        .where(F.col("n_toks") > 0)
+    )
+    n_extra = F.greatest(
+        F.ceil((F.col("n_toks") - F.lit(_CHUNK_LEN)) / F.lit(_CHUNK_STRIDE)),
+        F.lit(0),
+    ).cast("long")
+    chunks = base.select(
+        "doc_id",
+        "n_toks",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias(
+            "chunk_id"
+        ),
+    )
+    start = F.col("chunk_id") * _CHUNK_STRIDE + 1
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        start.cast("long").alias("start_tok"),
+        F.least(
+            F.lit(_CHUNK_LEN).cast("long"),
+            F.col("n_toks") - F.col("chunk_id") * _CHUNK_STRIDE,
+        ).alias("chunk_toks"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), start.cast("int"), _CHUNK_LEN)
+            )
+        ).alias("chunk_md5"),
+    )
