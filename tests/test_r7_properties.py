@@ -120,3 +120,71 @@ def test_mp3_walk_recovers_generated_stream(case):
     assert m["n_samples"] == len(frames) * spf
     assert m["channels"] == (1 if mono else 2)
     assert m["vbr"] == (len({b for b, _ in frames}) > 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_toks=st.integers(min_value=1, max_value=2000),
+)
+def test_chunking_arithmetic_covers_every_token_once_per_window(n_toks):
+    """pipe_chunk_documents' pure arithmetic (r9): for any doc length,
+    the chunk windows (start = i*S+1, len = min(C, n - i*S)) cover token
+    1..n with no gap, consecutive chunks overlap by exactly C-S (except
+    a shorter tail), and no window is empty or out of range."""
+    import math
+
+    C, S = 64, 48
+    n_extra = max(0, math.ceil((n_toks - C) / S))
+    windows = []
+    for i in range(n_extra + 1):
+        start = i * S + 1
+        length = min(C, n_toks - i * S)
+        windows.append((start, start + length - 1))
+        assert length >= 1
+        assert start + length - 1 <= n_toks
+    # coverage: union of [start, end] == [1, n_toks]
+    covered = set()
+    for s, e in windows:
+        covered.update(range(s, e + 1))
+    assert covered == set(range(1, n_toks + 1))
+    # overlap: consecutive full windows overlap by exactly C - S
+    for (s1, e1), (s2, e2) in zip(windows, windows[1:]):
+        assert s2 - s1 == S
+        if e1 - s1 + 1 == C:
+            assert max(0, e1 - s2 + 1) == C - S
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_running_total_property_matches_python_fold(spark, vals):
+    """assign_running_total == the python prefix sum over the same total
+    order, for arbitrary float qualities (incl. duplicates pushed to
+    bucket boundaries) and zero-valued rows."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.operators.rowids import assign_running_total
+
+    rows = [(i, q, v) for i, (q, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, q double, v long")
+    got = {
+        r["id"]: r["running_before"]
+        for r in assign_running_total(
+            df,
+            order=[F.desc("q"), F.asc("id")],
+            value_col="v",
+            bucket=F.floor((F.lit(1.0) - F.col("q")) * 16).cast("int"),
+        ).collect()
+    }
+    acc = 0
+    for i, q, v in sorted(rows, key=lambda r: (-r[1], r[0])):
+        assert got[i] == acc
+        acc += v
