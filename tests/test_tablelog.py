@@ -1265,3 +1265,38 @@ def test_restore_gates_streams_but_restarts_cleanly(spark, tmp_path):
     run({"startingVersion": "2"}, str(tmp_path / "c2"), str(tmp_path / "o2"))
     got = {r["k"] for r in spark.read.parquet(str(tmp_path / "o2")).collect()}
     assert got == set(range(10))
+
+
+def test_restore_preserves_stream_batch_ledger(spark, tmp_path):
+    """The rollback must not reopen the exactly-once window: RESTORE
+    carries the TIP's cumulative batch ledger, so a sink replaying an
+    already-committed batch after the rollback is still recognized and
+    skipped — the restore's undo wins over the replay."""
+    from ssidentity_spark.operators.tablelog import (
+        commit_files,
+        committed_batch_ids,
+        restore_version,
+    )
+
+    path = str(tmp_path / "ledger")
+
+    def stage(name):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = os.path.join("data", f"{name}.parquet")
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        pq.write_table(pa.table({"k": pa.array([1], type=pa.int64())}),
+                       os.path.join(path, rel))
+        return rel
+
+    commit_files(path, [stage("b0")], "append",
+                 meta={"batch_id": "q#0"}, schema=[("k", "bigint")])
+    commit_files(path, [stage("b1")], "append",
+                 meta={"batch_id": "q#1"}, schema=[("k", "bigint")])
+    assert committed_batch_ids(path) == {"q#0", "q#1"}
+    restore_version(path, 0)  # roll batch 1's data back
+    assert read_versioned(spark, path).count() == 1
+    # the ledger still remembers batch 1: a checkpoint replay is skipped,
+    # not re-applied over the rollback
+    assert committed_batch_ids(path) == {"q#0", "q#1"}
