@@ -148,11 +148,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate
-# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). Any r9-new queries
-# that land after the window filled go FIRST in the r10 window, like the
-# late-r7/late-r8 batches did. Then rotation is pure staleness order:
-# the rest of the r3 vintage (text_langid, text_quality,
-# w3_rolling_avg_rows), then the r4 vintage
+# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). Any r10-new queries
+# go FIRST. Then rotation is pure staleness order: the eight r3-vintage
+# entries r9's eight new first-timers displaced from the tail
+# (o3_union_split, o4_intersect_users, pipe_docs_clean,
+# pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
+# sim_lsh_bucketed, text_bigram_profile) plus the never-windowed r3 rest
+# (text_langid, text_quality, w3_rolling_avg_rows), then the r4 vintage
 # (j3_customers_without_orders, j8_cross_region_nation,
 # j9_q10_returned_revenue, j9_q5_local_supplier_volume,
 # pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,

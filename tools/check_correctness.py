@@ -51,6 +51,22 @@ def df_multiset(cols: list[str], rows: list[tuple]) -> Counter:
 def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir)
+    # the DRIVER's canonicalizer (pandas lexsort) crashes on non-scalar
+    # output columns ("unhashable type: numpy.ndarray" — r8's one red
+    # row), while THIS gate stringifies values and would green-light
+    # them: enforce the flat-output convention here so local green
+    # implies driver-shape-safe. Flatten arrays with array_join /
+    # array_to_string (cf. plans/text.text_inverted_postings).
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    if spec.oracle is not None and complex_cols:
+        return False, (
+            f"NON-SCALAR output column(s) {complex_cols} — the driver "
+            "canonicalizer crashes on these; flatten to CSV strings"
+        )
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
     if spec.oracle is None:
