@@ -269,11 +269,25 @@ def history(path: str) -> list[dict]:
     ]
 
 
+def _owned(path: str, rel: str) -> bool:
+    """True iff ``rel`` resolves INSIDE the table root. A shallow clone's
+    manifest references the SOURCE table's files via ``../``-relative
+    paths — maintenance on the clone (vacuum) must never delete bytes it
+    does not own, or dropping an old clone version would destroy the
+    source table underneath every other reader (the Delta shallow-clone
+    ownership rule)."""
+    root = os.path.realpath(path)
+    target = os.path.realpath(os.path.join(path, rel))
+    return target == root or target.startswith(root + os.sep)
+
+
 def vacuum(path: str, keep_latest: int = 1) -> list[str]:
     """Delete data files referenced by NO retained manifest (and the
     dropped manifests, and dropped delete-versions' change files).
     Returns the deleted file paths. Readers of retained versions are
-    unaffected — their file lists stay whole."""
+    unaffected — their file lists stay whole. Files OUTSIDE the table
+    root (a shallow clone's borrowed source files) are never deleted —
+    see :func:`_owned`."""
     import shutil as _shutil
 
     vs = _versions(path)
@@ -290,7 +304,7 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
     for v in drop:
         m = _read_manifest(path, v)
         for f in m["files"]:
-            if f not in referenced:
+            if f not in referenced and _owned(path, f):
                 full = os.path.join(path, f)
                 if os.path.exists(full):
                     os.remove(full)
@@ -305,6 +319,8 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
             "change_file_insert",
         ):
             cf = m.get(key)
+            if cf and not _owned(path, cf):
+                continue
             full_cf = os.path.join(path, cf) if cf else None
             if cf and os.path.isdir(full_cf):
                 _shutil.rmtree(full_cf, ignore_errors=True)
@@ -316,8 +332,10 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
         # manifest may still reference a dropped version's DV — only
         # unreferenced ones go
         for dv in m.get("dv_files", []):
-            if dv not in referenced_dv and os.path.isdir(
-                os.path.join(path, dv)
+            if (
+                dv not in referenced_dv
+                and _owned(path, dv)
+                and os.path.isdir(os.path.join(path, dv))
             ):
                 _shutil.rmtree(os.path.join(path, dv), ignore_errors=True)
                 deleted.append(dv)
@@ -1349,6 +1367,151 @@ def restore_version(path: str, version: int) -> dict:
         "version": tip + 1,
         "restored_from": version,
         "files": len(m["files"]),
+    }
+
+
+def _repoint_dvs(
+    src: str, dst: str, dv_files: list[str], file_map: dict[str, str]
+) -> list[str]:
+    """Rewrite the source's deletion-vector sidecars into the CLONE's own
+    ``_dv/`` dir with their ``f`` column re-pointed through ``file_map``
+    (source rel path → clone rel path). DV rows name files by the
+    SOURCE manifest's rel paths; a clone's manifest uses different rel
+    paths for the same bytes, and the read-time anti-join matches on the
+    clone's — carrying the source sidecars verbatim would silently
+    RESURRECT every deleted row. Sidecars are O(doomed rows), so the
+    rewrite keeps clone cost at O(manifest + doomed rows), never
+    O(data)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = []
+    for dv in dv_files:
+        tables = []
+        full = os.path.join(src, dv)
+        parts = (
+            [
+                os.path.join(full, n)
+                for n in sorted(os.listdir(full))
+                if n.endswith(".parquet")
+            ]
+            if os.path.isdir(full)
+            else [full]
+        )
+        for p in parts:
+            tables.append(pq.read_table(p, columns=["f", "pos"]))
+        t = pa.concat_tables(tables)
+        remapped = [file_map[f] for f in t.column("f").to_pylist()]
+        t = t.set_column(
+            t.schema.get_field_index("f"), "f", pa.array(remapped, pa.string())
+        )
+        dv_rel = os.path.join("_dv", f"clone-{_attempt_tag()}")
+        os.makedirs(os.path.join(dst, dv_rel))
+        pq.write_table(t, os.path.join(dst, dv_rel, "part-0.parquet"))
+        out.append(dv_rel)
+    return out
+
+
+def clone_table(
+    src: str, dst: str, version: int | None = None, deep: bool = False
+) -> dict:
+    """CLONE: create a NEW versioned table at ``dst`` whose v0 is a
+    pinned snapshot of the table at ``src`` (the Delta ``CREATE TABLE
+    ... CLONE`` verb) — the branching half of the log surface next to
+    RESTORE's rollback: dev/test copies of a production table, schema
+    experiments, and point-in-time forks, without recomputing anything.
+
+    - **shallow** (default): the clone's manifest references the
+      source's data files BY ``../``-relative PATH — a pure log
+      operation, O(manifest), zero bytes copied. A 100 TB fork commits
+      in milliseconds. Deletion-vector sidecars are the one exception:
+      they are rewritten (O(doomed rows)) because their ``f`` rows name
+      files by the source's rel paths (:func:`_repoint_dvs`).
+    - **deep**: data files (and DV sidecars) are byte-copied under the
+      clone root — self-contained, survives the source's vacuum or
+      deletion. O(data) in I/O but zero recompute.
+
+    The clone then evolves INDEPENDENTLY: appends/DML/OPTIMIZE on the
+    clone stage their files under the clone root and never touch the
+    source; the source's later commits never appear in the clone.
+    :func:`vacuum` on a shallow clone skips borrowed files via the
+    :func:`_owned` guard, so clone maintenance cannot destroy the
+    source.
+
+    CONTRACTS AND HAZARDS (both match Delta's documented semantics):
+
+    - ``dst`` must not already be a versioned table (create-only).
+    - The stream-batch ledger (``batch_ids``) is NOT carried — a clone
+      is a new table; a streaming sink that wrote the source is not
+      "already committed" into the clone.
+    - A shallow clone borrows bytes it does not own: ``vacuum`` on the
+      SOURCE consults only the source's manifests and may reclaim files
+      the clone still references, breaking the clone's reads. That is
+      the documented shallow-clone trade; use ``deep=True`` (or vacuum
+      retention discipline) when the source's lifecycle is not yours.
+
+    Returns ``{"version": 0, "source_version", "files", "mode"}``."""
+    src_tip = latest_version(src)
+    if src_tip is None:
+        raise FileNotFoundError(f"no committed version at {src}")
+    v = src_tip if version is None else version
+    if not os.path.exists(_manifest_path(src, v)):
+        raise ValueError(
+            f"cannot CLONE {src} at version {v}: no such committed "
+            f"version (tip: {src_tip}; older manifests may be vacuumed)"
+        )
+    if latest_version(dst) is not None:
+        raise ValueError(
+            f"CLONE target {dst} is already a versioned table — clone is "
+            "create-only (drop the target or pick a fresh path)"
+        )
+    m = _read_manifest(src, v)
+    missing = [
+        f
+        for f in list(m["files"]) + list(m.get("dv_files", []))
+        if not os.path.exists(os.path.join(src, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot CLONE {src} at version {v}: {len(missing)} file(s) "
+            f"were reclaimed by vacuum (first: {missing[0]})"
+        )
+    basenames = [os.path.basename(f) for f in m["files"]]
+    if len(set(basenames)) != len(basenames):
+        raise RuntimeError(
+            f"duplicate part basenames in source manifest at {src} — "
+            "cannot attribute deletion-vector rows across the clone"
+        )
+    os.makedirs(dst, exist_ok=True)
+    if deep:
+        import shutil as _shutil
+
+        copy_dir = os.path.join(_DATA, f"clone-{_attempt_tag()}")
+        os.makedirs(os.path.join(dst, copy_dir))
+        file_map = {}
+        for f in m["files"]:
+            rel = os.path.join(copy_dir, os.path.basename(f))
+            _shutil.copyfile(os.path.join(src, f), os.path.join(dst, rel))
+            file_map[f] = rel
+    else:
+        file_map = {
+            f: os.path.relpath(os.path.join(src, f), dst) for f in m["files"]
+        }
+    meta: dict = {
+        "cloned_from": os.path.abspath(src),
+        "source_version": v,
+        "clone_mode": "deep" if deep else "shallow",
+    }
+    if m.get("dv_files"):
+        meta["dv_files"] = _repoint_dvs(src, dst, m["dv_files"], file_map)
+    if m.get("schema"):
+        meta["schema"] = m["schema"]
+    _commit(dst, 0, list(file_map.values()), "clone", meta=meta)
+    return {
+        "version": 0,
+        "source_version": v,
+        "files": len(file_map),
+        "mode": meta["clone_mode"],
     }
 
 

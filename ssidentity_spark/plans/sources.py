@@ -902,6 +902,85 @@ def src_restore_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_clone_shallow",
+    # CLONE under the gate (the branching verb, r9): source = full corpus
+    # across two appends, shallow clone pinned at the source tip, then a
+    # cow DELETE on the CLONE removes the %7 slice. The result reads the
+    # clone's tip (oracle = untouched parquet minus the slice) and pins
+    # three claims into the hash: `zero_copy` — the clone's v0 file list
+    # resolves (realpath) to EXACTLY the source tip's files, no byte
+    # copied; `source_intact` — after the clone's DML the source tip still
+    # reads the full corpus (independent evolution); `vacuum_safe` — a
+    # vacuum on the clone after its DML deletes NO borrowed source file
+    # (the _owned ownership guard).
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           TRUE AS zero_copy, TRUE AS source_intact, TRUE AS vacuum_safe
+    FROM documents
+    WHERE doc_id % 7 <> 0
+    """,
+    survey="M7,V2,S5",
+)
+def src_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE (operators/tablelog.py:clone_table): fork the table
+    as a manifest-only v0 referencing the source's files by relative
+    path, then evolve the fork independently. Source: v0 = even doc_ids,
+    v1 = append odd (full corpus). Clone at the tip, DELETE doc_id%7=0
+    on the clone (cow — rewrites land under the CLONE root), then vacuum
+    the clone: borrowed source files must survive (ownership guard),
+    and the source must still read the full corpus."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        clone_table,
+        delete_where,
+        read_versioned,
+        vacuum,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src_path = os.path.join(SNAPSHOT_DIR, f"clone_src_{tag}")
+    clone_path = os.path.join(SNAPSHOT_DIR, f"clone_dst_{tag}")
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(clone_path, ignore_errors=True)
+    write_versioned(base.where("doc_id % 2 = 0"), src_path, "append")  # v0
+    v1 = write_versioned(base.where("doc_id % 2 = 1"), src_path, "append")
+    clone_table(src_path, clone_path)  # shallow, pinned at the tip
+
+    src_m = _read_manifest(src_path, v1)
+    clone_m = _read_manifest(clone_path, 0)
+    zero_copy = {
+        os.path.realpath(os.path.join(src_path, f)) for f in src_m["files"]
+    } == {
+        os.path.realpath(os.path.join(clone_path, f))
+        for f in clone_m["files"]
+    }
+
+    delete_where(spark, clone_path, "doc_id % 7 = 0")  # clone v1 (cow)
+    # drop the clone's v0 from retention: vacuum must reclaim only the
+    # clone-owned rewrites' superseded inputs — which is NOTHING here
+    # (v0's files are all borrowed) — and never a source byte
+    vacuum(clone_path, keep_latest=1)
+    src_files_alive = all(
+        os.path.exists(os.path.join(src_path, f)) for f in src_m["files"]
+    )
+    n_total = base.count()
+    source_intact = (
+        src_files_alive and read_versioned(spark, src_path).count() == n_total
+    )
+
+    return read_versioned(spark, clone_path).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.lit(zero_copy).alias("zero_copy"),
+        F.lit(source_intact).alias("source_intact"),
+        F.lit(src_files_alive).alias("vacuum_safe"),
+    )
+
+
+@register(
     "src_change_feed",
     # The change data feed under the gate: the table is committed as
     # appends with an OPTIMIZE in the middle, and the result is exactly
