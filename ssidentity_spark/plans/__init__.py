@@ -104,14 +104,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "o4_except_users",
     "w2_transitions",
     "w3_rolling_count_10min",
-    # staleness rotation: r3 vintage, alphabetical (text_langid /
-    # text_quality / w3_rolling_avg_rows stay parked on history — next in
-    # the r10 queue)
+    # staleness rotation: r3 vintage, alphabetical (a2_habitual_hour /
+    # a4_distinct_pairs / dedup_embedding_cosine / dedup_simhash_pairs
+    # displaced to the r10 queue by the wave-3 first-timers below, with
+    # text_langid / text_quality / w3_rolling_avg_rows)
     "a10_heavy_hitters",
-    "a2_habitual_hour",
-    "a4_distinct_pairs",
-    "dedup_embedding_cosine",
-    "dedup_simhash_pairs",
     # NEW in r9: RAG-style overlapping chunking — fixed token windows
     # with stable offsets, chunk md5 under the hash, zero-shuffle map
     # (o3_union_split parks to history, next in the r10 queue)
@@ -145,15 +142,33 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (VERDICT r8 stretch #8). (sim_lsh_bucketed and text_bigram_profile
     # park to history, next in the r10 queue.)
     "sim_filtered_ivf_topk",
+    # NEW in r9 wave 3: CLONE — the branching verb next to RESTORE's
+    # rollback; zero-copy + independent-evolution + vacuum-ownership
+    # claims in one hash (a2_habitual_hour parks to the r10 queue)
+    "src_clone_shallow",
+    # NEW in r9 wave 3: DLT-style expectations with a quarantine side
+    # output — named rules, severities, NULL-as-violation pinned
+    # (a4_distinct_pairs parks to the r10 queue)
+    "pipe_expectations_quarantine",
+    # NEW in r9 wave 3: deterministic fixed-size shard export — the
+    # training-loader handoff; the gate reads the EXPORTED files and pins
+    # the physical row-order claim (dedup_embedding_cosine parks)
+    "pipe_shard_export",
+    # NEW in r9 wave 3: Naive Bayes trained AS aggregation — the
+    # fasttext-shaped corpus filter with the model itself under the hash
+    # (dedup_simhash_pairs parks to the r10 queue)
+    "text_nb_classifier",
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate
 # DRIVER_VERIFIED_HISTORY (tools/driver_history.py). Any r10-new queries
-# go FIRST. Then rotation is pure staleness order: the eight r3-vintage
-# entries r9's eight new first-timers displaced from the tail
+# go FIRST. Then rotation is pure staleness order: the twelve r3-vintage
+# entries r9's twelve new first-timers displaced from the tail
 # (o3_union_split, o4_intersect_users, pipe_docs_clean,
 # pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
-# sim_lsh_bucketed, text_bigram_profile) plus the never-windowed r3 rest
+# sim_lsh_bucketed, text_bigram_profile, a2_habitual_hour,
+# a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs) plus
+# the never-windowed r3 rest
 # (text_langid, text_quality, w3_rolling_avg_rows), then the r4 vintage
 # (j3_customers_without_orders, j8_cross_region_nation,
 # j9_q10_returned_revenue, j9_q5_local_supplier_volume,

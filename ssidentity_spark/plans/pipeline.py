@@ -1242,3 +1242,137 @@ def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X18 — expectations + quarantine (the declarative intake contract)
+# ---------------------------------------------------------------------------
+
+_EXP_RULES = [
+    ("min_length", "n_chars >= 100", "drop"),
+    ("known_lang", "lang IN ('en', 'de', 'fr', 'es')", "drop"),
+    ("short_enough", "n_chars <= 400", "warn"),
+]
+
+
+@register(
+    "pipe_expectations_quarantine",
+    # DLT-style expectations under the gate: two drop rules + one warn
+    # rule over documents; every row gets a verdict, the quarantined ones
+    # carry the CSV of the named rules they violated (declaration order)
+    # and warn names ride along without gating. The oracle re-evaluates
+    # the same predicates in SQL, so the hash pins rule evaluation, the
+    # NULL-as-violation convention, AND the name-ordering contract.
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN NOT (n_chars >= 100)
+                  OR NOT (lang IN ('en', 'de', 'fr', 'es'))
+                THEN 'quarantined' ELSE 'ok' END AS verdict,
+           COALESCE(array_to_string(list_filter(
+             [CASE WHEN NOT (n_chars >= 100) THEN 'min_length' END,
+              CASE WHEN NOT (lang IN ('en', 'de', 'fr', 'es'))
+                   THEN 'known_lang' END],
+             x -> x IS NOT NULL), ','), '') AS violated,
+           CASE WHEN NOT (n_chars <= 400) THEN 'short_enough'
+                ELSE '' END AS warned
+    FROM documents
+    """,
+    survey="X18,EXT-pipeline,P12",
+)
+def pipe_expectations_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Named data-quality expectations with a quarantine side output
+    (operators/expectations.py) — the reference's per-frame validation
+    ladder (ssidentity.c:134-204) upgraded with the three things a 100 TB
+    intake needs: rule NAMES (the audit trail), severities (warn/drop/
+    fail), and rejected rows kept as data.
+
+    Plan shape: rule evaluation is one narrow codegen map over the scan —
+    no shuffle anywhere; valid/quarantine are two filters over the same
+    annotated frame, re-unioned here only to present one gated result."""
+    from ssidentity_spark.operators.expectations import apply_expectations
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    valid, quarantine, _stats = apply_expectations(d, _EXP_RULES)
+    ok = valid.select(
+        "doc_id", F.lit("ok").alias("verdict"), F.lit("").alias("violated"),
+        "warned",
+    )
+    bad = quarantine.select(
+        "doc_id", F.lit("quarantined").alias("verdict"), "violated", "warned"
+    )
+    return ok.unionByName(bad)
+
+
+# ---------------------------------------------------------------------------
+# X19 — deterministic sharded export (the training-loader handoff)
+# ---------------------------------------------------------------------------
+
+_SHARD_ROWS = 64
+
+
+@register(
+    "pipe_shard_export",
+    # Sharded export under the gate: documents are hash-pseudo-shuffled
+    # (md5 of doc_id), numbered by the two-phase global-id operator,
+    # cut into 64-row shards, WRITTEN one-file-per-shard, and read BACK
+    # from the export. The oracle recomputes the assignment as window
+    # arithmetic; text_md5 rides the hash to prove payload integrity
+    # through the write/read loop, and layout_ok pins the PHYSICAL claim
+    # (in-file row position == pos_in_shard — a training loader can seek
+    # by row).
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, md5(text) AS text_md5,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS gid
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(gid // {_SHARD_ROWS} AS BIGINT) AS shard_id,
+           CAST(gid % {_SHARD_ROWS} AS BIGINT) AS pos_in_shard,
+           text_md5, TRUE AS layout_ok
+    FROM r
+    """,
+    survey="X19,EXT-pipeline,X10",
+)
+def pipe_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size shard export (operators/export.py):
+    hash-shuffled order, two-phase global ids (no single-partition
+    window), one file per shard in logical row order — the layout a
+    training loader consumes directly (epoch shuffle = shuffle the
+    shard list; resume = seek (shard, row)).
+
+    The returned frame reads the EXPORTED files, not the pipeline that
+    wrote them — the gate verifies the on-disk artifact."""
+    import os as _os
+    import shutil as _shutil
+
+    from ssidentity_spark.fixtures import SNAPSHOT_DIR
+    from ssidentity_spark.operators.export import export_shards
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    out = _os.path.join(SNAPSHOT_DIR, f"shard_export_{tag}")
+    _shutil.rmtree(out, ignore_errors=True)
+    sk = _doc_hash()
+    export_shards(
+        d.withColumn("_sk", sk),
+        out,
+        _SHARD_ROWS,
+        ["_sk", "doc_id"],
+        bucket=F.substring(F.col("_sk"), 1, 1),
+    )
+    back = spark.read.parquet(out)
+    return back.select(
+        "doc_id",
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        "pos_in_shard",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        (F.col("_metadata.row_index") == F.col("pos_in_shard")).alias(
+            "layout_ok"
+        ),
+    )

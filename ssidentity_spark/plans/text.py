@@ -1079,3 +1079,141 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_bits_nat",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U6d — Naive Bayes classifier trained AS AGGREGATION (r9): the
+# fasttext-shaped quality/language filtering stage of a corpus pipeline,
+# in the one model family whose training IS a groupBy — so the trained
+# model and its predictions both sit under the hash gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_nb_classifier",
+    # Multinomial NB over whitespace tokens, labels = lang, add-one
+    # smoothing, resubstitution scoring. Every model parameter is an
+    # exact integer count (class-term counts, class totals, vocab,
+    # priors); identical doubles enter ln() on both engines and the
+    # per-token average keeps magnitudes O(-10), so the 6-dp round sits
+    # orders above summation skew — the unigram/bigram logprob contract.
+    # Argmax = (rounded score DESC, lang ASC), deterministic cross-engine.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, true_lang, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2, 3
+    ), ctc AS (
+      SELECT true_lang AS lang, term, CAST(sum(tf) AS BIGINT) AS ctc
+      FROM tf GROUP BY 1, 2
+    ), nc AS (
+      SELECT lang, CAST(sum(ctc) AS BIGINT) AS nc FROM ctc GROUP BY 1
+    ), vocab AS (SELECT count(DISTINCT term) AS v FROM tf),
+    prior AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+    dd AS (SELECT count(*) AS d FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.true_lang, p.lang,
+             (ln(CAST(p.nd AS DOUBLE) / dd.d)
+              + sum(tf.tf * ln((COALESCE(ctc.ctc, 0) + 1.0)
+                               / (nc.nc + vocab.v))))
+             / sum(tf.tf) AS s
+      FROM tf
+      CROSS JOIN prior p
+      CROSS JOIN dd
+      LEFT JOIN ctc ON ctc.lang = p.lang AND ctc.term = tf.term
+      JOIN nc ON nc.lang = p.lang
+      CROSS JOIN vocab
+      GROUP BY tf.doc_id, tf.true_lang, p.lang, p.nd, dd.d
+    ), ranked AS (
+      SELECT doc_id, lang, round(s, 6) AS nb_score, true_lang,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(s, 6) DESC, lang ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, lang AS pred_lang, nb_score,
+           (lang = true_lang) AS is_correct
+    FROM ranked WHERE rn = 1
+    """,
+    survey="U6d,EXT-pipeline,A1",
+)
+def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial Naive Bayes language classifier ON the corpus
+    and score every document with it — "ML training as aggregation". NB
+    is the one classifier family whose fit is EXACTLY a groupBy (class-
+    term counts, class totals, priors), which is why production corpus
+    pipelines could run it at 100 TB as two shuffles: the model never
+    leaves the relational plane, no driver-side optimizer loop, and the
+    trained parameters are integers the oracle can recompute bit-for-bit.
+
+    Plan shape: tokens pre-aggregate to (doc, term, tf) grain once; the
+    MODEL is one (lang, term) shuffle over that same frame; scoring fans
+    tf out by the 5-row broadcast class list (K·tf grain — K is the
+    label cardinality, bounded), left-joins the model for the
+    unseen-(term,class)→0 smoothing default, and rolls up per (doc,
+    class) before a 5-row-per-doc argmax window. At real scale the
+    (term, lang) model join is the only wide edge; everything else is
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(_words()).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "true_lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ctc = (
+        tf.groupBy(F.col("true_lang").alias("lang"), "term")
+        .agg(F.sum("tf").cast("long").alias("ctc"))
+    )
+    nc = ctc.groupBy("lang").agg(F.sum("ctc").cast("long").alias("nc"))
+    vocab = tf.agg(F.countDistinct("term").alias("v"))
+    prior = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    dd = d.agg(F.count(F.lit(1)).alias("d"))
+
+    classes = prior.join(nc, "lang").join(F.broadcast(dd))  # K rows
+    logp = F.log(
+        (F.coalesce(F.col("ctc"), F.lit(0)) + 1.0)
+        / (F.col("nc") + F.col("v"))
+    )
+    model = ctc.select(
+        F.col("lang").alias("_ml"), F.col("term").alias("_mt"), "ctc"
+    )
+    scored = (
+        tf.join(F.broadcast(classes))  # fan out by class: K·tf grain
+        .join(
+            model,
+            (F.col("_ml") == F.col("lang")) & (F.col("_mt") == F.col("term")),
+            "left",
+        )
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id", "true_lang", "lang", "nd", "d")
+        .agg(
+            (
+                (
+                    F.log(F.col("nd").cast("double") / F.col("d"))
+                    + F.sum(F.col("tf") * logp)
+                )
+                / F.sum("tf")
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("s", 6).desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            F.round("s", 6).alias("nb_score"),
+            (F.col("lang") == F.col("true_lang")).alias("is_correct"),
+        )
+    )
