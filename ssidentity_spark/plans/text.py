@@ -1157,7 +1157,13 @@ def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     class) before a 5-row-per-doc argmax window. At real scale the
     (term, lang) model join is the only wide edge; everything else is
     broadcast."""
-    d = load_table(spark, sf_dir, "documents")
+    return nb_classify(load_table(spark, sf_dir, "documents"))
+
+
+def nb_classify(d: DataFrame) -> DataFrame:
+    """The NB train+score pipeline over a (doc_id, lang, text) frame —
+    split out so the scale probes (tools/wave3_blowup.py) run it on
+    blown-up corpora without going through a table path."""
     tf = (
         d.select(
             "doc_id",
@@ -1167,10 +1173,17 @@ def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("doc_id", "true_lang", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # THREE consumers (scoring fan-out, model, vocab) — pin one
+        # materialization so the corpus is tokenized and shuffled once,
+        # not per subtree (the containment-pairs lesson); at petabyte
+        # scale this becomes a write_versioned tf table, as the
+        # unigram/bigram docstrings note
+        .persist()
     )
     ctc = (
         tf.groupBy(F.col("true_lang").alias("lang"), "term")
         .agg(F.sum("tf").cast("long").alias("ctc"))
+        .persist()  # two consumers: the model join and class totals
     )
     nc = ctc.groupBy("lang").agg(F.sum("ctc").cast("long").alias("nc"))
     vocab = tf.agg(F.countDistinct("term").alias("v"))
