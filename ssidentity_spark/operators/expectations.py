@@ -42,26 +42,7 @@ def _flag(expr: str):
     return ~F.coalesce(F.expr(expr), F.lit(False))
 
 
-def apply_expectations(
-    df: DataFrame,
-    rules: list[tuple[str, str, str]],
-    collect_stats: bool | None = None,
-) -> tuple[DataFrame, DataFrame, dict[str, int] | None]:
-    """Apply ``rules`` = [(name, sql_bool_expr, action), ...] to ``df``.
-
-    Returns ``(valid, quarantine, stats)``:
-
-    - ``valid`` — rows violating NO drop/fail rule, original columns
-      plus ``warned`` (CSV of warn-rule names the row failed, declaration
-      order, '' when clean).
-    - ``quarantine`` — the rest, original columns plus ``violated`` (CSV
-      of the drop/fail rules failed) and ``warned``.
-    - ``stats`` — {rule name: violation count} over the WHOLE input, or
-      None when not collected. Collected when ``collect_stats=True`` or
-      any rule is ``fail``-severity (the fail check needs the counts).
-
-    Raises :class:`ExpectationFailed` if a ``fail`` rule has any
-    violation, naming the rule and count."""
+def _validate_rules(df: DataFrame, rules: list[tuple[str, str, str]]) -> None:
     if not rules:
         raise ValueError("rules must name at least one expectation")
     names = [n for n, _e, _a in rules]
@@ -79,6 +60,16 @@ def apply_expectations(
             "outputs would clobber them; rename first"
         )
 
+
+def annotate_expectations(
+    df: DataFrame, rules: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Add ``violated``/``warned`` CSV columns (declaration-order rule
+    names the row failed) — the PURE half of the gate: row-local
+    expressions only, no aggregation, so it works identically on batch
+    and STREAMING frames (the streaming twin imports exactly this —
+    stream ≡ batch by construction)."""
+    _validate_rules(df, rules)
     gate = [(n, e) for n, e, a in rules if a in ("drop", "fail")]
     warn = [(n, e) for n, e, a in rules if a == "warn"]
 
@@ -100,9 +91,32 @@ def apply_expectations(
             ",",
         )
 
-    annotated = df.withColumn("violated", _csv(gate)).withColumn(
+    return df.withColumn("violated", _csv(gate)).withColumn(
         "warned", _csv(warn)
     )
+
+
+def apply_expectations(
+    df: DataFrame,
+    rules: list[tuple[str, str, str]],
+    collect_stats: bool | None = None,
+) -> tuple[DataFrame, DataFrame, dict[str, int] | None]:
+    """Apply ``rules`` = [(name, sql_bool_expr, action), ...] to ``df``.
+
+    Returns ``(valid, quarantine, stats)``:
+
+    - ``valid`` — rows violating NO drop/fail rule, original columns
+      plus ``warned`` (CSV of warn-rule names the row failed, declaration
+      order, '' when clean).
+    - ``quarantine`` — the rest, original columns plus ``violated`` (CSV
+      of the drop/fail rules failed) and ``warned``.
+    - ``stats`` — {rule name: violation count} over the WHOLE input, or
+      None when not collected. Collected when ``collect_stats=True`` or
+      any rule is ``fail``-severity (the fail check needs the counts).
+
+    Raises :class:`ExpectationFailed` if a ``fail`` rule has any
+    violation, naming the rule and count."""
+    annotated = annotate_expectations(df, rules)
 
     must_count = collect_stats is True or any(a == "fail" for _n, _e, a in rules)
     stats = None

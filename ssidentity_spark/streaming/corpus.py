@@ -167,3 +167,34 @@ def redact_pii_stream(docs: DataFrame) -> DataFrame:
         redact_pii(F.col("text")).alias("text"),
         *[counts[k].alias(k) for k in sorted(counts)],
     )
+
+
+def expectations_stream(
+    docs: DataFrame, rules: list[tuple[str, str, str]]
+) -> DataFrame:
+    """The expectations gate (operators/expectations.py) on an unbounded
+    stream: the SAME ``annotate_expectations`` expressions as the batch
+    form — one definition, stream ≡ batch by construction — adding
+    ``violated``/``warned`` columns. Rule evaluation is a stateless
+    narrow map, so this composes with any downstream streaming stage;
+    route ``violated = ''`` to the corpus sink and the rest to the
+    quarantine sink (two filters over one stream, or one foreachBatch
+    that writes both).
+
+    ``fail``-severity rules are REJECTED here: failing a micro-batch
+    needs an eager per-batch count, which only a ``foreachBatch`` wrapper
+    (calling the batch ``apply_expectations``) can provide — a silent
+    downgrade of fail to drop would let a poisoned producer shrink the
+    corpus, the exact failure the severity exists to stop."""
+    from ssidentity_spark.operators.expectations import (
+        annotate_expectations,
+    )
+
+    failing = [n for n, _e, a in rules if a == "fail"]
+    if failing:
+        raise ValueError(
+            f"fail-severity rule(s) {failing} are not streamable — wrap "
+            "the sink in foreachBatch and call apply_expectations per "
+            "micro-batch to keep fail-stops-the-batch semantics"
+        )
+    return annotate_expectations(docs, rules)

@@ -99,3 +99,49 @@ def test_no_stats_job_unless_needed(spark, frame):
     # count job was forced
     _v, _q, stats = apply_expectations(frame, RULES, collect_stats=None)
     assert stats is None
+
+
+def test_streaming_twin_matches_batch(spark, tmp_path):
+    """expectations_stream imports the SAME annotator as the batch gate —
+    this pins the parity end-to-end through a real micro-batch run."""
+    from ssidentity_spark.operators.expectations import annotate_expectations
+    from ssidentity_spark.streaming.corpus import expectations_stream
+
+    rules = [(n, e, a) for n, e, a in RULES]
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(
+        [(1, 10, "en"), (2, 3, "en"), (3, 10, "xx"), (5, 200, "en")],
+        "id long, v long, lang string",
+    )
+    batch.write.parquet(src)
+    stream = spark.readStream.schema("id long, v long, lang string").parquet(
+        src
+    )
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        expectations_stream(stream, rules)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["id"], r["violated"], r["warned"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["id"], r["violated"], r["warned"])
+        for r in annotate_expectations(batch, rules).collect()
+    )
+    assert got == want and len(got) == 4
+
+
+def test_streaming_twin_rejects_fail_rules(spark):
+    from ssidentity_spark.streaming.corpus import expectations_stream
+
+    stream_like = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="foreachBatch"):
+        expectations_stream(stream_like, [("r", "id > 0", "fail")])
