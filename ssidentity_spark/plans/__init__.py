@@ -104,11 +104,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "o4_except_users",
     "w2_transitions",
     "w3_rolling_count_10min",
-    # staleness rotation: r3 vintage, alphabetical (a2_habitual_hour /
-    # a4_distinct_pairs / dedup_embedding_cosine / dedup_simhash_pairs
-    # displaced to the r10 queue by the wave-3 first-timers below, with
-    # text_langid / text_quality / w3_rolling_avg_rows)
-    "a10_heavy_hitters",
+    # staleness rotation: r3 vintage — all six displaced to the r10 queue
+    # by the wave-3 first-timers below (a10_heavy_hitters, a2_habitual_hour,
+    # a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs, with
+    # text_langid / text_quality / w3_rolling_avg_rows never windowed)
     # NEW in r9: RAG-style overlapping chunking — fixed token windows
     # with stable offsets, chunk md5 under the hash, zero-shuffle map
     # (o3_union_split parks to history, next in the r10 queue)
@@ -158,17 +157,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fasttext-shaped corpus filter with the model itself under the hash
     # (dedup_simhash_pairs parks to the r10 queue)
     "text_nb_classifier",
+    # NEW in r9 wave 3: content-defined chunking — shift-stable chunk
+    # dedup (rolling-gram cut rule, running-sum assignment, reassembled
+    # chunk md5 and cross-doc sharing all under one hash); insertion
+    # re-sync pinned by pytest (a10_heavy_hitters parks to the r10 queue)
+    "dedup_cdc_chunks",
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate
 # DRIVER_VERIFIED_HISTORY (tools/driver_history.py). Any r10-new queries
-# go FIRST. Then rotation is pure staleness order: the twelve r3-vintage
-# entries r9's twelve new first-timers displaced from the tail
-# (o3_union_split, o4_intersect_users, pipe_docs_clean,
+# go FIRST. Then rotation is pure staleness order: the thirteen
+# r3-vintage entries r9's thirteen new first-timers displaced from the
+# tail (o3_union_split, o4_intersect_users, pipe_docs_clean,
 # pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
 # sim_lsh_bucketed, text_bigram_profile, a2_habitual_hour,
-# a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs) plus
-# the never-windowed r3 rest
+# a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs,
+# a10_heavy_hitters) plus the never-windowed r3 rest
 # (text_langid, text_quality, w3_rolling_avg_rows), then the r4 vintage
 # (j3_customers_without_orders, j8_cross_region_nation,
 # j9_q10_returned_revenue, j9_q5_local_supplier_volume,

@@ -1669,3 +1669,137 @@ def dedup_incremental_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return probe_band_index(index, delta_ids)
+
+
+# ---------------------------------------------------------------------------
+# X20 — content-defined chunking (r9): shift-stable chunk dedup. X11's
+# fixed stride-1 windows profile VERBATIM copies exactly, but cost one
+# row per character-window; fixed-size block chunking is cheap but a
+# one-word insertion shifts every later block (zero hash reuse). CDC
+# (the rsync/LBFS/FastCDC idea, at word granularity) cuts where the
+# CONTENT says so — a rolling-gram hash below a threshold — so an edit
+# only disturbs the chunks it touches and the stream re-synchronizes.
+# ---------------------------------------------------------------------------
+
+_CDC_GRAM = 3  # rolling window: the cut decision sees the last 3 words
+_CDC_CUT = "2"  # md5 first hex char < '2' → boundary (p = 2/16 = 1/8)
+
+
+def cdc_chunks(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, n_words, chunk_md5) — content-defined chunks.
+
+    A word position is a boundary iff the md5 of the trailing
+    ``_CDC_GRAM``-word gram starts below ``_CDC_CUT`` (expected chunk
+    length 8 words); the next word starts a new chunk. Pure expression
+    logic up to ONE doc_id-keyed exchange: the boundary flags are
+    computed array-side (no token-grain shuffle to build them), then one
+    posexplode feeds a per-doc running sum (window) and the chunk
+    rollup — subset-key clustering, so the window's exchange is reused
+    by the groupBy. No min/max chunk normalization (FastCDC's extension)
+    — the expected-length argument is documented, not enforced.
+
+    Reference cite: ssidentity.c:26 dedups observations by MAC key;
+    chunk-level content dedup is the corpus-scale generalization."""
+    w = F.filter(_words_col(), lambda x: x != "")
+    flags = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 1),
+        lambda i: F.when(
+            (i >= _CDC_GRAM - 1)
+            & (
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(w, i - 1, _CDC_GRAM))),
+                    1,
+                    1,
+                )
+                < _CDC_CUT
+            ),
+            1,
+        ).otherwise(0),
+    )
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(w.alias("word"), flags.alias("b"))).alias(
+            "pos", "z"
+        ),
+    ).select("doc_id", "pos", F.col("z.word").alias("word"), F.col("z.b").alias("b"))
+    cw = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = tok.withColumn(
+        "chunk_id", F.coalesce(F.sum("b").over(cw), F.lit(0)).cast("bigint")
+    )
+    return ch.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    # CDC chunking under the gate: boundaries, chunk identity (md5 of the
+    # reassembled chunk text) AND the cross-document sharing count all in
+    # one hash — the oracle recomputes the rolling-gram cut rule, the
+    # running-sum chunk assignment, and the ordered reassembly in SQL.
+    oracle=f"""
+    WITH wl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i - 1 AS pos, w[CAST(i AS BIGINT)] AS word,
+             CASE WHEN i >= {_CDC_GRAM}
+                   AND substr(md5(w[CAST(i - 2 AS BIGINT)] || ' ' ||
+                                  w[CAST(i - 1 AS BIGINT)] || ' ' ||
+                                  w[CAST(i AS BIGINT)]), 1, 1) < '{_CDC_CUT}'
+                  THEN 1 ELSE 0 END AS b
+      FROM wl, unnest(generate_series(1, len(w))) AS u(i)
+    ), ch AS (
+      SELECT doc_id, pos, word,
+             COALESCE(sum(b) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS chunk_id
+      FROM pos
+    ), chunks AS (
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+      FROM ch GROUP BY 1, 2
+    )
+    SELECT c.doc_id, c.chunk_id, c.n_words, c.chunk_md5,
+           s.n AS n_docs_sharing
+    FROM chunks c
+    JOIN (SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+          FROM chunks GROUP BY 1) s USING (chunk_md5)
+    """,
+    survey="X20,EXT-dedup,X11",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup stats: each chunk's
+    md5 identity and how many DISTINCT documents share it — the
+    shift-stable dedup signal (a one-word edit leaves every chunk beyond
+    the edit's neighborhood identical, so shared boilerplate still
+    collides; fixed blocks would shift and miss everything downstream).
+
+    Plan shape: one doc_id exchange (window + rollup, subset-key
+    clustered) then one chunk_md5 exchange for the sharing count —
+    two shuffles total at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(d)
+    sharing = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_sharing")
+    )
+    return chunks.join(sharing, "chunk_md5").select(
+        "doc_id", "chunk_id", "n_words", "chunk_md5", "n_docs_sharing"
+    )
