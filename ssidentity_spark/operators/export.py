@@ -49,6 +49,18 @@ def export_shards(
     Returns the number of shards written."""
     if rows_per_shard < 1:
         raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
+    if mode not in ("error", "overwrite"):
+        # append would break BOTH contracts: shard ids restart at 0 (a
+        # second export collides with existing shard dirs, adding a
+        # second file per shard and interleaving row orders) and the
+        # directory-listing return would count prior exports' shards.
+        # Incremental corpora re-export (deterministic, so unchanged
+        # shards rewrite byte-identically) or export to a fresh dir.
+        raise ValueError(
+            f"mode must be error|overwrite, got {mode!r} — sharded "
+            "exports are whole-corpus artifacts; re-export or use a "
+            "fresh directory instead of appending"
+        )
     clash = [c for c in ("shard_id", "pos_in_shard") if c in df.columns]
     if clash:
         raise ValueError(

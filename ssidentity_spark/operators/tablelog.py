@@ -1275,6 +1275,15 @@ def optimize_similarity_layout(
     def recluster(df, n):
         from pyspark.sql import functions as F
 
+        if "_simhash" in df.columns:
+            # withColumn would CLOBBER it and the final drop would then
+            # delete real data while the carried manifest schema still
+            # lists the column — every later read of the tip would fail
+            raise ValueError(
+                "table has a column named '_simhash', which collides "
+                "with the layout key — rename it (leading-underscore "
+                "names are reserved, like Delta's)"
+            )
         return (
             df.withColumn("_simhash", simhash32(F.col(text_col)))
             .repartitionByRange(n, "_simhash")
@@ -1381,7 +1390,13 @@ def _repoint_dvs(
     clone's — carrying the source sidecars verbatim would silently
     RESURRECT every deleted row. Sidecars are O(doomed rows), so the
     rewrite keeps clone cost at O(manifest + doomed rows), never
-    O(data)."""
+    O(data).
+
+    INERT rows — DV entries naming files NOT in the snapshot's file list
+    (cow DML and merge carry ``dv_files`` forward after rewriting the
+    very files some rows name; the read path ignores them) — are DROPPED
+    here rather than remapped: they reference nothing in the clone, and
+    remapping them would crash on the missing file_map key."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1401,6 +1416,10 @@ def _repoint_dvs(
         for p in parts:
             tables.append(pq.read_table(p, columns=["f", "pos"]))
         t = pa.concat_tables(tables)
+        live = [f in file_map for f in t.column("f").to_pylist()]
+        t = t.filter(pa.array(live, pa.bool_()))
+        if t.num_rows == 0:
+            continue  # every row was inert — nothing to carry
         remapped = [file_map[f] for f in t.column("f").to_pylist()]
         t = t.set_column(
             t.schema.get_field_index("f"), "f", pa.array(remapped, pa.string())
@@ -1503,7 +1522,9 @@ def clone_table(
         "clone_mode": "deep" if deep else "shallow",
     }
     if m.get("dv_files"):
-        meta["dv_files"] = _repoint_dvs(src, dst, m["dv_files"], file_map)
+        carried = _repoint_dvs(src, dst, m["dv_files"], file_map)
+        if carried:  # all-inert sidecars carry nothing
+            meta["dv_files"] = carried
     if m.get("schema"):
         meta["schema"] = m["schema"]
     _commit(dst, 0, list(file_map.values()), "clone", meta=meta)

@@ -1796,7 +1796,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered) then one chunk_md5 exchange for the sharing count —
     two shuffles total at any corpus size."""
     d = load_table(spark, sf_dir, "documents")
-    chunks = cdc_chunks(d)
+    # TWO consumers (sharing aggregate + the join back) — pin one
+    # materialization or the posexplode→window→rollup pipeline runs twice
+    chunks = cdc_chunks(d).persist()
     sharing = chunks.groupBy("chunk_md5").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs_sharing")
     )

@@ -1056,14 +1056,23 @@ def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
     )
-    base = spread(d.select("doc_id", "text")).select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks))
-            / F.greatest(F.size(toks), F.lit(1)),
-            6,
-        ).alias("quality"),
+    base = (
+        spread(d.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.round(
+                F.size(F.array_distinct(toks))
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ).alias("quality"),
+        )
+        # THREE consumers (budget aggregate + the running total's
+        # intra-bucket window and bucket-totals branches — the bucket=
+        # path of assign_running_total deliberately skips its own
+        # persist) — pin one materialization of the tokenize-and-score
+        # pass (r9 review)
+        .persist()
     )
     budget = base.agg(
         F.floor(0.3 * F.sum("n_tokens")).cast("long").alias("budget")
@@ -1195,8 +1204,8 @@ _CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
     survey="EXT-pipeline,U5,X8b",
 )
 def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size overlapping chunking: {_CHUNK_LEN}-token windows at
-    stride {_CHUNK_STRIDE} (16-token overlap), one row per (doc, chunk)
+    """Fixed-size overlapping chunking: 64-token (_CHUNK_LEN) windows at
+    stride 48 (_CHUNK_STRIDE; 16-token overlap), one row per (doc, chunk)
     with the chunk's 1-based token offset, its true length (the tail
     chunk is shorter), and the md5 of its rebuilt text. Scale shape: a
     narrow map — tokenize once per doc, chunk count from arithmetic,
@@ -1263,17 +1272,21 @@ _EXP_RULES = [
     # and warn names ride along without gating. The oracle re-evaluates
     # the same predicates in SQL, so the hash pins rule evaluation, the
     # NULL-as-violation convention, AND the name-ordering contract.
+    # NULL mirror: the engine gates on ~coalesce(expr, false), i.e. a
+    # rule that evaluates to NULL is a VIOLATION — the SQL twin is
+    # `(expr) IS NOT TRUE`, never bare NOT (whose NULL would fall to the
+    # ELSE branch and silently invert the convention on NULL rows)
     oracle="""
     SELECT doc_id,
-           CASE WHEN NOT (n_chars >= 100)
-                  OR NOT (lang IN ('en', 'de', 'fr', 'es'))
+           CASE WHEN (n_chars >= 100) IS NOT TRUE
+                  OR (lang IN ('en', 'de', 'fr', 'es')) IS NOT TRUE
                 THEN 'quarantined' ELSE 'ok' END AS verdict,
            COALESCE(array_to_string(list_filter(
-             [CASE WHEN NOT (n_chars >= 100) THEN 'min_length' END,
-              CASE WHEN NOT (lang IN ('en', 'de', 'fr', 'es'))
+             [CASE WHEN (n_chars >= 100) IS NOT TRUE THEN 'min_length' END,
+              CASE WHEN (lang IN ('en', 'de', 'fr', 'es')) IS NOT TRUE
                    THEN 'known_lang' END],
              x -> x IS NOT NULL), ','), '') AS violated,
-           CASE WHEN NOT (n_chars <= 400) THEN 'short_enough'
+           CASE WHEN (n_chars <= 400) IS NOT TRUE THEN 'short_enough'
                 ELSE '' END AS warned
     FROM documents
     """,

@@ -989,7 +989,11 @@ def filtered_ivf_candidates(em: DataFrame, n_probes: int) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cell_cos"), F.asc("cid")
     )
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    # THREE consumers downstream (cells feeds the probe join AND qv;
+    # probes reads ranked again) — pin one materialization of the
+    # O(corpus × centroids) assignment, the query's most expensive
+    # subtree (the containment-pairs lesson)
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).persist()
     cells = ranked.filter(F.col("rn") == 1).select(
         "vec_id", "label", "v", "nrm", F.col("cid").alias("cell")
     )
@@ -1095,7 +1099,7 @@ def filtered_ivf_topk(em: DataFrame, n_probes: int) -> DataFrame:
 )
 def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered top-k through the pinned-IVF index: candidates must fall
-    in one of the query's {FILTERED_IVF_PROBES} nearest cells AND carry
+    in one of the query's 4 (FILTERED_IVF_PROBES) nearest cells AND carry
     the query's label. Scale shape: one O(corpus × k) broadcast
     assignment pass, one corpus shuffle for the argmax window, then the
     probe join scores only (probed cell ∩ label) slices — at 10^9

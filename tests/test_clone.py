@@ -169,3 +169,36 @@ def test_clone_then_restore_composes(spark, tmp_path):
     assert _rows(read_versioned(spark, dst)) == _rows(
         read_versioned(spark, src, 0)
     )
+
+
+def test_clone_tolerates_inert_dv_rows(spark, tmp_path):
+    """cow DML carries dv_files forward after REWRITING the very files
+    some DV rows name — those rows are inert for readers, and the clone
+    must drop them instead of crashing on the missing remap (r9 review:
+    KeyError made any DV-then-cow-DML table uncloneable)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_versioned(_df(spark, 0, 10), src, "append")
+    delete_where(spark, src, "k = 2", mode="dv")  # v1: DV names file A
+    delete_where(spark, src, "k = 5", mode="cow")  # v2: rewrites A, carries dv
+    expected = _rows(read_versioned(spark, src))
+    assert len(expected) == 8
+    clone_table(src, dst)
+    assert _rows(read_versioned(spark, dst)) == expected
+
+
+def test_clone_drops_fully_inert_dv_sidecars(spark, tmp_path):
+    """If EVERY carried DV row is inert (optimize materialized them but
+    a later restore re-exposed the ledger shape), the clone carries no
+    dv_files key at all."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    # ONE part file, so the cow rewrite below retires exactly the file
+    # every DV row names
+    write_versioned(_df(spark, 0, 6).coalesce(1), src, "append")
+    delete_where(spark, src, "k = 1", mode="dv")
+    delete_where(spark, src, "k IN (0, 2)", mode="cow")
+    clone_table(src, dst)
+    m = _read_manifest(dst, 0)
+    assert not m.get("dv_files")
+    assert _rows(read_versioned(spark, dst)) == _rows(
+        read_versioned(spark, src)
+    )
