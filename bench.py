@@ -277,8 +277,12 @@ def main() -> None:
     # next round's), set SPARK_GRAFT_ROUND explicitly.
     this_round = int(os.environ.get("SPARK_GRAFT_ROUND", max(rounds, default=0) + 1))
     full_path = os.path.join(hist_dir, f"r{this_round:02d}_sf{sf}_full.json")
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+    # SPARK_GRAFT_RECORD=0: ad-hoc health-check runs (possibly under
+    # background contention) must not clobber the round's curated
+    # quiet-window record; the driver's real run records by default
+    if os.environ.get("SPARK_GRAFT_RECORD", "1") != "0":
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     compact = {
         "metric": full["metric"],
         "value": total,
