@@ -1072,3 +1072,29 @@ def test_engine_delivers_in_filter_to_the_source(spark, tmp_path):
     # control: an unfiltered scan must hit the deleted files
     with pytest.raises(Exception):
         spark.read.format("managed_table").load(path).count()
+
+
+def test_data_source_reads_shallow_clone_with_repointed_dvs(
+    spark, tmp_path
+):
+    """A shallow clone's manifest references the source's parts via
+    ../-relative paths and carries REWRITTEN DV sidecars — the
+    managed_table format must read it like any table (same join-by-
+    basename scan, per-file DV mask), composing CLONE with the whole
+    V4 read surface."""
+    from ssidentity_spark.operators.tablelog import (
+        clone_table,
+        delete_where,
+        write_versioned,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_versioned(
+        spark.range(20).select(F.col("id").alias("k")), src, "append"
+    )
+    delete_where(spark, src, "k = 3", mode="dv")
+    clone_table(src, dst)
+    register(spark)
+    back = spark.read.format("managed_table").load(dst)
+    got = sorted(r["k"] for r in back.collect())
+    assert got == [k for k in range(20) if k != 3]
