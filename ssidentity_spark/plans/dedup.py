@@ -1685,63 +1685,76 @@ _CDC_GRAM = 3  # rolling window: the cut decision sees the last 3 words
 _CDC_CUT = "2"  # md5 first hex char < '2' → boundary (p = 2/16 = 1/8)
 
 
-def cdc_chunks(d: DataFrame) -> DataFrame:
-    """(doc_id, chunk_id, n_words, chunk_md5) — content-defined chunks.
+def cdc_chunk_structs(text_col: str = "text"):
+    """Array Column of (chunk_id, n_words, chunk_md5) structs — the
+    WHOLE chunking computed row-locally, zero shuffle. A word position
+    is a boundary iff the md5 of the trailing ``_CDC_GRAM``-word gram
+    starts below ``_CDC_CUT`` (expected chunk length 8 words); the NEXT
+    word starts a new chunk, so a boundary at the last position cuts
+    nothing (excluded — it would mint an empty trailing chunk).
 
-    A word position is a boundary iff the md5 of the trailing
-    ``_CDC_GRAM``-word gram starts below ``_CDC_CUT`` (expected chunk
-    length 8 words); the next word starts a new chunk. Pure expression
-    logic up to ONE doc_id-keyed exchange: the boundary flags are
-    computed array-side (no token-grain shuffle to build them), then one
-    posexplode feeds a per-doc running sum (window) and the chunk
-    rollup — subset-key clustering, so the window's exchange is reused
-    by the groupBy. No min/max chunk normalization (FastCDC's extension)
-    — the expected-length argument is documented, not enforced.
+    Being a pure expression makes the operator streamable for free
+    (``streaming/corpus.py:cdc_chunks_stream``) and keeps the batch plan
+    at one explode extending the scan's partitioning — the first cut of
+    this operator ran posexplode + a per-doc running-sum window + a
+    collect_list rollup (one doc_id exchange, corpus re-sorted); the
+    boundary-positions array makes all three unnecessary."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    # 0-based positions whose trailing gram hash cuts (never the last)
+    bpos = F.filter(
+        F.sequence(F.lit(0), F.size(w) - 1),
+        lambda i: (i >= _CDC_GRAM - 1)
+        & (i < F.size(w) - 1)
+        & (
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(w, i - 1, _CDC_GRAM))), 1, 1
+            )
+            < _CDC_CUT
+        ),
+    )
+
+    def _start(i):  # 0-based first word of chunk i
+        return F.when(i == 0, F.lit(0)).otherwise(
+            F.element_at(bpos, i.cast("int")) + 1
+        )
+
+    def _end(i):  # 0-based last word of chunk i (inclusive)
+        return F.when(i == F.size(bpos), F.size(w) - 1).otherwise(
+            F.element_at(bpos, (i + 1).cast("int"))
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.size(bpos)),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            (_end(i) - _start(i) + 1).cast("bigint").alias("n_words"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        w,
+                        (_start(i) + 1).cast("int"),
+                        (_end(i) - _start(i) + 1).cast("int"),
+                    ),
+                )
+            ).alias("chunk_md5"),
+        ),
+    )
+
+
+def cdc_chunks(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, n_words, chunk_md5) — content-defined chunks,
+    one row per chunk. ZERO shuffle: the chunk structs are computed
+    array-side (:func:`cdc_chunk_structs`) and exploded, extending the
+    scan's own partitioning. No min/max chunk normalization (FastCDC's
+    extension) — the expected-length argument is documented, not
+    enforced.
 
     Reference cite: ssidentity.c:26 dedups observations by MAC key;
     chunk-level content dedup is the corpus-scale generalization."""
-    w = F.filter(_words_col(), lambda x: x != "")
-    flags = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 1),
-        lambda i: F.when(
-            (i >= _CDC_GRAM - 1)
-            & (
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(w, i - 1, _CDC_GRAM))),
-                    1,
-                    1,
-                )
-                < _CDC_CUT
-            ),
-            1,
-        ).otherwise(0),
-    )
-    tok = d.select(
-        "doc_id",
-        F.posexplode(F.arrays_zip(w.alias("word"), flags.alias("b"))).alias(
-            "pos", "z"
-        ),
-    ).select("doc_id", "pos", F.col("z.word").alias("word"), F.col("z.b").alias("b"))
-    cw = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ch = tok.withColumn(
-        "chunk_id", F.coalesce(F.sum("b").over(cw), F.lit(0)).cast("bigint")
-    )
-    return ch.groupBy("doc_id", "chunk_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s["word"],
-                ),
-            )
-        ).alias("chunk_md5"),
-    )
+    return d.select(
+        "doc_id", F.explode(cdc_chunk_structs()).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.n_words", "c.chunk_md5")
 
 
 @register(
@@ -1792,12 +1805,13 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edit's neighborhood identical, so shared boilerplate still
     collides; fixed blocks would shift and miss everything downstream).
 
-    Plan shape: one doc_id exchange (window + rollup, subset-key
-    clustered) then one chunk_md5 exchange for the sharing count —
-    two shuffles total at any corpus size."""
+    Plan shape: the chunking itself is ZERO-shuffle (array-side structs
+    + one explode, extending the scan's partitioning); the sharing count
+    is one chunk_md5 exchange feeding both the aggregate and the join
+    back — one shuffle at any corpus size."""
     d = load_table(spark, sf_dir, "documents")
     # TWO consumers (sharing aggregate + the join back) — pin one
-    # materialization or the posexplode→window→rollup pipeline runs twice
+    # materialization so the chunk expressions evaluate once
     chunks = cdc_chunks(d).persist()
     sharing = chunks.groupBy("chunk_md5").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs_sharing")

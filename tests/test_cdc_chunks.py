@@ -86,3 +86,37 @@ def test_short_docs_are_one_chunk(spark):
     got = _chunks(spark, "only two")
     assert len(got) == 1 and got[0][1] == 2
     assert _CDC_GRAM == 3  # boundary rule needs a full gram
+
+
+def test_streaming_twin_matches_batch(spark, tmp_path):
+    """cdc_chunks_stream explodes the SAME chunk-struct expression the
+    batch query uses — parity pinned through a real micro-batch run."""
+    from ssidentity_spark.plans.dedup import cdc_chunks
+    from ssidentity_spark.streaming.corpus import cdc_chunks_stream
+
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, "short doc here"), (3, BASE + " trailing words")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        cdc_chunks_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_words"], r["chunk_md5"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_words"], r["chunk_md5"])
+        for r in cdc_chunks(docs).collect()
+    )
+    assert got == want and len(got) > 10
