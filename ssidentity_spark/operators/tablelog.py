@@ -281,13 +281,19 @@ def _owned(path: str, rel: str) -> bool:
     return target == root or target.startswith(root + os.sep)
 
 
-def vacuum(path: str, keep_latest: int = 1) -> list[str]:
+def vacuum(path: str, keep_latest: int = 1, dry_run: bool = False) -> list[str]:
     """Delete data files referenced by NO retained manifest (and the
     dropped manifests, and dropped delete-versions' change files).
     Returns the deleted file paths. Readers of retained versions are
     unaffected — their file lists stay whole. Files OUTSIDE the table
     root (a shallow clone's borrowed source files) are never deleted —
-    see :func:`_owned`."""
+    see :func:`_owned`.
+
+    ``dry_run=True`` returns exactly what a real run WOULD delete
+    without touching anything (Delta's ``VACUUM ... DRY RUN``) — the
+    audit step before an irreversible retention sweep: at 100 TB,
+    "how many bytes does dropping 30 versions reclaim, and is any of it
+    borrowed?" must be answerable without committing to it."""
     import shutil as _shutil
 
     vs = _versions(path)
@@ -307,7 +313,8 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
             if f not in referenced and _owned(path, f):
                 full = os.path.join(path, f)
                 if os.path.exists(full):
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted.append(f)
         # a dropped DML version's change sets go with it — no retained
         # consumer can ask for its feed rows anymore (directories since
@@ -323,10 +330,12 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
                 continue
             full_cf = os.path.join(path, cf) if cf else None
             if cf and os.path.isdir(full_cf):
-                _shutil.rmtree(full_cf, ignore_errors=True)
+                if not dry_run:
+                    _shutil.rmtree(full_cf, ignore_errors=True)
                 deleted.append(cf)
             elif cf and os.path.exists(full_cf):
-                os.remove(full_cf)
+                if not dry_run:
+                    os.remove(full_cf)
                 deleted.append(cf)
         # deletion-vector dirs: the ledger is cumulative, so a retained
         # manifest may still reference a dropped version's DV — only
@@ -337,9 +346,11 @@ def vacuum(path: str, keep_latest: int = 1) -> list[str]:
                 and _owned(path, dv)
                 and os.path.isdir(os.path.join(path, dv))
             ):
-                _shutil.rmtree(os.path.join(path, dv), ignore_errors=True)
+                if not dry_run:
+                    _shutil.rmtree(os.path.join(path, dv), ignore_errors=True)
                 deleted.append(dv)
-        os.remove(_manifest_path(path, v))
+        if not dry_run:
+            os.remove(_manifest_path(path, v))
     return sorted(set(deleted))
 
 

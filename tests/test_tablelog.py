@@ -1300,3 +1300,17 @@ def test_restore_preserves_stream_batch_ledger(spark, tmp_path):
     # the ledger still remembers batch 1: a checkpoint replay is skipped,
     # not re-applied over the rollback
     assert committed_batch_ids(path) == {"q#0", "q#1"}
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """VACUUM ... DRY RUN: same answer as the real sweep, zero deletions
+    — then the real run deletes exactly what the dry run promised."""
+    path = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 10), path, "append")
+    write_versioned(_df(spark, 100, 103), path, "overwrite")
+    promised = vacuum(path, keep_latest=1, dry_run=True)
+    assert promised  # v0's parts are unreferenced
+    assert all(os.path.exists(os.path.join(path, f)) for f in promised)
+    assert read_versioned(spark, path, 0).count() == 10  # still readable
+    assert vacuum(path, keep_latest=1) == promised
+    assert not any(os.path.exists(os.path.join(path, f)) for f in promised)
