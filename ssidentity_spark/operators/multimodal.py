@@ -1205,3 +1205,78 @@ def audio_frame_features(
             )
 
     return spread_for_decode(df).mapInPandas(_feats, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MM11 — video keyframe near-dup signatures (r9): the VIDEO member of the
+# perceptual near-dup family (images: dHash/MM9). Keyframes sampled from
+# the parsed container get a horizontal-gradient signature — the dHash
+# idea at frame size — so re-encoded/duplicated clips collide on their
+# keyframes without comparing pixels pairwise.
+# ---------------------------------------------------------------------------
+
+VIDEO_SIG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("sig", LongType()),
+    ]
+)
+
+
+def video_keyframe_signatures(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 4,
+    max_frames: int = 6,
+    every_n: int = 2,
+) -> DataFrame:
+    """(doc_id, text) → synthetic DIB video (operators/avi.py), container
+    walked back, every ``every_n``-th frame keyframe-sampled, and each
+    sampled frame reduced to a ``height·(width-1)``-bit horizontal
+    gradient signature (bit r·(w-1)+c set iff px(r,c+1) > px(r,c)) — the
+    dHash comparison without the resize, because frames are already
+    thumbnail-sized. The signature is computed from the PARSED frames,
+    so the container write→walk loop stays inside the gated path.
+    One Arrow ``mapInPandas`` pass; payloads never transit the driver."""
+    frame_px = width * height
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ssidentity_spark.operators.avi import build_avi, parse_avi
+
+        for pdf in batches:
+            ids: list[int] = []
+            fidx: list[int] = []
+            sigs: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                b = text.encode("utf-8")
+                n_frames = min(len(b) // frame_px, max_frames)
+                if n_frames < 2:
+                    continue
+                frames = [
+                    b[f * frame_px : (f + 1) * frame_px]
+                    for f in range(n_frames)
+                ]
+                payload = build_avi(frames, width, height, fps=25, codec="DIB ")
+                _w, _h, _fps, _codec, decoded = parse_avi(payload)
+                for s, fr in enumerate(decoded[::every_n]):
+                    sig = 0
+                    for r in range(height):
+                        base = r * width
+                        for c in range(width - 1):
+                            if fr[base + c + 1] > fr[base + c]:
+                                sig |= 1 << (r * (width - 1) + c)
+                    ids.append(int(doc_id))
+                    fidx.append(s)
+                    sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return spread_for_decode(df).mapInPandas(_go, schema=VIDEO_SIG_SCHEMA)

@@ -98,12 +98,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q13_custdist",  # tpch3 (r5)
     "tpch_q21_waiting_suppliers",  # tpch4 (r4)
     # staleness rotation: r1 vintage (green in round 1, never re-verified
-    # under the driver since)
+    # under the driver since; w3_rolling_count_10min displaced to the r10
+    # queue by the MM11 first-timer — first-time verification grows the
+    # cumulative set, re-verification doesn't)
     "a9_rollup_type_hour",
     "o1_global_sort_top",
     "o4_except_users",
     "w2_transitions",
-    "w3_rolling_count_10min",
     # staleness rotation: r3 vintage — all six displaced to the r10 queue
     # by the wave-3 first-timers below (a10_heavy_hitters, a2_habitual_hour,
     # a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs, with
@@ -162,6 +163,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # chunk md5 and cross-doc sharing all under one hash); insertion
     # re-sync pinned by pytest (a10_heavy_hitters parks to the r10 queue)
     "dedup_cdc_chunks",
+    # NEW in r9 wave 4: video keyframe near-dup — keyframe gradient
+    # signatures + corpus-wide sharing counts, byte-math oracle from the
+    # raw text bytes (w3_rolling_count_10min parks to the r10 queue)
+    "mm_video_keyframe_dedup",
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate

@@ -516,3 +516,78 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return audio_frame_features(d)
+
+
+# ---------------------------------------------------------------------------
+# MM11 — video keyframe near-dup (r9): keyframe gradient signatures +
+# cross-video sharing counts. The oracle recomputes the signature straight
+# from the text bytes (sampled frame s, byte k lives at source offset
+# s*64 + k — the even-frame sampling of mm_avi_frames), so the container
+# write→walk→sample→signature loop sits under one hash.
+# ---------------------------------------------------------------------------
+
+def _px_at(off: str) -> str:
+    """Hex-pair byte value at source offset ``off`` (a SQL expression)."""
+    return (
+        f"((strpos('0123456789ABCDEF', substr(hx, CAST(({off}) * 2 + 1 AS "
+        f"BIGINT), 1)) - 1) * 16 + strpos('0123456789ABCDEF', substr(hx, "
+        f"CAST(({off}) * 2 + 2 AS BIGINT), 1)) - 1)"
+    )
+
+
+_VKD_LEFT = _px_at("s * 64 + (b // 7) * 8 + (b % 7)")
+_VKD_RIGHT = _px_at("s * 64 + (b // 7) * 8 + (b % 7) + 1")
+
+
+@register(
+    "mm_video_keyframe_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             upper(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, hx,
+             (least(n // 32, 6) + 1) // 2 AS n_sampled
+      FROM t WHERE n >= 64
+    ), sigs AS (
+      SELECT doc_id, CAST(s AS INTEGER) AS frame_idx,
+             list_aggregate(list_transform(range(0, 28), b ->
+               CASE WHEN {_VKD_RIGHT} > {_VKD_LEFT}
+                    THEN (1 << b) ELSE 0 END), 'sum') AS sig
+      FROM dims, unnest(generate_series(0, n_sampled - 1)) AS u(s)
+    )
+    SELECT doc_id, frame_idx,
+           lpad(lower(to_hex(CAST(sig AS BIGINT))), 7, '0') AS sig_hex,
+           count(*) OVER (PARTITION BY sig) AS shared_frames
+    FROM sigs
+    """,
+    survey="MM11,EXT-multimodal,MM9",
+)
+def mm_video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe near-dup: every sampled keyframe's 28-bit
+    horizontal-gradient signature
+    (operators/multimodal.py:video_keyframe_signatures) plus how many
+    keyframes across the WHOLE corpus share it — duplicated or
+    re-packaged clips collide keyframe-by-keyframe, the video analog of
+    MM9's image dHash groups.
+
+    Plan shape: one Arrow mapInPandas pass (container build+walk+sample+
+    signature), then ONE sig-keyed exchange feeding the sharing window —
+    no pairwise frame comparison anywhere. At 100 TB the signature table
+    is the maintained artifact (like the LSH band index) and new clips
+    probe it by equi-join on sig."""
+    from ssidentity_spark.operators.multimodal import (
+        video_keyframe_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = video_keyframe_signatures(d)
+    w = Window.partitionBy("sig")
+    return sigs.select(
+        "doc_id",
+        "frame_idx",
+        F.lpad(F.lower(F.hex(F.col("sig"))), 7, "0").alias("sig_hex"),
+        F.count(F.lit(1)).over(w).alias("shared_frames"),
+    )

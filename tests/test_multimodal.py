@@ -724,3 +724,39 @@ def test_extract_features_null_payload_alignment(spark):
     )
     got = {r.doc_id: (r.fake_width, r.n_bytes) for r in extract_features(df).collect()}
     assert got == {10: (ord("A"), 2), 12: (ord("X"), 2)}
+
+
+def test_video_keyframe_signature_brightness_invariance(spark):
+    """The gradient signature is dHash-like: a uniformly brightness-
+    shifted clip (every byte +1, no clipping) collides with the
+    original; a clip with a different gradient structure does not."""
+    from ssidentity_spark.operators.multimodal import (
+        video_keyframe_signatures,
+    )
+
+    base = "abcdefgh" * 16  # 128 bytes -> 4 frames of 8x4, rising rows
+    shifted = "bcdefghi" * 16  # every byte +1: same gradients
+    falling = "hgfedcba" * 16  # reversed gradients
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, falling)],
+        "doc_id long, text string",
+    )
+    rows = video_keyframe_signatures(docs).collect()
+    sigs = {}
+    for r in rows:
+        sigs.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["sig"]
+    assert sigs[1] == sigs[2]  # brightness shift invisible
+    assert sigs[1] != sigs[3]
+    # 4 frames -> keyframes 0 and 2
+    assert sorted(sigs[1]) == [0, 1]
+
+
+def test_video_keyframe_short_docs_skip(spark):
+    from ssidentity_spark.operators.multimodal import (
+        video_keyframe_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 40), (2, None)], "doc_id long, text string"
+    )
+    assert video_keyframe_signatures(docs).count() == 0
