@@ -104,7 +104,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a9_rollup_type_hour",
     "o1_global_sort_top",
     "o4_except_users",
-    "w2_transitions",
     # staleness rotation: r3 vintage — all six displaced to the r10 queue
     # by the wave-3 first-timers below (a10_heavy_hitters, a2_habitual_hour,
     # a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs, with
@@ -167,6 +166,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # signatures + corpus-wide sharing counts, byte-math oracle from the
     # raw text bytes (w3_rolling_count_10min parks to the r10 queue)
     "mm_video_keyframe_dedup",
+    # NEW in r9 wave 4: logistic regression trained as 6 relational
+    # gradient rounds — the oracle replays the whole descent as unrolled
+    # CTEs, so the training loop itself is hash-gated; learning (not just
+    # determinism) pinned by pytest (w2_transitions parks to the r10
+    # queue)
+    "text_logreg_train",
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate

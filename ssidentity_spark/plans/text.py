@@ -1230,3 +1230,177 @@ def nb_classify(d: DataFrame) -> DataFrame:
             (F.col("lang") == F.col("true_lang")).alias("is_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U6e — logistic regression trained as k relational gradient rounds (r9):
+# the ITERATIVE half of "ML training on the engine" (U6d's NB is the
+# closed-form half). Full-batch gradient descent where each round is ONE
+# aggregation over the corpus; the DuckDB oracle replays every round as
+# unrolled CTEs (the graph_pagerank / text_bpe_train pattern), so the
+# TRAINING LOOP itself — not just the final predictions — sits under the
+# hash gate.
+#
+# Determinism contract: features are bounded integer counts, labels 0/1,
+# weights re-ROUNDED to 6 dp after every update — identical doubles
+# therefore enter exp() on both engines each round, and per-round
+# summation skew (~1e-11 abs over N docs) sits orders below the rounding
+# step, so drift cannot compound. Predictions use sign(z), never a
+# threshold on a rounded value.
+# ---------------------------------------------------------------------------
+
+_LR_WORDS = ("the", "data", "stream", "join", "spark", "query", "table", "fast")
+_LR_TARGET = "spark"  # y = the doc contains this word
+_LR_CAP = 5  # feature = min(count(word), cap) — bounded integer
+_LR_ROUNDS = 6
+_LR_RATE = 1.0
+_LR_D = len(_LR_WORDS)  # + 1 intercept
+
+
+def _lr_feat_sql() -> str:
+    cols = ",\n             ".join(
+        f"least(len(list_filter(w, x -> x = '{v}')), {_LR_CAP}) AS x{i}"
+        for i, v in enumerate(_LR_WORDS)
+    )
+    return f"""
+    wl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(list_contains(w, '{_LR_TARGET}') AS INTEGER) AS y,
+             {cols}
+      FROM wl WHERE len(w) > 0
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat)
+    """
+
+
+def _lr_round_sql(t: int) -> str:
+    """One full-batch gradient round as CTEs: z from w{t} (the weight
+    CTE is a single row of columns w0..w8), p = sigmoid, per-feature
+    gradient, w{t+1} re-rounded to 6 dp."""
+    z = " + ".join(f"w.w{j} * f.x{j}" for j in range(_LR_D)) + f" + w.w{_LR_D}"
+    grads = ",\n             ".join(
+        f"sum(f.x{j} * (f.y - p.p)) AS g{j}" for j in range(_LR_D)
+    )
+    new_w = ",\n             ".join(
+        f"round(w.w{j} + {_LR_RATE} * g.g{j} / nn.n, 6) AS w{j}"
+        for j in range(_LR_D)
+    )
+    return f"""
+    , p{t} AS (
+      SELECT f.doc_id, 1.0 / (1.0 + exp(-({z}))) AS p
+      FROM feat f CROSS JOIN w{t} w
+    ), g{t} AS (
+      SELECT {grads},
+             sum(f.y - p.p) AS g{_LR_D}
+      FROM feat f JOIN p{t} p USING (doc_id)
+    ), w{t + 1} AS (
+      SELECT {new_w},
+             round(w.w{_LR_D} + {_LR_RATE} * g.g{_LR_D} / nn.n, 6) AS w{_LR_D}
+      FROM w{t} w CROSS JOIN g{t} g CROSS JOIN nn
+    )
+    """
+
+
+_LR_FINAL_Z = (
+    " + ".join(f"w.w{j} * f.x{j}" for j in range(_LR_D)) + f" + w.w{_LR_D}"
+)
+
+_LR_ORACLE = (
+    "WITH "
+    + _lr_feat_sql()
+    + ", w0 AS (SELECT "
+    + ", ".join(f"0.0 AS w{j}" for j in range(_LR_D + 1))
+    + ")"
+    + "".join(_lr_round_sql(t) for t in range(_LR_ROUNDS))
+    + f"""
+    SELECT f.doc_id,
+           round({_LR_FINAL_Z}, 6) AS z,
+           ({_LR_FINAL_Z} > 0) AS pred,
+           (({_LR_FINAL_Z} > 0) = (f.y = 1)) AS correct
+    FROM feat f CROSS JOIN w{_LR_ROUNDS} w
+    """
+)
+
+
+@register("text_logreg_train", oracle=_LR_ORACLE, survey="U6e,U6d,G1")
+def text_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression classifier with 6 full-batch gradient
+    rounds ON the engine, then score every document with the learned
+    weights — iterative optimization as relational rounds, the trainable
+    sibling of U6d's closed-form NB. The task: predict "does this doc
+    contain the target word" from 8 bounded word-count features; descent
+    must DISCOVER which feature matters (resubstitution accuracy climbs
+    from the 0.77 majority rate to ~0.98 by round 6, w_target dominating
+    — pinned by test).
+
+    Per round: ONE aggregation over the feature frame computes the full
+    gradient (z via a literal-weight expression — the 9-float weight
+    vector is collected to the driver, model-sized traffic, the
+    documented broadcast-model exception — p = sigmoid, g_j =
+    Σ x_ij·(y_i − p_i)); weights re-round to 6 dp so both engines enter
+    the next round with identical doubles. The oracle replays all 6
+    rounds as unrolled CTEs — the training recursion itself is
+    hash-gated. At 100 TB each round is one narrow map + one 9-column
+    aggregate over the persisted feature frame: no shuffle at all (the
+    gradient is a global aggregate with map-side partials), no
+    driver-side movement beyond 9 floats per round."""
+    d = load_table(spark, sf_dir, "documents")
+    w_tok = F.filter(_words(), lambda x: x != "")
+
+    def _count_of(v):
+        # closure factory, NOT `lambda x, v=v: ...` — a second parameter
+        # (even defaulted) makes PySpark pass (element, index) and the
+        # comparison silently becomes token == position
+        return F.size(F.filter(w_tok, lambda x: x == v))
+
+    feats = d.select(
+        "doc_id",
+        F.array_contains(w_tok, _LR_TARGET).cast("int").alias("y"),
+        *[
+            F.least(_count_of(v), F.lit(_LR_CAP)).cast("int").alias(f"x{i}")
+            for i, v in enumerate(_LR_WORDS)
+        ],
+    ).where(F.size(w_tok) > 0)
+    # one materialization feeds all ROUNDS+1 passes — the corpus is
+    # tokenized exactly once
+    feats = feats.persist()
+    n = feats.count()  # model-sized driver traffic: one long
+
+    weights = [0.0] * (_LR_D + 1)
+    for _t in range(_LR_ROUNDS):
+        z = F.lit(weights[_LR_D])
+        for j in range(_LR_D):
+            z = z + F.lit(weights[j]) * F.col(f"x{j}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = (F.col("y").cast("double") - p).alias("r")
+        g = feats.select(
+            *[
+                F.sum(F.col(f"x{j}") * resid).alias(f"g{j}")
+                for j in range(_LR_D)
+            ],
+            F.sum(resid).alias(f"g{_LR_D}"),
+        ).collect()[0]
+        weights = [
+            round(weights[j] + _LR_RATE * float(g[f"g{j}"]) / n, 6)
+            for j in range(_LR_D + 1)
+        ]
+
+    # SAME addition order as the oracle's left-assoc "w0*x0 + ... + bias"
+    # AND round to the value's own 6-dp grid: z is a sum of 6-dp weights
+    # times integers, so its exact value has <= 6 decimals — a 4-dp round
+    # would sit exactly on half-boundaries where engine rounding rules
+    # disagree (caught by the gate: 3/500 rows off by 1e-4)
+    z = F.lit(weights[0]) * F.col("x0")
+    for j in range(1, _LR_D):
+        z = z + F.lit(weights[j]) * F.col(f"x{j}")
+    z = z + F.lit(weights[_LR_D])
+    return feats.select(
+        "doc_id",
+        F.round(z, 6).alias("z"),
+        (z > 0).alias("pred"),
+        ((z > 0) == (F.col("y") == 1)).alias("correct"),
+    )

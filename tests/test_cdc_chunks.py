@@ -120,3 +120,4 @@ def test_streaming_twin_matches_batch(spark, tmp_path):
         for r in cdc_chunks(docs).collect()
     )
     assert got == want and len(got) > 10
+
