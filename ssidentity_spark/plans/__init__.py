@@ -103,7 +103,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # cumulative set, re-verification doesn't)
     "a9_rollup_type_hour",
     "o1_global_sort_top",
-    "o4_except_users",
     # staleness rotation: r3 vintage — all six displaced to the r10 queue
     # by the wave-3 first-timers below (a10_heavy_hitters, a2_habitual_hour,
     # a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs, with
@@ -172,6 +171,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # determinism) pinned by pytest (w2_transitions parks to the r10
     # queue)
     "text_logreg_train",
+    # NEW in r9 wave 4: temperature-weighted mixture selection — per-
+    # source n^0.5 budget shares spent in quality order, every cumulative
+    # window source-partitioned (o4_except_users parks to the r10 queue)
+    "pipe_mixture_select",
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate

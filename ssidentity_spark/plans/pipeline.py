@@ -1389,3 +1389,122 @@ def pipe_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "layout_ok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X21 — mixture-budgeted selection (r9): the op that BUILDS the training
+# mix. X13 reweights sources (n^alpha temperature), X16 spends one global
+# budget in quality order; a real mixture does both AT ONCE — each source
+# gets its temperature share of the global token budget, spent on ITS
+# best documents. Per-source budgets also kill the global-prefix-sum
+# problem: every cumulative window is partitioned by source, so the plan
+# parallelizes by construction (no two-phase machinery needed).
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA_BUDGET = 0.3  # global budget = 30% of corpus tokens
+
+
+@register(
+    "pipe_mixture_select",
+    # sqrt is IEEE-correctly-rounded, so n_s^0.5 is bit-identical
+    # cross-engine; the only float sums are the 20-row weight
+    # normalizer and per-source cumulative token sums (exact integers).
+    # kept-decision and budgets are integer comparisons.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), d AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             round(CAST(len(list_distinct(w)) AS DOUBLE)
+                   / greatest(len(w), 1), 6) AS quality
+      FROM t WHERE len(w) > 0
+    ), s AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_s FROM d GROUP BY 1
+    ), tot AS (
+      SELECT CAST(floor({_MIX_ALPHA_BUDGET} * sum(n_s)) AS BIGINT) AS g,
+             sum(sqrt(CAST(n_s AS DOUBLE))) AS z
+      FROM s
+    ), b AS (
+      SELECT s.source,
+             CAST(floor(tot.g * sqrt(CAST(s.n_s AS DOUBLE)) / tot.z)
+                  AS BIGINT) AS budget_s
+      FROM s CROSS JOIN tot
+    ), c AS (
+      SELECT d.doc_id, d.source, d.n_tokens, d.quality,
+             CAST(COALESCE(sum(d.n_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY d.quality DESC, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM d
+    )
+    SELECT c.doc_id, c.source, c.n_tokens, c.quality, c.cum_before,
+           b.budget_s,
+           (c.cum_before + c.n_tokens <= b.budget_s) AS kept
+    FROM c JOIN b USING (source)
+    """,
+    survey="X21,X13,X16",
+)
+def pipe_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture selection: the global token budget
+    (30% of the corpus) splits across sources by n^0.5 temperature
+    weights (upsampling small sources relative to proportional — the
+    X13 rationale), and each source spends its share on its BEST
+    documents (unique-token-ratio quality, the X16 rationale).
+
+    Plan shape at 100 TB: one doc-grain scan for (n_tokens, quality),
+    a source-keyed aggregate (bounded cardinality), the 20-row weight
+    table broadcast back, and ONE source-partitioned cumulative window —
+    per-source prefix sums parallelize across sources by construction,
+    so the global-window single-partition trap never appears (for a
+    single giant source, X16's two-phase running total is the tool)."""
+    d0 = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    d = d0.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("quality"),
+    ).where(F.size(toks) > 0)
+    d = d.persist()  # feeds the totals aggregate AND the window
+    s = d.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("n_s"))
+    tot = s.agg(
+        F.floor(_MIX_ALPHA_BUDGET * F.sum("n_s")).cast("long").alias("g"),
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("z"),
+    )
+    b = s.join(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.col("g") * F.sqrt(F.col("n_s").cast("double")) / F.col("z")
+        )
+        .cast("long")
+        .alias("budget_s"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    return c.join(F.broadcast(b), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality",
+        "cum_before",
+        "budget_s",
+        (F.col("cum_before") + F.col("n_tokens") <= F.col("budget_s")).alias(
+            "kept"
+        ),
+    )
