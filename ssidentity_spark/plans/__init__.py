@@ -102,7 +102,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # queue by the MM11 first-timer — first-time verification grows the
     # cumulative set, re-verification doesn't)
     "a9_rollup_type_hour",
-    "o1_global_sort_top",
     # staleness rotation: r3 vintage — all six displaced to the r10 queue
     # by the wave-3 first-timers below (a10_heavy_hitters, a2_habitual_hour,
     # a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs, with
@@ -175,6 +174,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # source n^0.5 budget shares spent in quality order, every cumulative
     # window source-partitioned (o4_except_users parks to the r10 queue)
     "pipe_mixture_select",
+    # NEW in r9 wave 4: winnowing fingerprints (MOSS) — rightmost-minimal
+    # k-gram hash per window as a plain array_min over a sortable
+    # composite key; the W+k-1 guarantee pinned by pytest
+    # (o1_global_sort_top parks to the r10 queue)
+    "text_winnow_fingerprints",
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate

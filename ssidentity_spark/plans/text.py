@@ -1348,7 +1348,13 @@ def text_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the persisted feature frame: no shuffle at all (the
     gradient is a global aggregate with map-side partials), no
     driver-side movement beyond 9 floats per round."""
-    d = load_table(spark, sf_dir, "documents")
+    return logreg_train_score(load_table(spark, sf_dir, "documents"))
+
+
+def logreg_train_score(d: DataFrame) -> DataFrame:
+    """The 6-round train + score pipeline over a (doc_id, text) frame —
+    split out so the scale probes (tools/wave3_blowup.py) run it on
+    blown-up corpora without a table path."""
     w_tok = F.filter(_words(), lambda x: x != "")
 
     def _count_of(v):
@@ -1403,4 +1409,115 @@ def text_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (z > 0).alias("pred"),
         ((z > 0) == (F.col("y") == 1)).alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U6f — winnowing fingerprints (r9): the MOSS fingerprint selector
+# (Schleimer/Wilkerson/Aiken 2003). CDC chunking (X20) cuts documents at
+# content-defined boundaries; winnowing instead SELECTS a guaranteed-
+# density subset of k-gram hashes — the rightmost-minimal hash of every
+# W-window — with the theorem that ANY shared run of >= W+k-1 words is
+# caught by at least one shared fingerprint. The plagiarism/overlap
+# detector's index shape.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4  # words per gram
+_WIN_W = 4  # grams per winnowing window
+_WIN_PAD = 99999  # rightmost-min tiebreak: encode DESC position in the key
+
+
+@register(
+    "text_winnow_fingerprints",
+    # The (hash, position-desc) pair is encoded as ONE sortable string —
+    # md5 hex is fixed-width, so min over "hash || lpad(PAD - pos)" IS
+    # argmin by (hash asc, pos desc): the rightmost-minimal rule as a
+    # plain array_min, no stateful tie logic. Oracle replays selection,
+    # dedup AND the cross-doc sharing count.
+    oracle=f"""
+    WITH wl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), keys AS (
+      SELECT doc_id,
+             list_transform(range(0, len(w) - {_WIN_K} + 1), i ->
+               md5(w[CAST(i + 1 AS BIGINT)] || ' ' || w[CAST(i + 2 AS BIGINT)]
+                   || ' ' || w[CAST(i + 3 AS BIGINT)] || ' '
+                   || w[CAST(i + 4 AS BIGINT)])
+               || lpad(CAST({_WIN_PAD} - i AS VARCHAR), 5, '0')
+             ) AS ks
+      FROM wl WHERE len(w) >= {_WIN_K}
+    ), sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(ks) - {_WIN_W}, 0) + 1), s ->
+                 list_aggregate(ks[CAST(s + 1 AS BIGINT):
+                                   CAST(s + {_WIN_W} AS BIGINT)], 'min')
+             )) AS fps
+      FROM keys
+    ), fp AS (
+      SELECT doc_id,
+             CAST({_WIN_PAD} - CAST(substr(f, 33, 5) AS BIGINT) AS BIGINT)
+               AS pos,
+             substr(f, 1, 32) AS gram_md5
+      FROM sel, unnest(fps) AS u(f)
+    )
+    SELECT fp.doc_id, fp.pos, fp.gram_md5, s.n AS n_docs_sharing
+    FROM fp
+    JOIN (SELECT gram_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+          FROM fp GROUP BY 1) s USING (gram_md5)
+    """,
+    survey="U6f,X20,EXT-dedup",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection + cross-doc sharing counts: every
+    W-window of k-gram hashes contributes its rightmost-minimal hash, so
+    fingerprint density is guaranteed (>= 1 per W grams, ~2/(W+1)
+    expected) AND any shared word run of length >= W+k-1 = 7 produces a
+    shared fingerprint — the overlap-detection index at a fraction of
+    the full k-gram set's size.
+
+    Plan shape: selection is ARRAY-side (zero shuffle, extends the
+    scan's partitioning — the same plan lesson as X20's CDC chunking);
+    the sharing count is one gram-keyed exchange. At 100 TB the
+    fingerprint table is the maintained artifact new documents probe by
+    equi-join."""
+    w = F.filter(_words(), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - _WIN_K),
+        lambda i: F.concat(
+            F.md5(F.concat_ws(" ", F.slice(w, i + 1, _WIN_K))),
+            F.lpad((F.lit(_WIN_PAD) - i).cast("string"), 5, "0"),
+        ),
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("ks")) - _WIN_W, F.lit(0))
+    )
+    sel = F.array_distinct(
+        F.transform(
+            starts,
+            lambda s: F.array_min(F.slice(F.col("ks"), s + 1, _WIN_W)),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents")
+    fp = (
+        d.where(F.size(w) >= _WIN_K)
+        .select("doc_id", grams.alias("ks"))
+        .select("doc_id", F.explode(sel).alias("f"))
+        .select(
+            "doc_id",
+            (
+                F.lit(_WIN_PAD) - F.substring("f", 33, 5).cast("long")
+            ).alias("pos"),
+            F.substring("f", 1, 32).alias("gram_md5"),
+        )
+    )
+    fp = fp.persist()  # sharing aggregate + join back
+    sharing = fp.groupBy("gram_md5").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_sharing")
+    )
+    return fp.join(sharing, "gram_md5").select(
+        "doc_id", "pos", "gram_md5", "n_docs_sharing"
     )

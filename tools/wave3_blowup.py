@@ -95,6 +95,15 @@ def main() -> None:
             nb_classify(docs).write.format("noop").mode("overwrite").save()
 
         timed(f"nb_classifier {copies}x", run_nb)
+
+        def run_lr():
+            from ssidentity_spark.plans.text import logreg_train_score
+
+            logreg_train_score(docs).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        timed(f"logreg_train {copies}x", run_lr)
         docs.unpersist()
 
     spark.stop()
