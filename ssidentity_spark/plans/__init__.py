@@ -183,9 +183,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate
 # DRIVER_VERIFIED_HISTORY (tools/driver_history.py). Any r10-new queries
-# go FIRST. Then rotation is pure staleness order: the thirteen
-# r3-vintage entries r9's thirteen new first-timers displaced from the
-# tail (o3_union_split, o4_intersect_users, pipe_docs_clean,
+# go FIRST. Then rotation is pure staleness order: the displaced r1/r3
+# entries — r9's seventeen new first-timers pushed out, oldest-display
+# first: the r1 vintage four (w3_rolling_count_10min, w2_transitions,
+# o4_except_users, o1_global_sort_top — these were the stale
+# re-verification slots, so they lead the r10 queue) and the r3 set
+# (o3_union_split, o4_intersect_users, pipe_docs_clean,
 # pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
 # sim_lsh_bucketed, text_bigram_profile, a2_habitual_hour,
 # a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs,
