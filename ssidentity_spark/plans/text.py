@@ -1521,3 +1521,63 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(sharing, "gram_md5").select(
         "doc_id", "pos", "gram_md5", "n_docs_sharing"
     )
+
+
+def nb_fit(d: DataFrame) -> dict:
+    """Fit the U6d NB model and COLLECT it: {classes, log_prior,
+    log_cond {term: [per-class]}, log_default [per-class]} — model-sized
+    driver traffic (observed (term, class) count rows), the documented
+    broadcast-model exception (IVF centroids, eval-gram sets). The
+    streaming scorer (streaming/corpus.py:nb_score_stream) broadcasts
+    this dict; training stays fully relational (same subtrees as
+    nb_classify)."""
+    import math
+
+    tf = (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("cls"),
+            F.explode(_words()).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "cls", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    ctc_rows = (
+        tf.groupBy("cls", "term")
+        .agg(F.sum("tf").cast("long").alias("ctc"))
+        .collect()
+    )
+    v = tf.select("term").distinct().count()
+    prior_rows = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nd")).collect()
+    n_docs = sum(r["nd"] for r in prior_rows)
+    classes = sorted(r["lang"] for r in prior_rows)
+    k = {c: i for i, c in enumerate(classes)}
+    nc = [0] * len(classes)
+    by_term: dict[str, list[int]] = {}
+    for r in ctc_rows:
+        nc[k[r["cls"]]] += r["ctc"]
+        by_term.setdefault(r["term"], [0] * len(classes))[k[r["cls"]]] = r[
+            "ctc"
+        ]
+    log_default = [math.log(1.0 / (nc[i] + v)) for i in range(len(classes))]
+    log_cond = {
+        t: [
+            math.log((cnts[i] + 1.0) / (nc[i] + v))
+            for i in range(len(classes))
+        ]
+        for t, cnts in by_term.items()
+    }
+    log_prior = [
+        math.log(
+            next(r["nd"] for r in prior_rows if r["lang"] == c) / n_docs
+        )
+        for c in classes
+    ]
+    return {
+        "classes": classes,
+        "log_prior": log_prior,
+        "log_cond": log_cond,
+        "log_default": log_default,
+    }

@@ -215,3 +215,71 @@ def cdc_chunks_stream(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(cdc_chunk_structs()).alias("c")
     ).select("doc_id", "c.chunk_id", "c.n_words", "c.chunk_md5")
+
+
+MAX_NB_MODEL_TERMS = 1_000_000  # broadcast-model guard, like the gram set
+
+
+def nb_score_stream(docs: DataFrame, model: dict) -> DataFrame:
+    """Streaming NB inference: score arriving documents with a model
+    trained relationally by ``plans.text.nb_fit`` — the production
+    inference shape for the U6d classifier (train batch, score the
+    stream). The model ships as a broadcast Python dict probed inside an
+    Arrow-batched ``mapInPandas`` (zero streaming state, O(batch tokens)
+    work — the same documented broadcast-model exception as
+    :func:`decontaminate_stream`); per-doc scores are the add-one NB
+    log-likelihoods averaged per token, argmax ties broken by class name
+    — exactly the batch query's rule, parity pinned by test."""
+    import re as _re
+
+    if len(model["log_cond"]) > MAX_NB_MODEL_TERMS:
+        raise ValueError(
+            f"NB model has {len(model['log_cond'])} terms (> "
+            f"{MAX_NB_MODEL_TERMS}) — too large to broadcast as a dict; "
+            "materialize the model as a table and score with the batch "
+            "stream-static join instead"
+        )
+    spark = docs.sparkSession
+    b = spark.sparkContext.broadcast(model)
+    ws = _re.compile(r"\s+")
+
+    def _score(batches):
+        m = b.value
+        classes, log_prior = m["classes"], m["log_prior"]
+        cond, default = m["log_cond"], m["log_default"]
+        kk = len(classes)
+        for pdf in batches:
+            ids, preds, scores = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(text.lower()) if t != ""]
+                if not toks:
+                    continue
+                z = list(log_prior)
+                for t in toks:
+                    lp = cond.get(t, default)
+                    for i in range(kk):
+                        z[i] += lp[i]
+                n = len(toks)
+                avg = [round(z[i] / n, 6) for i in range(kk)]
+                # tie rule: highest rounded score, then LOWEST class name
+                # (the batch query's window order)
+                best = min(
+                    (i for i in range(kk) if avg[i] == max(avg)),
+                    key=lambda i: classes[i],
+                )
+                ids.append(int(doc_id))
+                preds.append(classes[best])
+                scores.append(avg[best])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "pred_lang": pd.Series(preds, dtype="object"),
+                    "nb_score": pd.Series(scores, dtype="float64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        _score, schema="doc_id long, pred_lang string, nb_score double"
+    )

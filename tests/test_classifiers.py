@@ -5,6 +5,8 @@ oracle."""
 
 from __future__ import annotations
 
+import pytest
+
 import ssidentity_spark.plans  # noqa: F401 — importing registers every query
 
 
@@ -71,3 +73,51 @@ def test_winnowing_guarantee_and_density(spark):
     assert len(by_doc[3]) >= g3 // 4
     # sharing counts: doc 3 shares nothing with the planted run
     assert not (by_doc[3] & (by_doc[1] & by_doc[2]))
+
+
+def test_nb_stream_scoring_matches_batch(spark, tmp_path):
+    """Train relationally (nb_fit), score a document STREAM with the
+    broadcast model — predictions and 6-dp scores must equal the batch
+    query's for every doc (stream ≡ batch inference parity)."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.plans.text import nb_classify, nb_fit
+    from ssidentity_spark.streaming.corpus import nb_score_stream
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    model = nb_fit(d)
+    src = str(tmp_path / "src")
+    d.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        nb_score_stream(stream, model)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["pred_lang"], round(r["nb_score"], 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["pred_lang"], round(r["nb_score"], 6))
+        for r in nb_classify(d).collect()
+    }
+    assert got == want and len(got) == 500
+
+
+def test_nb_stream_model_size_guard(spark):
+    from ssidentity_spark.streaming.corpus import nb_score_stream
+
+    big = {
+        "classes": ["a"],
+        "log_prior": [0.0],
+        "log_default": [0.0],
+        "log_cond": {str(i): [0.0] for i in range(1_000_001)},
+    }
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        nb_score_stream(spark.range(1).selectExpr("id doc_id", "'x' text"), big)
