@@ -280,7 +280,8 @@ def main() -> None:
     # SPARK_GRAFT_RECORD=0: ad-hoc health-check runs (possibly under
     # background contention) must not clobber the round's curated
     # quiet-window record; the driver's real run records by default
-    if os.environ.get("SPARK_GRAFT_RECORD", "1") != "0":
+    recorded = os.environ.get("SPARK_GRAFT_RECORD", "1") != "0"
+    if recorded:
         with open(full_path, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     compact = {
@@ -301,12 +302,21 @@ def main() -> None:
             }.items()
         },
         "canary_ratio_vs_best": full["canary_ratio_vs_best"],
-        "full_artifact": os.path.join("bench_history", os.path.basename(full_path)),
+        # unrecorded runs must not point at a file they didn't write
+        # (the compact line's overflow fallback would otherwise discard
+        # this run's timings in favor of a missing/stale artifact)
+        "full_artifact": (
+            os.path.join("bench_history", os.path.basename(full_path))
+            if recorded
+            else None
+        ),
     }
     line = json.dumps(compact)
     # belt-and-braces: if headliner growth ever pushes the compact line
-    # past the driver's tail, shed the per-query dict before the totals
-    if len(line) > 1900:
+    # past the driver's tail, shed the per-query dict before the totals —
+    # but only when the full artifact exists to point at (an unrecorded
+    # health-check run's stdout is the only copy of its timings)
+    if len(line) > 1900 and recorded:
         compact["queries"] = {"see": compact["full_artifact"]}
         line = json.dumps(compact)
     print(line)

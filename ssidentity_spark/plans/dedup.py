@@ -1699,7 +1699,12 @@ def cdc_chunk_structs(text_col: str = "text"):
     this operator ran posexplode + a per-doc running-sum window + a
     collect_list rollup (one doc_id exchange, corpus re-sorted); the
     boundary-positions array makes all three unnecessary."""
-    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    from ssidentity_spark.plans.text import _words
+
+    # the one shared tokenization definition (r9 review: re-inlining the
+    # split regex here would let a tokenizer change silently diverge
+    # chunk md5s from the text family)
+    w = F.filter(_words(text_col), lambda x: x != "")
     # 0-based positions whose trailing gram hash cuts (never the last)
     bpos = F.filter(
         F.sequence(F.lit(0), F.size(w) - 1),
@@ -1723,7 +1728,7 @@ def cdc_chunk_structs(text_col: str = "text"):
             F.element_at(bpos, (i + 1).cast("int"))
         )
 
-    return F.transform(
+    structs = F.transform(
         F.sequence(F.lit(0), F.size(bpos)),
         lambda i: F.struct(
             i.cast("bigint").alias("chunk_id"),
@@ -1739,6 +1744,14 @@ def cdc_chunk_structs(text_col: str = "text"):
                 )
             ).alias("chunk_md5"),
         ),
+    )
+    # zero-word docs must yield NO chunks (sequence(0, 0) still builds one
+    # element, which minted a phantom md5('') chunk — r9 review; the oracle
+    # and the pre-rewrite window form both emit zero rows)
+    return F.when(F.size(w) > 0, structs).otherwise(
+        F.array().cast(
+            "array<struct<chunk_id:bigint,n_words:bigint,chunk_md5:string>>"
+        )
     )
 
 

@@ -1426,7 +1426,7 @@ _MIX_ALPHA_BUDGET = 0.3  # global budget = 30% of corpus tokens
       SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_s FROM d GROUP BY 1
     ), tot AS (
       SELECT CAST(floor({_MIX_ALPHA_BUDGET} * sum(n_s)) AS BIGINT) AS g,
-             sum(sqrt(CAST(n_s AS DOUBLE))) AS z
+             round(sum(sqrt(CAST(n_s AS DOUBLE))), 6) AS z
       FROM s
     ), b AS (
       SELECT s.source,
@@ -1463,7 +1463,8 @@ def pipe_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the global-window single-partition trap never appears (for a
     single giant source, X16's two-phase running total is the tool)."""
     d0 = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    # the shared tokenization definition (doc_words), not a re-inlined copy
+    toks = F.filter(doc_words(), lambda x: x != "")
     d = d0.select(
         "doc_id",
         "source",
@@ -1478,7 +1479,11 @@ def pipe_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("n_s"))
     tot = s.agg(
         F.floor(_MIX_ALPHA_BUDGET * F.sum("n_s")).cast("long").alias("g"),
-        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("z"),
+        # rounded to 6 dp: the sqrt-sum is an order-dependent float sum
+        # feeding floor() — an ulp difference could flip a source budget
+        # by one token (r9 review); after the round both engines divide
+        # by the identical double
+        F.round(F.sum(F.sqrt(F.col("n_s").cast("double"))), 6).alias("z"),
     )
     b = s.join(F.broadcast(tot)).select(
         "source",

@@ -1378,9 +1378,13 @@ def logreg_train_score(d: DataFrame) -> DataFrame:
 
     weights = [0.0] * (_LR_D + 1)
     for _t in range(_LR_ROUNDS):
-        z = F.lit(weights[_LR_D])
-        for j in range(_LR_D):
+        # SAME addition order as the oracle (weights left-assoc, bias
+        # LAST) in the TRAINING rounds too, not just the final scoring —
+        # the contract is identical doubles entering exp() every round
+        z = F.lit(weights[0]) * F.col("x0")
+        for j in range(1, _LR_D):
             z = z + F.lit(weights[j]) * F.col(f"x{j}")
+        z = z + F.lit(weights[_LR_D])
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         resid = (F.col("y").cast("double") - p).alias("r")
         g = feats.select(
@@ -1424,7 +1428,7 @@ def logreg_train_score(d: DataFrame) -> DataFrame:
 
 _WIN_K = 4  # words per gram
 _WIN_W = 4  # grams per winnowing window
-_WIN_PAD = 99999  # rightmost-min tiebreak: encode DESC position in the key
+_WIN_PAD = 999_999_999  # DESC-position tiebreak; 9-digit pad caps docs at 1e9 grams (r9 review: 5 digits broke >99,999-gram docs)
 
 
 @register(
@@ -1446,7 +1450,7 @@ _WIN_PAD = 99999  # rightmost-min tiebreak: encode DESC position in the key
                md5(w[CAST(i + 1 AS BIGINT)] || ' ' || w[CAST(i + 2 AS BIGINT)]
                    || ' ' || w[CAST(i + 3 AS BIGINT)] || ' '
                    || w[CAST(i + 4 AS BIGINT)])
-               || lpad(CAST({_WIN_PAD} - i AS VARCHAR), 5, '0')
+               || lpad(CAST({_WIN_PAD} - i AS VARCHAR), 9, '0')
              ) AS ks
       FROM wl WHERE len(w) >= {_WIN_K}
     ), sel AS (
@@ -1459,7 +1463,7 @@ _WIN_PAD = 99999  # rightmost-min tiebreak: encode DESC position in the key
       FROM keys
     ), fp AS (
       SELECT doc_id,
-             CAST({_WIN_PAD} - CAST(substr(f, 33, 5) AS BIGINT) AS BIGINT)
+             CAST({_WIN_PAD} - CAST(substr(f, 33, 9) AS BIGINT) AS BIGINT)
                AS pos,
              substr(f, 1, 32) AS gram_md5
       FROM sel, unnest(fps) AS u(f)
@@ -1489,7 +1493,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(w) - _WIN_K),
         lambda i: F.concat(
             F.md5(F.concat_ws(" ", F.slice(w, i + 1, _WIN_K))),
-            F.lpad((F.lit(_WIN_PAD) - i).cast("string"), 5, "0"),
+            F.lpad((F.lit(_WIN_PAD) - i).cast("string"), 9, "0"),
         ),
     )
     starts = F.sequence(
@@ -1509,7 +1513,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (
-                F.lit(_WIN_PAD) - F.substring("f", 33, 5).cast("long")
+                F.lit(_WIN_PAD) - F.substring("f", 33, 9).cast("long")
             ).alias("pos"),
             F.substring("f", 1, 32).alias("gram_md5"),
         )

@@ -121,3 +121,16 @@ def test_streaming_twin_matches_batch(spark, tmp_path):
     )
     assert got == want and len(got) > 10
 
+
+def test_empty_and_whitespace_docs_yield_no_chunks(spark):
+    """sequence(0, 0) builds one element even for empty bpos — the
+    zero-word guard must suppress the phantom md5('') chunk the oracle
+    (and the pre-rewrite window form) never emit (r9 review)."""
+    from ssidentity_spark.plans.dedup import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one real doc here")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    assert {r["doc_id"] for r in rows} == {3}
