@@ -97,11 +97,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_api_source_quality_rank",  # sqlapi (r5)
     "tpch_q13_custdist",  # tpch3 (r5)
     "tpch_q21_waiting_suppliers",  # tpch4 (r4)
-    # staleness rotation: r1 vintage (green in round 1, never re-verified
-    # under the driver since; w3_rolling_count_10min displaced to the r10
-    # queue by the MM11 first-timer — first-time verification grows the
-    # cumulative set, re-verification doesn't)
-    "a9_rollup_type_hour",
+    # NEW in r9 wave 6: the retrieval-eval scorecard — precision/recall/
+    # MRR/NDCG@k of the exact cosine ranking against label qrels, the
+    # harness the ANN tiers are tuned against, fully relational and
+    # hash-gated (a9_rollup_type_hour — the last r1-vintage
+    # re-verification slot — parks to the r10 queue; first-time
+    # verification grows the cumulative set, re-verification doesn't)
+    "sim_retrieval_eval",
     # staleness rotation: r3 vintage — all six displaced to the r10 queue
     # by the wave-3 first-timers below (a10_heavy_hitters, a2_habitual_hour,
     # a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs, with
@@ -182,12 +184,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate
-# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). Any r10-new queries
-# go FIRST. Then rotation is pure staleness order: the displaced r1/r3
-# entries — r9's seventeen new first-timers pushed out, oldest-display
-# first: the r1 vintage four (w3_rolling_count_10min, w2_transitions,
-# o4_except_users, o1_global_sort_top — these were the stale
-# re-verification slots, so they lead the r10 queue) and the r3 set
+# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). FIRST:
+# text_sparse_cosine_pairs — r9-new but parked (every r9 slot spent on
+# other first-timers; local-green at all three SFs), so it leads the r10
+# window and claims its U6g survey row there. Then any r10-new queries.
+# Then rotation is pure staleness order: the displaced r1/r3
+# entries — r9's eighteen new first-timers pushed out, oldest-display
+# first: the r1 vintage five (w3_rolling_count_10min, w2_transitions,
+# o4_except_users, o1_global_sort_top, a9_rollup_type_hour — these were
+# the stale re-verification slots, so they lead the r10 queue) and the r3 set
 # (o3_union_split, o4_intersect_users, pipe_docs_clean,
 # pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
 # sim_lsh_bucketed, text_bigram_profile, a2_habitual_hour,

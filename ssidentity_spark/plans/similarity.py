@@ -1111,3 +1111,149 @@ def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered_ivf_topk(
         load_table(spark, sf_dir, "embeddings"), FILTERED_IVF_PROBES
     )
+
+
+# ---------------------------------------------------------------------------
+# E1 — retrieval evaluation (r9): the EVAL harness as a relational query.
+# Everything above builds rankings; a training-data pipeline also has to
+# MEASURE them. Queries are a deterministic id-stride sample, the ranking is
+# the exact cosine top-k (the ground-truth ranking the ANN variants
+# approximate), qrels are label equality, and the metrics are the standard
+# IR set — precision@k, recall@k, MRR@k, NDCG@k — computed per query, all
+# relational (rank window + one aggregate), so the whole scorecard sits
+# under the oracle hash.
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 10
+_EVAL_STRIDE = 25  # queries: vec_id % 25 == 0 (scales with the corpus)
+
+
+@register(
+    "sim_retrieval_eval",
+    # Rank determinism: ranks come from the ROUNDED cosine with the id
+    # tiebreak (the module contract, line 14). The metric arithmetic is
+    # integers and 1/log2(int) doubles; the dcg/idcg sums are <= k terms
+    # whose addition-order skew sits orders below the 6-dp round.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, v, nrm FROM n
+      WHERE vec_id % {_EVAL_STRIDE} = 0
+    ), scored AS (
+      SELECT q.query_id, q.qlabel,
+             c.vec_id AS neighbor_id, (c.label = q.qlabel) AS rel,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM q JOIN n c ON c.vec_id <> q.query_id
+    ), top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_EVAL_K}
+    ), m AS (
+      SELECT query_id, qlabel,
+             CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             sum(CASE WHEN rel THEN 1.0 / log2(rnk + 1.0) ELSE 0.0 END) AS dcg,
+             min(CASE WHEN rel THEN rnk END) AS first_rel
+      FROM top GROUP BY 1, 2
+    ), lc AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS c FROM embeddings GROUP BY 1
+    )
+    SELECT m.query_id, m.qlabel AS label, (lc.c - 1) AS n_rel, m.hits,
+           round(m.hits / {_EVAL_K}.0, 6) AS precision_at_k,
+           round(m.hits / nullif(CAST(lc.c - 1 AS DOUBLE), 0), 6)
+             AS recall_at_k,
+           coalesce(round(1.0 / m.first_rel, 6), 0.0) AS mrr_at_k,
+           CASE WHEN lc.c - 1 > 0 THEN
+             round(m.dcg / list_sum(list_transform(
+               generate_series(1, least({_EVAL_K}, CAST(lc.c - 1 AS INTEGER))),
+               i -> 1.0 / log2(i + 1.0))), 6)
+           END AS ndcg_at_k
+    FROM m JOIN lc ON m.qlabel = lc.label
+    """,
+    survey="E1,U5,W1",
+)
+def sim_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR scorecard of the exact cosine ranking against label qrels:
+    per query — precision@k, recall@k, MRR@k, NDCG@k (binary gains,
+    log2 discount, ideal-DCG over min(k, n_relevant)).
+
+    This is the harness the ANN tiers (LSH/IVF/IVFPQ) are tuned
+    against; having it AS a query means index regressions show up in a
+    hash-gated artifact, not just in offline notebooks. Plan shape: the
+    scoring is the brute-force broadcast (queries tiny by construction),
+    the rank is one per-query window, the metrics one aggregate, and
+    label counts a broadcast-sized dimension. At 100 TB the eval set
+    stays a fixed sample — cost is O(|corpus| x |queries|) like
+    sim_topk_bruteforce, with the ANN variants evaluated by swapping the
+    ranking subtree."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = spread(em).select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    queries = base.filter(F.col("vec_id") % _EVAL_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("label") == F.col("qlabel")).alias("rel"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _EVAL_K
+    )
+    m = top.groupBy("query_id", "qlabel").agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("hits"),
+        F.sum(
+            F.when(F.col("rel"), 1.0 / F.log2(F.col("rnk") + 1.0)).otherwise(0.0)
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rel"),
+    )
+    lc = em.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_rel = F.col("c") - 1
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(_EVAL_K), n_rel.cast("int"))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i + F.lit(1.0)),
+    )
+    return (
+        m.join(F.broadcast(lc), m.qlabel == lc.label)
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            n_rel.alias("n_rel"),
+            "hits",
+            F.round(F.col("hits") / float(_EVAL_K), 6).alias("precision_at_k"),
+            F.round(
+                F.col("hits") / F.nullif(n_rel.cast("double"), F.lit(0.0)), 6
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("first_rel"), 6), F.lit(0.0)
+            ).alias("mrr_at_k"),
+            F.when(n_rel > 0, F.round(F.col("dcg") / idcg, 6)).alias(
+                "ndcg_at_k"
+            ),
+        )
+    )

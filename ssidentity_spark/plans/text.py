@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ssidentity_spark.io import load_table
+from ssidentity_spark.io import load_table, spread
 from ssidentity_spark.registry import register
 
 # "BPE-ish" token pattern: word pieces or single non-space symbols.
@@ -1585,3 +1585,136 @@ def nb_fit(d: DataFrame) -> dict:
         "log_cond": log_cond,
         "log_default": log_default,
     }
+
+
+# ---------------------------------------------------------------------------
+# U6g — sparse tf-idf cosine pairs (r9): the SPARSE-vector sibling of the
+# dense near-dup family. MinHash-LSH approximates set Jaccard; embedding
+# cosine needs a dense model; this is the classic lexical similarity join —
+# tf-idf weighted 3-word shingles, candidates from an inverted-index
+# equi-join (docs must SHARE a shingle to pair), exact cosine on candidates
+# only. The df cap is the scale knob: a shingle in more than DF_CAP docs is
+# boilerplate, carries ~zero idf weight, and would alone contribute
+# O(df^2) candidate pairs — capping it bounds every posting list, so the
+# candidate volume is sum(df^2 | df <= cap), never O(n^2).
+# ---------------------------------------------------------------------------
+
+_SC_DF_CAP = 50  # posting-list bound: pairs only via shingles in <= 50 docs
+_SC_THRESHOLD = 0.25  # report pairs at or above this rounded cosine
+
+
+@register(
+    "text_sparse_cosine_pairs",
+    # Determinism: tf and df are exact integers, idf = ln(n_docs/df) sees
+    # the same double on both engines, and the dot/norm sums' addition-
+    # order skew sits orders below the 6-dp round; the threshold compares
+    # the ROUNDED value (the dedup_embedding_cosine contract).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM toks WHERE len(w) >= 3
+      ) GROUP BY 1, 2
+    ), nd AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    ), dfq AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), wv AS (
+      SELECT tf.doc_id, tf.shingle, tf.tf * ln(nd.n_docs / dfq.df) AS w
+      FROM tf JOIN dfq USING (shingle) CROSS JOIN nd
+      WHERE dfq.df <= {_SC_DF_CAP}
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wv GROUP BY 1
+    ), dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared, sum(a.w * b.w) AS dot
+      FROM wv a JOIN wv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared, cos FROM (
+      SELECT doc_a, doc_b, n_shared,
+             round(dot / (x.nrm * y.nrm), 6) AS cos
+      FROM dot JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id
+    ) WHERE cos >= {_SC_THRESHOLD}
+    """,
+    # parked past the r9 window (every slot spent — 25 first-timers this
+    # round); survey rows are the covered dedup/text siblings' until it
+    # windows FIRST in r10 and claims its own U6g row
+    survey="EXT-dedup,U6,J2",
+)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tf-idf cosine over every candidate pair from the shingle
+    inverted index: two docs pair only if they share a <=DF_CAP-df
+    shingle, so the pair space is the index's posting-list collisions,
+    never the n^2 cross. tf keeps multiplicity (a repeated shingle
+    weighs more — multiset semantics, unlike MinHash's set Jaccard).
+
+    Plan shape: the tf aggregate is one (doc, shingle) exchange; df
+    reuses the shingle key; the candidate self-join shuffles on shingle
+    (same key again) and the dot aggregate on the pair key; norms join
+    back at pair grain. At 100 TB the wv table is the maintainable
+    artifact (append-only tf/df refresh), DF_CAP bounds every posting
+    list, and the pair aggregate is the only new exchange per refresh."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    w = F.col("w")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    tf = (
+        t.select("doc_id", F.explode(shingles).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfq = tf.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    wv = (
+        tf.join(dfq, "shingle")
+        .where(F.col("df") <= _SC_DF_CAP)
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "shingle",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    wv = wv.persist()  # norms + both sides of the candidate self-join
+    nrm = wv.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = wv.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("w").alias("wa")
+    )
+    b = wv.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("w").alias("wb")
+    )
+    dot = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    cos = F.round(
+        F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6
+    ).alias("cos")
+    return (
+        dot.join(nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a")), "doc_a")
+        .join(nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b")), "doc_b")
+        .select("doc_a", "doc_b", "n_shared", cos)
+        .where(F.col("cos") >= _SC_THRESHOLD)
+    )

@@ -1,0 +1,126 @@
+"""r9 wave-6 semantics on controlled corpora: sparse tf-idf cosine pairs
+(U6g) and the retrieval-eval scorecard (E1). The driver-gate hash rows pin
+Spark ≡ DuckDB on the real tables; these pin the SEMANTICS."""
+
+from __future__ import annotations
+
+import math
+
+from ssidentity_spark.plans.text import _SC_DF_CAP
+from ssidentity_spark.registry import REGISTRY
+
+
+def _docs(spark, tmp_path, texts):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _pairs(spark, tmp_path, texts):
+    out = REGISTRY["text_sparse_cosine_pairs"].fn(
+        spark, _docs(spark, tmp_path, texts)
+    )
+    return {(r["doc_a"], r["doc_b"]): (r["n_shared"], r["cos"]) for r in out.collect()}
+
+
+def test_identical_docs_score_exactly_one(spark, tmp_path):
+    t = "alpha beta gamma delta epsilon zeta"
+    got = _pairs(spark, tmp_path, [t, t, "totally different words here now"])
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)][1] == 1.0
+
+
+def test_disjoint_docs_never_pair(spark, tmp_path):
+    got = _pairs(
+        spark,
+        tmp_path,
+        ["a b c d e f", "g h i j k l", "m n o p q r"],
+    )
+    assert got == {}
+
+
+def test_boilerplate_shingle_above_df_cap_generates_no_candidates(
+    spark, tmp_path
+):
+    """Docs whose ONLY shared shingle sits in more than DF_CAP documents
+    must not pair at all — the posting-list bound that keeps the
+    candidate volume sum(df^2 | df <= cap), never O(n^2)."""
+    texts = [f"common one two u{i}a u{i}b u{i}c" for i in range(_SC_DF_CAP + 1)]
+    got = _pairs(spark, tmp_path, texts)
+    # "common one two" has df = cap+1 (pruned); every cross-boundary
+    # shingle ("two u{i}a ...") is unique per doc
+    assert got == {}
+
+
+def test_cosine_matches_hand_computed_tfidf(spark, tmp_path):
+    """3 docs, overlap only between 0 and 1 on one shingle — verify the
+    exact tf-idf cosine value against a by-hand computation."""
+    a = "x y z p q"  # shingles: xyz yzp zpq
+    b = "x y z p r"  # shingles: xyz yzp zpr
+    fillers = ["aa bb cc dd", "ee ff gg hh", "ii jj kk ll"]
+    got = _pairs(spark, tmp_path, [a, b, *fillers])
+    assert set(got) == {(0, 1)}
+    n_shared, cos = got[(0, 1)]
+    assert n_shared == 2  # "x y z" and "y z p", each df = 2 of 5 docs
+    s, u = math.log(5 / 2), math.log(5 / 1)
+    expect = round(2 * s**2 / (2 * s**2 + u**2), 6)
+    assert cos == expect
+
+
+def _embed(spark, tmp_path, rows):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = REGISTRY["sim_retrieval_eval"].fn(spark, sf)
+    return {r["query_id"]: r.asDict() for r in out.collect()}
+
+
+def test_perfectly_separated_labels_score_perfect_metrics(spark, tmp_path):
+    """Label-0 vectors cluster at [1, eps_i], label-1 at [eps_i, 1]; the
+    query (vec 0, label 0) retrieves only label-0 neighbors in its
+    top-10 -> precision = mrr = ndcg = 1, recall = 10 / n_rel."""
+    rows = []
+    for i in range(12):  # label 0: ids 0..11 -> n_rel = 11
+        rows.append((i, [1.0, 0.001 * i], 0))
+    for i in range(12, 24):
+        rows.append((i, [0.001 * i, 1.0], 1))
+    got = _embed(spark, tmp_path, rows)
+    assert set(got) == {0}  # stride 25: only vec_id 0 queries
+    m = got[0]
+    assert m["n_rel"] == 11 and m["hits"] == 10
+    assert m["precision_at_k"] == 1.0
+    assert m["recall_at_k"] == round(10 / 11, 6)
+    assert m["mrr_at_k"] == 1.0
+    assert m["ndcg_at_k"] == 1.0
+
+
+def test_unique_label_query_has_null_recall_and_ndcg(spark, tmp_path):
+    rows = [(0, [1.0, 0.0], 7)] + [
+        (i, [0.5, 0.5 + 0.001 * i], 1) for i in range(1, 15)
+    ]
+    got = _embed(spark, tmp_path, rows)
+    m = got[0]
+    assert m["n_rel"] == 0 and m["hits"] == 0
+    assert m["recall_at_k"] is None and m["ndcg_at_k"] is None
+    assert m["mrr_at_k"] == 0.0 and m["precision_at_k"] == 0.0
+
+
+def test_first_relevant_at_rank_two_halves_mrr(spark, tmp_path):
+    """One off-label vector sits closest to the query; the first
+    relevant lands at rank 2 -> mrr = 1/2, and dcg loses exactly the
+    rank-1 slot."""
+    rows = [(0, [1.0, 0.0], 0)]
+    rows.append((1, [1.0, 0.0001], 9))  # nearest, wrong label
+    for i in range(2, 13):  # 11 same-label, slightly farther
+        rows.append((i, [1.0, 0.01 * i], 0))
+    got = _embed(spark, tmp_path, rows)
+    m = got[0]
+    assert m["mrr_at_k"] == 0.5
+    assert m["hits"] == 9  # top-10 = 1 wrong + 9 right (11 available)
+    dcg = sum(1 / math.log2(r + 1) for r in range(2, 11))
+    idcg = sum(1 / math.log2(r + 1) for r in range(1, 11))
+    assert m["ndcg_at_k"] == round(dcg / idcg, 6)
