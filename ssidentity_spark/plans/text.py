@@ -555,7 +555,7 @@ p{i} AS (
   ) GROUP BY 1, 2
 ), b{i} AS (
   SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1
-), v{i + 1} AS (
+), v{i + 1} AS MATERIALIZED (
   SELECT replace(s{i}, ' ' || lhs || '  ' || rhs || ' ',
                  ' ' || lhs || rhs || ' ') AS s{i + 1}, cnt
   FROM v{i}, b{i}
@@ -797,7 +797,7 @@ p{i} AS (
   ORDER BY CAST(p.c AS DOUBLE) / CAST(a.n * bb.n AS DOUBLE) DESC,
            p.lhs ASC, p.rhs ASC
   LIMIT 1
-), v{i + 1} AS (
+), v{i + 1} AS MATERIALIZED (
   SELECT replace(s{i}, ' ' || lhs || '  ' || rhs || ' ',
                  ' ' || lhs || rhs || ' ') AS s{i + 1}, cnt
   FROM v{i}, b{i}
@@ -1717,4 +1717,164 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b")), "doc_b")
         .select("doc_a", "doc_b", "n_shared", cos)
         .where(F.col("cos") >= _SC_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T10c — WordPiece tokenization (r9): the RUNTIME half of the tokenizer
+# story. text_wordpiece_train learns the merges (hash-gated); this applies
+# the learned vocabulary with BERT's actual inference rule — greedy
+# LONGEST-MATCH-FIRST over the symbol set — which is NOT the same as
+# replaying merges in training order (BPE's rule, text_bpe_tokenize). The
+# walk is bounded (a 12-char word + '</w>' is at most 13 pieces), so both
+# engines unroll it: Spark as one array fold, DuckDB as 13 chained CTEs —
+# no recursion, no UDF, the segmentation itself under the hash.
+# ---------------------------------------------------------------------------
+
+_WPT_STEPS = 13  # max pieces: 12 single-char symbols + the '</w>' terminator
+
+_WPT_ORACLE = (
+    _BPE_VOCAB_CTE
+    + ","
+    + ",".join(_wp_stage(i) for i in range(_WP_K))
+    + r""",
+dw AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+  ) WHERE regexp_full_match(w, '[a-z]+') AND len(w) BETWEEN 1 AND 12
+  GROUP BY 1
+), vsyms AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB inlines CTEs by reference, and this one hangs
+  -- off b0..b5 whose v-chain re-expands v0 exponentially — the 13 walk
+  -- steps below each reference bl -> vsyms, which un-materialized
+  -- multiplies into thousands of parquet scans (fd exhaustion)
+  SELECT DISTINCT word[CAST(i AS BIGINT)] AS sym
+  FROM dw, unnest(generate_series(1, len(word))) AS g(i)
+  UNION SELECT '</w>'"""
+    + "".join(f"\n  UNION SELECT lhs || rhs FROM b{i}" for i in range(_WP_K))
+    + """
+), wx AS (
+  SELECT word, freq, word || '</w>' AS wext FROM dw
+), bl AS MATERIALIZED (
+  SELECT wx.word, CAST(g.i AS INTEGER) AS pos,
+         CAST(max(len(v.sym)) AS INTEGER) AS j
+  FROM wx
+  CROSS JOIN unnest(generate_series(1, len(wx.wext))) AS g(i)
+  JOIN vsyms v ON substr(wx.wext, g.i, len(v.sym)) = v.sym
+  GROUP BY 1, 2
+), s0w AS (
+  SELECT word, freq, wext, 1 AS pos, 0 AS n, '' AS pieces FROM wx
+)"""
+    + "".join(
+        f""", s{k + 1}w AS (
+  SELECT s.word, s.freq, s.wext,
+         CASE WHEN s.pos <= len(s.wext) THEN s.pos + bl.j ELSE s.pos END
+           AS pos,
+         CASE WHEN s.pos <= len(s.wext) THEN s.n + 1 ELSE s.n END AS n,
+         CASE WHEN s.pos <= len(s.wext)
+              THEN s.pieces || ' ' || substr(s.wext, s.pos, bl.j)
+              ELSE s.pieces END AS pieces
+  FROM s{k}w s LEFT JOIN bl ON bl.word = s.word AND bl.pos = s.pos
+)"""
+        for k in range(_WPT_STEPS)
+    )
+    + f"""
+SELECT word, freq, CAST(n AS INTEGER) AS n_pieces, ltrim(pieces) AS pieces
+FROM s{_WPT_STEPS}w
+"""
+)
+
+
+@register(
+    "text_wordpiece_tokenize",
+    # Output grain is the DISTINCT eligible word — the tokenization
+    # table itself (the artifact a 100 TB corpus pass broadcast-joins
+    # back to occurrences), so the hash pins every word's exact
+    # segmentation, not a summary of it.
+    oracle=_WPT_ORACLE,
+    # parked past the full r9 window like text_sparse_cosine_pairs;
+    # claims its T10c row when it windows in r10
+    survey="U6,D7",
+)
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece segmentation of every distinct
+    corpus word under the vocabulary learned by text_wordpiece_train
+    (initial characters + '</w>' + the 6 merged symbols).
+
+    Plan shape: training is the 6-round relational loop (model-sized
+    driver traffic, the documented collect exception); the vocabulary
+    is a ~35-symbol literal broadcast into ONE array fold per distinct
+    word — the distinct aggregate is the only exchange, and the fold is
+    pure codegen (jumps array = longest matching symbol per offset,
+    then a bounded 13-step walk). At 100 TB the word table is Zipf-tiny
+    relative to the corpus; occurrences re-join the segmentation by
+    broadcast."""
+    from ssidentity_spark.operators.bpe import wordpiece_train, word_vocab
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    _table, merges = wordpiece_train(spark, word_vocab(docs), k=_WP_K)
+
+    w = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    dw = (
+        spread(docs)
+        .select(w)
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") <= 12))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    chars = sorted(
+        r["c"]
+        for r in dw.select(F.explode(F.split("word", "")).alias("c"))
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    syms = sorted(set(chars) | {"</w>"} | {l + r for l, r in merges})
+
+    base = dw.select(
+        "word", "freq", F.concat(F.col("word"), F.lit("</w>")).alias("wext")
+    ).withColumn("vocab", F.array(*[F.lit(s) for s in syms]))
+    # materialize the jumps array as a real column BEFORE the walk —
+    # CSE does not reach into lambda bodies (the r6 shingle lesson), so
+    # folding over the raw expression would recompute all |vocab| probes
+    # per step
+    jumps = F.transform(
+        F.sequence(F.lit(1), F.length("wext")),
+        lambda pos: F.array_max(
+            F.transform(
+                F.filter(
+                    F.col("vocab"),
+                    lambda v: F.substr(F.col("wext"), pos, F.length(v)) == v,
+                ),
+                lambda v: F.length(v),
+            )
+        ),
+    )
+    base = base.select("word", "freq", "wext", jumps.alias("jumps"))
+
+    init = F.struct(
+        F.lit(1).alias("pos"), F.lit(0).alias("n"), F.lit("").alias("pieces")
+    )
+
+    def step(acc, _):
+        j = F.element_at(F.col("jumps"), acc["pos"])
+        return F.when(
+            acc["pos"] <= F.length("wext"),
+            F.struct(
+                (acc["pos"] + j).alias("pos"),
+                (acc["n"] + 1).alias("n"),
+                F.concat(
+                    acc["pieces"],
+                    F.lit(" "),
+                    F.substr(F.col("wext"), acc["pos"], j),
+                ).alias("pieces"),
+            ),
+        ).otherwise(acc)
+
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(_WPT_STEPS)), init, step)
+    return base.select(
+        "word",
+        "freq",
+        walk["n"].cast("int").alias("n_pieces"),
+        F.ltrim(walk["pieces"]).alias("pieces"),
     )

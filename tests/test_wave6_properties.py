@@ -124,3 +124,20 @@ def test_first_relevant_at_rank_two_halves_mrr(spark, tmp_path):
     dcg = sum(1 / math.log2(r + 1) for r in range(2, 11))
     idcg = sum(1 / math.log2(r + 1) for r in range(1, 11))
     assert m["ndcg_at_k"] == round(dcg / idcg, 6)
+
+
+def test_wordpiece_tokenize_roundtrips_and_uses_merges(spark):
+    """Every segmentation must rebuild word || '</w>' exactly (greedy
+    matching loses nothing), and at least one word must use a merged
+    symbol (the vocab actually reaches the walk)."""
+    rows = REGISTRY["text_wordpiece_tokenize"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    saw_merge = False
+    for r in rows:
+        pieces = r["pieces"].split(" ")
+        assert "".join(pieces) == r["word"] + "</w>"
+        assert r["n_pieces"] == len(pieces)
+        saw_merge |= any(len(p) > 1 and p != "</w>" for p in pieces)
+    assert saw_merge
