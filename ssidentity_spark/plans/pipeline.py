@@ -1513,3 +1513,154 @@ def pipe_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X22 — reciprocal-rank-fusion quality scoring (r9): ensemble the quality
+# SIGNALS instead of picking one. Each signal ranks the corpus on its own
+# scale-free axis (length, lexical diversity, unigram fluency); RRF
+# (Cormack/Clarke/Buettcher 2009) fuses the RANKS — 1/(k + r) with k=60 —
+# so no signal's units dominate and outlier values cannot swamp the blend.
+# The document-selection operators (token budget, mixture select) consume a
+# single quality column; this is where that column comes from when no
+# trained classifier is available.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # standard RRF damping: rank 1 contributes 1/61
+
+
+@register(
+    "pipe_quality_fusion",
+    # Determinism: every rank is over (rounded-or-exact signal DESC,
+    # doc_id) — n_chars and the distinct-ratio are exact (ints / one int
+    # division); the fluency signal is a per-doc float MEAN, so it is
+    # rounded to 6 dp BEFORE ranking on both engines (sub-ulp summation
+    # skew must not flip a rank). The RRF sum is three 1/(60+int)
+    # doubles added left-to-right on both sides — identical bits — and
+    # the fused rank ties break on doc_id.
+    oracle=f"""
+    WITH wl AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), lex AS (
+      SELECT doc_id, n_chars,
+             CAST(len(w) AS BIGINT) AS n_words,
+             len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS lex_ratio
+      FROM wl WHERE len(w) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS term FROM wl
+    ), uc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM tok
+    ), flu AS (
+      SELECT tok.doc_id, round(avg(ln(uc.c / CAST(tot.n AS DOUBLE))), 6)
+               AS fluency
+      FROM tok JOIN uc USING (term) CROSS JOIN tot
+      GROUP BY 1
+    ), sig AS (
+      SELECT lex.doc_id, lex.n_chars, lex.lex_ratio, flu.fluency
+      FROM lex JOIN flu ON lex.doc_id = flu.doc_id
+    ), rk AS (
+      SELECT doc_id, n_chars, lex_ratio, fluency,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r_len,
+             row_number() OVER (ORDER BY lex_ratio DESC, doc_id) AS r_lex,
+             row_number() OVER (ORDER BY fluency DESC, doc_id) AS r_flu
+      FROM sig
+    )
+    SELECT doc_id,
+           CAST(r_len AS BIGINT) AS r_len,
+           CAST(r_lex AS BIGINT) AS r_lex,
+           CAST(r_flu AS BIGINT) AS r_flu,
+           round(1.0 / ({_RRF_K} + r_len) + 1.0 / ({_RRF_K} + r_lex)
+                 + 1.0 / ({_RRF_K} + r_flu), 6) AS rrf,
+           CAST(row_number() OVER (
+             ORDER BY 1.0 / ({_RRF_K} + r_len) + 1.0 / ({_RRF_K} + r_lex)
+                      + 1.0 / ({_RRF_K} + r_flu) DESC, doc_id
+           ) AS BIGINT) AS fused_rank
+    FROM rk
+    """,
+    # parked past the full r9 window; claims its X22 row when it windows
+    # in r10
+    survey="X3,U6,W1",
+)
+def pipe_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse three quality rankings (length, lexical diversity, unigram
+    fluency) into one RRF score and a fused rank per document.
+
+    Plan shape: signals are one corpus scan + one term-keyed exchange
+    (the fluency model); every GLOBAL rank uses the two-phase
+    range-partitioned id assigner (operators/rowids.assign_global_ids)
+    — no single-partition window anywhere, so the ranking itself scales
+    like a sort, and the fused rank reuses the same machinery on the
+    RRF score. The oracle mirrors with plain windows (DuckDB is
+    single-node by definition)."""
+    from ssidentity_spark.operators.rowids import assign_global_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    wl = spread(d.select("doc_id", "n_chars", "text")).select(
+        "doc_id",
+        "n_chars",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    lex = wl.where(F.size("w") > 0).select(
+        "doc_id",
+        "n_chars",
+        F.size("w").cast("long").alias("n_words"),
+        (
+            F.size(F.array_distinct("w")) / F.size("w").cast("double")
+        ).alias("lex_ratio"),
+    )
+    tok = wl.select("doc_id", F.explode("w").alias("term"))
+    uc = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    flu = (
+        tok.join(uc, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("c") / F.col("n").cast("double"))), 6
+            ).alias("fluency")
+        )
+    )
+    sig = lex.select("doc_id", "n_chars", "lex_ratio").join(flu, "doc_id")
+
+    ranked = sig
+    for col, rank_name in (
+        ("n_chars", "r_len"),
+        ("lex_ratio", "r_lex"),
+        ("fluency", "r_flu"),
+    ):
+        ranked = assign_global_ids(
+            ranked.withColumn("_neg", -F.col(col)),
+            ["_neg", "doc_id"],
+            rank_name,
+        ).drop("_neg")
+        ranked = ranked.withColumn(rank_name, F.col(rank_name) + 1)
+
+    rrf = (
+        1.0 / (_RRF_K + F.col("r_len"))
+        + 1.0 / (_RRF_K + F.col("r_lex"))
+        + 1.0 / (_RRF_K + F.col("r_flu"))
+    )
+    fused = ranked.select(
+        "doc_id", "r_len", "r_lex", "r_flu", rrf.alias("_rrf")
+    )
+    fused = assign_global_ids(
+        fused.withColumn("_neg", -F.col("_rrf")),
+        ["_neg", "doc_id"],
+        "fused_rank",
+    ).drop("_neg")
+    return fused.select(
+        "doc_id",
+        "r_len",
+        "r_lex",
+        "r_flu",
+        F.round("_rrf", 6).alias("rrf"),
+        (F.col("fused_rank") + 1).alias("fused_rank"),
+    )

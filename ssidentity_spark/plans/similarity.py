@@ -1257,3 +1257,68 @@ def sim_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sim_ann_recall_eval",
+    # INDEX-quality eval, the sibling of sim_retrieval_eval's EMBEDDING-
+    # quality eval: per query, how much of the exact cosine top-k the
+    # pinned-IVF search recovers (overlap@k). Both rankings are the
+    # already-hash-gated chains (sim_topk_bruteforce, sim_ivf_pinned_topk)
+    # — this query composes them and puts the recall number itself under
+    # the hash, so an index regression (probe count, assignment tie-break,
+    # centroid drift) turns a driver row red instead of only moving an
+    # offline notebook curve (tools/ann_recall.py stays the parameter-sweep
+    # companion).
+    oracle=f"""
+    WITH {_DUCK_VEC}, {_PINNED_IVF_CTES}, ivf_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM cand
+      ) WHERE rnk <= {TOP_K}
+    ), xsc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM xsc
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(i.neighbor_id) AS BIGINT) AS hits,
+           round(count(i.neighbor_id) / {TOP_K}.0, 6) AS recall_at_k
+    FROM exact_top e
+    LEFT JOIN ivf_top i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+    survey="E1,U5",
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the pinned-IVF search against the exact ranking, per
+    query — the hash-gated form of the index-quality check. Pure
+    composition: both sides reuse the registered rankings verbatim, so
+    the plan is the union of their plans plus one pair-keyed left join
+    and a per-query aggregate; at 100 TB it costs what its two inputs
+    cost (the exact side stays the fixed eval sample)."""
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = (
+        sim_ivf_pinned_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    j = exact.join(ivf, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.count("hit").cast("long").alias("hits"),
+        F.round(F.count("hit") / float(TOP_K), 6).alias("recall_at_k"),
+    )

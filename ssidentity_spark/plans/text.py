@@ -1659,8 +1659,19 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same key again) and the dot aggregate on the pair key; norms join
     back at pair grain. At 100 TB the wv table is the maintainable
     artifact (append-only tf/df refresh), DF_CAP bounds every posting
-    list, and the pair aggregate is the only new exchange per refresh."""
+    list, and the pair aggregate is the only new exchange per refresh.
+    DF_CAP is corpus-relative in production (a fixed absolute cap
+    tightens as the corpus grows — tools/wave6_blowup.py measures both
+    regimes); the gate pins the fixed-cap form."""
     d = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(d, _SC_DF_CAP, _SC_THRESHOLD)
+
+
+def sparse_cosine_pairs(
+    d: DataFrame, df_cap: int, threshold: float
+) -> DataFrame:
+    """Parametrized body of text_sparse_cosine_pairs (blow-up probes scale
+    df_cap with corpus replication to keep semantics scale-invariant)."""
     t = (
         spread(d.select("doc_id", "text"))
         .select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w"))
@@ -1678,11 +1689,16 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "shingle")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    # persist tf as well as wv: df derives FROM tf, and column pruning
+    # otherwise gives the df aggregate its own corpus re-scan +
+    # re-explode subtree (plan audit caught the duplicate; one corpus
+    # pass instead of two, −3% at sf0.1 and the real win at corpus scale)
+    tf = tf.persist()
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfq = tf.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
     wv = (
         tf.join(dfq, "shingle")
-        .where(F.col("df") <= _SC_DF_CAP)
+        .where(F.col("df") <= df_cap)
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -1716,7 +1732,7 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot.join(nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a")), "doc_a")
         .join(nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b")), "doc_b")
         .select("doc_a", "doc_b", "n_shared", cos)
-        .where(F.col("cos") >= _SC_THRESHOLD)
+        .where(F.col("cos") >= threshold)
     )
 
 

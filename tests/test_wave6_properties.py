@@ -141,3 +141,29 @@ def test_wordpiece_tokenize_roundtrips_and_uses_merges(spark):
         assert r["n_pieces"] == len(pieces)
         saw_merge |= any(len(p) > 1 and p != "</w>" for p in pieces)
     assert saw_merge
+
+
+def test_quality_fusion_invariants(spark):
+    """Each rank column is a permutation of 1..n, the RRF value is
+    exactly the sum its ranks imply, and the fused rank orders by
+    (rrf desc, doc_id) — recomputed from the output itself."""
+    rows = REGISTRY["pipe_quality_fusion"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r_len", "r_lex", "r_flu", "fused_rank"):
+        assert sorted(r[col] for r in rows) == list(range(1, n + 1))
+    for r in rows:
+        expect = round(
+            1 / (60 + r["r_len"]) + 1 / (60 + r["r_lex"]) + 1 / (60 + r["r_flu"]),
+            6,
+        )
+        assert r["rrf"] == expect
+    # the fused rank orders by the UNROUNDED rrf; the reported rrf is
+    # rounded, so assert monotonicity on the rounded values (non-
+    # increasing along the fused order)
+    by_fused = sorted(rows, key=lambda r: r["fused_rank"])
+    assert [r["rrf"] for r in by_fused] == sorted(
+        (r["rrf"] for r in rows), reverse=True
+    )
