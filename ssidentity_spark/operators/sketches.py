@@ -123,7 +123,18 @@ def hll_estimates(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     ops are one division and — in the small-range branch — one log, both
     single fixed-order expressions DuckDB reproduces."""
     regs = hll_registers(df, group_col, key_col)
-    agg = regs.groupBy(group_col).agg(
+    return hll_estimate_from_registers(regs, [group_col])
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Estimate from an ALREADY-BUILT (group..., bucket, rho) register
+    frame — the merge half of the sketch's contract: registers from any
+    union of inputs (other groups, other days, other tables) combine by
+    per-bucket max BEFORE this call, so set algebra over sketches never
+    touches the raw data (a8_hll_set_algebra)."""
+    agg = regs.groupBy(*group_cols).agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_REST_BITS} - rho AS INT))")
         ).alias("s_present"),
@@ -136,7 +147,7 @@ def hll_estimates(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     v = F.lit(HLL_M) - F.col("n_present")
     small = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))
     est = F.when((e_raw <= 2.5 * HLL_M) & (v > 0), small).otherwise(e_raw)
-    return agg.select(group_col, F.round(est, 4).alias("hll_est"))
+    return agg.select(*group_cols, F.round(est, 4).alias("hll_est"))
 
 
 def hll_error_budget() -> float:

@@ -1317,3 +1317,181 @@ def w6_funnel_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.s").cast("int").alias("funnel_level"),
         F.col("st.t").cast("long").alias("funnel_start_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A8 extension (r9) — HLL SET ALGEBRA: the point of a mergeable sketch is
+# that set operations run on REGISTERS, never on raw data. Union = per-
+# bucket register max (exact for HLL — the union sketch IS the sketch of
+# the union); intersection = inclusion-exclusion over three estimates
+# (approximate, error compounds — reported next to the exact values so the
+# hash pins the estimator AND the measurement of its error).
+# ---------------------------------------------------------------------------
+
+_HLL_SQL_REGS = """
+    ev AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ), b AS (
+      SELECT event_type, h % 512 AS bucket, h >> 9 AS rest FROM ev
+    ), regs AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN rest = 0 THEN 52
+                      ELSE 52 - length(bin(rest)) END) AS rho
+      FROM b GROUP BY 1, 2
+    )"""
+
+
+def _hll_sql_estimate(src: str, keys: str, out: str) -> str:
+    """The register->estimate SQL shared by the per-type and the merged
+    (pair) paths — identical math to operators/sketches.py."""
+    return f"""
+    {out}_agg AS (
+      SELECT {keys},
+             sum(CAST(1 AS BIGINT) << CAST(52 - rho AS INTEGER)) AS sp,
+             CAST(count(*) AS BIGINT) AS np
+      FROM {src} GROUP BY ALL
+    ), {out} AS (
+      SELECT {keys},
+             round(CASE WHEN e_raw <= 1280.0 AND v > 0
+                        THEN 512.0 * ln(512.0 / CAST(v AS DOUBLE))
+                        ELSE e_raw END, 4) AS hll_est
+      FROM (
+        SELECT {keys},
+               8.497699123215257e+20
+                 / CAST(sp + (512 - np) * (CAST(1 AS BIGINT) << 52)
+                        AS DOUBLE) AS e_raw,
+               512 - np AS v
+        FROM {out}_agg)
+    )"""
+
+
+@register(
+    "a8_hll_set_algebra",
+    oracle=f"""
+    WITH {_HLL_SQL_REGS}, types AS (
+      SELECT DISTINCT event_type FROM events
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b2.event_type AS type_b
+      FROM types a JOIN types b2 ON a.event_type < b2.event_type
+    ), mregs AS (
+      SELECT p.type_a, p.type_b, r.bucket, max(r.rho) AS rho
+      FROM pairs p JOIN regs r
+        ON r.event_type = p.type_a OR r.event_type = p.type_b
+      GROUP BY 1, 2, 3
+    ), {_hll_sql_estimate("mregs", "type_a, type_b", "uest")},
+    {_hll_sql_estimate("regs", "event_type", "test")},
+    du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), xinter AS (
+      SELECT a.event_type AS type_a, b2.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS exact_inter
+      FROM du a JOIN du b2
+        ON a.user_id = b2.user_id AND a.event_type < b2.event_type
+      GROUP BY 1, 2
+    ), xcnt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1
+    )
+    SELECT p.type_a, p.type_b,
+           u.hll_est AS hll_union,
+           round(greatest(ea.hll_est + eb.hll_est - u.hll_est, 0.0), 4)
+             AS hll_inter,
+           (ca.n + cb.n - coalesce(xi.exact_inter, 0)) AS exact_union,
+           coalesce(xi.exact_inter, 0) AS exact_inter
+    FROM pairs p
+    JOIN uest u ON u.type_a = p.type_a AND u.type_b = p.type_b
+    JOIN test ea ON ea.event_type = p.type_a
+    JOIN test eb ON eb.event_type = p.type_b
+    JOIN xcnt ca ON ca.event_type = p.type_a
+    JOIN xcnt cb ON cb.event_type = p.type_b
+    LEFT JOIN xinter xi
+      ON xi.type_a = p.type_a AND xi.type_b = p.type_b
+    """,
+    survey="A8,A7,O4",
+)
+def a8_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user UNION and INTERSECTION estimates for every pair of
+    event types, computed purely on HLL register state: the pair's union
+    registers are the per-bucket max of the two types' registers (never
+    a second pass over events), the intersection is inclusion-exclusion
+    over the three estimates (clamped at 0 — IE can go negative at HLL
+    error scale), and both sit next to the exact values. At 100 TB the
+    register table (types x 512 rows) is the maintained artifact — this
+    whole query reads events only to build/refresh it and to measure the
+    estimator's error."""
+    from ssidentity_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "event_type", "user_id").persist()
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    mregs = (
+        F.broadcast(pairs)
+        .join(
+            regs,
+            (regs.event_type == F.col("type_a"))
+            | (regs.event_type == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    uest = hll_estimate_from_registers(mregs, ["type_a", "type_b"]).select(
+        "type_a", "type_b", F.col("hll_est").alias("hll_union")
+    )
+    test_ = hll_estimate_from_registers(regs, ["event_type"])
+    du = ev.select("event_type", "user_id").distinct().persist()
+    xinter = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    xcnt = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ea = test_.select(
+        F.col("event_type").alias("type_a"), F.col("hll_est").alias("ea")
+    )
+    eb = test_.select(
+        F.col("event_type").alias("type_b"), F.col("hll_est").alias("eb")
+    )
+    ca = xcnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    cb = xcnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(uest, ["type_a", "type_b"])
+        .join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .join(xinter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "hll_union",
+            F.round(
+                F.greatest(
+                    F.col("ea") + F.col("eb") - F.col("hll_union"), F.lit(0.0)
+                ),
+                4,
+            ).alias("hll_inter"),
+            (
+                F.col("na") + F.col("nb") - F.coalesce("exact_inter", F.lit(0))
+            ).alias("exact_union"),
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+        )
+    )
