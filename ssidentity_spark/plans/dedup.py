@@ -1832,3 +1832,160 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.join(sharing, "chunk_md5").select(
         "doc_id", "chunk_id", "n_words", "chunk_md5", "n_docs_sharing"
     )
+
+
+# ---------------------------------------------------------------------------
+# X23-dedup (r9) — STOP-GRAM removal: the drop-ALL counterpart of
+# dedup_span_trim's keep-first. Span-trim preserves one copy of every
+# duplicated span (dedup: the content is fine, the copies are not);
+# stop-gram removal deletes every occurrence of word n-grams frequent
+# across DOCUMENTS (boilerplate: headers, disclaimers, navigation — text
+# that is noise in every copy including the first). The C4/CCNet line-level
+# filter restated at word-gram granularity for a newline-free corpus.
+# ---------------------------------------------------------------------------
+
+STOPGRAM_N = 3  # words per gram (the corpus's shingle width)
+STOPGRAM_MIN_DOCS = 4  # a gram in >= this many distinct docs is boilerplate
+# (4 chosen from the measured gram doc-frequency tails: >=8 is VACUOUS at
+# sf0.01 — max nd there is 7 — while >=4 flags 615-26.5k grams across the
+# three SFs, so the gate exercises real removals at every scale)
+
+
+@register(
+    "dedup_stopgram_remove",
+    # Determinism: doc counts are exact integers, doomed positions are
+    # integer sets, and the rebuilt text is md5'd AFTER an identical
+    # space-join on both engines. No floats anywhere.
+    oracle=f"""
+    WITH wl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             w[CAST(i AS BIGINT)] || ' ' || w[CAST(i + 1 AS BIGINT)]
+               || ' ' || w[CAST(i + 2 AS BIGINT)] AS g
+      FROM wl, unnest(generate_series(1, len(w) - {STOPGRAM_N - 1})) AS u(i)
+      WHERE len(w) >= {STOPGRAM_N}
+    ), sg AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1
+      ) WHERE nd >= {STOPGRAM_MIN_DOCS}
+    ), doom AS (
+      SELECT DISTINCT grams.doc_id, covered.p
+      FROM grams JOIN sg USING (g),
+           unnest(generate_series(grams.pos, grams.pos + {STOPGRAM_N - 1}))
+             AS covered(p)
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM doom
+      GROUP BY 1
+    ), rebuilt AS (
+      SELECT wl.doc_id,
+             CAST(len(wl.w) AS BIGINT) AS n_words,
+             coalesce(agg.n_removed, 0) AS n_removed,
+             md5(string_agg(wl.w[CAST(k.p AS BIGINT)], ' ' ORDER BY k.p))
+               AS cleaned_md5
+      FROM wl
+      LEFT JOIN agg USING (doc_id),
+           unnest(generate_series(1, len(wl.w))) AS k(p)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM doom
+        WHERE doom.doc_id = wl.doc_id AND doom.p = k.p
+      )
+      GROUP BY 1, 2, 3
+    )
+    SELECT wl.doc_id,
+           CAST(len(wl.w) AS BIGINT) AS n_words,
+           coalesce(agg.n_removed, 0) AS n_removed,
+           r.cleaned_md5
+    FROM wl
+    LEFT JOIN agg USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    # parked past the full r9 window; claims its X23 row when it windows
+    # in r10
+    survey="EXT-dedup,X3,U6",
+)
+def dedup_stopgram_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove EVERY word position covered by any occurrence of a
+    stop-gram (a {STOPGRAM_N}-word gram present in >= STOPGRAM_MIN_DOCS
+    distinct docs), rebuild the text from the surviving words in order,
+    and report per-doc word/removal counts with the rebuilt text's md5
+    under the hash (fully-removed docs report NULL — distinguishable
+    from the md5 of the empty string).
+
+    Plan shape: ONE gram-keyed exchange (the stop-gram census), a
+    broadcast-or-shuffle semi-join flagging doomed start positions, and
+    the coverage + rebuild entirely ARRAY-side per doc (flatten of
+    per-start spans -> array_except over positions -> join) — the same
+    zero-extra-shuffle rebuild discipline as span_trim's fold. At
+    100 TB the stop-gram table is Zipf-small and maintained; the
+    removal pass is a narrow map over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    wl = spread(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    grams = wl.where(F.size("w") >= STOPGRAM_N).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (STOPGRAM_N - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i),
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                ),
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    sg = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= STOPGRAM_MIN_DOCS)
+        .select("g")
+    )
+    dooms = (
+        grams.join(sg, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("starts"),
+                lambda s: F.sequence(s, s + (STOPGRAM_N - 1)),
+            )
+        )
+    )
+    base = wl.join(dooms, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce(covered, F.array().cast("array<int>")).alias("cov"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w")),
+            lambda p: F.struct(
+                p.alias("p"), F.element_at("w", p).alias("word")
+            ),
+        ),
+        lambda s: ~F.array_contains(F.col("cov"), s["p"]),
+    )
+    return base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size("cov").cast("long").alias("n_removed"),
+        F.when(
+            F.size(kept) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(kept, lambda s: s["word"]), " "
+                )
+            ),
+        ).alias("cleaned_md5"),
+    )

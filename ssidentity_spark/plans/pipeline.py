@@ -1664,3 +1664,113 @@ def pipe_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_rrf", 6).alias("rrf"),
         (F.col("fused_rank") + 1).alias("fused_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X24 (r9) — k-ANONYMITY audit: the privacy gate next to X8's PII
+# redaction. PII removal handles direct identifiers; k-anonymity measures
+# QUASI-identifiers — combinations (language, source, length bucket) rare
+# enough to single a document (or its author) out. The audit walks one
+# generalization ladder (drop source -> drop length -> corpus) and reports,
+# per concrete group, the minimal generalization level at which the group
+# reaches k — the table a release review reads before publishing a corpus.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10
+_KANON_BUCKET = 100  # length generalized to n_chars // 100 buckets
+
+
+@register(
+    "pipe_k_anonymity",
+    # One ROLLUP pass computes every ladder level (the grouping-sets
+    # machinery A9 already exercises) — all counts exact integers.
+    oracle=f"""
+    WITH base AS (
+      SELECT lang, source,
+             CAST(n_chars // {_KANON_BUCKET} AS INTEGER) AS len_bucket
+      FROM documents
+    ), r AS (
+      SELECT lang, len_bucket, source, CAST(count(*) AS BIGINT) AS n,
+             grouping(source) AS gs, grouping(len_bucket) AS gl,
+             grouping(lang) AS gg
+      FROM base GROUP BY ROLLUP (lang, len_bucket, source)
+    ), l0 AS (
+      SELECT lang, len_bucket, source, n AS n_docs FROM r WHERE gs = 0
+    ), l1 AS (
+      SELECT lang, len_bucket, n AS n_l1 FROM r
+      WHERE gs = 1 AND gl = 0
+    ), l2 AS (
+      SELECT lang, n AS n_l2 FROM r WHERE gs = 1 AND gl = 1 AND gg = 0
+    )
+    SELECT l0.lang, l0.source, l0.len_bucket, l0.n_docs, l1.n_l1, l2.n_l2,
+           CAST(CASE WHEN l0.n_docs >= {_KANON_K} THEN 0
+                     WHEN l1.n_l1 >= {_KANON_K} THEN 1
+                     WHEN l2.n_l2 >= {_KANON_K} THEN 2
+                     ELSE 3 END AS INTEGER) AS min_level,
+           (l0.n_docs >= {_KANON_K}) AS is_k_anon
+    FROM l0
+    JOIN l1 USING (lang, len_bucket)
+    JOIN l2 USING (lang)
+    """,
+    # parked past the full r9 window; claims its X24 row when it windows
+    # in r10
+    survey="X3,A9",
+)
+def pipe_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per concrete (lang, source, length-bucket) group: its size, the
+    sizes of its two generalizations, the minimal ladder level reaching
+    k={_KANON_K}, and the k-anonymous flag.
+
+    Plan shape: ONE rollup exchange (partial aggregation map-side, the
+    A9 machinery) computes every ladder level; the ladder joins run on
+    aggregated frames orders smaller than the corpus. At 100 TB quasi-
+    identifier audits stay one pass over the scan regardless of how
+    many ladder levels the lattice path has."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        F.expr(f"CAST(n_chars DIV {_KANON_BUCKET} AS INT)").alias(
+            "len_bucket"
+        ),
+    )
+    r = (
+        base.rollup("lang", "len_bucket", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.grouping("source").alias("gs"),
+            F.grouping("len_bucket").alias("gl"),
+            F.grouping("lang").alias("gg"),
+        )
+        .persist()  # three ladder levels read the one rollup pass
+    )
+    l0 = r.where(F.col("gs") == 0).select(
+        "lang", "len_bucket", "source", F.col("n").alias("n_docs")
+    )
+    l1 = r.where((F.col("gs") == 1) & (F.col("gl") == 0)).select(
+        "lang", "len_bucket", F.col("n").alias("n_l1")
+    )
+    l2 = r.where(
+        (F.col("gs") == 1) & (F.col("gl") == 1) & (F.col("gg") == 0)
+    ).select("lang", F.col("n").alias("n_l2"))
+    min_level = (
+        F.when(F.col("n_docs") >= _KANON_K, 0)
+        .when(F.col("n_l1") >= _KANON_K, 1)
+        .when(F.col("n_l2") >= _KANON_K, 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    return (
+        l0.join(l1, ["lang", "len_bucket"])
+        .join(F.broadcast(l2), "lang")
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "n_docs",
+            "n_l1",
+            "n_l2",
+            min_level.alias("min_level"),
+            (F.col("n_docs") >= _KANON_K).alias("is_k_anon"),
+        )
+    )

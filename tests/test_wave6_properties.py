@@ -167,3 +167,113 @@ def test_quality_fusion_invariants(spark):
     assert [r["rrf"] for r in by_fused] == sorted(
         (r["rrf"] for r in rows), reverse=True
     )
+
+
+def test_hll_set_algebra_bounds_and_union_exactness(spark):
+    """The union estimate must equal the plain HLL estimate of the
+    unioned key set (register max-merge is EXACT for HLL), and both
+    union and intersection estimates must sit within the sketch's error
+    budget of the exact values."""
+    from ssidentity_spark.operators.sketches import (
+        hll_error_budget,
+        hll_estimates,
+    )
+    from ssidentity_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["a8_hll_set_algebra"].fn(spark, sf).collect()
+    assert rows
+    ev = load_table(spark, sf, "events")
+    budget = 6 * hll_error_budget()  # generous: IE compounds 3 sketches
+    for r in rows[:3]:
+        # recompute the union estimate from the RAW unioned rows
+        direct = (
+            hll_estimates(
+                ev.where(
+                    F.col("event_type").isin(r["type_a"], r["type_b"])
+                ).withColumn("g", F.lit("u")),
+                "g",
+                "user_id",
+            ).collect()[0]["hll_est"]
+        )
+        assert r["hll_union"] == direct
+    for r in rows:
+        assert abs(r["hll_union"] - r["exact_union"]) <= budget * r["exact_union"]
+        if r["exact_inter"] > 0:
+            assert (
+                abs(r["hll_inter"] - r["exact_inter"])
+                <= budget * r["exact_union"]
+            )
+
+
+def _stopgram(spark, tmp_path, texts):
+    from ssidentity_spark.plans.dedup import STOPGRAM_MIN_DOCS  # noqa: F401
+
+    out = REGISTRY["dedup_stopgram_remove"].fn(
+        spark, _docs(spark, tmp_path, texts)
+    )
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_stopgram_removes_all_occurrences_at_threshold(spark, tmp_path):
+    """A gram in exactly MIN_DOCS docs is removed from EVERY doc
+    (drop-all, unlike span_trim's keep-first); one below threshold
+    survives everywhere."""
+    import hashlib
+
+    from ssidentity_spark.plans.dedup import STOPGRAM_MIN_DOCS as G
+
+    boiler = "the usual footer"
+    texts = [f"u{i}a u{i}b {boiler} u{i}c" for i in range(G)]
+    texts.append("rare pair here only once plus filler words")
+    got = _stopgram(spark, tmp_path, texts)
+    for i in range(G):
+        m = got[i]
+        assert m["n_removed"] == 3  # exactly the boilerplate gram's span
+        cleaned = f"u{i}a u{i}b u{i}c"
+        assert m["cleaned_md5"] == hashlib.md5(cleaned.encode()).hexdigest()
+    assert got[G]["n_removed"] == 0
+
+
+def test_stopgram_fully_removed_doc_reports_null(spark, tmp_path):
+    from ssidentity_spark.plans.dedup import STOPGRAM_MIN_DOCS as G
+
+    texts = ["only the footer"] * G + ["something else entirely different words"]
+    got = _stopgram(spark, tmp_path, texts)
+    for i in range(G):
+        assert got[i]["n_removed"] == 3
+        assert got[i]["cleaned_md5"] is None
+
+
+def test_stopgram_overlapping_grams_union_coverage(spark, tmp_path):
+    """Overlapping stop-gram occurrences cover the UNION of their spans,
+    not a double count."""
+    from ssidentity_spark.plans.dedup import STOPGRAM_MIN_DOCS as G
+
+    # "a b c d" contains grams "a b c" and "b c d", both in G docs ->
+    # coverage = positions of all four words, removed once each
+    texts = [f"u{i}x a b c d u{i}y" for i in range(G)]
+    got = _stopgram(spark, tmp_path, texts)
+    for i in range(G):
+        assert got[i]["n_removed"] == 4
+
+
+def test_k_anonymity_ladder_is_monotone_and_consistent(spark):
+    from ssidentity_spark.plans.pipeline import _KANON_K
+
+    rows = REGISTRY["pipe_k_anonymity"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    seen_levels = set()
+    for r in rows:
+        assert r["n_docs"] <= r["n_l1"] <= r["n_l2"]
+        counts = [r["n_docs"], r["n_l1"], r["n_l2"]]
+        expect = next(
+            (i for i, c in enumerate(counts) if c >= _KANON_K), 3
+        )
+        assert r["min_level"] == expect
+        assert r["is_k_anon"] == (r["n_docs"] >= _KANON_K)
+        seen_levels.add(r["min_level"])
+    assert len(seen_levels) > 1  # the audit distinguishes groups
