@@ -17,6 +17,7 @@ local mode except ``get_spark``'s master url.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -95,6 +96,14 @@ def get_spark(app_name: str = "ssidentity-spark", cores: int | None = None) -> S
         .config("spark.sql.shuffle.partitions", str(max(2 * n, 8)))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # saveAsTable targets (bucketed S2 store) land under tmp, never
+        # the repo working dir's ./spark-warehouse
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                tempfile.gettempdir(), f"ssidentity-warehouse-{os.getuid()}"
+            ),
+        )
     )
     spark = builder.getOrCreate()
     return tune(spark)
