@@ -1954,6 +1954,15 @@ def dedup_stopgram_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("starts"))
     )
+    return stopgram_rebuild(wl.join(dooms, "doc_id", "left"))
+
+
+def stopgram_rebuild(base: DataFrame) -> DataFrame:
+    """Coverage + rebuild from (doc_id, w, starts) — starts nullable =
+    no stop-gram occurrences. Pure array expressions, SHARED by the
+    batch query above and the streaming twin
+    (streaming/corpus.py:stopgram_remove_stream), so the two can never
+    drift."""
     covered = F.array_distinct(
         F.flatten(
             F.transform(
@@ -1962,7 +1971,7 @@ def dedup_stopgram_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    base = wl.join(dooms, "doc_id", "left").select(
+    base = base.select(
         "doc_id",
         "w",
         F.coalesce(covered, F.array().cast("array<int>")).alias("cov"),

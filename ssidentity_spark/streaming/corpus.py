@@ -283,3 +283,95 @@ def nb_score_stream(docs: DataFrame, model: dict) -> DataFrame:
     return docs.mapInPandas(
         _score, schema="doc_id long, pred_lang string, nb_score double"
     )
+
+
+MAX_STOPGRAMS = 1_000_000  # stop-gram sets are Zipf-small; guard the broadcast
+
+
+def stopgram_set(docs: DataFrame) -> DataFrame:
+    """The corpus stop-gram census (static side for
+    ``stopgram_remove_stream``): word 3-grams in >= STOPGRAM_MIN_DOCS
+    distinct docs — gram construction matches the batch query
+    hash-for-hash."""
+    from ssidentity_spark.plans.dedup import STOPGRAM_MIN_DOCS, STOPGRAM_N
+
+    wl = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    grams = wl.where(F.size("w") >= STOPGRAM_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (STOPGRAM_N - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i),
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= STOPGRAM_MIN_DOCS)
+        .select("g")
+    )
+
+
+def stopgram_remove_stream(docs: DataFrame, stopgrams: DataFrame) -> DataFrame:
+    """Streaming boilerplate removal: the X23 drop-all stop-gram pass
+    over arriving documents. The stop-gram census is a maintained CORPUS
+    artifact (like the decontamination gram set and the NB model), so it
+    ships as a broadcast Python set; only the membership probe is a
+    pandas UDF — coverage and the text rebuild reuse the batch query's
+    array expressions verbatim (plans/dedup.py:stopgram_rebuild), so
+    stream ≡ batch by construction wherever the census agrees. Zero
+    streaming state; per-batch work is O(batch grams)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ssidentity_spark.plans.dedup import STOPGRAM_N, stopgram_rebuild
+
+    rows = stopgrams.select("g").collect()
+    if len(rows) > MAX_STOPGRAMS:
+        raise ValueError(
+            f"{len(rows)} stop-grams exceed the broadcast cap "
+            f"{MAX_STOPGRAMS}; remove in batch (dedup_stopgram_remove) "
+            "instead"
+        )
+    sg = {r.g for r in rows}
+    bc = docs.sparkSession.sparkContext.broadcast(sg)
+
+    @pandas_udf("array<int>")
+    def doomed_starts(grams: pd.Series) -> pd.Series:
+        s = bc.value
+        return grams.apply(
+            lambda gs: [i + 1 for i, g in enumerate(gs) if g in s]
+        )
+
+    wl = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    grams = F.when(
+        F.size("w") >= STOPGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (STOPGRAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("w", i),
+                F.element_at("w", i + 1),
+                F.element_at("w", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = wl.select(
+        "doc_id", "w", doomed_starts(grams).alias("starts")
+    )
+    return stopgram_rebuild(base)

@@ -277,3 +277,36 @@ def test_k_anonymity_ladder_is_monotone_and_consistent(spark):
         assert r["is_k_anon"] == (r["n_docs"] >= _KANON_K)
         seen_levels.add(r["min_level"])
     assert len(seen_levels) > 1  # the audit distinguishes groups
+
+
+def test_stopgram_streaming_twin_matches_batch(spark, tmp_path):
+    """stopgram_remove_stream shares the batch rebuild expressions —
+    parity pinned end-to-end through a real micro-batch, census from the
+    same corpus."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.streaming.corpus import (
+        stopgram_remove_stream,
+        stopgram_set,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    census = stopgram_set(docs)
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stopgram_remove_stream(stream, census)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(tuple, REGISTRY["dedup_stopgram_remove"].fn(spark, sf).collect())
+    )
+    assert got == want and len(got) > 0
