@@ -129,3 +129,111 @@ def ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ema, 6).alias("ema"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS3 (r9) — M4 downsampling (Jugel et al., VLDB 2014): per series and time
+# bucket keep exactly the points a pixel-perfect line rendering needs — the
+# first, last, minimum and maximum — instead of a lossy bucket average.
+# The standard dashboard/visualization rollup for billion-point series; a
+# bucket collapses to <= 4 points no matter how dense it is.
+# ---------------------------------------------------------------------------
+
+_M4_BUCKET = 4 * 3600  # the gapfill grid width: ~5+ points per bucket
+
+
+@register(
+    "ts_m4_downsample",
+    # Determinism: value doubles are read bit-identically from the same
+    # parquet by both engines, and every extreme is selected by a
+    # row_number over a fully-tiebroken order (value, ts, event_id) — no
+    # arithmetic on floats at all, so no rounding is even needed.
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {_M4_BUCKET}) * {_M4_BUCKET} AS BIGINT)
+               AS bucket,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us, value, event_id
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+               ORDER BY value ASC, ts_us ASC, event_id ASC) AS rn_min,
+             row_number() OVER (PARTITION BY event_type, bucket
+               ORDER BY value DESC, ts_us ASC, event_id ASC) AS rn_max,
+             row_number() OVER (PARTITION BY event_type, bucket
+               ORDER BY ts_us ASC, event_id ASC) AS rn_first,
+             row_number() OVER (PARTITION BY event_type, bucket
+               ORDER BY ts_us DESC, event_id DESC) AS rn_last
+      FROM base
+    )
+    SELECT DISTINCT event_type, bucket, ts_us, value FROM r
+    WHERE rn_min = 1 OR rn_max = 1 OR rn_first = 1 OR rn_last = 1
+    """,
+    # parked past the full r9 window; claims its TS3 row when it windows
+    # in r10
+    survey="EXT-timeseries,W1,O5",
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsample of the per-type event series: for every 4-hour
+    bucket, the <= 4 points (first, last, min-value, max-value) that
+    reproduce the bucket's rendered line exactly; ties broken by
+    (ts, event_id) so the selection is a total order.
+
+    Plan shape: ONE (event_type, bucket)-keyed exchange carries all four
+    rank windows (same partition key — Spark re-sorts within partitions,
+    no extra shuffle), then a narrow filter + distinct on the <= 4-row
+    survivors. At 100 TB the output is bounded by 4 x series x buckets
+    regardless of input density — the property that makes M4 the
+    dashboard rollup."""
+    from pyspark.sql import Window
+    from ssidentity_spark.functions.timeutil import epoch_s, epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    import pyspark.sql.functions as F
+
+    base = ev.select(
+        "event_type",
+        (
+            F.floor(epoch_s("ts") / _M4_BUCKET) * _M4_BUCKET
+        ).cast("long").alias("bucket"),
+        epoch_us("ts").cast("long").alias("ts_us"),
+        "value",
+        "event_id",
+    )
+
+    def w(*order):
+        return Window.partitionBy("event_type", "bucket").orderBy(*order)
+
+    r = (
+        base.withColumn(
+            "rn_min",
+            F.row_number().over(
+                w(F.asc("value"), F.asc("ts_us"), F.asc("event_id"))
+            ),
+        )
+        .withColumn(
+            "rn_max",
+            F.row_number().over(
+                w(F.desc("value"), F.asc("ts_us"), F.asc("event_id"))
+            ),
+        )
+        .withColumn(
+            "rn_first",
+            F.row_number().over(w(F.asc("ts_us"), F.asc("event_id"))),
+        )
+        .withColumn(
+            "rn_last",
+            F.row_number().over(w(F.desc("ts_us"), F.desc("event_id"))),
+        )
+    )
+    return (
+        r.where(
+            (F.col("rn_min") == 1)
+            | (F.col("rn_max") == 1)
+            | (F.col("rn_first") == 1)
+            | (F.col("rn_last") == 1)
+        )
+        .select("event_type", "bucket", "ts_us", "value")
+        .distinct()
+    )

@@ -310,3 +310,46 @@ def test_stopgram_streaming_twin_matches_batch(spark, tmp_path):
         map(tuple, REGISTRY["dedup_stopgram_remove"].fn(spark, sf).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_m4_keeps_at_most_four_points_and_the_true_extremes(spark):
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.plans.timeseries import _M4_BUCKET
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["ts_m4_downsample"].fn(spark, sf).collect()
+    assert rows
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[(r["event_type"], r["bucket"])].append(r)
+    assert any(len(v) == 4 for v in by_bucket.values())  # dense buckets
+    for pts in by_bucket.values():
+        assert 1 <= len(pts) <= 4
+    # the selected extremes are the TRUE bucket extremes
+    ev = load_table(spark, sf, "events")
+    truth = {
+        (r["event_type"], r["bucket"]): (r["lo"], r["hi"], r["t0"], r["t1"])
+        for r in ev.groupBy(
+            "event_type",
+            (
+                F.floor(
+                    F.unix_timestamp("ts") / _M4_BUCKET
+                ) * _M4_BUCKET
+            ).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .collect()
+    }
+    for key, pts in by_bucket.items():
+        lo, hi, _t0, _t1 = truth[key]
+        vals = [p["value"] for p in pts]
+        assert min(vals) == lo and max(vals) == hi
