@@ -1998,3 +1998,141 @@ def stopgram_rebuild(base: DataFrame) -> DataFrame:
             ),
         ).alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E2 (r9) — LSH recall/precision eval: the dedup sibling of the retrieval
+# scorecard (plans/similarity.py sim_retrieval_eval). The banding S-curve
+# is usually tuned offline; here the measurement itself is a hash-gated
+# query — ground truth is the EXHAUSTIVE exact Jaccard over every pair that
+# shares a shingle (complete for J > 0: equal min-hashes imply a shared
+# argmin shingle, so both the truth and the candidates live inside the
+# inverted-index pair universe — no n^2 cross anywhere).
+# ---------------------------------------------------------------------------
+
+_LSH_EVAL_THRESHOLDS = (0.3, 0.5, 0.7)
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    # Determinism: Jaccard = inter/(|A|+|B|-inter) over exact integers —
+    # one division of identical doubles; threshold literals identical on
+    # both engines; counts exact.
+    oracle=f"""
+    WITH {_lsh_pairs_sql_ctes()}, sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM shingles GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), universe AS (
+      SELECT inter.doc_a, inter.doc_b,
+             inter.i / CAST(x.s + y.s - inter.i AS DOUBLE) AS j,
+             CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM inter
+      JOIN sz x ON inter.doc_a = x.doc_id
+      JOIN sz y ON inter.doc_b = y.doc_id
+      LEFT JOIN pairs p
+        ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+    ), nc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM pairs
+    )
+    SELECT t.threshold,
+           CAST(count(*) AS BIGINT) AS n_true,
+           nc.n_candidates,
+           CAST(sum(u.hit) AS BIGINT) AS n_caught,
+           round(sum(u.hit) / nullif(CAST(count(*) AS DOUBLE), 0), 6)
+             AS recall,
+           round(sum(u.hit) / CAST(nc.n_candidates AS DOUBLE), 6)
+             AS precision_of_candidates
+    FROM (VALUES {", ".join(f"({t})" for t in _LSH_EVAL_THRESHOLDS)})
+      AS t(threshold)
+    JOIN universe u ON u.j >= t.threshold
+    CROSS JOIN nc
+    GROUP BY 1, 3
+    """,
+    # parked past the full r9 window; claims its E2 row when it windows
+    # in r10
+    survey="EXT-dedup,A6,J2",
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall and candidate-precision of the MinHash-LSH banding at
+    three Jaccard thresholds, against exhaustive exact Jaccard ground
+    truth. tools/dedup_blowup.py measures the S-curve offline; this puts
+    the number the banding is TUNED FOR in a driver artifact, so a band/
+    row-count change that silently drops recall turns a row red.
+
+    Plan shape: the truth side is the shingle inverted-index join (one
+    shingle-keyed exchange + a pair aggregate — exhaustive for J > 0 by
+    the argmin argument above, never an n^2 cross); the candidate side
+    is the production bucket-rollup; one pair-keyed left join marks
+    catches and a 3-row threshold dimension broadcast-joins the
+    scorecard together. At 100 TB ground truth comes from a SAMPLE of
+    the corpus (the docstring contract of every eval query); the
+    machinery is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingles(d).persist()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    cand = (
+        _spark_lsh_pairs(d)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    universe = (
+        inter.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
+        )
+        .join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            (
+                F.col("i")
+                / (F.col("sa") + F.col("sb") - F.col("i")).cast("double")
+            ).alias("j"),
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+        )
+    )
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    thresholds = spark.createDataFrame(
+        [(t,) for t in _LSH_EVAL_THRESHOLDS], "threshold double"
+    )
+    return (
+        universe.join(
+            F.broadcast(thresholds), F.col("j") >= F.col("threshold")
+        )
+        .join(F.broadcast(nc))
+        .groupBy("threshold", "n_candidates")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum("hit").cast("long").alias("n_caught"),
+            F.round(
+                F.sum("hit") / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.sum("hit") / F.col("n_candidates").cast("double"), 6
+            ).alias("precision_of_candidates"),
+        )
+        .select(
+            "threshold",
+            "n_true",
+            "n_candidates",
+            "n_caught",
+            "recall",
+            "precision_of_candidates",
+        )
+    )
