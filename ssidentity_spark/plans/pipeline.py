@@ -1774,3 +1774,126 @@ def pipe_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") >= _KANON_K).alias("is_k_anon"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X25 (r9) — the DATASET CARD: the datasheet a corpus release ships with
+# (Gebru et al., "Datasheets for Datasets"), computed as one query — per
+# source: volume, token counts, length profile, language mix, and the
+# exact-duplicate rate. Every number the other pipeline operators act on,
+# rolled into the artifact a human reviews.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_dataset_card",
+    # All integers (counts, sums) except avg_chars (one division,
+    # rounded) and dup_rate (one division, rounded) — hash-stable by
+    # construction; the language mix is an ORDERED CSV, the repo's flat-
+    # output convention.
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             md5(text) AS h
+      FROM documents
+    ), census AS (
+      SELECT h FROM (
+        SELECT h, count(*) AS c FROM base GROUP BY 1
+      ) WHERE c > 1
+    ), flagged AS (
+      SELECT base.*, CASE WHEN census.h IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM base LEFT JOIN census USING (h)
+    ), lx AS (
+      SELECT source,
+             string_agg(lang || ':' || CAST(c AS VARCHAR), ','
+                        ORDER BY lang) AS lang_counts_csv
+      FROM (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(CAST(f.n_chars AS DOUBLE)) / count(*), 2) AS avg_chars,
+           CAST(sum(f.is_dup) AS BIGINT) AS n_exact_dup_docs,
+           round(sum(f.is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+           lx.lang_counts_csv
+    FROM flagged f JOIN lx ON f.source = lx.source
+    GROUP BY 1, 7
+    """,
+    # parked past the full r9 window; claims its X25 row when it windows
+    # in r10
+    survey="X3,A1,A6",
+)
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datasheet: document count, token volume, mean length,
+    exact-duplicate count/rate (corpus-wide md5 census), and the ordered
+    language mix — the one-query release artifact.
+
+    Plan shape: one corpus scan feeds a source-keyed aggregate, an
+    md5-census aggregate (map-side combine, dup keys are rare), and a
+    (source, lang) rollup whose CSV is assembled from the AGGREGATED
+    grain; at 100 TB each piece is a single exchange over counts, and
+    the scan is shared. No floats beyond two rounded divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d).select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).cast("long").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    base = base.persist()  # census + per-source + lang mix share the scan
+    census = (
+        base.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("h")
+        .withColumn("dup", F.lit(1))
+    )
+    flagged = base.join(census, "h", "left").select(
+        "source",
+        "n_chars",
+        "n_tokens",
+        F.coalesce("dup", F.lit(0)).alias("is_dup"),
+    )
+    lx = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("lang", "c"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["lang"], s["c"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("lang_counts_csv")
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n_chars").cast("double")) / F.count(F.lit(1)), 2
+            ).alias("avg_chars"),
+            F.sum("is_dup").cast("long").alias("n_exact_dup_docs"),
+            F.round(
+                F.sum("is_dup") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .join(F.broadcast(lx), "source")
+    )
