@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table, spread
-from ssidentity_spark.plans.dedup import _lsh_pairs_sql_ctes
+from ssidentity_spark.plans.dedup import (
+    _lsh_pairs_sql_ctes,
+    _minhash_agg_sql,
+    _minhash_sql_shingles,
+)
 from ssidentity_spark.plans.text import _STOPWORDS
 from ssidentity_spark.registry import register
 
@@ -1896,4 +1900,97 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
         .join(F.broadcast(lx), "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X26 (r9) — cross-source LEAKAGE matrix: the dataset card reports each
+# source's internal dup rate; a release review also needs to know which
+# source PAIRS share content (mirrors, scrapes of scrapes, benchmark text
+# syndicated into web crawl). Duplicate pairs are detected at SIGNATURE
+# grain — docs whose full 8-hash MinHash signature is identical (J ~ 1
+# near-duplicates; raw-md5 exact equality is reported alongside but the
+# corpus plants near-copies, not byte-copies, below sf0.1) — and rolled up
+# to the (source_a, source_b) grain including the within-source diagonal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_cross_source_leakage",
+    # All counts exact; pair grain is (unordered source pair) with the
+    # smaller source name first — identical ordering both engines. The
+    # signature key reuses the gated MinHash chain verbatim.
+    oracle=f"""
+    WITH {_minhash_sql_shingles()}, sigs AS (
+      {_minhash_agg_sql()}
+    ), keyed AS (
+      SELECT s.doc_id, d.source, d.h,
+             s.mh0 || s.mh1 || s.mh2 || s.mh3 || s.mh4 || s.mh5
+               || s.mh6 || s.mh7 AS sig
+      FROM sigs s JOIN (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+      ) d USING (doc_id)
+    ), pairs AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS within,
+             CASE WHEN a.h = b.h THEN 1 ELSE 0 END AS exact_dup
+      FROM keyed a JOIN keyed b
+        ON a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_neardup_pairs,
+           CAST(sum(within) AS BIGINT) AS n_within,
+           CAST(sum(exact_dup) AS BIGINT) AS n_exact
+    FROM pairs GROUP BY 1, 2
+    """,
+    # parked past the full r9 window; claims its X26 row when it windows
+    # in r10
+    survey="X3,A4,J2",
+)
+def pipe_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts per unordered source pair — which
+    sources share content, how much duplication is internal (the
+    diagonal) vs cross-source (the leakage a release review cares
+    about), and how much of it is byte-exact.
+
+    Plan shape: the signature table is the SAME maintained MinHash
+    artifact every dedup query reads; pairing is one sig-keyed
+    self-join (per-key fan-out = dup-group size, never the corpus) and
+    one pair-grain aggregate. At 100 TB both audits (this and the
+    dataset card) read the one materialized signature/census frame."""
+    from ssidentity_spark.plans.dedup import _spark_minhash, _spark_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = _spark_minhash(_spark_shingles(d))
+    sig = F.concat(*[F.col(f"mh{j}") for j in range(8)]).alias("sig")
+    keyed = sigs.select("doc_id", sig).join(
+        spread(d).select("doc_id", "source", F.md5("text").alias("h")),
+        "doc_id",
+    )
+    a = keyed.select("doc_id", "source", "sig", "h")
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("source_b0"),
+        "sig",
+        F.col("h").alias("h_b"),
+    )
+    pairs = (
+        a.join(b, "sig")
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.least("source", "source_b0").alias("source_a"),
+            F.greatest("source", "source_b0").alias("source_b"),
+            F.when(F.col("source") == F.col("source_b0"), 1)
+            .otherwise(0)
+            .alias("within"),
+            F.when(F.col("h") == F.col("h_b"), 1).otherwise(0).alias(
+                "exact_dup"
+            ),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"),
+        F.sum("within").cast("long").alias("n_within"),
+        F.sum("exact_dup").cast("long").alias("n_exact"),
     )
