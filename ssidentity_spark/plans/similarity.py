@@ -598,7 +598,10 @@ PINNED_CENT_MOD = 97  # centroid set: vec_id % 97 == 0 → k grows with corpus
 # streaming probe operator), so a tie-break or rounding fix applies to
 # both hash-gated queries at once instead of living as two hand-synced
 # 30-line copies (r7 review).
-_PINNED_IVF_CTES = f"""cent AS (
+# assignment half (cent/ranked/cells) — shared verbatim by the fixed-probe
+# chain below AND the probe-count curve (sim_ivf_probe_curve), so the
+# assignment SQL can never drift between the point and the curve
+_PINNED_ASSIGN_CTES = f"""cent AS (
       SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
       WHERE vec_id % {PINNED_CENT_MOD} = 0
     ), ranked AS (
@@ -613,7 +616,9 @@ _PINNED_IVF_CTES = f"""cent AS (
         FROM n CROSS JOIN cent c)
     ), cells AS (
       SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
-    ), probes AS (
+    )"""
+
+_PINNED_IVF_CTES = f"""{_PINNED_ASSIGN_CTES}, probes AS (
       SELECT vec_id AS query_id, cid AS cell FROM ranked
       WHERE vec_id < {N_QUERIES} AND rn <= {N_PINNED_PROBES}
     ), cand AS (
@@ -1321,4 +1326,154 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("k"),
         F.count("hit").cast("long").alias("hits"),
         F.round(F.count("hit") / float(TOP_K), 6).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1c — the recall-vs-probes CURVE (r9): E1b measures the shipped probe
+# count; tuning needs the whole curve. ONE pipeline, not n_probes reruns:
+# the probe-count dimension (1..4) cross-joins onto the assignment ranking
+# with rn <= n_probes, so assignment and exact scoring run once and every
+# curve point falls out of the same aggregate.
+# ---------------------------------------------------------------------------
+
+_CURVE_MAX_PROBES = 4
+
+
+@register(
+    "sim_ivf_probe_curve",
+    oracle=f"""
+    WITH {_DUCK_VEC}, {_PINNED_ASSIGN_CTES}, pdim AS (
+      SELECT CAST(unnest(generate_series(1, {_CURVE_MAX_PROBES})) AS INTEGER)
+        AS n_probes
+    ), probes_all AS (
+      SELECT p.n_probes, r.vec_id AS query_id, r.cid AS cell
+      FROM ranked r JOIN pdim p ON r.rn <= p.n_probes
+      WHERE r.vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT pa.n_probes, pa.query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM probes_all pa
+      JOIN cells c ON c.cell = pa.cell AND c.vec_id <> pa.query_id
+      JOIN cells q ON q.vec_id = pa.query_id
+    ), ivf_top AS (
+      SELECT n_probes, query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY n_probes, query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM cand
+      ) WHERE rnk <= {TOP_K}
+    ), xsc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM xsc
+      ) WHERE rnk <= {TOP_K}
+    ), per_q AS (
+      SELECT p.n_probes, e.query_id,
+             CAST(count(i.neighbor_id) AS BIGINT) AS hits
+      FROM pdim p
+      CROSS JOIN exact_top e
+      LEFT JOIN ivf_top i
+        ON i.n_probes = p.n_probes AND i.query_id = e.query_id
+       AND i.neighbor_id = e.neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT n_probes,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(hits / {TOP_K}.0), 6) AS mean_recall,
+           round(min(hits / {TOP_K}.0), 6) AS min_recall
+    FROM per_q GROUP BY 1
+    """,
+    # parked past the full r9 window; claims its E1c row when it windows
+    # in r10
+    survey="E1,U5",
+)
+def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and worst-case recall@k of the pinned-IVF search at every
+    probe count 1..{_CURVE_MAX_PROBES} — the tuning curve as one
+    hash-gated artifact. Assignment runs ONCE (the probe dimension
+    cross-joins onto the ranking with rn <= n_probes), the exact side
+    runs once, and every curve point falls out of the same per-
+    (n_probes, query) aggregate. hits/k ratios are exact multiples of
+    1/k, so the averages are hash-stable at 6 dp."""
+    em = load_table(spark, sf_dir, "embeddings")
+    base = _norm_vec(em)
+    cent = base.filter(F.col("vec_id") % PINNED_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("cell_cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cid")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).persist()
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "v", "nrm", F.col("cid").alias("cell")
+    )
+    pdim = spark.createDataFrame(
+        [(p,) for p in range(1, _CURVE_MAX_PROBES + 1)], "n_probes int"
+    )
+    probes_all = (
+        ranked.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(pdim), F.col("rn") <= F.col("n_probes"))
+        .select(
+            "n_probes", F.col("vec_id").alias("query_id"), F.col("cid").alias("cell")
+        )
+    )
+    qv = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = (
+        cells.join(F.broadcast(probes_all), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "n_probes",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("n_probes", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    ivf_top = (
+        cand.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("n_probes", "query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    exact_top = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    per_q = (
+        exact_top.crossJoin(F.broadcast(pdim))
+        .join(ivf_top, ["n_probes", "query_id", "neighbor_id"], "left")
+        .groupBy("n_probes", "query_id")
+        .agg(F.count("hit").cast("long").alias("hits"))
+    )
+    return per_q.groupBy("n_probes").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg(F.col("hits") / float(TOP_K)), 6).alias("mean_recall"),
+        F.round(F.min(F.col("hits") / float(TOP_K)), 6).alias("min_recall"),
     )
