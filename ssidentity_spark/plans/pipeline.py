@@ -1994,3 +1994,145 @@ def pipe_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("within").cast("long").alias("n_within"),
         F.sum("exact_dup").cast("long").alias("n_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E3 (r9) — split-leakage eval: X1b CLAIMS cluster-level splitting stops
+# near-dup train/test leakage; this measures it. For BOTH split rules
+# (doc-level X1, cluster-level X1b) count the LSH near-dup pairs whose
+# endpoints land in different splits — the number of test examples with a
+# train-side near-copy. The doc-level row is the control (> 0 by
+# construction wherever clusters exist); the cluster-level row must be 0,
+# and that zero sits under the driver hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_split_leakage_eval",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pairs_sql_ctes()}, edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ), comp AS (
+      SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u
+    ), keyed AS (
+      SELECT d.doc_id,
+             md5(CAST(d.doc_id AS VARCHAR)) AS doc_h,
+             md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR))
+               AS cluster_h
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), splits AS (
+      SELECT doc_id,
+             CASE WHEN substr(doc_h, 1, 2) < '{_TRAIN_LT}' THEN 'train'
+                  WHEN substr(doc_h, 1, 2) < '{_VAL_LT}' THEN 'val'
+                  ELSE 'test' END AS doc_split,
+             CASE WHEN substr(cluster_h, 1, 2) < '{_TRAIN_LT}' THEN 'train'
+                  WHEN substr(cluster_h, 1, 2) < '{_VAL_LT}' THEN 'val'
+                  ELSE 'test' END AS cluster_split
+      FROM keyed
+    ), scored AS (
+      SELECT (a.doc_split <> b.doc_split) AS doc_cross,
+             (a.cluster_split <> b.cluster_split) AS cluster_cross
+      FROM pairs p
+      JOIN splits a ON p.doc_a = a.doc_id
+      JOIN splits b ON p.doc_b = b.doc_id
+    )
+    SELECT rule, n_pairs, n_crossing,
+           round(n_crossing / nullif(CAST(n_pairs AS DOUBLE), 0), 6)
+             AS crossing_rate
+    FROM (
+      SELECT 'doc_level' AS rule, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN doc_cross THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_crossing
+      FROM scored
+      UNION ALL
+      SELECT 'cluster_level', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN cluster_cross THEN 1 ELSE 0 END) AS BIGINT)
+      FROM scored
+    )
+    """,
+    # parked past the full r9 window; claims its E3 row when it windows
+    # in r10
+    survey="X1,EXT-dedup,A6",
+)
+def pipe_split_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs straddling the train/val/test boundary, for the
+    doc-level (X1) and cluster-level (X1b) split rules side by side —
+    the leak-safety CLAIM as a measured, hash-gated number (the
+    cluster-level count is 0 by construction; the doc-level count is
+    the control showing the leak is real).
+
+    Plan shape: one LSH pair generation + one component solve (both
+    already run by the dedup family — production shares them), then two
+    broadcast-sized joins of splits onto pairs and one aggregate."""
+    from ssidentity_spark.operators.graph import connected_components_star
+    from ssidentity_spark.plans.dedup import _spark_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _spark_lsh_pairs(d).select("doc_a", "doc_b").persist()
+    comp = connected_components_star(
+        pairs, src="doc_a", dst="doc_b"
+    ).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    splits = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            _split_of(F.col("doc_id")).alias("doc_split"),
+            _split_of(
+                F.coalesce("cluster_id", F.col("doc_id"))
+            ).alias("cluster_split"),
+        )
+    )
+    scored = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("doc_split").alias("da"),
+                F.col("cluster_split").alias("ca"),
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("doc_split").alias("db"),
+                F.col("cluster_split").alias("cb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            (F.col("da") != F.col("db")).alias("doc_cross"),
+            (F.col("ca") != F.col("cb")).alias("cluster_cross"),
+        )
+        .persist()
+    )
+
+    def row(rule: str, cross_col: str) -> DataFrame:
+        return scored.agg(
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col(cross_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_crossing"),
+        ).select(
+            "rule",
+            "n_pairs",
+            "n_crossing",
+            F.round(
+                F.col("n_crossing")
+                / F.nullif(F.col("n_pairs").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("crossing_rate"),
+        )
+
+    return row("doc_level", "doc_cross").unionByName(
+        row("cluster_level", "cluster_cross")
+    )
