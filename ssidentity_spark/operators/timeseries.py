@@ -174,3 +174,41 @@ def resample_interpolate(
         rounded.alias("value_interp"),
         F.col("obs_val").isNull().alias("gap_filled"),
     )
+
+
+def m4_point_exprs() -> list[Column]:
+    """The four M4 aggregation expressions over (ts_us, value, event_id)
+    rows — lexicographic struct min/max carry the winning point's fields
+    along with its tiebreaks, so the selection is a plain aggregate (no
+    window), which makes it MAP-SIDE COMBINABLE in batch and a bounded
+    stateful aggregation on a stream. SHARED by the streaming twin
+    (streaming/ema.py:m4_downsample_stream) and its batch parity frame,
+    so the role selection cannot drift. Tiebreaks match the gated query
+    (plans/timeseries.py:ts_m4_downsample): value ties -> earliest
+    (ts, id); first/last by (ts, id)."""
+    from pyspark.sql import functions as F
+
+    def pt(s):
+        return F.struct(
+            s["ts_us"].alias("ts_us"), s["value"].alias("value")
+        )
+
+    p_min = F.min(F.struct("value", "ts_us", "event_id"))
+    # max value with EARLIEST tie: negate the tiebreak components
+    p_max = F.max(
+        F.struct(
+            "value",
+            (-F.col("ts_us")).alias("nts"),
+            (-F.col("event_id")).alias("nid"),
+        )
+    )
+    p_first = F.min(F.struct("ts_us", "event_id", "value"))
+    p_last = F.max(F.struct("ts_us", "event_id", "value"))
+    return [
+        pt(p_min).alias("p_min"),
+        F.struct(
+            (-p_max["nts"]).alias("ts_us"), p_max["value"].alias("value")
+        ).alias("p_max"),
+        pt(p_first).alias("p_first"),
+        pt(p_last).alias("p_last"),
+    ]

@@ -96,3 +96,59 @@ def ema_stream(changes: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def m4_downsample_stream(
+    events: DataFrame, bucket: str = "4 hours", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming M4 downsample: per (event_type, event-time window) the
+    first/last/min/max points, as a WATERMARKED WINDOWED AGGREGATION —
+    M4's selection is four lexicographic struct extremes (no rank
+    window), so the streaming state per open bucket is exactly four
+    points and the sink receives append-mode finalized buckets. The
+    aggregation expressions are SHARED with the batch parity frame
+    (operators/timeseries.m4_point_exprs), and the window START equals
+    the gated batch query's floor-epoch bucket (UTC session), so stream
+    output == ts_m4_downsample's point set on closed buckets — parity
+    pinned by test."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.functions.timeutil import epoch_us
+    from ssidentity_spark.operators.timeseries import m4_point_exprs
+
+    # watermarks require TIMESTAMP (not NTZ, which the testdata carries);
+    # the session is pinned UTC, so the cast is wall-clock identity and
+    # window starts still equal the batch query's floor-epoch buckets
+    base = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            "ts",
+            "event_type",
+            epoch_us("ts").cast("long").alias("ts_us"),
+            "value",
+            "event_id",
+        )
+    )
+    agg = base.groupBy(
+        "event_type", F.window("ts", bucket).alias("w")
+    ).agg(*m4_point_exprs())
+    role = F.explode(
+        F.map_from_arrays(
+            F.array(
+                F.lit("min"), F.lit("max"), F.lit("first"), F.lit("last")
+            ),
+            F.array("p_min", "p_max", "p_first", "p_last"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        epoch_us(F.col("w.start")).cast("long").alias("bucket_us"),
+        role.alias("role", "p"),
+    ).select(
+        "event_type",
+        "bucket_us",
+        "role",
+        F.col("p.ts_us").alias("ts_us"),
+        F.col("p.value").alias("value"),
+    )

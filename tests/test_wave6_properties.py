@@ -353,3 +353,91 @@ def test_m4_keeps_at_most_four_points_and_the_true_extremes(spark):
         lo, hi, _t0, _t1 = truth[key]
         vals = [p["value"] for p in pts]
         assert min(vals) == lo and max(vals) == hi
+
+
+def test_m4_streaming_twin_matches_batch_and_gated_point_set(spark, tmp_path):
+    """m4_downsample_stream shares its aggregation expressions with the
+    batch frame — parity pinned through a real micro-batch, and the
+    stream's distinct point set equals the gated query's output."""
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.functions.timeutil import epoch_us
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.timeseries import m4_point_exprs
+    from ssidentity_spark.streaming.ema import m4_downsample_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "src")
+    ev.select("ts", "event_type", "value", "event_id").write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp_ntz, event_type string, value double, event_id long"
+    ).parquet(src)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        m4_downsample_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    # batch twin from the SAME aggregation expressions
+    batch = (
+        ev.select(
+            "event_type",
+            F.window("ts", "4 hours").alias("w"),
+            epoch_us("ts").cast("long").alias("ts_us"),
+            "value",
+            "event_id",
+        )
+        .groupBy("event_type", "w")
+        .agg(*m4_point_exprs())
+    )
+    # append mode emits a bucket only once the watermark passes its END —
+    # the trailing buckets inside the 2h horizon stay open forever on a
+    # bounded input, so parity is exact over CLOSED buckets
+    max_ts_us = ev.agg(
+        F.max(epoch_us("ts")).alias("m")
+    ).collect()[0]["m"]
+    cutoff_us = max_ts_us - 2 * 3600 * 1_000_000
+    bucket_us = 4 * 3600 * 1_000_000
+
+    def closed(b):
+        return b + bucket_us <= cutoff_us
+
+    want_rows = set()
+    for r in batch.collect():
+        b = int(r["w"]["start"].timestamp() * 1_000_000)
+        if not closed(b):
+            continue
+        for role in ("min", "max", "first", "last"):
+            p = r[f"p_{role}"]
+            want_rows.add((r["event_type"], b, role, p["ts_us"], p["value"]))
+    got_rows = {
+        (r["event_type"], r["bucket_us"], r["role"], r["ts_us"], r["value"])
+        for r in got.collect()
+        if closed(r["bucket_us"])
+    }
+    assert got_rows == want_rows and len(got_rows) > 0
+    # nothing beyond the horizon leaked into the append output early
+    emitted = {r["bucket_us"] for r in got.collect()}
+    want_buckets = {b for (_t, b, *_rest) in want_rows}
+    assert want_buckets <= emitted
+
+    # and the stream's DISTINCT point set matches the gated query on
+    # closed buckets
+    gated = {
+        (r["event_type"], r["bucket"] * 1_000_000, r["ts_us"], r["value"])
+        for r in REGISTRY["ts_m4_downsample"].fn(spark, sf).collect()
+        if closed(r["bucket"] * 1_000_000)
+    }
+    stream_points = {
+        (r["event_type"], r["bucket_us"], r["ts_us"], r["value"])
+        for r in got.collect()
+        if closed(r["bucket_us"])
+    }
+    assert stream_points == gated
