@@ -184,17 +184,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate
-# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). FIRST the thirteen
+# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). FIRST the fourteen
 # r9-new-but-parked queries (every r9 slot spent on other first-timers;
 # each local-green at all three SFs): text_sparse_cosine_pairs,
 # text_wordpiece_tokenize, sim_ann_recall_eval, pipe_quality_fusion,
 # a8_hll_set_algebra, dedup_stopgram_remove, pipe_k_anonymity,
 # ts_m4_downsample, dedup_lsh_recall_eval, pipe_dataset_card,
 # pipe_cross_source_leakage, sim_ivf_probe_curve,
-# pipe_split_leakage_eval — they lead the r10 window (thirteen parked
-# first-timers) and claim their U6g / T10c / E1b / X22 / A8b / X23 /
-# X24 / TS3 / E2 / X25 / X26 / E1c / E3 survey rows there (SURVEY
-# §2.10-2.11 rows added this session). Then any r10-new queries.
+# pipe_split_leakage_eval, text_ngram_novelty — they lead the r10
+# window (fourteen parked first-timers) and claim their U6g / T10c /
+# E1b / X22 / A8b / X23 / X24 / TS3 / E2 / X25 / X26 / E1c / E3 / U6h
+# survey rows there (SURVEY §2.10-2.11 rows added this session). Then
+# any r10-new queries.
 # Then rotation is pure staleness order: the displaced r1/r3
 # entries — r9's eighteen new first-timers pushed out, oldest-display
 # first: the r1 vintage five (w3_rolling_count_10min, w2_transitions,

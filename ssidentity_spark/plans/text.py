@@ -1894,3 +1894,98 @@ def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         walk["n"].cast("int").alias("n_pieces"),
         F.ltrim(walk["pieces"]).alias("pieces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U6h (r9) — n-gram NOVELTY: the corpus-freshness curve. As a corpus is
+# ingested in doc_id order, what fraction of each document's 3-grams has
+# never been seen before? Dedup asks "is this document a copy"; novelty
+# asks the dual — "how much NEW text does each document contribute" — the
+# signal ingestion monitoring plots to detect a source going stale (curve
+# collapses toward 0) or a scrape loop (sudden plateau).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    # First occurrence = min(doc_id) per gram — exact integers; the
+    # novelty ratio is one rounded division. No ordering dependence
+    # beyond doc_id itself, so the hash is order-insensitively stable.
+    oracle="""
+    WITH wl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             w[CAST(i AS BIGINT)] || ' ' || w[CAST(i + 1 AS BIGINT)]
+               || ' ' || w[CAST(i + 2 AS BIGINT)] AS g
+      FROM wl, unnest(generate_series(1, len(w) - 2)) AS u(i)
+      WHERE len(w) >= 3
+    ), firsts AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1
+    )
+    SELECT grams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN firsts.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN firsts.first_doc = grams.doc_id
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM grams JOIN firsts USING (g)
+    GROUP BY 1
+    """,
+    # parked past the full r9 window; claims its U6h row when it windows
+    # in r10
+    survey="U6,EXT-dedup,A4",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-grams whose
+    FIRST corpus occurrence (min doc_id) is this document — the
+    ingestion-monitoring curve that collapses when a source goes stale
+    and plateaus on a scrape loop (dedup's dual: contribution, not
+    copying).
+
+    Plan shape: one gram-keyed exchange for the first-occurrence census
+    (min is map-side combinable), one join back at gram grain, one
+    per-doc aggregate. At 100 TB the firsts table is the maintained
+    artifact — a new batch's novelty needs only its own grams probed
+    against it (the X12 incremental pattern applies verbatim)."""
+    d = load_table(spark, sf_dir, "documents")
+    wl = spread(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    w = F.col("w")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i),
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+        ),
+    )
+    grams = (
+        wl.where(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("g"))
+        .persist()  # census + the join-back share one materialization
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                novel / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
