@@ -117,6 +117,15 @@ def _commit(
         "parent": version - 1 if version > 0 else None,
         **(meta or {}),
     }
+    if "constraints" not in manifest and version > 0:
+        # CHECK constraints ride EVERY manifest once the table has ever
+        # declared any (like the batch ledger): vacuum drops old
+        # manifests, so a walk-back-only record could be reclaimed — or
+        # worse, a dropped constraint could RESURRECT when the post-drop
+        # {} manifest is vacuumed and an older one resurfaces
+        rec = _constraints_record(path)
+        if rec is not None:
+            manifest["constraints"] = dict(rec)
     # crash-atomic AND exclusive: the manifest is fully written to a tmp
     # file first, then os.link() publishes it — link is atomic and fails
     # with FileExistsError if v{N} exists, so a crash mid-write leaves
@@ -211,6 +220,13 @@ def write_versioned(
         # check re-runs inside commit_files against the commit-time parent
         check_schema_evolution(
             _read_manifest(path, parent).get("schema"), _df_schema_spec(df), mode
+        )
+    if parent is not None:
+        # CHECK constraints: enforced before a byte is staged; a racing
+        # concurrent add_constraint is seen by the NEXT write (snapshot
+        # semantics, like the schema fast-path above)
+        check_constraints(
+            df, table_constraints(path), f"write_versioned({mode}) at {path}"
         )
     attempt_version = 0 if parent is None else parent + 1
     stage = os.path.join(path, _DATA, f"s{attempt_version:08d}-{_attempt_tag()}")
@@ -685,6 +701,11 @@ def update_where(
     )
     change_pre = _write_change_file(pre, path, tip + 1, tag="-pre")
     change_post = _write_change_file(post, path, tip + 1, tag="-post")
+    # the SET expressions can introduce constraint violations — check
+    # the rewritten rows (hit files only) before anything is staged
+    check_constraints(
+        rewritten, table_constraints(path), f"update_where at {path}"
+    )
     stage = os.path.join(path, _DATA, f"update-{tip + 1:08d}-{_attempt_tag()}")
     rewritten.write.mode("error").parquet(stage)
     src.unpersist()
@@ -1172,6 +1193,11 @@ def merge_into(
             change_files.append(rel)
 
         rewritten = joined.where(~doom).select(*out_cols)
+        # merged rows (updates + inserts) can violate — check before
+        # anything is staged
+        check_constraints(
+            rewritten, table_constraints(path), f"merge_into at {path}"
+        )
         stage = os.path.join(path, _DATA, f"merge-{next_v:08d}-{_attempt_tag()}")
         if not kept:
             # whole table rewritten: pin one (possibly empty) part so a
@@ -1967,6 +1993,7 @@ def commit_files(
     # silently drop or fabricate the DV ledger / recorded schema /
     # change-feed pointers for the new version (ADVICE r7)
     _BOOKKEEPING = (
+        "constraints",
         "dv_files",
         "schema",
         "batch_ids",
@@ -2027,3 +2054,112 @@ def commit_files(
         except VersionConflict:
             continue
     raise VersionConflict(f"gave up after {max_retries} retries at {path}")
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (the Delta ``ALTER TABLE ADD CONSTRAINT`` verb): named
+# boolean SQL expressions stored in the manifest and enforced on every
+# write that introduces or modifies rows (append/overwrite via
+# write_versioned — which also carries the stream sink — plus the UPDATE
+# and MERGE rewrites). DELETE and OPTIMIZE never create rows that did not
+# already satisfy the table's constraints, so they skip the check.
+# NULL fails a constraint (prove-TRUE, the expectations convention).
+# ---------------------------------------------------------------------------
+
+
+def table_constraints(path: str) -> dict[str, str]:
+    """The table's active constraints: {name: sql_expr}. Stored in the
+    manifest by add/drop_constraint and looked up by walking the version
+    chain tip-first to the NEWEST manifest carrying the key — ordinary
+    commits do not copy it, so the walk is the carry (constraints
+    survive appends, overwrites, RESTORE and OPTIMIZE by construction)."""
+    rec = _constraints_record(path)
+    return dict(rec) if rec else {}
+
+
+def _constraints_record(path: str) -> dict | None:
+    """The newest manifest's constraints record, walking EXISTING
+    manifests only (vacuum prunes old versions). None = the table has
+    never declared constraints; {} = declared then all dropped — the
+    distinction keeps _commit's carry from letting vacuum resurrect a
+    dropped constraint."""
+    for v in sorted(_versions(path), reverse=True):
+        m = _read_manifest(path, v)
+        if "constraints" in m:
+            return m["constraints"]
+    return None
+
+
+def check_constraints(df: DataFrame, constraints: dict[str, str], context: str) -> None:
+    """Raise ValueError naming every violated constraint (with its row
+    count) if any row of ``df`` fails any constraint — one aggregate
+    pass for all constraints together, NULL counts as a violation."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return
+    names = sorted(constraints)
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(F.expr(constraints[n]), 0).otherwise(1)
+            ).alias(f"c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).collect()[0]
+    bad = [
+        f"{n} ({constraints[n]!r}): {row[f'c{i}']} row(s)"
+        for i, n in enumerate(names)
+        if (row[f"c{i}"] or 0) > 0
+    ]
+    if bad:
+        raise ValueError(
+            f"CHECK constraint violation in {context}: "
+            + "; ".join(bad)
+            + " — no version was committed"
+        )
+
+
+def _constraint_commit(path: str, constraints: dict[str, str], operation: str) -> int:
+    """Metadata-only pinned-parent commit carrying the parent's files,
+    schema, DV and ledger records unchanged (the restore pattern)."""
+    parent = latest_version(path)
+    if parent is None:
+        raise ValueError(f"no table at {path}")
+    m = _read_manifest(path, parent)
+    version = parent + 1
+    meta = {"constraints": constraints, "batch_ids": m.get("batch_ids", [])}
+    for k in ("schema", "dv_files"):
+        if m.get(k):
+            meta[k] = m[k]
+    _commit(path, version, m["files"], operation, meta)
+    return version
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Add a named CHECK constraint. EXISTING data must already satisfy
+    it (validated here — Delta errors the same way); subsequent
+    appends/overwrites/updates/merges enforce it at write time and fail
+    LOUDLY without committing. Returns the metadata-only version."""
+    from pyspark.sql import functions as F
+
+    cons = table_constraints(path)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists on {path}")
+    # fail fast on an unparseable expression, not at first write
+    F.expr(expr)
+    check_constraints(
+        read_versioned(spark, path), {name: expr}, f"add_constraint on {path}"
+    )
+    cons[name] = expr
+    return _constraint_commit(path, cons, "add_constraint")
+
+
+def drop_constraint(path: str, name: str) -> int:
+    cons = table_constraints(path)
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} on {path}")
+    del cons[name]
+    return _constraint_commit(path, cons, "drop_constraint")
