@@ -1564,6 +1564,13 @@ def clone_table(
             meta["dv_files"] = carried
     if m.get("schema"):
         meta["schema"] = m["schema"]
+    # CHECK constraints are part of the table definition — a clone
+    # inherits them (Delta clones carry table properties); the clone
+    # evolves them independently afterward (add/drop on the clone never
+    # touches the source)
+    rec = _constraints_record(src)
+    if rec is not None:
+        meta["constraints"] = dict(rec)
     _commit(dst, 0, list(file_map.values()), "clone", meta=meta)
     return {
         "version": 0,

@@ -137,3 +137,22 @@ def test_constraints_survive_vacuum_and_drop_does_not_resurrect(
     write_versioned(
         spark.createDataFrame([(7, -7.0)], "id long, v double"), p, "append"
     )
+
+
+def test_clone_inherits_constraints_and_evolves_independently(
+    spark, tmp_path
+):
+    from ssidentity_spark.operators.tablelog import clone_table
+
+    p = _mk(spark, tmp_path)
+    add_constraint(spark, p, "v_positive", "v > 0")
+    dst = str(tmp_path / "c")
+    clone_table(p, dst)
+    assert table_constraints(dst) == {"v_positive": "v > 0"}
+    bad = spark.createDataFrame([(6, -6.0)], "id long, v double")
+    with pytest.raises(ValueError, match="v_positive"):
+        write_versioned(bad, dst, "append")
+    drop_constraint(dst, "v_positive")
+    write_versioned(bad, dst, "append")  # clone freed
+    with pytest.raises(ValueError, match="v_positive"):
+        write_versioned(bad, p, "append")  # source still guarded
