@@ -221,13 +221,10 @@ def write_versioned(
         check_schema_evolution(
             _read_manifest(path, parent).get("schema"), _df_schema_spec(df), mode
         )
-    if parent is not None:
-        # CHECK constraints: enforced before a byte is staged; a racing
-        # concurrent add_constraint is seen by the NEXT write (snapshot
-        # semantics, like the schema fast-path above)
-        check_constraints(
-            df, table_constraints(path), f"write_versioned({mode}) at {path}"
-        )
+    # CHECK constraints are enforced inside commit_files on the STAGED
+    # files — the one choke point every writer passes through, including
+    # the Python Data Source writers that stage files from executors and
+    # never hand this layer a DataFrame
     attempt_version = 0 if parent is None else parent + 1
     stage = os.path.join(path, _DATA, f"s{attempt_version:08d}-{_attempt_tag()}")
     df.write.mode("error").parquet(stage)
@@ -2015,6 +2012,39 @@ def commit_files(
             f"meta must not set managed bookkeeping key(s) {smuggled} — "
             "they are maintained by the commit path itself"
         )
+    # CHECK constraints: validated on the STAGED parquet before the
+    # manifest publishes it — commit_files is the choke point every
+    # appending/overwriting writer passes through (write_versioned, the
+    # stream sink, AND the Python Data Source writers whose executors
+    # stage files directly, which a DataFrame-level hook would miss).
+    # Violations leave only invisible staged bytes, never a version.
+    cons = table_constraints(path)
+    if cons and new_files:
+        # validated with DuckDB, not a SparkSession: the Data Source
+        # writer's commit callback runs where no active session exists,
+        # and the staged parquet is engine-neutral bytes. Constraint
+        # expressions are therefore the ANSI subset both engines parse —
+        # the same dialect contract every oracle in this repo lives by.
+        import duckdb
+
+        staged = [os.path.join(path, f) for f in new_files]
+        con = duckdb.connect()
+        bad = []
+        for name in sorted(cons):
+            expr = cons[name]
+            n = con.execute(
+                f"SELECT count(*) FROM parquet_scan($files) "
+                f"WHERE NOT ({expr}) OR (({expr}) IS NULL)",
+                {"files": staged},
+            ).fetchone()[0]
+            if n:
+                bad.append(f"{name} ({expr!r}): {n} row(s)")
+        if bad:
+            raise ValueError(
+                f"CHECK constraint violation in commit_files at {path}: "
+                + "; ".join(bad)
+                + " — no version was committed"
+            )
     for _ in range(max_retries):
         parent = latest_version(path)
         version = 0 if parent is None else parent + 1
@@ -2149,14 +2179,34 @@ def add_constraint(
     """Add a named CHECK constraint. EXISTING data must already satisfy
     it (validated here — Delta errors the same way); subsequent
     appends/overwrites/updates/merges enforce it at write time and fail
-    LOUDLY without committing. Returns the metadata-only version."""
+    LOUDLY without committing. Returns the metadata-only version.
+
+    The expression must be ENGINE-PORTABLE ANSI SQL (the repo's oracle
+    dialect): Spark evaluates it on the UPDATE/MERGE rewrite hooks,
+    DuckDB on the staged files inside commit_files — both dialects are
+    parse-checked here, not at first write. Note RESTORE is metadata-
+    only and does not re-validate restored data against constraints
+    added after the restored version (Delta behaves the same); re-run
+    add_constraint's validation manually if that matters."""
     from pyspark.sql import functions as F
 
     cons = table_constraints(path)
     if name in cons:
         raise ValueError(f"constraint {name!r} already exists on {path}")
-    # fail fast on an unparseable expression, not at first write
+    # fail fast on an unparseable expression IN BOTH DIALECTS, not at
+    # first write (a Spark-only expr would wedge every subsequent commit
+    # behind an obscure commit_files error)
     F.expr(expr)
+    import duckdb
+
+    tip_m = _read_manifest(path, latest_version(path)) if latest_version(
+        path
+    ) is not None else {}
+    probe = [os.path.join(path, f) for f in tip_m.get("files", [])][:1]
+    if probe:
+        duckdb.connect().execute(
+            f"SELECT ({expr}) FROM parquet_scan($f) LIMIT 1", {"f": probe}
+        )
     check_constraints(
         read_versioned(spark, path), {name: expr}, f"add_constraint on {path}"
     )

@@ -156,3 +156,32 @@ def test_clone_inherits_constraints_and_evolves_independently(
     write_versioned(bad, dst, "append")  # clone freed
     with pytest.raises(ValueError, match="v_positive"):
         write_versioned(bad, p, "append")  # source still guarded
+
+
+def test_data_source_write_path_is_guarded(spark, tmp_path):
+    """The Python Data Source writer stages files from executors and
+    commits via commit_files — the staged-file check must catch a
+    violating batch there too (a DataFrame-level hook would miss it)."""
+    from ssidentity_spark.sources.managed_source import register
+
+    register(spark)
+    p = _mk(spark, tmp_path)
+    add_constraint(spark, p, "v_positive", "v > 0")
+    tip = latest_version(p)
+    bad = spark.createDataFrame([(3, -1.0)], "id long, v double")
+    with pytest.raises(Exception, match="v_positive"):
+        bad.write.format("managed_table").mode("append").save(p)
+    assert latest_version(p) == tip
+    ok = spark.createDataFrame([(3, 3.0)], "id long, v double")
+    ok.write.format("managed_table").mode("append").save(p)
+    assert read_versioned(spark, p).count() == 3
+
+
+def test_spark_only_dialect_rejected_at_add_time(spark, tmp_path):
+    """A constraint must parse in BOTH engines — a Spark-only expression
+    is rejected at add_constraint, not discovered as an obscure
+    commit_files failure on the first write."""
+    p = _mk(spark, tmp_path)
+    with pytest.raises(Exception):
+        add_constraint(spark, p, "bad", "rlike(cast(v as string), '^[0-9]')")
+    assert table_constraints(p) == {}
