@@ -2115,16 +2115,20 @@ def table_constraints(path: str) -> dict[str, str]:
 
 
 def _constraints_record(path: str) -> dict | None:
-    """The newest manifest's constraints record, walking EXISTING
-    manifests only (vacuum prunes old versions). None = the table has
-    never declared constraints; {} = declared then all dropped — the
+    """The TIP manifest's constraints record. None = the table has never
+    declared constraints; {} = declared then all dropped — the
     distinction keeps _commit's carry from letting vacuum resurrect a
-    dropped constraint."""
-    for v in sorted(_versions(path), reverse=True):
-        m = _read_manifest(path, v)
-        if "constraints" in m:
-            return m["constraints"]
-    return None
+    dropped constraint.
+
+    Tip-only is sufficient BECAUSE of the carry: _commit stamps the
+    record onto every manifest published after the declaration, so a
+    tip without the key means no declaration exists as of the tip — no
+    O(versions) walk per commit (which would go quadratic over a
+    streaming sink's life)."""
+    tip = latest_version(path)
+    if tip is None:
+        return None
+    return _read_manifest(path, tip).get("constraints")
 
 
 def check_constraints(df: DataFrame, constraints: dict[str, str], context: str) -> None:
