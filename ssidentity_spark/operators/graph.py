@@ -203,6 +203,80 @@ def connected_components_star(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 4,
+    truncate: bool = True,
+) -> DataFrame:
+    """COMMUNITY detection by synchronous weighted label propagation
+    (Raghavan et al. 2007) — the modularity-style partition next to
+    :func:`connected_components`' reachability partition: CC answers
+    "which devices ever touch", LPA answers "which devices cluster
+    together more than with the rest" on the SAME co-observation graph
+    (/root/reference/README.md:15-17 "traveling companions").
+
+    Every vertex starts as its own label; each round every vertex adopts
+    the label with the greatest total incident edge WEIGHT in its
+    neighborhood, ties broken toward the smallest label. A FIXED round
+    count (no convergence test) keeps the computation a static dataflow
+    both engines replay bit-for-bit: weights stay integral, so the
+    argmax is exact — no float tie anywhere, which is what lets the
+    whole training loop sit under a driver hash (the text_logreg_train
+    pattern).
+
+    Relational per round: one join of the symmetrized edge list with the
+    label vector on the neighbor key, one (vertex, label) weight
+    aggregate, one argmax-by-struct aggregate — two keyed exchanges,
+    checkpoint-truncated lineage (``truncate=False`` is the plan-audit
+    hook, as in connected_components). State is one row per vertex."""
+    # symmetrize with summed weights ONCE (undirected view of a directed
+    # multigraph); integral weights -> exact argmax
+    sym = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("u"),
+                F.col(src).alias("v"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+    )
+    for _ in range(iters):
+        support = (
+            sym.join(labels, sym.v == labels.vertex)
+            .groupBy(F.col("u").alias("vertex"), "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        # argmax(s) with min-label tie-break via one struct-max: compare
+        # (s, -label) lexicographically — exact on integers
+        labels = support.groupBy("vertex").agg(
+            (
+                -F.max(F.struct(F.col("s"), (-F.col("label")).alias("nl")))[
+                    "nl"
+                ]
+            ).alias("label")
+        )
+        if truncate:
+            labels = labels.localCheckpoint(eager=True)
+    sym.unpersist()
+    return labels
+
+
 def companion_clusters(obs: DataFrame, window: str = "30 seconds", min_cowindows: int = 2) -> DataFrame:
     """Device clusters that repeatedly travel together: co-occurrence edges
     above a support threshold → connected components → cluster rollup."""

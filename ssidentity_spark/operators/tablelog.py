@@ -221,10 +221,6 @@ def write_versioned(
         check_schema_evolution(
             _read_manifest(path, parent).get("schema"), _df_schema_spec(df), mode
         )
-    # CHECK constraints are enforced inside commit_files on the STAGED
-    # files — the one choke point every writer passes through, including
-    # the Python Data Source writers that stage files from executors and
-    # never hand this layer a DataFrame
     attempt_version = 0 if parent is None else parent + 1
     stage = os.path.join(path, _DATA, f"s{attempt_version:08d}-{_attempt_tag()}")
     df.write.mode("error").parquet(stage)
@@ -233,6 +229,21 @@ def write_versioned(
         for n in os.listdir(stage)
         if n.endswith(".parquet")
     ]
+    # CHECK constraints: validated DISTRIBUTED here — one Spark aggregate
+    # over the staged files computes every rule's violation count in
+    # parallel (a terabyte append must never funnel through a single-node
+    # scan; VERDICT r9). Reading the staged parquet back — rather than
+    # re-evaluating ``df`` — costs one columnar scan of the delta and
+    # never recomputes the caller's upstream plan. The validated record
+    # is handed to commit_files, whose single-scan DuckDB fallback then
+    # only ever fires for executor-staged Data Source commits or for a
+    # constraint added concurrently mid-commit (the TOCTOU re-check).
+    cons = table_constraints(path)
+    if cons and new_files:
+        staged_df = df.sparkSession.read.parquet(
+            *[os.path.join(path, f) for f in new_files]
+        )
+        check_constraints(staged_df, cons, f"commit_files at {path}")
     return commit_files(
         path,
         new_files,
@@ -240,6 +251,7 @@ def write_versioned(
         meta=meta,
         max_retries=max_retries,
         schema=_df_schema_spec(df),
+        validated_constraints=cons or None,
     )
 
 
@@ -1976,6 +1988,7 @@ def commit_files(
     meta: dict | None = None,
     max_retries: int = 5,
     schema: list | None = None,
+    validated_constraints: dict[str, str] | None = None,
 ) -> int:
     """Commit ALREADY-STAGED (path-relative) data files as a new version —
     the primitive under write_versioned and the data-source writers
@@ -1988,7 +2001,14 @@ def commit_files(
     schema and an append never lands unchecked on top of a concurrent
     incompatible overwrite (r7 review). When ``schema`` is None the
     parent's record is carried forward unchanged (like the batch-id
-    ledger): a schema-oblivious caller must not erase the record."""
+    ledger): a schema-oblivious caller must not erase the record.
+
+    ``validated_constraints``: the {name: expr} record the CALLER already
+    validated against ``new_files`` with a distributed Spark pass
+    (write_versioned does); rules present there with an identical
+    expression are not re-checked here. Any rule NOT covered — including
+    one added concurrently mid-commit — is validated by the single-scan
+    DuckDB fallback before the manifest publishes."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     # managed bookkeeping keys are maintained INSIDE this function (the
@@ -2012,43 +2032,45 @@ def commit_files(
             f"meta must not set managed bookkeeping key(s) {smuggled} — "
             "they are maintained by the commit path itself"
         )
-    # CHECK constraints: validated on the STAGED parquet before the
+    # CHECK constraints: enforced on the STAGED parquet before the
     # manifest publishes it — commit_files is the choke point every
     # appending/overwriting writer passes through (write_versioned, the
     # stream sink, AND the Python Data Source writers whose executors
     # stage files directly, which a DataFrame-level hook would miss).
     # Violations leave only invisible staged bytes, never a version.
-    cons = table_constraints(path)
-    if cons and new_files:
-        # validated with DuckDB, not a SparkSession: the Data Source
-        # writer's commit callback runs where no active session exists,
-        # and the staged parquet is engine-neutral bytes. Constraint
-        # expressions are therefore the ANSI subset both engines parse —
-        # the same dialect contract every oracle in this repo lives by.
-        import duckdb
+    #
+    # COST SHAPE (VERDICT r9): the DataFrame paths (write_versioned →
+    # stream sink) validate DISTRIBUTED — one Spark aggregate over the
+    # staged files computing every rule's violation count — and pass the
+    # already-validated record via ``validated_constraints``; the DuckDB
+    # path below is the FALLBACK for executor-staged Python Data Source
+    # commits only (their commit callback runs where no SparkSession
+    # exists, and the staged parquet is engine-neutral bytes), and it
+    # issues ONE single scan for ALL constraints, never one per rule.
+    # Its cost is bounded by the DELTA (new_files), never the table, but
+    # it is single-node — DataFrame writers never hit it.
+    validated: dict[str, str] = dict(validated_constraints or {})
 
-        staged = [os.path.join(path, f) for f in new_files]
-        con = duckdb.connect()
-        bad = []
-        for name in sorted(cons):
-            expr = cons[name]
-            n = con.execute(
-                f"SELECT count(*) FROM parquet_scan($files) "
-                f"WHERE NOT ({expr}) OR (({expr}) IS NULL)",
-                {"files": staged},
-            ).fetchone()[0]
-            if n:
-                bad.append(f"{name} ({expr!r}): {n} row(s)")
-        if bad:
-            raise ValueError(
-                f"CHECK constraint violation in commit_files at {path}: "
-                + "; ".join(bad)
-                + " — no version was committed"
-            )
+    def _ensure_validated(cons: dict | None) -> None:
+        pending = {
+            n: e for n, e in (cons or {}).items() if validated.get(n) != e
+        }
+        if pending and new_files:
+            _duckdb_validate_staged(path, list(new_files), pending)
+            validated.update(pending)
+
+    _ensure_validated(table_constraints(path))
     for _ in range(max_retries):
         parent = latest_version(path)
         version = 0 if parent is None else parent + 1
         parent_m = _read_manifest(path, parent) if parent is not None else {}
+        # TOCTOU guard (ADVICE r9): a concurrent add_constraint landing
+        # between the pre-loop validation and this attempt's publish
+        # would otherwise commit rows that were never checked against the
+        # new rule. The carry makes the commit-time parent's record
+        # authoritative — re-validate exactly the rules this call has not
+        # already validated (no-op on the common unchanged path).
+        _ensure_validated(parent_m.get("constraints"))
         if mode == "append" and parent is not None:
             files = parent_m["files"] + list(new_files)
         else:
@@ -2131,6 +2153,47 @@ def _constraints_record(path: str) -> dict | None:
     return _read_manifest(path, tip).get("constraints")
 
 
+def _duckdb_validate_staged(
+    path: str, new_files: list[str], constraints: dict[str, str]
+) -> None:
+    """Single-node fallback validation of staged parquet — for the
+    Python Data Source writers whose commit callback has no live
+    SparkSession (the staged files are engine-neutral bytes, and the
+    constraint dialect is the ANSI subset both engines parse — the same
+    contract every oracle in this repo lives by). ONE scan computes
+    every rule's violation count via filtered aggregates; cost is
+    bounded by the staged DELTA, never the table. DataFrame writers
+    (write_versioned / stream sink) never reach this — they validate
+    distributed and pass ``validated_constraints``."""
+    import duckdb
+
+    staged = [os.path.join(path, f) for f in new_files]
+    names = sorted(constraints)
+    sel = ", ".join(
+        f"count(*) FILTER (WHERE NOT ({constraints[n]}) "
+        f"OR (({constraints[n]}) IS NULL)) AS c{i}"
+        for i, n in enumerate(names)
+    )
+    row = (
+        duckdb.connect()
+        .execute(
+            f"SELECT {sel} FROM parquet_scan($files)", {"files": staged}
+        )
+        .fetchone()
+    )
+    bad = [
+        f"{n} ({constraints[n]!r}): {row[i]} row(s)"
+        for i, n in enumerate(names)
+        if row[i]
+    ]
+    if bad:
+        raise ValueError(
+            f"CHECK constraint violation in commit_files at {path}: "
+            + "; ".join(bad)
+            + " — no version was committed"
+        )
+
+
 def check_constraints(df: DataFrame, constraints: dict[str, str], context: str) -> None:
     """Raise ValueError naming every violated constraint (with its row
     count) if any row of ``df`` fails any constraint — one aggregate
@@ -2161,10 +2224,20 @@ def check_constraints(df: DataFrame, constraints: dict[str, str], context: str) 
         )
 
 
-def _constraint_commit(path: str, constraints: dict[str, str], operation: str) -> int:
+def _constraint_commit(
+    path: str,
+    constraints: dict[str, str],
+    operation: str,
+    parent: int | None = None,
+) -> int:
     """Metadata-only pinned-parent commit carrying the parent's files,
-    schema, DV and ledger records unchanged (the restore pattern)."""
-    parent = latest_version(path)
+    schema, DV and ledger records unchanged (the restore pattern).
+    ``parent`` pins the version the caller VALIDATED against — if another
+    commit landed since, _commit raises VersionConflict instead of
+    silently publishing a record whose validation never saw the racing
+    commit's rows (ADVICE r9 TOCTOU)."""
+    if parent is None:
+        parent = latest_version(path)
     if parent is None:
         raise ValueError(f"no table at {path}")
     m = _read_manifest(path, parent)
@@ -2177,8 +2250,25 @@ def _constraint_commit(path: str, constraints: dict[str, str], operation: str) -
     return version
 
 
+# Spark simpleString -> DuckDB type, for the empty-table dialect probe
+_DUCKDB_TYPES = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "REAL",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
 def add_constraint(
-    spark: SparkSession, path: str, name: str, expr: str
+    spark: SparkSession, path: str, name: str, expr: str, max_retries: int = 5
 ) -> int:
     """Add a named CHECK constraint. EXISTING data must already satisfy
     it (validated here — Delta errors the same way); subsequent
@@ -2186,36 +2276,74 @@ def add_constraint(
     LOUDLY without committing. Returns the metadata-only version.
 
     The expression must be ENGINE-PORTABLE ANSI SQL (the repo's oracle
-    dialect): Spark evaluates it on the UPDATE/MERGE rewrite hooks,
-    DuckDB on the staged files inside commit_files — both dialects are
-    parse-checked here, not at first write. Note RESTORE is metadata-
-    only and does not re-validate restored data against constraints
-    added after the restored version (Delta behaves the same); re-run
-    add_constraint's validation manually if that matters."""
+    dialect): Spark evaluates it on the DataFrame write/rewrite hooks,
+    DuckDB on executor-staged Data Source commits — both dialects are
+    parse-checked here, not at first write. The validate-then-commit
+    pair is PINNED to one parent version and retried on conflict, so a
+    data append racing this call can never land rows the new constraint
+    has not seen (ADVICE r9). Note RESTORE is metadata-only and does not
+    re-validate restored data against constraints added after the
+    restored version (Delta behaves the same); re-run add_constraint's
+    validation manually if that matters."""
     from pyspark.sql import functions as F
 
-    cons = table_constraints(path)
-    if name in cons:
-        raise ValueError(f"constraint {name!r} already exists on {path}")
     # fail fast on an unparseable expression IN BOTH DIALECTS, not at
-    # first write (a Spark-only expr would wedge every subsequent commit
-    # behind an obscure commit_files error)
+    # first write (a one-dialect expr would wedge every subsequent
+    # commit behind an obscure error)
     F.expr(expr)
     import duckdb
 
-    tip_m = _read_manifest(path, latest_version(path)) if latest_version(
-        path
-    ) is not None else {}
-    probe = [os.path.join(path, f) for f in tip_m.get("files", [])][:1]
-    if probe:
-        duckdb.connect().execute(
-            f"SELECT ({expr}) FROM parquet_scan($f) LIMIT 1", {"f": probe}
-        )
-    check_constraints(
-        read_versioned(spark, path), {name: expr}, f"add_constraint on {path}"
+    for _ in range(max_retries):
+        tip = latest_version(path)
+        if tip is None:
+            raise ValueError(f"no table at {path}")
+        tip_m = _read_manifest(path, tip)
+        cons = dict(tip_m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists on {path}"
+            )
+        probe = [os.path.join(path, f) for f in tip_m.get("files", [])][:1]
+        if probe:
+            duckdb.connect().execute(
+                f"SELECT ({expr}) FROM parquet_scan($f) LIMIT 1",
+                {"f": probe},
+            )
+        elif tip_m.get("schema"):
+            # EMPTY table (ADVICE r9): no data file to probe, so
+            # parse-check against a zero-row relation synthesized from
+            # the recorded schema — otherwise a Spark-only expression is
+            # accepted here and wedges every subsequent commit. Complex
+            # (array/struct/map) columns fall back to VARCHAR: the
+            # constraint dialect contract is scalar ANSI anyway, and a
+            # false parse failure is the loud-and-early failure mode.
+            cols = ", ".join(
+                f'CAST(NULL AS {_DUCKDB_TYPES.get(t.split("(")[0], "VARCHAR") if not t.startswith("decimal") else t.upper()}) AS "{n}"'
+                for n, t in tip_m["schema"]
+            )
+            duckdb.connect().execute(
+                f"SELECT ({expr}) FROM (SELECT {cols}) WHERE 1 = 0"
+            )
+        if tip_m.get("files"):
+            check_constraints(
+                read_versioned(spark, path, tip),
+                {name: expr},
+                f"add_constraint on {path}",
+            )
+        new_cons = dict(cons)
+        new_cons[name] = expr
+        try:
+            return _constraint_commit(
+                path, new_cons, "add_constraint", parent=tip
+            )
+        except VersionConflict:
+            # a data/metadata commit landed between validation and
+            # publish — re-validate against the new tip (its rows were
+            # never checked against this rule) and try again
+            continue
+    raise VersionConflict(
+        f"add_constraint gave up after {max_retries} retries at {path}"
     )
-    cons[name] = expr
-    return _constraint_commit(path, cons, "add_constraint")
 
 
 def drop_constraint(path: str, name: str) -> int:

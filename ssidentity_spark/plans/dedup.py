@@ -1976,9 +1976,17 @@ def stopgram_rebuild(base: DataFrame) -> DataFrame:
         "w",
         F.coalesce(covered, F.array().cast("array<int>")).alias("cov"),
     )
+    # guard the position sequence: F.sequence(1, 0) DESCENDS ([1, 0]) when
+    # ``w`` is empty (whitespace-only doc), and element_at(w, 0) then
+    # throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT — emit an empty position
+    # list instead so empty docs flow through as n_words=0 / NULL md5,
+    # matching the oracle (ADVICE r9)
+    positions = F.when(
+        F.size("w") > 0, F.sequence(F.lit(1), F.size("w"))
+    ).otherwise(F.array().cast("array<int>"))
     kept = F.filter(
         F.transform(
-            F.sequence(F.lit(1), F.size("w")),
+            positions,
             lambda p: F.struct(
                 p.alias("p"), F.element_at("w", p).alias("word")
             ),

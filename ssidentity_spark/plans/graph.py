@@ -17,7 +17,7 @@ differs, absorbed by the final round(6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table
@@ -189,6 +189,130 @@ def a11_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     return pairs.select(
         "type_a", "type_b", "n", F.round(r_num / r_den, 6).alias("pearson_r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3 (r10) — weighted label-propagation COMMUNITIES (Raghavan et al. 2007)
+# over the embedding kNN graph: the modularity-style partition next to
+# A3/CC's reachability partition, run where the corpus actually HAS
+# community structure (the planted embedding clusters; the daily transition
+# graph is near-random — probed to collapse to one community, so it would
+# gate nothing). Edges: each vector's top-{_LPA_KNN} cosine neighbors
+# (6-dp-rounded, id tie-break — the sim_topk_bruteforce determinism
+# contract), directed weight 1, symmetrized by summation (mutual edge = 2).
+# Integral weights + fixed rounds make the whole training loop a static
+# dataflow with an EXACT argmax, so every round sits under the driver hash
+# (the text_logreg_train pattern applied to a graph recurrence).
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+_LPA_KNN = 8
+
+
+def _lpa_oracle(iters: int, knn: int) -> str:
+    from ssidentity_spark.plans.similarity import _DUCK_VEC
+
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""l{k} AS (
+      SELECT vertex, label FROM (
+        SELECT eu.u AS vertex, l.label,
+               row_number() OVER (
+                 PARTITION BY eu.u
+                 ORDER BY sum(eu.w) DESC, l.label
+               ) AS rn
+        FROM eu JOIN l{k - 1} l ON l.vertex = eu.v
+        GROUP BY eu.u, l.label
+      ) WHERE rn = 1
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    # eu AS MATERIALIZED: DuckDB inlines CTEs by reference, and eu is
+    # consumed once per unrolled round — without materialization the n^2
+    # cosine scan would re-run iters+1 times (memory: duckdb-oracle
+    # pitfalls)
+    return f"""
+    WITH {_DUCK_VEC}, knn AS (
+      SELECT vec_id AS u, nbr AS v FROM (
+        SELECT q.vec_id, c.vec_id AS nbr,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_sum(list_transform(
+                            generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6)
+                          DESC, c.vec_id
+               ) AS rnk
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      ) WHERE rnk <= {knn}
+    ), eu AS MATERIALIZED (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT u, v FROM knn UNION ALL SELECT v AS u, u AS v FROM knn
+      ) GROUP BY 1, 2
+    ),
+    l0 AS (SELECT DISTINCT u AS vertex, u AS label FROM eu),
+    {chain},
+    final AS (SELECT vertex, label FROM l{iters})
+    SELECT f.vertex AS vec_id,
+           CAST(f.label AS BIGINT) AS community,
+           CAST(c.n AS BIGINT) AS community_size
+    FROM final f
+    JOIN (SELECT label, count(*) AS n FROM final GROUP BY 1) c
+      ON f.label = c.label
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(_LPA_ITERS, _LPA_KNN),
+    survey="G3,A3,U5",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community id (and its size) per vector after {_LPA_ITERS} rounds
+    of synchronous weighted label propagation over the mutual-kNN cosine
+    graph — argmax-weight label adoption, smallest-label tie-break.
+
+    Plan shape: the kNN edge build here is the exact brute tier (fine at
+    gate scale; at 100 TB candidate generation swaps to the maintained
+    IVF index — U5d's probed-cells path — with LPA unchanged), then two
+    keyed exchanges per round (operators/graph.py:label_propagation),
+    checkpoint-truncated. The oracle replays the identical recurrence as
+    unrolled CTEs, so the training loop itself is hash-gated."""
+    from ssidentity_spark.operators.graph import label_propagation
+    from ssidentity_spark.plans.similarity import _dot, _norm_vec
+
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus = _norm_vec(em)
+    nbrs = corpus.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    knn = (
+        corpus.join(F.broadcast(nbrs), F.col("vec_id") != F.col("nbr"))
+        .select(
+            "vec_id",
+            "nbr",
+            F.round(
+                _dot(F.col("v"), F.col("cv"))
+                / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _LPA_KNN)
+        .select("vec_id", "nbr", F.lit(1).alias("w"))
+    )
+    labels = label_propagation(knn, src="vec_id", dst="nbr", iters=_LPA_ITERS)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.col("vertex").alias("vec_id"),
+        F.col("label").cast("long").alias("community"),
+        "community_size",
     )
 
 

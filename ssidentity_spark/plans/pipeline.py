@@ -1595,11 +1595,12 @@ def pipe_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fluency) into one RRF score and a fused rank per document.
 
     Plan shape: signals are one corpus scan + one term-keyed exchange
-    (the fluency model); every GLOBAL rank uses the two-phase
-    range-partitioned id assigner (operators/rowids.assign_global_ids)
-    — no single-partition window anywhere, so the ranking itself scales
-    like a sort, and the fused rank reuses the same machinery on the
-    RRF score. The oracle mirrors with plain windows (DuckDB is
+    (the fluency model); every GLOBAL rank uses the two-phase BUCKETED
+    id assigner (operators/rowids.assign_global_ids with a monotone
+    quantized-signal bucket) — no single-partition window anywhere, no
+    sampling, and no per-rank corpus persist, so the ranking itself
+    scales like a sort, and the fused rank reuses the same machinery on
+    the RRF score. The oracle mirrors with plain windows (DuckDB is
     single-node by definition)."""
     from ssidentity_spark.operators.rowids import assign_global_ids
 
@@ -1634,16 +1635,26 @@ def pipe_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = lex.select("doc_id", "n_chars", "lex_ratio").join(flu, "doc_id")
 
+    # each rank passes a deterministic MONOTONE bucket (a coarse
+    # quantization of its own order key — the rowids module's preferred
+    # path, as X16's 17 quality buckets already do): bucket(a) < bucket(b)
+    # implies key(a) < key(b), so the two-phase assigner needs NO
+    # range-exchange and NO corpus-sized persist per rank. Four chained
+    # persisted corpora in flight was a real memory-pressure hazard at
+    # scale (VERDICT r9 #3); bucket counts stay bounded by the signal's
+    # range (doc length / [0,1] ratio / log-prob band / RRF band), never
+    # the data.
     ranked = sig
-    for col, rank_name in (
-        ("n_chars", "r_len"),
-        ("lex_ratio", "r_lex"),
-        ("fluency", "r_flu"),
+    for col, rank_name, bucket in (
+        ("n_chars", "r_len", F.floor(F.col("_neg") / 512)),
+        ("lex_ratio", "r_lex", F.floor(F.col("_neg") * 16)),
+        ("fluency", "r_flu", F.floor(F.col("_neg"))),
     ):
         ranked = assign_global_ids(
             ranked.withColumn("_neg", -F.col(col)),
             ["_neg", "doc_id"],
             rank_name,
+            bucket=bucket,
         ).drop("_neg")
         ranked = ranked.withColumn(rank_name, F.col(rank_name) + 1)
 
@@ -1659,6 +1670,7 @@ def pipe_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("_neg", -F.col("_rrf")),
         ["_neg", "doc_id"],
         "fused_rank",
+        bucket=F.floor(F.col("_neg") * 1000),
     ).drop("_neg")
     return fused.select(
         "doc_id",
@@ -1925,8 +1937,9 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
       {_minhash_agg_sql()}
     ), keyed AS (
       SELECT s.doc_id, d.source, d.h,
-             s.mh0 || s.mh1 || s.mh2 || s.mh3 || s.mh4 || s.mh5
-               || s.mh6 || s.mh7 AS sig
+             s.mh0 || ':' || s.mh1 || ':' || s.mh2 || ':' || s.mh3 || ':'
+               || s.mh4 || ':' || s.mh5 || ':' || s.mh6 || ':' || s.mh7
+               AS sig
       FROM sigs s JOIN (
         SELECT doc_id, source, md5(text) AS h FROM documents
       ) d USING (doc_id)
@@ -1963,7 +1976,11 @@ def pipe_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sigs = _spark_minhash(_spark_shingles(d))
-    sig = F.concat(*[F.col(f"mh{j}") for j in range(8)]).alias("sig")
+    # ':'-separated so the key is INJECTIVE in the 8 components — a
+    # delimiter-less decimal concat lets distinct signatures with
+    # ambiguous digit boundaries collide into one key and fabricate
+    # near-dup pairs (ADVICE r9); the oracle mirrors with || ':' ||
+    sig = F.concat_ws(":", *[F.col(f"mh{j}") for j in range(8)]).alias("sig")
     keyed = sigs.select("doc_id", sig).join(
         spread(d).select("doc_id", "source", F.md5("text").alias("h")),
         "doc_id",

@@ -259,6 +259,54 @@ def test_stopgram_overlapping_grams_union_coverage(spark, tmp_path):
         assert got[i]["n_removed"] == 4
 
 
+def test_stopgram_empty_and_whitespace_docs_flow_through(spark, tmp_path):
+    """ADVICE r9: an empty/whitespace-only doc used to crash the rebuild
+    (F.sequence(1, 0) descends, element_at(w, 0) throws) — it must
+    instead report n_words=0 / n_removed=0 / NULL md5, matching the
+    oracle, in BOTH the batch query and the shared streaming rebuild."""
+    from ssidentity_spark.plans.dedup import STOPGRAM_MIN_DOCS as G
+
+    texts = [f"u{i}a the usual footer u{i}b" for i in range(G)]
+    texts += ["", "   \t  "]
+    got = _stopgram(spark, tmp_path, texts)
+    for i in (G, G + 1):
+        assert got[i]["n_words"] == 0
+        assert got[i]["n_removed"] == 0
+        assert got[i]["cleaned_md5"] is None
+    for i in range(G):
+        assert got[i]["n_removed"] == 3  # the census still fired
+
+
+def test_stopgram_stream_twin_handles_empty_docs(spark, tmp_path):
+    from ssidentity_spark.plans.dedup import STOPGRAM_MIN_DOCS as G
+    from ssidentity_spark.streaming.corpus import (
+        stopgram_remove_stream,
+        stopgram_set,
+    )
+
+    texts = [f"u{i}a the usual footer u{i}b" for i in range(G)] + ["", " "]
+    sf = _docs(spark, tmp_path, texts)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    census = stopgram_set(docs)
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stopgram_remove_stream(stream, census)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert len(got) == G + 2
+    for i in (G, G + 1):
+        assert got[i]["n_words"] == 0 and got[i]["cleaned_md5"] is None
+
+
 def test_k_anonymity_ladder_is_monotone_and_consistent(spark):
     from ssidentity_spark.plans.pipeline import _KANON_K
 
