@@ -43,21 +43,18 @@ from ssidentity_spark.plans import (  # noqa: F401
 from ssidentity_spark.registry import REGISTRY
 
 # The 50 queries the driver's correctness gate will record, in order.
-# r9 ROTATION (executes the queue staged at the end of r8, per VERDICT r8
-# asks #1-2): bench headliners stay windowed (perf artifact and
-# correctness artifact must cover the same set), THEN the 8 first-timers
-# — the 7 late-r8 queries that landed after the window filled (local
-# 7/7 PASS at sf0.01 in r8, never driver-recorded) plus
-# text_inverted_postings, r8's one driver-red row (raw array<long>
-# output crashed the driver canonicalizer; now flattened to CSV per the
-# repo convention and local-green) — THEN per-module anchors (stalest
-# history member of each module the queue alone leaves unwindowed —
-# module coverage outranks strict age), THEN strict staleness-ordered
-# re-verification: the r1 vintage, then the r3 vintage. New r9
-# first-time hash candidates displace the queue TAIL (the newest
-# staleness slots) as they land — first-time verification grows the
-# cumulative set, so it outranks refreshing fresher history, while the
-# stalest r1/r3 entries at the head keep their slots.
+# r10 ROTATION (executes the queue staged at the end of r9, per VERDICT r9
+# asks #1 and #6): bench headliners stay windowed (perf artifact and
+# correctness artifact must cover the same set), THEN the FOURTEEN
+# r9-new-but-parked queries (every r9 slot went to other first-timers;
+# all fourteen local-green at sf0.001/0.01/0.1 and judge-verified in the
+# r9 session) — they claim their U6g / T10c / E1b / X22 / A8b / X23 /
+# X24 / TS3 / E2 / X25 / X26 / E1c / E3 / U6h survey rows, THEN the
+# r10-new first-timers (paced to the window per ask #6: four new
+# queries, not another 15-query debt), THEN strict staleness-ordered
+# re-verification: the five r1-vintage entries displaced by r9's waves,
+# then the oldest of the r3 vintage. Any further r10 first-timer
+# displaces the queue TAIL (the newest staleness slots), as always.
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed)
     "flagship_hourly_top_types",
@@ -79,141 +76,76 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "w5_max_concurrency",
     "pipe_pack_sequences",
     "dedup_semantic_cells",
-    # the 8 first-timers: 7 late-r8 queries (never driver-recorded) + the
-    # repaired r8 driver-red row — first priority, like prior rounds' late
-    # batches
-    "text_inverted_postings",
-    "j11_fuzzy_symspell",
-    "dedup_span_exact",
-    "dedup_span_trim",
-    "dedup_incremental_pairs",
-    "pipe_temperature_mix",
-    "sim_filtered_topk",
-    "src_in_pushdown_scan",
+    # the fourteen r9-parked first-timers (VERDICT r9 ask #1 — pure
+    # rotation execution; each claims its r9 survey row on recording)
+    "a8_hll_set_algebra",
+    "sim_ann_recall_eval",
+    "sim_ivf_probe_curve",
+    "dedup_stopgram_remove",
+    "dedup_lsh_recall_eval",
+    "text_sparse_cosine_pairs",
+    "text_wordpiece_tokenize",
+    "text_ngram_novelty",
+    "pipe_quality_fusion",
+    "pipe_k_anonymity",
+    "pipe_dataset_card",
+    "pipe_cross_source_leakage",
+    "pipe_split_leakage_eval",
+    "ts_m4_downsample",
+    # r10 first-timers
+    # NEW in r10: CHECK constraints under the gate — the one storage verb
+    # without a driver row (VERDICT r9 ask #3): add constraint ->
+    # violating MIXED batch rejected atomically -> tip unchanged ->
+    # compliant append lands, all under one hash (M8b row)
+    "src_constraint_reject",
+    # NEW in r10: similarity-ordered OPTIMIZE under the gate — rows
+    # byte-identical after re-layout + strictly smaller parquet + history
+    # kept, all under one hash (Z2 row, previously pytest-only)
+    "src_layout_optimize",
+    # NEW in r10: median/MAD robust anomaly audit per series (TS4 row) —
+    # the monitoring rollup next to gapfill/EMA/M4
+    "ts_anomaly_mad",
+    # NEW in r10: weighted label-propagation communities over the
+    # embedding mutual-kNN graph (G3 row) — the modularity-style
+    # partition next to CC, training loop hash-gated via unrolled CTEs
+    "graph_label_propagation",
     # per-module anchors: stalest history-green member of each module the
-    # queue alone leaves unwindowed (last-green rounds in parens)
-    "ref_parse_pipeline",  # reference_pipeline (r6)
-    "d1_fspl_distance",  # scalars (r5)
-    "sql_api_source_quality_rank",  # sqlapi (r5)
-    "tpch_q13_custdist",  # tpch3 (r5)
-    "tpch_q21_waiting_suppliers",  # tpch4 (r4)
-    # NEW in r9 wave 6: the retrieval-eval scorecard — precision/recall/
-    # MRR/NDCG@k of the exact cosine ranking against label qrels, the
-    # harness the ANN tiers are tuned against, fully relational and
-    # hash-gated (a9_rollup_type_hour — the last r1-vintage
-    # re-verification slot — parks to the r10 queue; first-time
-    # verification grows the cumulative set, re-verification doesn't)
-    "sim_retrieval_eval",
-    # staleness rotation: r3 vintage — all six displaced to the r10 queue
-    # by the wave-3 first-timers below (a10_heavy_hitters, a2_habitual_hour,
-    # a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs, with
-    # text_langid / text_quality / w3_rolling_avg_rows never windowed)
-    # NEW in r9: RAG-style overlapping chunking — fixed token windows
-    # with stable offsets, chunk md5 under the hash, zero-shuffle map
-    # (o3_union_split parks to history, next in the r10 queue)
-    "pipe_chunk_documents",
-    # NEW in r9: leakage-safe splitting — the md5 split rule applied to
-    # the near-dup CLUSTER id, so no test doc has a train-side near-copy
-    # (o4_intersect_users parks to history, next in the r10 queue)
-    "pipe_cluster_safe_split",
-    # NEW in r9: budgeted quality-ordered selection — the global prefix
-    # sum in its two-phase scalable form, cum_before under the hash
-    # (pipe_docs_clean parks to history, next in the r10 queue)
-    "pipe_token_budget",
-    # NEW in r9: quality-aware canonical selection per near-dup cluster
-    # (keep the longest copy, not the min-id one) — clustering AND the
-    # selection rule under one hash (pipe_embed_quantize parks)
-    "dedup_cluster_keep_best",
-    # NEW in r9: exact containment + Jaccard verify stage over LSH
-    # candidate pairs — the asymmetric subset signal doc-level scores
-    # miss (pivot_user_type_matrix parks)
-    "dedup_containment_pairs",
-    # NEW in r9: RESTORE — the rollback verb, manifest-only commit;
-    # deleted-era time travel and the zero-copy claim under the hash
-    # (sim_label_centroids parks to history, next in the r10 queue)
-    "src_restore_timetravel",
-    # NEW in r9: the maintained-band-index form of incremental dedup —
-    # v0 bootstraps the signature table, the delta appends only its own
-    # rows, the probe reads the index from storage (VERDICT r8 ask #5).
-    "dedup_incremental_maintained",
-    # NEW in r9: filtered ANN composed with the pinned-IVF index —
-    # candidates = probed cells ∩ label, recall curve in SCALE.md
-    # (VERDICT r8 stretch #8). (sim_lsh_bucketed and text_bigram_profile
-    # park to history, next in the r10 queue.)
-    "sim_filtered_ivf_topk",
-    # NEW in r9 wave 3: CLONE — the branching verb next to RESTORE's
-    # rollback; zero-copy + independent-evolution + vacuum-ownership
-    # claims in one hash (a2_habitual_hour parks to the r10 queue)
-    "src_clone_shallow",
-    # NEW in r9 wave 3: DLT-style expectations with a quarantine side
-    # output — named rules, severities, NULL-as-violation pinned
-    # (a4_distinct_pairs parks to the r10 queue)
-    "pipe_expectations_quarantine",
-    # NEW in r9 wave 3: deterministic fixed-size shard export — the
-    # training-loader handoff; the gate reads the EXPORTED files and pins
-    # the physical row-order claim (dedup_embedding_cosine parks)
-    "pipe_shard_export",
-    # NEW in r9 wave 3: Naive Bayes trained AS aggregation — the
-    # fasttext-shaped corpus filter with the model itself under the hash
-    # (dedup_simhash_pairs parks to the r10 queue)
-    "text_nb_classifier",
-    # NEW in r9 wave 3: content-defined chunking — shift-stable chunk
-    # dedup (rolling-gram cut rule, running-sum assignment, reassembled
-    # chunk md5 and cross-doc sharing all under one hash); insertion
-    # re-sync pinned by pytest (a10_heavy_hitters parks to the r10 queue)
-    "dedup_cdc_chunks",
-    # NEW in r9 wave 4: video keyframe near-dup — keyframe gradient
-    # signatures + corpus-wide sharing counts, byte-math oracle from the
-    # raw text bytes (w3_rolling_count_10min parks to the r10 queue)
-    "mm_video_keyframe_dedup",
-    # NEW in r9 wave 4: logistic regression trained as 6 relational
-    # gradient rounds — the oracle replays the whole descent as unrolled
-    # CTEs, so the training loop itself is hash-gated; learning (not just
-    # determinism) pinned by pytest (w2_transitions parks to the r10
-    # queue)
-    "text_logreg_train",
-    # NEW in r9 wave 4: temperature-weighted mixture selection — per-
-    # source n^0.5 budget shares spent in quality order, every cumulative
-    # window source-partitioned (o4_except_users parks to the r10 queue)
-    "pipe_mixture_select",
-    # NEW in r9 wave 4: winnowing fingerprints (MOSS) — rightmost-minimal
-    # k-gram hash per window as a plain array_min over a sortable
-    # composite key; the W+k-1 guarantee pinned by pytest
-    # (o1_global_sort_top parks to the r10 queue)
-    "text_winnow_fingerprints",
+    # queue alone leaves unwindowed (module coverage outranks strict age;
+    # last-green rounds in parens)
+    "w2_value_functions",  # extras (r5)
+    "ref_trilateration",  # reference_pipeline (r6)
+    "d7_json_extract",  # scalars (r6)
+    "sql_api_grouping_sets",  # sqlapi (r6)
+    "tpch_q12_late_priority",  # tpch3 (r6)
+    "tpch_q15_top_supplier",  # tpch4 (r5)
+    # staleness rotation: the five r1-vintage entries whose slots r9's
+    # waves took (oldest driver record in the registry)...
+    "w3_rolling_count_10min",
+    "w2_transitions",
+    "o4_except_users",
+    "o1_global_sort_top",
+    "a9_rollup_type_hour",
+    # ...then the oldest of the displaced r3 vintage
+    "o3_union_split",
+    "o4_intersect_users",
 )
 
-# r10 ROTATION QUEUE: after CORRECTNESS_r09 lands, regenerate
-# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). FIRST the fourteen
-# r9-new-but-parked queries (every r9 slot spent on other first-timers;
-# each local-green at all three SFs): text_sparse_cosine_pairs,
-# text_wordpiece_tokenize, sim_ann_recall_eval, pipe_quality_fusion,
-# a8_hll_set_algebra, dedup_stopgram_remove, pipe_k_anonymity,
-# ts_m4_downsample, dedup_lsh_recall_eval, pipe_dataset_card,
-# pipe_cross_source_leakage, sim_ivf_probe_curve,
-# pipe_split_leakage_eval, text_ngram_novelty — they lead the r10
-# window (fourteen parked first-timers) and claim their U6g / T10c /
-# E1b / X22 / A8b / X23 / X24 / TS3 / E2 / X25 / X26 / E1c / E3 / U6h
-# survey rows there (SURVEY §2.10-2.11 rows added this session). Then
-# any r10-new queries.
-# Then rotation is pure staleness order: the displaced r1/r3
-# entries — r9's eighteen new first-timers pushed out, oldest-display
-# first: the r1 vintage five (w3_rolling_count_10min, w2_transitions,
-# o4_except_users, o1_global_sort_top, a9_rollup_type_hour — these were
-# the stale re-verification slots, so they lead the r10 queue) and the r3 set
-# (o3_union_split, o4_intersect_users, pipe_docs_clean,
+# r11 ROTATION QUEUE: after CORRECTNESS_r10 lands, regenerate
+# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). First any r11-new
+# queries (paced to the window), then pure staleness order over what r10
+# displaced: the rest of the r3 vintage (pipe_docs_clean,
 # pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
 # sim_lsh_bucketed, text_bigram_profile, a2_habitual_hour,
 # a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs,
-# a10_heavy_hitters) plus the never-windowed r3 rest
-# (text_langid, text_quality, w3_rolling_avg_rows), then the r4 vintage
+# a10_heavy_hitters, plus the never-windowed r3 rest: text_langid,
+# text_quality, w3_rolling_avg_rows), then the r4 vintage
 # (j3_customers_without_orders, j8_cross_region_nation,
 # j9_q10_returned_revenue, j9_q5_local_supplier_volume,
 # pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
 # tpch_q18_big_orders, ...), then r5, oldest-first, with the per-module
 # coverage rule outranking strict age as usual.
 # Queries hash-verified green by the driver in at least one prior round
-# (union of CORRECTNESS_r01..r08.json rows with hash_match=true). A query
+# (union of CORRECTNESS_r01..r09.json rows with hash_match=true). A query
 # may be parked past the window ONLY if it appears here — its green row is
 # the standing evidence — so rotation strictly grows the cumulative
 # driver-verified set. Regenerate via tools/driver_history.py.
@@ -248,9 +180,14 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "d7_math_funcs",
         "d7_string_funcs",
         "dedup_cc_clusters",
+        "dedup_cdc_chunks",
+        "dedup_cluster_keep_best",
+        "dedup_containment_pairs",
         "dedup_embedding_cosine",
         "dedup_exact",
         "dedup_image_neardup_pairs",
+        "dedup_incremental_maintained",
+        "dedup_incremental_pairs",
         "dedup_jaccard_topk",
         "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures",
@@ -258,12 +195,15 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "dedup_semantic_trained",
         "dedup_simhash",
         "dedup_simhash_pairs",
+        "dedup_span_exact",
+        "dedup_span_trim",
         "flagship_hourly_top_types",
         "graph_pagerank",
         "graph_triangles",
         "ivm_daily_rollup",
         "j10_bloom_pruned_join",
         "j11_fuzzy_part_match",
+        "j11_fuzzy_symspell",
         "j1_brand_pricing",
         "j1_region_revenue",
         "j2_supplier_volume",
@@ -288,22 +228,30 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "mm_gif_decode",
         "mm_image_dhash",
         "mm_png_decode",
+        "mm_video_keyframe_dedup",
         "mm_wav_decode",
         "o1_global_sort_top",
         "o3_union_split",
         "o4_except_users",
         "o4_intersect_users",
+        "pipe_chunk_documents",
+        "pipe_cluster_safe_split",
         "pipe_decontaminate",
         "pipe_docs_clean",
         "pipe_domain_mix",
         "pipe_embed_quantize",
         "pipe_end_to_end",
+        "pipe_expectations_quarantine",
         "pipe_global_row_ids",
+        "pipe_mixture_select",
         "pipe_pack_nosplit",
         "pipe_pack_sequences",
         "pipe_pii_redact",
+        "pipe_shard_export",
         "pipe_split_assign",
         "pipe_stratified_sample",
+        "pipe_temperature_mix",
+        "pipe_token_budget",
         "pipe_tokenize_pack",
         "pipe_weighted_sample",
         "pivot_status_by_priority",
@@ -317,6 +265,8 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "s5_cdc_apply",
         "s5_merge_upsert",
         "s5_scd2_history",
+        "sim_filtered_ivf_topk",
+        "sim_filtered_topk",
         "sim_ivf_pinned_topk",
         "sim_ivf_topk",
         "sim_ivf_topk_distributed",
@@ -327,6 +277,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "sim_lsh_multiprobe",
         "sim_pq_adc_topk",
         "sim_probe_batch",
+        "sim_retrieval_eval",
         "sim_topk_bruteforce",
         "sql_api_daily_type_summary",
         "sql_api_grouping_sets",
@@ -336,15 +287,18 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "src_change_feed",
         "src_change_feed_deletes",
         "src_change_feed_updates",
+        "src_clone_shallow",
         "src_compacted_timetravel",
         "src_datasource_scan",
         "src_delete_dv",
         "src_delete_where",
+        "src_in_pushdown_scan",
         "src_interchange_roundtrip",
         "src_managed_lookup",
         "src_merge_versioned",
         "src_minmax_range_scan",
         "src_range_pushdown_scan",
+        "src_restore_timetravel",
         "src_schema_evolution",
         "src_update_where",
         "src_versioned_timetravel",
@@ -354,13 +308,17 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "text_bpe_tokenize",
         "text_bpe_train",
         "text_fingerprint",
+        "text_inverted_postings",
         "text_langid",
+        "text_logreg_train",
+        "text_nb_classifier",
         "text_quality",
         "text_repetition_scores",
         "text_source_kl_divergence",
         "text_tfidf_top_terms",
         "text_token_stats",
         "text_unigram_logprob",
+        "text_winnow_fingerprints",
         "text_wordpiece_train",
         "tpch_q11_important_value",
         "tpch_q12_late_priority",

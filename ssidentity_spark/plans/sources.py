@@ -1431,3 +1431,144 @@ def src_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(mat)).alias("materialized"),
         )
     )
+
+
+@register(
+    "src_constraint_reject",
+    # M8b under the gate (r10): CHECK-constraint enforcement as a driver
+    # hash row, like every other storage verb. v0 = full corpus,
+    # ADD CONSTRAINT (validates existing data), then a MIXED batch with
+    # one violating row must be rejected ATOMICALLY (neither row lands,
+    # tip unchanged) and a compliant append must land. The result reads
+    # the final tip (oracle = untouched parquet + the literal compliant
+    # row) and pins three claims into the hash: `reject_caught` — the
+    # violating append raised naming the constraint; `tip_stable` — the
+    # rejection committed nothing; `enforced` — the constraint record
+    # still rides the tip after all commits.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           TRUE AS reject_caught, TRUE AS tip_stable, TRUE AS enforced
+    FROM documents
+    UNION ALL
+    SELECT -2 AS doc_id, md5('compliant row') AS text_md5,
+           TRUE, TRUE, TRUE
+    """,
+    survey="M8b,V2,S5",
+)
+def src_constraint_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (operators/tablelog.py:add_constraint +
+    write_versioned's distributed validation): the enforcement path the
+    M8b pytest contracts pin, replayed on the real corpus under the
+    driver hash. The violating batch is validated by ONE distributed
+    Spark aggregate over the staged delta (never a driver-side scan —
+    VERDICT r9), rejected before any manifest publishes."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        add_constraint,
+        latest_version,
+        read_versioned,
+        table_constraints,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"constraint_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_versioned(base, path, "overwrite")  # v0
+    add_constraint(
+        spark, path, "chk_chars", "n_chars >= 0 AND text IS NOT NULL"
+    )  # v1 (validates v0)
+    tip_before = latest_version(path)
+    mixed = spark.createDataFrame(
+        [(-1, "bad row", -5), (-3, "good row in a bad batch", 23)],
+        "doc_id long, text string, n_chars long",
+    )
+    reject_caught = False
+    try:
+        write_versioned(mixed, path, "append")
+    except ValueError as e:
+        reject_caught = "chk_chars" in str(e)
+    tip_stable = latest_version(path) == tip_before
+    ok = spark.createDataFrame(
+        [(-2, "compliant row", 13)],
+        "doc_id long, text string, n_chars long",
+    )
+    write_versioned(ok, path, "append")  # v2
+    enforced = table_constraints(path) == {
+        "chk_chars": "n_chars >= 0 AND text IS NOT NULL"
+    }
+    return read_versioned(spark, path).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.lit(bool(reject_caught)).alias("reject_caught"),
+        F.lit(bool(tip_stable)).alias("tip_stable"),
+        F.lit(bool(enforced)).alias("enforced"),
+    )
+
+
+@register(
+    "src_layout_optimize",
+    # Z2 under the gate (r10): OPTIMIZE CLUSTER BY SimHash as a driver
+    # hash row. v0 = the corpus in md5-scrambled order compacted to one
+    # file (the layout-neutral baseline at equal file count), v1 =
+    # optimize_similarity_layout. The result reads the optimized tip
+    # (oracle = untouched parquet — a hash match proves the re-layout
+    # changed no value) and pins two claims: `bytes_smaller` — the
+    # near-dup-adjacent layout strictly shrinks the parquet footprint vs
+    # the scrambled baseline; `history_kept` — the pre-optimize version
+    # still time-travels.
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           TRUE AS bytes_smaller, TRUE AS history_kept
+    FROM documents
+    """,
+    survey="Z2,V2,S2",
+)
+def src_layout_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-ordered layout (operators/tablelog.py:
+    optimize_similarity_layout, functions/textlayout.py:simhash32):
+    near-duplicate documents land adjacently so parquet page-local
+    compression sees them together — measured -11.5% at 30% near-dups
+    (SCALE.md r9: layout). Read-identical commit, history preserved;
+    both properties live under this hash."""
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.tablelog import (
+        _read_manifest,
+        latest_version,
+        optimize_similarity_layout,
+        read_versioned,
+        write_versioned,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SNAPSHOT_DIR, f"layout_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    scrambled = (
+        base.withColumn("_k", F.md5(F.encode("text", "UTF-8")))
+        .orderBy("_k")
+        .drop("_k")
+        .coalesce(1)
+    )
+    v0 = write_versioned(scrambled, path, "overwrite")
+    b0 = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in _read_manifest(path, v0)["files"]
+    )
+    optimize_similarity_layout(spark, path)
+    v1 = latest_version(path)
+    b1 = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in _read_manifest(path, v1)["files"]
+    )
+    n = base.count()
+    history_kept = read_versioned(spark, path, v0).count() == n
+    return read_versioned(spark, path).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.lit(bool(b1 < b0)).alias("bytes_smaller"),
+        F.lit(bool(history_kept)).alias("history_kept"),
+    )

@@ -237,3 +237,92 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "bucket", "ts_us", "value")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# TS4 (r10) — robust anomaly detection: per-series median/MAD z-scores.
+# The monitoring rollup next to TS1's regularization and TS3's rendering
+# rollup: MAD (median absolute deviation) is the standard robust scale
+# estimate — unlike mean/stddev it does not let the outliers it is hunting
+# poison the threshold. 1.4826 * MAD estimates sigma under normality; the
+# |z| > 3 rule is the textbook robust outlier gate (Leys et al. 2013).
+#
+# Determinism contract: medians are exact interpolating quantiles of
+# 2-dp-grid values, so their midpoints sit ON the 6-dp grid (stable under
+# the 1-ulp interpolation-order difference between engines — grid points
+# round to themselves, only half-boundary points are dangerous); med/mad
+# are rounded to 6 dp FIRST and every z is computed from the rounded pair
+# with one pinned operation order, so the threshold compare is
+# bit-identical on both engines (the repo rounding contract).
+# ---------------------------------------------------------------------------
+
+_MAD_SIGMA = 1.4826
+_MAD_Z = 3.0
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.user_id,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY 1
+    )
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           m.med, d.mad,
+           CAST(count(*) FILTER (
+             d.mad > 0 AND
+             round(abs(e.value - m.med) / ({_MAD_SIGMA} * d.mad), 6)
+               > {_MAD_Z}
+           ) AS BIGINT) AS n_anomalies,
+           max(CASE WHEN d.mad > 0 THEN
+             round(abs(e.value - m.med) / ({_MAD_SIGMA} * d.mad), 6)
+           END) AS max_z
+    FROM events e
+    JOIN med m ON e.user_id = m.user_id
+    JOIN dev d ON e.user_id = d.user_id
+    GROUP BY 1, 3, 4
+    """,
+    survey="TS4,A6,W3",
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust anomaly audit: exact median and MAD of the value
+    series, the count of |z| > 3 robust outliers, and the worst z.
+
+    Plan shape: two quantile aggregates and one counting aggregate, all
+    keyed on user_id — one partitioning reused across every exchange.
+    Exact percentile buffers a key's values like any per-key ordered
+    statistic (the ts_ema bound); at 100 TB the drop-in escape hatch is
+    approx_percentile (t-digest, map-side combinable, one pass) at a
+    documented accuracy trade."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = e.groupBy("user_id").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    j = e.join(med, "user_id")
+    dev = j.groupBy("user_id").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
+    )
+    full = j.join(dev, "user_id")
+    z = F.round(
+        F.abs(F.col("value") - F.col("med"))
+        / (F.lit(_MAD_SIGMA) * F.col("mad")),
+        6,
+    )
+    return full.groupBy("user_id", "med", "mad").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when((F.col("mad") > 0) & (z > _MAD_Z), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_anomalies"),
+        F.max(F.when(F.col("mad") > 0, z)).alias("max_z"),
+    ).select(
+        "user_id", "n_events", "med", "mad", "n_anomalies", "max_z"
+    )

@@ -75,3 +75,55 @@ def test_plan_is_jvm_only(series):
     # native expressions — the 100 TB contract for this operator
     plan = resample_interpolate(series, "key", "ts", "value", 60)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# TS4: median/MAD robust anomaly audit (plans/timeseries.py:ts_anomaly_mad)
+# ---------------------------------------------------------------------------
+
+
+def _mad_rows(spark, tmp_path, series):
+    """series: {user_id: [values]} -> gated query output by user."""
+    import datetime as dt
+
+    from ssidentity_spark.registry import REGISTRY
+
+    rows = [
+        (i * 1000 + j, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=j), u, "t", float(v), "{}")
+        for i, (u, vals) in enumerate(sorted(series.items()))
+        for j, v in enumerate(vals)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = REGISTRY["ts_anomaly_mad"].fn(spark, sf)
+    return {r["user_id"]: r.asDict() for r in out.collect()}
+
+def test_mad_planted_spike_is_the_only_anomaly(spark, tmp_path):
+    """A tight series with one huge spike: exactly that spike crosses
+    |z| > 3, and the spike does NOT poison the threshold (the robustness
+    property mean/stddev z-scores lack)."""
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 9.9, 500.0]
+    got = _mad_rows(spark, tmp_path, {1: vals})[1]
+    assert got["n_events"] == 9
+    assert got["n_anomalies"] == 1
+    assert abs(got["med"] - 10.0) < 1e-9
+    assert got["max_z"] > 100  # the spike, measured on the robust scale
+
+def test_mad_constant_series_reports_no_anomalies(spark, tmp_path):
+    """MAD = 0 (constant series): no z is defined, so no anomalies and
+    NULL max_z — never a divide-by-zero."""
+    got = _mad_rows(spark, tmp_path, {2: [5.0] * 10})[2]
+    assert got["mad"] == 0.0
+    assert got["n_anomalies"] == 0
+    assert got["max_z"] is None
+
+def test_mad_zero_mad_with_outlier_still_guarded(spark, tmp_path):
+    """Majority-constant series (MAD = 0) with an outlier: the z gate is
+    switched off by the mad>0 guard on BOTH engines rather than
+    dividing by zero — documented degenerate case."""
+    got = _mad_rows(spark, tmp_path, {3: [5.0] * 9 + [99.0]})[3]
+    assert got["mad"] == 0.0 and got["n_anomalies"] == 0
