@@ -123,6 +123,27 @@ CANARY = "tpch_q6_forecast_revenue"
 # fix. The BEST_ROUND floors stay as recorded — they are real numbers
 # this hardware has hit — and the canary ratio in each artifact is the
 # normalization the reader applies.
+# r10 drift verdict (VERDICT r9 ask #4): pipe_decontaminate's residual
+# (1.26-1.43x vs best across both r9 environments) now has a MEASURED
+# cause. Three-condition A/B probe (tools/decon_probe.py; one fresh
+# session each; canary timed first in-session):
+#   A isolated, loaded box:   canary 1.94x | decon 1.69x -> 0.87x normalized
+#   B bench-replica (full 19-headliner warm-up pass, the exact bench.py
+#     session state):         canary 1.18x | decon 1.30x -> 1.10x normalized
+#   C bench-replica + clearCache before each timed run:
+#                             canary 1.18x | decon 1.17x -> 0.99x normalized
+# Testdata regeneration is RULED OUT (row counts identical r6 vs r9 for
+# all 18 shared gated queries — the generator is seed-deterministic).
+# Named cause, two parts: (1) machine state (the canary factor, 1.18-1.94x
+# across probes); (2) ~10% block-manager cache pressure from the
+# warm-up pass's persisted frames (B vs C: 1.221 -> 1.098 s), paid by
+# decon's corpus-gram distinct — the largest shuffle in the suite.
+# NOT "fixed" by clearing caches in bench: condition C simultaneously
+# SLOWS dedup_semantic_cells 0.739 -> 1.096 s (it legitimately reuses
+# its warm centroid frame — also explaining ITS r9 "watch" residual:
+# the number measures cache warmth, not the plan). Both queries' plans
+# are unchanged and correct; the honest read of any future flag is the
+# canary-normalized ratio, now with the cache-pressure term quantified.
 BEST_ROUND = {
     "dedup_exact": (0.163, "r6"),
     "dedup_minhash_lsh_pairs": (0.975, "r7"),
