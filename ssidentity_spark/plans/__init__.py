@@ -109,6 +109,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # embedding mutual-kNN graph (G3 row) — the modularity-style
     # partition next to CC, training loop hash-gated via unrolled CTEs
     "graph_label_propagation",
+    # NEW in r10: MATCH_RECOGNIZE-style event-sequence pattern matching
+    # (W7 row) — regex over the encoded per-key event string; disjoint
+    # character classes make the match decomposition engine-independent
+    # (o3_union_split parks back to the r11 queue)
+    "w7_event_pattern",
+    # NEW in r10: MMR diversified top-k (U5e row) — the greedy
+    # diversification policy unrolled under the hash; score rounded at
+    # 7 dp (6-dp products sit ON 6-dp half-boundaries — caught live)
+    # (o4_intersect_users parks back to the r11 queue)
+    "sim_mmr_diversify",
     # per-module anchors: stalest history-green member of each module the
     # queue alone leaves unwindowed (module coverage outranks strict age;
     # last-green rounds in parens)
@@ -125,15 +135,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "o4_except_users",
     "o1_global_sort_top",
     "a9_rollup_type_hour",
-    # ...then the oldest of the displaced r3 vintage
-    "o3_union_split",
-    "o4_intersect_users",
 )
 
 # r11 ROTATION QUEUE: after CORRECTNESS_r10 lands, regenerate
 # DRIVER_VERIFIED_HISTORY (tools/driver_history.py). First any r11-new
 # queries (paced to the window), then pure staleness order over what r10
-# displaced: the rest of the r3 vintage (pipe_docs_clean,
+# displaced: o3_union_split and o4_intersect_users (displaced by the
+# w7/U5e first-timers), then the rest of the r3 vintage (pipe_docs_clean,
 # pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
 # sim_lsh_bucketed, text_bigram_profile, a2_habitual_hour,
 # a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs,

@@ -1495,3 +1495,95 @@ def a8_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W7 (r10) — event-SEQUENCE pattern matching (the MATCH_RECOGNIZE verb):
+# W6's funnel asks "how far did each key get once"; W7 asks "how many
+# non-overlapping occurrences of a PATTERN does each key's ordered event
+# string contain, and how long is the longest". The reference's declared
+# habitual-movement analysis (README.md:16-17) is exactly this: recurring
+# visit→browse→convert episodes per device, not a single progression.
+#
+# Mechanics: the per-key event-type sequence is encoded as a STRING (the
+# five event types have distinct initials — c/e/p/s/v), and the pattern is
+# a real regex over it. Determinism across engines (Java regex vs RE2):
+# the pattern's character classes are DISJOINT ('s', '[cv]*', 'p' share no
+# character), so greedy scanning admits exactly one match decomposition —
+# no backtracking ambiguity exists for either engine, and leftmost
+# non-overlapping scanning is common semantics. At 100 TB this is one
+# per-key ordered aggregation (the W4/W6 sessionization bound: a key's
+# history array) followed by pure string expressions — one keyed exchange.
+# ---------------------------------------------------------------------------
+
+# signup, then any browsing (clicks/views), then purchase — with errors or
+# another signup breaking the episode
+_W7_PATTERN = "s[cv]*p"
+
+
+@register(
+    "w7_event_pattern",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT user_id, s, regexp_extract_all(s, '{_W7_PATTERN}') AS ms
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(len(ms) AS BIGINT) AS n_matches,
+           CAST(coalesce(list_max(list_transform(ms, x -> length(x))), 0)
+                AS BIGINT) AS longest_match,
+           CAST(coalesce(list_sum(list_transform(ms, x -> length(x) - 2)), 0)
+                AS BIGINT) AS n_browse_steps
+    FROM m
+    """,
+    survey="W7,W6,A1",
+)
+def w7_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the number of non-overlapping signup->browse*->purchase
+    episodes in the time-ordered event sequence, the longest episode,
+    and the total browsing steps spent inside episodes."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("s")
+    )
+    ms = F.expr(f"regexp_extract_all(s, '{_W7_PATTERN}', 0)")
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.size(ms).cast("long").alias("n_matches"),
+        F.coalesce(
+            F.array_max(F.transform(ms, lambda x: F.length(x))), F.lit(0)
+        )
+        .cast("long")
+        .alias("longest_match"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(ms, lambda x: F.length(x) - 2),
+                F.lit(0),
+                lambda a, x: a + x,
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_browse_steps"),
+    )

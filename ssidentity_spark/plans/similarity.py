@@ -1477,3 +1477,225 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("hits") / float(TOP_K)), 6).alias("mean_recall"),
         F.round(F.min(F.col("hits") / float(TOP_K)), 6).alias("min_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U5e (r10) — MMR diversified top-k (Carbonell & Goldstein 1998): the
+# retrieval PRODUCT feature the plain top-k tiers lack — near-duplicate
+# neighbors crowd a result page, so select greedily by
+# score = lam*rel(q,d) - (1-lam)*max_{s in S} sim(d,s). The whole greedy
+# loop is a static dataflow (fixed k, candidate pool from the exact tier),
+# so every selection round sits under the driver hash via unrolled CTEs —
+# the text_logreg_train/G3 pattern applied to a retrieval policy.
+# Determinism: rel and all pairwise sims are 6-dp-rounded BEFORE the
+# policy; the score is computed from rounded inputs in one pinned op
+# order and rounded at SEVEN dp, not six — lam*rel - (1-lam)*mx of
+# 6-dp-grid inputs lands on the 7-dp grid, whose points sit EXACTLY on
+# 6-dp half-boundaries where Spark (HALF_UP on the decimal expansion)
+# and DuckDB (half-even) disagree (caught live at sf0.01: 0.26004 vs
+# 0.260039). 7-dp grid points round to themselves under the engines'
+# 1-2 ulp product differences, so the 7-dp score is bit-identical.
+# Every argmax is vec_id-tiebroken on the rounded score.
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+_MMR_POOL = 20
+_MMR_LAM = 0.7
+
+
+def _mmr_oracle(k: int, pool: int, lam: float) -> str:
+    one_m = round(1.0 - lam, 6)
+    steps = [
+        f"""s1 AS MATERIALIZED (
+      SELECT query_id, vec_id, rel, round({lam!r} * rel, 7) AS score,
+             1 AS rnk
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY round({lam!r} * rel, 7) DESC, vec_id
+        ) AS rn FROM cand
+      ) WHERE rn = 1
+    ), sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM s1)"""
+    ]
+    for j in range(2, k + 1):
+        steps.append(
+            f"""s{j} AS MATERIALIZED (
+      SELECT query_id, vec_id, rel, score, {j} AS rnk FROM (
+        SELECT c.query_id, c.vec_id, c.rel,
+               round({lam!r} * c.rel - {one_m!r} * ms.mx, 7) AS score,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY round({lam!r} * c.rel - {one_m!r} * ms.mx, 7)
+                          DESC, c.vec_id
+               ) AS rn
+        FROM cand c
+        JOIN (
+          SELECT p.query_id, p.va, max(p.pcos) AS mx
+          FROM pc p JOIN sel{j - 1} s
+            ON p.query_id = s.query_id AND p.vb = s.vec_id
+          GROUP BY 1, 2
+        ) ms ON ms.query_id = c.query_id AND ms.va = c.vec_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sel{j - 1} s2
+          WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id
+        )
+      ) WHERE rn = 1
+    ), sel{j} AS MATERIALIZED (
+      SELECT query_id, vec_id FROM sel{j - 1}
+      UNION ALL SELECT query_id, vec_id FROM s{j}
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    picks = "\n      UNION ALL ".join(
+        f"SELECT * FROM s{j}" for j in range(1, k + 1)
+    )
+    return f"""
+    WITH {_DUCK_VEC}, cand AS MATERIALIZED (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               round(list_sum(list_transform(generate_series(1, len(q.v)),
+                              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6)
+                 AS rel,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_sum(list_transform(
+                            generate_series(1, len(q.v)),
+                            i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6)
+                          DESC, c.vec_id
+               ) AS rnk
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {pool}
+    ), pc AS MATERIALIZED (
+      SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+             round(list_sum(list_transform(generate_series(1, len(x.v)),
+                            i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 6)
+               AS pcos
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+      JOIN n x ON x.vec_id = a.vec_id
+      JOIN n y ON y.vec_id = b.vec_id
+    ),
+    {chain}
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, rel, score
+    FROM ({picks})
+    """
+
+
+@register(
+    "sim_mmr_diversify",
+    oracle=_mmr_oracle(_MMR_K, _MMR_POOL, _MMR_LAM),
+    survey="U5e,U5,E1",
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{_MMR_K} per query over a top-{_MMR_POOL}
+    exact candidate pool: greedy argmax of
+    lam*rel - (1-lam)*max-sim-to-selected, vec_id tie-break.
+
+    Plan shape: the pool comes from the exact brute tier (swap for the
+    IVF index at 100 TB — candidate generation is a parameter, the
+    policy is unchanged); the pool and its pairwise-sim frame are
+    query-bounded (pool^2 per query, never corpus-sized), and each of
+    the {_MMR_K} greedy rounds is one join + one argmax window over
+    those bounded frames."""
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus = _norm_vec(em)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MMR_POOL)
+        .select("query_id", "vec_id", "rel")
+        .persist()
+    )
+    cv = corpus.select("vec_id", "v", "nrm")
+    a = cand.select("query_id", F.col("vec_id").alias("va")).join(
+        cv.select(
+            F.col("vec_id").alias("va"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("anrm"),
+        ),
+        "va",
+    )
+    b = cand.select("query_id", F.col("vec_id").alias("vb")).join(
+        cv.select(
+            F.col("vec_id").alias("vb"),
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("bnrm"),
+        ),
+        "vb",
+    )
+    pc = (
+        a.join(b, "query_id")
+        .where(F.col("va") != F.col("vb"))
+        .select(
+            "query_id",
+            "va",
+            "vb",
+            F.round(
+                _dot(F.col("av"), F.col("bv"))
+                / (F.col("anrm") * F.col("bnrm")),
+                6,
+            ).alias("pcos"),
+        )
+        .persist()
+    )
+    lam, one_m = _MMR_LAM, round(1.0 - _MMR_LAM, 6)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    sel = (
+        cand.withColumn("score", F.round(F.lit(lam) * F.col("rel"), 7))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter("rn = 1")
+        .select("query_id", "vec_id", "rel", "score", F.lit(1).alias("rnk"))
+    )
+    for j in range(2, _MMR_K + 1):
+        ms = (
+            pc.join(
+                sel.select("query_id", F.col("vec_id").alias("vb_sel")),
+                ["query_id"],
+            )
+            .where(F.col("vb") == F.col("vb_sel"))
+            .groupBy("query_id", "va")
+            .agg(F.max("pcos").alias("mx"))
+        )
+        remaining = cand.join(
+            sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        pick = (
+            remaining.join(
+                ms,
+                (remaining.query_id == ms.query_id)
+                & (remaining.vec_id == ms.va),
+            )
+            .select(remaining.query_id, "vec_id", "rel", "mx")
+            .withColumn(
+                "score",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(one_m) * F.col("mx"), 7
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w1))
+            .filter("rn = 1")
+            .select(
+                "query_id", "vec_id", "rel", "score", F.lit(j).alias("rnk")
+            )
+        )
+        sel = sel.unionByName(pick)
+    out = sel.select(
+        "query_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "rel", "score"
+    )
+    return out

@@ -1,0 +1,158 @@
+"""r10 semantics on controlled corpora: event-sequence pattern matching
+(W7) and MMR diversified retrieval (U5e). The driver-gate hash rows pin
+Spark ≡ DuckDB on the real tables; these pin the SEMANTICS."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import ssidentity_spark.plans  # noqa: F401  (populates REGISTRY)
+from ssidentity_spark.registry import REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# W7: event-sequence pattern matching
+# ---------------------------------------------------------------------------
+
+
+def _w7(spark, tmp_path, sequences):
+    """sequences: {user_id: "scvp..."} using type initials -> query rows."""
+    type_of = {"c": "click", "e": "error", "p": "purchase", "s": "signup", "v": "view"}
+    rows = [
+        (u * 10000 + i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), u, type_of[ch], 1.0, "{}")
+        for u, s in sequences.items()
+        for i, ch in enumerate(s)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = REGISTRY["w7_event_pattern"].fn(spark, sf)
+    return {r["user_id"]: r.asDict() for r in out.collect()}
+
+
+def test_w7_counts_non_overlapping_episodes(spark, tmp_path):
+    """'scvp sp' -> two episodes; the scan does not reuse consumed
+    events (non-overlapping MATCH_RECOGNIZE semantics)."""
+    got = _w7(spark, tmp_path, {1: "scvpsp"})[1]
+    assert got["n_matches"] == 2
+    assert got["longest_match"] == 4  # 'scvp'
+    assert got["n_browse_steps"] == 2  # 'cv' inside the first episode
+
+
+def test_w7_error_breaks_the_episode(spark, tmp_path):
+    """An error between signup and purchase kills the match; a second
+    signup re-arms it."""
+    got = _w7(spark, tmp_path, {1: "scep", 2: "scespv" + "p"})
+    assert got[1]["n_matches"] == 0
+    # 'scespvp': first 's' dies at 'e'; second 's' -> 'spvp'? the regex
+    # consumes s, then p is next non-browse char -> match 'sp', then
+    # 'vp' has no signup -> exactly one episode
+    assert got[2]["n_matches"] == 1
+    assert got[2]["longest_match"] == 2
+
+
+def test_w7_greedy_browse_run_matches_first_purchase(spark, tmp_path):
+    """'s cvcv p ... p' matches up to the FIRST purchase (the [cv]*
+    class excludes p, so there is no longest-match ambiguity between
+    regex engines)."""
+    got = _w7(spark, tmp_path, {1: "scvcvpcp"})[1]
+    assert got["n_matches"] == 1
+    assert got["longest_match"] == 6  # 'scvcvp'
+    assert got["n_browse_steps"] == 4
+
+
+def test_w7_ordering_is_by_time_not_arrival(spark, tmp_path):
+    """Events are sequenced by (ts, event_id) — reversing insertion
+    order must not change the matched string."""
+    type_of = {"s": "signup", "p": "purchase"}
+    rows = [
+        (10, dt.datetime(2024, 1, 1, 0, 1), 7, "purchase", 1.0, "{}"),
+        (9, dt.datetime(2024, 1, 1, 0, 0), 7, "signup", 1.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {r["user_id"]: r.asDict() for r in REGISTRY["w7_event_pattern"].fn(spark, sf).collect()}
+    assert got[7]["n_matches"] == 1  # 'sp', because ts orders s first
+
+
+# ---------------------------------------------------------------------------
+# U5e: MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+
+def _embed(spark, tmp_path, vecs):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = REGISTRY["sim_mmr_diversify"].fn(spark, sf)
+    return {
+        (r["query_id"], r["rnk"]): r["vec_id"] for r in out.collect()
+    }
+
+
+def _rot(deg):
+    a = math.radians(deg)
+    return [math.cos(a), math.sin(a)]
+
+
+def test_mmr_prefers_the_diverse_cluster_over_the_redundant_twin(
+    spark, tmp_path
+):
+    """Query at 0 deg; near-dup pair A1(19 deg)/A2(20 deg) and a lone
+    B(-20 deg) with equal-ish relevance. Plain top-3 would return
+    [A1, A2, B]; MMR must interleave: after picking A1, A2's
+    max-sim-to-selected ~cos(1 deg) crushes its score below B's
+    (~cos(39 deg) penalty), so the order is [A1, B, A2]."""
+    vecs = {0: _rot(0)}
+    # 9 low-relevance duds so the query set (vec_id < 10) is populated
+    for i in range(1, 10):
+        vecs[i] = _rot(80 + i)
+    vecs[10] = _rot(19)  # A1: best rel
+    vecs[11] = _rot(20)  # A2: near-dup of A1
+    vecs[12] = _rot(-20)  # B: diverse, same-ish rel
+    got = _embed(spark, tmp_path, vecs)
+    assert got[(0, 1)] == 10  # A1 by pure relevance
+    assert got[(0, 2)] == 12  # B beats the redundant twin
+    assert got[(0, 3)] == 11  # the twin only then
+
+
+def test_mmr_rank_one_is_pure_relevance_argmax(spark, tmp_path):
+    """With no selected set, rank 1 is exactly the top-1 of the exact
+    tier (ties broken by vec_id)."""
+    vecs = {0: _rot(0)}
+    for i in range(1, 10):
+        vecs[i] = _rot(85 + i)
+    vecs[20] = _rot(5)
+    vecs[21] = _rot(45)
+    vecs[22] = _rot(70)
+    got = _embed(spark, tmp_path, vecs)
+    assert got[(0, 1)] == 20
+
+
+def test_mmr_selects_k_distinct_candidates_per_query(spark, tmp_path):
+    from ssidentity_spark.plans.similarity import _MMR_K, N_QUERIES
+
+    vecs = {i: _rot(3 * i + 1) for i in range(N_QUERIES + 8)}
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    rows = REGISTRY["sim_mmr_diversify"].fn(spark, sf).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for q, picks in per_q.items():
+        assert len(picks) == _MMR_K
+        assert len(set(picks)) == _MMR_K  # never re-selects
+        assert q not in picks  # self excluded from the pool
