@@ -156,3 +156,85 @@ def test_mmr_selects_k_distinct_candidates_per_query(spark, tmp_path):
         assert len(picks) == _MMR_K
         assert len(set(picks)) == _MMR_K  # never re-selects
         assert q not in picks  # self excluded from the pool
+
+
+# ---------------------------------------------------------------------------
+# W7 streaming twin: O(1)-state DFA episode matching (streaming/pattern.py)
+# ---------------------------------------------------------------------------
+
+
+def _run_pattern_stream(spark, tmp_path, src, name):
+    from ssidentity_spark.streaming.pattern import pattern_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = str(tmp_path / f"{name}_out")
+    ck = str(tmp_path / f"{name}_ck")
+    q = (
+        pattern_stream(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    snaps = spark.read.parquet(out).collect()
+    final = {}
+    for r in snaps:  # last snapshot per key = max n_events (monotone)
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r.asDict()
+    return final
+
+
+def test_w7_stream_twin_matches_batch_on_the_corpus(spark, tmp_path):
+    """Stream == batch on the real sf0.001 events table: the DFA fold and
+    the regex scan produce identical episode totals for every user."""
+    from ssidentity_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "ev_src")
+    load_table(spark, sf, "events").coalesce(1).write.parquet(src)
+    got = _run_pattern_stream(spark, tmp_path, src, "w7s")
+    want = {
+        r["user_id"]: r.asDict()
+        for r in REGISTRY["w7_event_pattern"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for u, w in want.items():
+        g = got[u]
+        for col in ("n_events", "n_matches", "longest_match", "n_browse_steps"):
+            assert g[col] == w[col], (u, col, g, w)
+
+
+def test_w7_stream_carries_episodes_across_micro_batches(spark, tmp_path):
+    """An episode OPEN at a batch boundary ('sc' in batch 1, 'vp' in
+    batch 2) must complete — the armed/cur_len state is the carry the
+    history-free DFA needs."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def _rows(seq, start):
+        type_of = {"c": "click", "e": "error", "p": "purchase", "s": "signup", "v": "view"}
+        return [
+            (start + i, base + dt.timedelta(minutes=start + i), 5, type_of[ch], 1.0, "{}")
+            for i, ch in enumerate(seq)
+        ]
+
+    src = str(tmp_path / "xb_src")
+    spark.createDataFrame(_rows("sc", 0), schema).coalesce(1).write.parquet(src)
+    got1 = _run_pattern_stream(spark, tmp_path, src, "xb")
+    assert got1[5]["n_matches"] == 0  # still armed, nothing emitted yet
+    spark.createDataFrame(_rows("vp", 10), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got2 = _run_pattern_stream(spark, tmp_path, src, "xb")  # same checkpoint
+    assert got2[5]["n_matches"] == 1
+    assert got2[5]["longest_match"] == 4  # s c v p spanning the boundary
+    assert got2[5]["n_browse_steps"] == 2
