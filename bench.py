@@ -32,53 +32,55 @@ from ssidentity_spark.session import cpu_count, get_spark  # noqa: E402
 N_RUNS = 5
 
 # Recorded per-query MEDIAN seconds from the last completed round's bench
-# (round 7, sf0.1, median-of-5, bench_history/r07_sf0.1_full.json) —
+# (round 9 QUIET-WINDOW run, sf0.1, median-of-5, eae8190 — canary 0.90x,
+# the cleanest baseline the r9 session produced; the driver's own r9 run
+# measured canary 1.19x) —
 # emitted alongside fresh numbers so each round's artifact carries its
 # own regression context (>1.3x flags a plan change).
 PREV_ROUND = {
-    "dedup_exact": 0.184,
-    "dedup_minhash_lsh_pairs": 0.975,
-    "dedup_semantic_cells": 0.600,
-    "flagship_hourly_top_types": 0.362,
-    "graph_pagerank": 4.079,
-    "j10_bloom_pruned_join": 1.637,
-    "j1_region_revenue": 0.792,
-    "j4_range_join_funnel": 0.306,
-    "j9_q3_top_orders": 0.557,
-    "mm_png_decode": 0.517,
-    "pipe_decontaminate": 0.965,
-    "pipe_pack_sequences": 0.328,
-    "sim_ivfpq_rerank_topk": 1.478,
-    "sim_topk_bruteforce": 0.337,
-    "text_token_stats": 0.222,
-    "tpch_q1_pricing_summary": 0.339,
-    "tpch_q6_forecast_revenue": 0.202,
-    "ts_gapfill_interpolate": 0.691,
-    "w5_max_concurrency": 0.676,
+    "dedup_exact": 0.162,
+    "dedup_minhash_lsh_pairs": 0.991,
+    "dedup_semantic_cells": 0.725,
+    "flagship_hourly_top_types": 0.345,
+    "graph_pagerank": 4.462,
+    "j10_bloom_pruned_join": 1.248,
+    "j1_region_revenue": 0.729,
+    "j4_range_join_funnel": 0.233,
+    "j9_q3_top_orders": 0.465,
+    "mm_png_decode": 0.43,
+    "pipe_decontaminate": 1.183,
+    "pipe_pack_sequences": 0.269,
+    "sim_ivfpq_rerank_topk": 1.217,
+    "sim_topk_bruteforce": 0.363,
+    "text_token_stats": 0.171,
+    "tpch_q1_pricing_summary": 0.225,
+    "tpch_q6_forecast_revenue": 0.139,
+    "ts_gapfill_interpolate": 0.583,
+    "w5_max_concurrency": 0.609,
 }
 
-# Per-query stddev from the same r7 run — the noise band each flagged
+# Per-query stddev from the same r9 quiet-window run — the noise band each flagged
 # regression is adjudicated against (see noise adjudication below).
 PREV_STDDEV = {
-    "dedup_exact": 0.042,
-    "dedup_minhash_lsh_pairs": 0.195,
-    "dedup_semantic_cells": 0.058,
-    "flagship_hourly_top_types": 0.095,
-    "graph_pagerank": 0.272,
-    "j10_bloom_pruned_join": 0.333,
-    "j1_region_revenue": 0.076,
+    "dedup_exact": 0.028,
+    "dedup_minhash_lsh_pairs": 0.23,
+    "dedup_semantic_cells": 0.096,
+    "flagship_hourly_top_types": 0.06,
+    "graph_pagerank": 0.302,
+    "j10_bloom_pruned_join": 0.152,
+    "j1_region_revenue": 0.081,
     "j4_range_join_funnel": 0.026,
-    "j9_q3_top_orders": 0.095,
-    "mm_png_decode": 0.018,
-    "pipe_decontaminate": 0.155,
-    "pipe_pack_sequences": 0.042,
-    "sim_ivfpq_rerank_topk": 0.138,
-    "sim_topk_bruteforce": 0.025,
-    "text_token_stats": 0.010,
-    "tpch_q1_pricing_summary": 0.068,
-    "tpch_q6_forecast_revenue": 0.030,
-    "ts_gapfill_interpolate": 0.111,
-    "w5_max_concurrency": 0.117,
+    "j9_q3_top_orders": 0.087,
+    "mm_png_decode": 0.053,
+    "pipe_decontaminate": 0.186,
+    "pipe_pack_sequences": 0.061,
+    "sim_ivfpq_rerank_topk": 0.122,
+    "sim_topk_bruteforce": 0.084,
+    "text_token_stats": 0.018,
+    "tpch_q1_pricing_summary": 0.045,
+    "tpch_q6_forecast_revenue": 0.019,
+    "ts_gapfill_interpolate": 0.092,
+    "w5_max_concurrency": 0.114,
 }
 
 # Session-contention canary (VERDICT r7 ask #4): tpch_q6 is a pure
@@ -145,25 +147,25 @@ CANARY = "tpch_q6_forecast_revenue"
 # are unchanged and correct; the honest read of any future flag is the
 # canary-normalized ratio, now with the cache-pressure term quantified.
 BEST_ROUND = {
-    "dedup_exact": (0.163, "r6"),
+    "dedup_exact": (0.162, "r9"),
     "dedup_minhash_lsh_pairs": (0.975, "r7"),
-    "dedup_semantic_cells": (0.600, "r7"),
+    "dedup_semantic_cells": (0.6, "r7"),
     "flagship_hourly_top_types": (0.316, "r6"),
     "graph_pagerank": (4.079, "r7"),
-    "j10_bloom_pruned_join": (1.56, "r6"),
+    "j10_bloom_pruned_join": (1.248, "r9"),
     "j1_region_revenue": (0.679, "r6"),
     "j4_range_join_funnel": (0.225, "r6"),
     "j9_q3_top_orders": (0.451, "r6"),
-    "mm_png_decode": (0.517, "r7"),
+    "mm_png_decode": (0.43, "r9"),
     "pipe_decontaminate": (0.936, "r6"),
-    "pipe_pack_sequences": (0.328, "r7"),
-    "sim_ivfpq_rerank_topk": (1.150, "r6"),
+    "pipe_pack_sequences": (0.269, "r9"),
+    "sim_ivfpq_rerank_topk": (1.15, "r6"),
     "sim_topk_bruteforce": (0.337, "r7"),
-    "text_token_stats": (0.204, "r6"),
-    "tpch_q1_pricing_summary": (0.253, "r6"),
-    "tpch_q6_forecast_revenue": (0.154, "r6"),
-    "ts_gapfill_interpolate": (0.67, "r6"),
-    "w5_max_concurrency": (0.676, "r7"),
+    "text_token_stats": (0.171, "r9"),
+    "tpch_q1_pricing_summary": (0.225, "r9"),
+    "tpch_q6_forecast_revenue": (0.139, "r9"),
+    "ts_gapfill_interpolate": (0.583, "r9"),
+    "w5_max_concurrency": (0.609, "r9"),
 }
 
 
@@ -247,7 +249,7 @@ def main() -> None:
         "per_query": per_query,
         "sf": sf,
         "prev_round": PREV_ROUND,
-        "prev_round_stat": "median-of-5 (r07)",
+        "prev_round_stat": "median-of-5 (r09 quiet-window, eae8190)",
         # headliners with no prior entry seed next round's gates
         "headliners_new": sorted(n for n in timings if n not in PREV_ROUND),
         "ratio_vs_prev": ratios,
