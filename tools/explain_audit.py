@@ -79,6 +79,42 @@ def _cc_round(spark, sf_dir):
     )
 
 
+def _lpa_round(spark, sf_dir):
+    # one representative LPA round, truncation off, INCLUDING the kNN
+    # edge build (the measured-quadratic surface the summary must show
+    # next to the round's two keyed exchanges — tools/lpa_blowup.py)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.operators.graph import label_propagation
+    from ssidentity_spark.plans.graph import _LPA_KNN
+    from ssidentity_spark.plans.similarity import _dot, _norm_vec
+
+    corpus = _norm_vec(load_table(spark, sf_dir, "embeddings"))
+    nbrs = corpus.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    knn = (
+        corpus.join(F.broadcast(nbrs), F.col("vec_id") != F.col("nbr"))
+        .select(
+            "vec_id",
+            "nbr",
+            F.round(
+                _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _LPA_KNN)
+        .select("vec_id", "nbr", F.lit(1).alias("w"))
+    )
+    return label_propagation(knn, src="vec_id", dst="nbr", iters=1, truncate=False)
+
+
 def _bpe_round(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -105,6 +141,7 @@ ROUND_PLANS = {
     "graph_pagerank": _pagerank_round,
     "dedup_cc_clusters": _cc_round,
     "text_bpe_train": _bpe_round,
+    "graph_label_propagation": _lpa_round,
 }
 
 
