@@ -1614,11 +1614,15 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    # eager localCheckpoint, not persist: the greedy loop references this
+    # frame 2x per round — truncating the lineage keeps round plans
+    # constant-size (the pagerank/LPA convention) and the frame is
+    # pool-bounded (queries x pool rows), so materialization is free
     cand = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _MMR_POOL)
         .select("query_id", "vec_id", "rel")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cv = corpus.select("vec_id", "v", "nrm")
     a = cand.select("query_id", F.col("vec_id").alias("va")).join(
@@ -1650,7 +1654,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pcos"),
         )
-        .persist()
+        .localCheckpoint(eager=True)  # pool^2-bounded; see cand above
     )
     lam, one_m = _MMR_LAM, round(1.0 - _MMR_LAM, 6)
     w1 = Window.partitionBy("query_id").orderBy(
