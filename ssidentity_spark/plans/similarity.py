@@ -1698,7 +1698,12 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id", "vec_id", "rel", "score", F.lit(j).alias("rnk")
             )
         )
-        sel = sel.unionByName(pick)
+        # checkpoint the selected set per round (the LPA labels
+        # convention): sel feeds TWO consumers next round (the max-sim
+        # aggregate and the anti-join) and chains round-over-round — left
+        # lazy, each pick's plan would re-embed every earlier round's
+        # plan and analysis cost would grow quadratically in k
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
     out = sel.select(
         "query_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "rel", "score"
     )
