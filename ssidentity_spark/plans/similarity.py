@@ -1597,6 +1597,15 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-bounded (pool^2 per query, never corpus-sized), and each of
     the {_MMR_K} greedy rounds is one join + one argmax window over
     those bounded frames."""
+    cand, pc = _mmr_pool(spark, sf_dir)
+    return mmr_select(cand, pc, _MMR_K, _MMR_LAM)
+
+
+def _mmr_pool(
+    spark: SparkSession, sf_dir: str, truncate: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """The exact-tier candidate pool and its pairwise-sim frame.
+    ``truncate=False`` keeps both lazy (the plan-audit hook)."""
     em = load_table(spark, sf_dir, "embeddings")
     corpus = _norm_vec(em)
     queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1622,8 +1631,9 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _MMR_POOL)
         .select("query_id", "vec_id", "rel")
-        .localCheckpoint(eager=True)
     )
+    if truncate:
+        cand = cand.localCheckpoint(eager=True)
     cv = corpus.select("vec_id", "v", "nrm")
     a = cand.select("query_id", F.col("vec_id").alias("va")).join(
         cv.select(
@@ -1654,9 +1664,25 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pcos"),
         )
-        .localCheckpoint(eager=True)  # pool^2-bounded; see cand above
     )
-    lam, one_m = _MMR_LAM, round(1.0 - _MMR_LAM, 6)
+    if truncate:
+        pc = pc.localCheckpoint(eager=True)  # pool^2-bounded, like cand
+    return cand, pc
+
+
+def mmr_select(
+    cand: DataFrame,
+    pc: DataFrame,
+    k: int,
+    lam: float,
+    truncate: bool = True,
+) -> DataFrame:
+    """The greedy MMR policy over a (query_id, vec_id, rel) pool and its
+    (query_id, va, vb, pcos) pairwise-sim frame — candidate-generation
+    agnostic (the exact tier feeds it at gate scale, the IVF index at
+    100 TB). ``truncate=False`` keeps the round lazy — the plan-audit
+    hook (tools/explain_audit.py), as in graph.label_propagation."""
+    one_m = round(1.0 - lam, 6)
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("vec_id")
     )
@@ -1666,7 +1692,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn = 1")
         .select("query_id", "vec_id", "rel", "score", F.lit(1).alias("rnk"))
     )
-    for j in range(2, _MMR_K + 1):
+    for j in range(2, k + 1):
         ms = (
             pc.join(
                 sel.select("query_id", F.col("vec_id").alias("vb_sel")),
@@ -1703,8 +1729,9 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregate and the anti-join) and chains round-over-round — left
         # lazy, each pick's plan would re-embed every earlier round's
         # plan and analysis cost would grow quadratically in k
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
-    out = sel.select(
+        sel = sel.unionByName(pick)
+        if truncate:
+            sel = sel.localCheckpoint(eager=True)
+    return sel.select(
         "query_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "rel", "score"
     )
-    return out

@@ -115,6 +115,15 @@ def _lpa_round(spark, sf_dir):
     return label_propagation(knn, src="vec_id", dst="nbr", iters=1, truncate=False)
 
 
+def _mmr_round(spark, sf_dir):
+    # the pool build + ONE greedy MMR round, truncation off — the
+    # summary row shows only the post-checkpoint select
+    from ssidentity_spark.plans.similarity import _MMR_LAM, _mmr_pool, mmr_select
+
+    cand, pc = _mmr_pool(spark, sf_dir, truncate=False)
+    return mmr_select(cand, pc, 2, _MMR_LAM, truncate=False)
+
+
 def _bpe_round(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -142,6 +151,7 @@ ROUND_PLANS = {
     "dedup_cc_clusters": _cc_round,
     "text_bpe_train": _bpe_round,
     "graph_label_propagation": _lpa_round,
+    "sim_mmr_diversify": _mmr_round,
 }
 
 
