@@ -138,8 +138,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # r11 ROTATION QUEUE: after CORRECTNESS_r10 lands, regenerate
-# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). First any r11-new
-# queries (paced to the window), then pure staleness order over what r10
+# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). FIRST the two
+# r10-new-but-parked queries (local-green at all three SFs this
+# session): ts_sax_symbols (claims its TS5 row when it windows) and
+# pipe_dp_counts (claims X27) — a deliberately small bank, per the
+# pacing rule. Then any r11-new queries (paced to the window), then
+# pure staleness order over what r10
 # displaced: o3_union_split and o4_intersect_users (displaced by the
 # w7/U5e first-timers), then the rest of the r3 vintage (pipe_docs_clean,
 # pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,

@@ -1409,7 +1409,7 @@ def _hll_sql_estimate(src: str, keys: str, out: str) -> str:
     LEFT JOIN xinter xi
       ON xi.type_a = p.type_a AND xi.type_b = p.type_b
     """,
-    survey="A8,A7,O4",
+    survey="A8b,A8,A7,O4",
 )
 def a8_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user UNION and INTERSECTION estimates for every pair of

@@ -1903,9 +1903,8 @@ STOPGRAM_MIN_DOCS = 4  # a gram in >= this many distinct docs is boilerplate
     LEFT JOIN agg USING (doc_id)
     LEFT JOIN rebuilt r USING (doc_id)
     """,
-    # parked past the full r9 window; claims its X23 row when it windows
-    # in r10
-    survey="EXT-dedup,X3,U6",
+    # r9-parked, WINDOWED in r10 — claims its X23 row (tag above)
+    survey="X23,EXT-dedup,X3,U6",
 )
 def dedup_stopgram_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remove EVERY word position covered by any occurrence of a
@@ -2061,9 +2060,8 @@ _LSH_EVAL_THRESHOLDS = (0.3, 0.5, 0.7)
     CROSS JOIN nc
     GROUP BY 1, 3
     """,
-    # parked past the full r9 window; claims its E2 row when it windows
-    # in r10
-    survey="EXT-dedup,A6,J2",
+    # r9-parked, WINDOWED in r10 — claims its E2 row (tag above)
+    survey="E2,EXT-dedup,A6,J2",
 )
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall and candidate-precision of the MinHash-LSH banding at

@@ -1586,9 +1586,8 @@ _RRF_K = 60  # standard RRF damping: rank 1 contributes 1/61
            ) AS BIGINT) AS fused_rank
     FROM rk
     """,
-    # parked past the full r9 window; claims its X22 row when it windows
-    # in r10
-    survey="X3,U6,W1",
+    # r9-parked, WINDOWED in r10 — claims its X22 row (tag above)
+    survey="X22,X3,U6,W1",
 )
 def pipe_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuse three quality rankings (length, lexical diversity, unigram
@@ -1728,9 +1727,8 @@ _KANON_BUCKET = 100  # length generalized to n_chars // 100 buckets
     JOIN l1 USING (lang, len_bucket)
     JOIN l2 USING (lang)
     """,
-    # parked past the full r9 window; claims its X24 row when it windows
-    # in r10
-    survey="X3,A9",
+    # r9-parked, WINDOWED in r10 — claims its X24 row (tag above)
+    survey="X24,X3,A9",
 )
 def pipe_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per concrete (lang, source, length-bucket) group: its size, the
@@ -1840,9 +1838,8 @@ def pipe_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM flagged f JOIN lx ON f.source = lx.source
     GROUP BY 1, 7
     """,
-    # parked past the full r9 window; claims its X25 row when it windows
-    # in r10
-    survey="X3,A1,A6",
+    # r9-parked, WINDOWED in r10 — claims its X25 row (tag above)
+    survey="X25,X3,A1,A6",
 )
 def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source datasheet: document count, token volume, mean length,
@@ -1957,9 +1954,8 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(exact_dup) AS BIGINT) AS n_exact
     FROM pairs GROUP BY 1, 2
     """,
-    # parked past the full r9 window; claims its X26 row when it windows
-    # in r10
-    survey="X3,A4,J2",
+    # r9-parked, WINDOWED in r10 — claims its X26 row (tag above)
+    survey="X26,X3,A4,J2",
 )
 def pipe_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pair counts per unordered source pair — which
@@ -2073,9 +2069,8 @@ def pipe_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     """,
-    # parked past the full r9 window; claims its E3 row when it windows
-    # in r10
-    survey="X1,EXT-dedup,A6",
+    # r9-parked, WINDOWED in r10 — claims its E3 row (tag above)
+    survey="E3,X1,EXT-dedup,A6",
 )
 def pipe_split_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs straddling the train/val/test boundary, for the
@@ -2152,4 +2147,100 @@ def pipe_split_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return row("doc_level", "doc_cross").unionByName(
         row("cluster_level", "cluster_cross")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X27-to-be (r10, parked for the r11 window) — Laplace-mechanism noisy
+# counts (Dwork et al. 2006): the release half of the privacy story —
+# X24's k-anonymity audits which groups are safe to publish, this applies
+# the standard eps-DP count mechanism (sensitivity 1, b = 1/eps) to the
+# (lang, source) histogram before it leaves the pipeline. The noise is
+# SEEDED (md5 of the group key -> uniform -> inverse-CDF Laplace), which
+# is exactly how a reproducible release pipeline drives its sampler — and
+# what makes the whole mechanism hash-gateable: both engines replay the
+# identical draw. True counts ride alongside in the gated artifact so the
+# hash pins mechanism + error together (the a8/E-family convention: this
+# is a mechanism demo under a determinism harness, not a privacy proof —
+# a real release would keep n_true out and the seed secret).
+#
+# Determinism: the hex->uint digit-sum is exact integer arithmetic in
+# doubles (< 2^32); u = (v + 0.5)/2^32 strictly inside (0,1); the
+# inverse CDF uses one pinned op order; ln parity across engines is the
+# precedent the fluency/logreg oracles already stand on; round 6 before
+# the hash, and the released integer derives from the ROUNDED noisy
+# count via floor(x + 0.5) (half-up on both engines by construction —
+# never each engine's own round-to-int tie rule).
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+
+
+@register(
+    "pipe_dp_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+      FROM documents GROUP BY 1, 2
+    ), v AS (
+      SELECT lang, source, n_true,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5(lang || ':' || source), i, 1)) - 1)
+                    * power(16, 8 - i))) AS hv
+      FROM g
+    ), n AS (
+      SELECT lang, source, n_true,
+             round(-(1.0 / {_DP_EPS}) *
+                   (CASE WHEN (hv + 0.5) / 4294967296.0 >= 0.5
+                         THEN 1.0 ELSE -1.0 END) *
+                   ln(1.0 - 2.0 * abs((hv + 0.5) / 4294967296.0 - 0.5)),
+                   6) AS noise
+      FROM v
+    )
+    SELECT lang, source, n_true, noise,
+           GREATEST(CAST(floor(n_true + noise + 0.5) AS BIGINT), 0)
+             AS n_released
+    FROM n
+    """,
+    # parked past the full r10 window; claims its X27 row when it windows
+    # in r11 (tags below are already-covered rows, per the parking rule)
+    survey="X3,A9,X24",
+)
+def pipe_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (lang, source) histogram released through the eps={_DP_EPS}
+    Laplace mechanism with a seeded, reproducible draw per group —
+    n_true, the noise realization, and the clamped integer release.
+
+    Plan shape: ONE grouped aggregate; the mechanism is pure per-row
+    expressions after it. At 100 TB the released histogram is
+    groups-sized — the scan is the count itself."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    # Spark's locate(substr, str) flips DuckDB's strpos(str, substr)
+    # argument order; same math, each engine's own builtin
+    hv = F.expr(
+        "aggregate(transform(sequence(1, 8), i -> "
+        "(locate(substr(md5(concat_ws(':', lang, source)), i, 1), "
+        "'0123456789abcdef') - 1) * power(16, 8 - i)), 0D, (a, x) -> a + x)"
+    )
+    u = (hv + F.lit(0.5)) / F.lit(4294967296.0)
+    noise = F.round(
+        F.lit(-(1.0 / _DP_EPS))
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))),
+        6,
+    )
+    out = g.select("lang", "source", "n_true", noise.alias("noise"))
+    return out.select(
+        "lang",
+        "source",
+        "n_true",
+        "noise",
+        F.greatest(
+            F.floor(F.col("n_true") + F.col("noise") + 0.5).cast("bigint"),
+            F.lit(0),
+        ).alias("n_released"),
     )

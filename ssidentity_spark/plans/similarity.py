@@ -1304,7 +1304,7 @@ def sim_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
     GROUP BY 1
     """,
-    survey="E1,U5",
+    survey="E1b,E1,U5",
 )
 def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the pinned-IVF search against the exact ranking, per
@@ -1391,9 +1391,8 @@ _CURVE_MAX_PROBES = 4
            round(min(hits / {TOP_K}.0), 6) AS min_recall
     FROM per_q GROUP BY 1
     """,
-    # parked past the full r9 window; claims its E1c row when it windows
-    # in r10
-    survey="E1,U5",
+    # r9-parked, WINDOWED in r10 — claims its E1c row (tag above)
+    survey="E1c,E1,U5",
 )
 def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean and worst-case recall@k of the pinned-IVF search at every

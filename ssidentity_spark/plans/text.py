@@ -1645,7 +1645,7 @@ _SC_THRESHOLD = 0.25  # report pairs at or above this rounded cosine
     # parked past the r9 window (every slot spent — 25 first-timers this
     # round); survey rows are the covered dedup/text siblings' until it
     # windows FIRST in r10 and claims its own U6g row
-    survey="EXT-dedup,U6,J2",
+    survey="U6g,EXT-dedup,U6,J2",
 )
 def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tf-idf cosine over every candidate pair from the shingle
@@ -1809,8 +1809,8 @@ FROM s{_WPT_STEPS}w
     # segmentation, not a summary of it.
     oracle=_WPT_ORACLE,
     # parked past the full r9 window like text_sparse_cosine_pairs;
-    # claims its T10c row when it windows in r10
-    survey="U6,D7",
+    # r9-parked, WINDOWED in r10 — claims its T10c row (tag above)
+    survey="T10c,U6,D7",
 )
 def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match WordPiece segmentation of every distinct
@@ -1936,9 +1936,8 @@ def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM grams JOIN firsts USING (g)
     GROUP BY 1
     """,
-    # parked past the full r9 window; claims its U6h row when it windows
-    # in r10
-    survey="U6,EXT-dedup,A4",
+    # r9-parked, WINDOWED in r10 — claims its U6h row (tag above)
+    survey="U6h,U6,EXT-dedup,A4",
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: the fraction of its distinct 3-grams whose

@@ -170,9 +170,8 @@ _M4_BUCKET = 4 * 3600  # the gapfill grid width: ~5+ points per bucket
     SELECT DISTINCT event_type, bucket, ts_us, value FROM r
     WHERE rn_min = 1 OR rn_max = 1 OR rn_first = 1 OR rn_last = 1
     """,
-    # parked past the full r9 window; claims its TS3 row when it windows
-    # in r10
-    survey="EXT-timeseries,W1,O5",
+    # r9-parked, WINDOWED in r10 — claims its TS3 row (tag above)
+    survey="TS3,EXT-timeseries,W1,O5",
 )
 def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 downsample of the per-type event series: for every 4-hour
@@ -325,4 +324,115 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("mad") > 0, z)).alias("max_z"),
     ).select(
         "user_id", "n_events", "med", "mad", "n_anomalies", "max_z"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS5-to-be (r10, parked for the r11 window) — SAX symbolization (Lin et
+# al. 2003): PAA-compress each series into fixed-width window means, then
+# symbolize each mean against the series' own quartiles ('a'..'d') — the
+# discretization under time-series motif/anomaly search and the string
+# bridge that lets the TEXT machinery (fingerprints, n-gram novelty,
+# suffix filters) run on sensor series. Equi-depth breakpoints (quartiles)
+# instead of the classical Gaussian ones: no normality assumption, and
+# the thresholds stay inside the repo's exact-quantile determinism story.
+#
+# Determinism: PAA means are sum/count of 2-dp values (one division,
+# identical op both engines); rounded at 6 dp. Quartiles interpolate the
+# ROUNDED means at g in {0, .25, .5, .75} — values land on the 2.5e-7
+# grid, whose points sit on 7-dp HALF-boundaries, so quartiles round at
+# EIGHT dp (where that grid is self-stable; the U5e lesson applied in
+# advance). Symbol compare is strict > on (6-dp mean, 8-dp quartile) —
+# bit-identical inputs, bit-identical symbols.
+# ---------------------------------------------------------------------------
+
+_SAX_W = 8  # events per PAA window
+
+
+@register(
+    "ts_sax_symbols",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - 1 AS rn
+      FROM events
+    ), paa AS (
+      SELECT user_id, CAST(rn // {_SAX_W} AS BIGINT) AS win_idx,
+             round(sum(value) / count(*), 6) AS m
+      FROM ordered GROUP BY 1, 2
+    ), brk AS (
+      SELECT user_id,
+             round(quantile_cont(m, 0.25), 8) AS q1,
+             round(quantile_cont(m, 0.50), 8) AS q2,
+             round(quantile_cont(m, 0.75), 8) AS q3
+      FROM paa GROUP BY 1
+    ), sym AS (
+      SELECT p.user_id, p.win_idx, p.m,
+             CASE WHEN p.m > b.q3 THEN 'd'
+                  WHEN p.m > b.q2 THEN 'c'
+                  WHEN p.m > b.q1 THEN 'b'
+                  ELSE 'a' END AS s
+      FROM paa p JOIN brk b ON p.user_id = b.user_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           string_agg(s, '' ORDER BY win_idx) AS sax_word
+    FROM sym GROUP BY 1
+    """,
+    # parked past the full r10 window; claims its TS5 row when it windows
+    # in r11 (tags below are already-covered rows, per the parking rule)
+    survey="EXT-timeseries,W3,A6",
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the SAX word — one 'a'..'d' symbol per {_SAX_W}-event
+    PAA window, breakpoints at the series' own PAA quartiles.
+
+    Plan shape: one keyed window (position numbering), one (user, window)
+    aggregate, one quartile aggregate, one broadcast-sized join back —
+    every exchange keyed on the series key. Per-key cost is the series'
+    window count; the PAA table, not the raw series, is what downstream
+    motif search scans (the whole point of the compression)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    ) - 1
+    paa = (
+        e.withColumn("win_idx", (rn / _SAX_W).cast("bigint"))
+        .groupBy("user_id", "win_idx")
+        .agg(
+            F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("m")
+        )
+    )
+    brk = paa.groupBy("user_id").agg(
+        F.round(F.expr("percentile(m, 0.25)"), 8).alias("q1"),
+        F.round(F.expr("percentile(m, 0.50)"), 8).alias("q2"),
+        F.round(F.expr("percentile(m, 0.75)"), 8).alias("q3"),
+    )
+    sym = paa.join(brk, "user_id").select(
+        "user_id",
+        "win_idx",
+        F.when(F.col("m") > F.col("q3"), "d")
+        .when(F.col("m") > F.col("q2"), "c")
+        .when(F.col("m") > F.col("q1"), "b")
+        .otherwise("a")
+        .alias("s"),
+    )
+    return sym.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("win_idx", "s"))
+                ),
+                lambda x: x["s"],
+            ),
+            "",
+        ).alias("sax_word"),
     )

@@ -238,3 +238,95 @@ def test_w7_stream_carries_episodes_across_micro_batches(spark, tmp_path):
     assert got2[5]["n_matches"] == 1
     assert got2[5]["longest_match"] == 4  # s c v p spanning the boundary
     assert got2[5]["n_browse_steps"] == 2
+
+
+# ---------------------------------------------------------------------------
+# TS5-to-be: SAX symbolization (plans/timeseries.py:ts_sax_symbols)
+# ---------------------------------------------------------------------------
+
+
+def _sax(spark, tmp_path, series):
+    rows = [
+        (u * 100000 + i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), u, "t", float(v), "{}")
+        for u, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = REGISTRY["ts_sax_symbols"].fn(spark, sf)
+    return {r["user_id"]: r.asDict() for r in out.collect()}
+
+
+def test_sax_monotone_series_spells_ascending_symbols(spark, tmp_path):
+    """A strictly increasing series: PAA means rise, so the word walks
+    the alphabet — quartile breakpoints put 1/4 of windows in each
+    symbol class."""
+    from ssidentity_spark.plans.timeseries import _SAX_W
+
+    vals = [float(i) for i in range(8 * _SAX_W)]  # 8 full windows
+    got = _sax(spark, tmp_path, {1: vals})[1]
+    assert got["n_windows"] == 8
+    assert got["sax_word"] == "aabbccdd"
+
+
+def test_sax_constant_series_is_all_a(spark, tmp_path):
+    """Constant series: every PAA mean equals every quartile, and the
+    strict > comparison maps everything to 'a' — no accidental symbol
+    spread from ties."""
+    got = _sax(spark, tmp_path, {2: [7.0] * 40})[2]
+    assert got["sax_word"] == "a" * got["n_windows"]
+
+
+def test_sax_partial_last_window_is_its_own_mean(spark, tmp_path):
+    """A trailing partial window averages its OWN count (sum/count, not
+    sum/W) — a high-valued 2-event tail must still spell 'd'."""
+    from ssidentity_spark.plans.timeseries import _SAX_W
+
+    vals = [1.0] * (3 * _SAX_W) + [100.0, 100.0]
+    got = _sax(spark, tmp_path, {3: vals})[3]
+    assert got["n_windows"] == 4
+    assert got["sax_word"].endswith("d")
+
+
+# ---------------------------------------------------------------------------
+# X27-to-be: seeded Laplace noisy counts (plans/pipeline.py:pipe_dp_counts)
+# ---------------------------------------------------------------------------
+
+
+def test_dp_counts_mechanism_invariants(spark, tmp_path):
+    import math
+
+    rows = REGISTRY["pipe_dp_counts"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 50  # (lang, source) grain is populated
+    n_small = 0
+    for r in rows:
+        # the release is exactly the clamped half-up rounding of the
+        # noisy count — recomputed independently here
+        want = max(int(math.floor(r["n_true"] + r["noise"] + 0.5)), 0)
+        assert r["n_released"] == want
+        assert r["n_released"] >= 0
+        if abs(r["noise"]) <= math.log(2.0):
+            n_small += 1
+    # Laplace(b=1/eps): P(|noise| <= b ln 2) = 1/2 — the seeded draws
+    # must look like the distribution they claim (binomial 3-sigma band)
+    frac = n_small / len(rows)
+    assert 0.3 < frac < 0.7, frac
+
+
+def test_dp_counts_draw_is_reproducible_and_key_seeded(spark, tmp_path):
+    a = {
+        (r["lang"], r["source"]): r["noise"]
+        for r in REGISTRY["pipe_dp_counts"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    b = {
+        (r["lang"], r["source"]): r["noise"]
+        for r in REGISTRY["pipe_dp_counts"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert a == b  # same seed -> same release (reproducible pipeline)
+    assert len(set(a.values())) > len(a) // 2  # draws differ across keys
