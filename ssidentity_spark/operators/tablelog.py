@@ -2346,9 +2346,26 @@ def add_constraint(
     )
 
 
-def drop_constraint(path: str, name: str) -> int:
-    cons = table_constraints(path)
-    if name not in cons:
-        raise ValueError(f"no constraint {name!r} on {path}")
-    del cons[name]
-    return _constraint_commit(path, cons, "drop_constraint")
+def drop_constraint(path: str, name: str, max_retries: int = 5) -> int:
+    """Remove a named CHECK constraint. Pinned-parent like add_constraint
+    (the same TOCTOU family): reading the record at one tip and
+    publishing at a later one would silently ERASE a constraint added
+    concurrently in between — the read and the commit must see the same
+    parent, retrying on conflict."""
+    for _ in range(max_retries):
+        tip = latest_version(path)
+        if tip is None:
+            raise ValueError(f"no table at {path}")
+        cons = dict(_read_manifest(path, tip).get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} on {path}")
+        del cons[name]
+        try:
+            return _constraint_commit(
+                path, cons, "drop_constraint", parent=tip
+            )
+        except VersionConflict:
+            continue
+    raise VersionConflict(
+        f"drop_constraint gave up after {max_retries} retries at {path}"
+    )

@@ -365,3 +365,76 @@ def test_spark_only_dialect_rejected_at_add_time(spark, tmp_path):
     with pytest.raises(Exception):
         add_constraint(spark, p, "bad", "rlike(cast(v as string), '^[0-9]')")
     assert table_constraints(p) == {}
+
+
+def _add_constraint_proc(path, name, expr, out):
+    from pyspark.sql import SparkSession
+
+    from ssidentity_spark.operators.tablelog import add_constraint
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"cons-{name}")
+        .getOrCreate()
+    )
+    try:
+        v = add_constraint(spark, path, name, expr, max_retries=50)
+        out.put((name, v))
+    finally:
+        spark.stop()
+
+
+def test_concurrent_add_add_keeps_both_constraints(spark, tmp_path):
+    """Two processes adding DIFFERENT constraints race the metadata
+    commit: the loser's retry must re-read the winner's record, so BOTH
+    constraints survive — a lost update here would silently disable
+    enforcement of the overwritten rule."""
+    import multiprocessing as mp
+
+    p = _mk(spark, tmp_path)
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_add_constraint_proc, args=(p, n, e, q)
+        )
+        for n, e in (("v_positive", "v > 0"), ("id_positive", "id > 0"))
+    ]
+    for pr in procs:
+        pr.start()
+    got = [q.get(timeout=180) for _ in procs]
+    for pr in procs:
+        pr.join(timeout=60)
+        assert pr.exitcode == 0
+    assert {n for n, _ in got} == {"v_positive", "id_positive"}
+    assert sorted(v for _, v in got) == [1, 2]  # one winner per version
+    assert table_constraints(p) == {
+        "v_positive": "v > 0",
+        "id_positive": "id > 0",
+    }
+    bad = spark.createDataFrame([(0, -1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="v_positive|id_positive"):
+        write_versioned(bad, p, "append")  # both rules enforce
+
+
+def test_drop_races_with_add_loses_nothing(spark, tmp_path, monkeypatch):
+    """ADVICE-r9 family, drop side: an add_constraint landing between
+    drop's record read and its publish must survive the drop — the
+    pinned-parent retry re-reads the record instead of erasing it."""
+    import ssidentity_spark.operators.tablelog as tl
+
+    p = _mk(spark, tmp_path)
+    add_constraint(spark, p, "v_positive", "v > 0")
+    state = {"raced": False}
+    orig = tl._constraint_commit
+
+    def racy(path, cons, op, parent=None):
+        if not state["raced"] and op == "drop_constraint":
+            state["raced"] = True
+            add_constraint(spark, p, "id_positive", "id > 0")  # the race
+        return orig(path, cons, op, parent=parent)
+
+    monkeypatch.setattr(tl, "_constraint_commit", racy)
+    drop_constraint(p, "v_positive")
+    # the concurrently-added constraint survived the drop's publish
+    assert table_constraints(p) == {"id_positive": "id > 0"}
