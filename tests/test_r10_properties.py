@@ -330,3 +330,127 @@ def test_dp_counts_draw_is_reproducible_and_key_seeded(spark, tmp_path):
     }
     assert a == b  # same seed -> same release (reproducible pipeline)
     assert len(set(a.values())) > len(a) // 2  # draws differ across keys
+
+
+# ---------------------------------------------------------------------------
+# W4 streaming twin: native session windows (streaming/sessions.py)
+# ---------------------------------------------------------------------------
+
+
+def _run_session_stream(spark, tmp_path, src, name):
+    from ssidentity_spark.streaming.sessions import session_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = str(tmp_path / f"{name}_out")
+    ck = str(tmp_path / f"{name}_ck")
+    q = (
+        session_stream(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out).collect()
+
+
+def _batch_sessions(spark, sf):
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.plans.analytics import _event_sessions
+
+    from pyspark.sql import functions as F
+
+    return {
+        (r["user_id"], r["start"]): r["n"]
+        for r in _event_sessions(load_table(spark, sf, "events"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_session_stream_matches_batch_on_the_corpus(spark, tmp_path):
+    """Closed streaming sessions == batch sessions on the real sf0.001
+    events: chunk 2 carries one far-future flusher event, so the
+    watermark closes every real session; keys are (user, session start)
+    — the native session_window's start equals the batch session's first
+    event time, and the 30min+1us gap makes the two gap rules coincide."""
+    import datetime as _dt
+
+    from ssidentity_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "sess_src")
+    ev = load_table(spark, sf, "events")
+    ev.coalesce(1).write.parquet(src)
+    got1 = _run_session_stream(spark, tmp_path, src, "sess")
+    # nothing can close before the watermark moves: first run is empty
+    # or a strict subset
+    flusher = spark.createDataFrame(
+        [(
+            10**9,
+            _dt.datetime(2030, 1, 1),
+            999999,
+            "view",
+            1.0,
+            "{}",
+        )],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    flusher.coalesce(1).write.mode("append").parquet(src)
+    got2 = _run_session_stream(spark, tmp_path, src, "sess")  # same ck
+    emitted = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in got1 + got2
+        if r["user_id"] != 999999
+    }
+    want = _batch_sessions(spark, sf)
+    assert emitted == want
+    assert len(want) > 20  # the corpus has real session structure
+
+
+def test_session_stream_gap_boundary_matches_batch_strict_rule(
+    spark, tmp_path
+):
+    """Events exactly 30:00.000000 apart stay in ONE session (the batch
+    rule is strictly-greater); 30:00.000001 apart split — Spark's
+    session-window merge is end-INCLUSIVE, so gap = 30 minutes
+    reproduces the batch strict-> comparison exactly (this test is what
+    pinned the inclusivity: a 1-microsecond gap padding merged the
+    30:00.000001 pair, so half-open end semantics would be wrong)."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 6, 1, 12, 0, 0)
+    us = _dt.timedelta(microseconds=1)
+    gap30 = _dt.timedelta(minutes=30)
+    rows = [
+        # user 1: exact-30min chain -> one session of 3
+        (1, base, 1), (2, base + gap30, 1), (3, base + 2 * gap30, 1),
+        # user 2: 30min + 1us -> two sessions
+        (4, base, 2), (5, base + gap30 + us, 2),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "gb_src")
+    spark.createDataFrame(
+        [(e, t, u, "view", 1.0, "{}") for e, t, u in rows], schema
+    ).coalesce(1).write.parquet(src)
+    _run_session_stream(spark, tmp_path, src, "gb")
+    flusher = spark.createDataFrame(
+        [(99, _dt.datetime(2030, 1, 1), 9, "view", 1.0, "{}")], schema
+    )
+    flusher.coalesce(1).write.mode("append").parquet(src)
+    got = _run_session_stream(spark, tmp_path, src, "gb")
+    by_user = {}
+    for r in got:
+        if r["user_id"] in (1, 2):
+            by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(by_user[1]) == [3]  # exact-30min gaps merge
+    assert sorted(by_user[2]) == [1, 1]  # one microsecond more splits
