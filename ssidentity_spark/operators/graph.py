@@ -210,6 +210,7 @@ def label_propagation(
     weight: str = "w",
     iters: int = 4,
     truncate: bool = True,
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
     """COMMUNITY detection by synchronous weighted label propagation
     (Raghavan et al. 2007) — the modularity-style partition next to
@@ -231,7 +232,15 @@ def label_propagation(
     label vector on the neighbor key, one (vertex, label) weight
     aggregate, one argmax-by-struct aggregate — two keyed exchanges,
     checkpoint-truncated lineage (``truncate=False`` is the plan-audit
-    hook, as in connected_components). State is one row per vertex."""
+    hook, as in connected_components). State is one row per vertex.
+
+    Vertex universe contract (ADVICE r10): by default EDGES DEFINE THE
+    VERTEX SET — a vertex with no incident edge has no neighborhood to
+    propagate over and is absent from the result. Callers whose graph
+    carries isolated nodes pass ``vertices`` (a one-column frame of
+    vertex ids, any column name); isolated members then come back as
+    their own singleton community (label = own id), exactly the LPA
+    fixpoint for a degree-0 vertex."""
     # symmetrize with summed weights ONCE (undirected view of a directed
     # multigraph); integral weights -> exact argmax
     sym = (
@@ -274,6 +283,18 @@ def label_propagation(
         if truncate:
             labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
+    if vertices is not None:
+        # degree-0 members never appear in `support`, so they are added
+        # once at the end with their LPA fixpoint (own label) — cheaper
+        # than carrying no-op rows through every propagation round
+        vcol = vertices.columns[0]
+        isolated = (
+            vertices.select(F.col(vcol).alias("vertex"))
+            .distinct()
+            .join(labels, "vertex", "left_anti")
+            .withColumn("label", F.col("vertex"))
+        )
+        labels = labels.unionByName(isolated)
     return labels
 
 

@@ -243,7 +243,10 @@ def write_versioned(
         staged_df = df.sparkSession.read.parquet(
             *[os.path.join(path, f) for f in new_files]
         )
-        check_constraints(staged_df, cons, f"commit_files at {path}")
+        # context names THIS layer (ADVICE r10): the distributed check runs
+        # in write_versioned before commit_files — a failure here never
+        # reached the manifest commit, and the message must say so
+        check_constraints(staged_df, cons, f"write_versioned at {path}")
     return commit_files(
         path,
         new_files,

@@ -1516,13 +1516,17 @@ def src_constraint_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file (the layout-neutral baseline at equal file count), v1 =
     # optimize_similarity_layout. The result reads the optimized tip
     # (oracle = untouched parquet — a hash match proves the re-layout
-    # changed no value) and pins two claims: `bytes_smaller` — the
-    # near-dup-adjacent layout strictly shrinks the parquet footprint vs
-    # the scrambled baseline; `history_kept` — the pre-optimize version
-    # still time-travels.
+    # changed no value) and pins two claims: `bytes_not_larger` — the
+    # near-dup-adjacent layout never grows the parquet footprint vs the
+    # scrambled baseline (ADVICE r10: the STRICT size win is a property
+    # of the parquet encoder, not this repo — a codec-default upgrade
+    # could flip `<` with no repo bug, so the hash pins only `<=`; the
+    # measured -11.5% strict win lives in SCALE.md and
+    # tools/layout_compression.py where it belongs); `history_kept` —
+    # the pre-optimize version still time-travels.
     oracle="""
     SELECT doc_id, md5(text) AS text_md5,
-           TRUE AS bytes_smaller, TRUE AS history_kept
+           TRUE AS bytes_not_larger, TRUE AS history_kept
     FROM documents
     """,
     survey="Z2,V2,S2",
@@ -1569,6 +1573,6 @@ def src_layout_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_versioned(spark, path).select(
         "doc_id",
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
-        F.lit(bool(b1 < b0)).alias("bytes_smaller"),
+        F.lit(bool(b1 <= b0)).alias("bytes_not_larger"),
         F.lit(bool(history_kept)).alias("history_kept"),
     )

@@ -223,3 +223,26 @@ def test_lpa_query_matches_planted_embedding_structure(spark):
 
     c = Counter(r["community"] for r in rows)
     assert all(c[r["community"]] == r["community_size"] for r in rows)
+
+
+def test_lpa_vertices_param_keeps_isolated_nodes(spark):
+    """ADVICE r10: edges define the vertex set by default, so isolated
+    vertices vanish; passing ``vertices`` restores them as singleton
+    communities (label = own id) without disturbing edge-connected
+    labels."""
+    from ssidentity_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 5), (2, 3, 5)], "src long, dst long, w long"
+    )
+    verts = spark.createDataFrame([(1,), (2,), (3,), (99,), (100,)], "vid long")
+    base = {
+        r["vertex"]: r["label"] for r in label_propagation(e, iters=2).collect()
+    }
+    assert set(base) == {1, 2, 3}  # default contract: edges define vertices
+    got = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(e, iters=2, vertices=verts).collect()
+    }
+    assert {k: v for k, v in got.items() if k in base} == base
+    assert got[99] == 99 and got[100] == 100

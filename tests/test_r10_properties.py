@@ -454,3 +454,35 @@ def test_session_stream_gap_boundary_matches_batch_strict_rule(
             by_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(by_user[1]) == [3]  # exact-30min gaps merge
     assert sorted(by_user[2]) == [1, 1]  # one microsecond more splits
+
+
+def test_w7_stream_folds_cross_batch_disorder_within_watermark(spark, tmp_path):
+    """ADVICE r10: a late event the watermark still admits must FOLD IN
+    EVENT-TIME ORDER, not be dropped by a replay guard. Batch 1 delivers
+    s@0min and p@15min; batch 2 delivers c@12min (admitted: watermark
+    after batch 1 is 15-10=5min, and 12 > 5). The correct episode is
+    s-c-p (longest 3, one browse step) — exactly what the batch query
+    computes on the union."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def _row(eid, minute, etype):
+        return (eid, base + dt.timedelta(minutes=minute), 9, etype, 1.0, "{}")
+
+    src = str(tmp_path / "dis_src")
+    spark.createDataFrame(
+        [_row(1, 0, "signup"), (2, base + dt.timedelta(minutes=15), 9, "purchase", 1.0, "{}")],
+        schema,
+    ).coalesce(1).write.parquet(src)
+    _run_pattern_stream(spark, tmp_path, src, "dis")
+    spark.createDataFrame([_row(3, 12, "click")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = _run_pattern_stream(spark, tmp_path, src, "dis")  # same checkpoint
+    assert got[9]["n_events"] == 3
+    assert got[9]["n_matches"] == 1
+    assert got[9]["longest_match"] == 3  # s c p — the late c folded in order
+    assert got[9]["n_browse_steps"] == 1
