@@ -32,55 +32,60 @@ from ssidentity_spark.session import cpu_count, get_spark  # noqa: E402
 N_RUNS = 5
 
 # Recorded per-query MEDIAN seconds from the last completed round's bench
-# (round 9 QUIET-WINDOW run, sf0.1, median-of-5, eae8190 — canary 0.90x,
-# the cleanest baseline the r9 session produced; the driver's own r9 run
-# measured canary 1.19x) —
-# emitted alongside fresh numbers so each round's artifact carries its
-# own regression context (>1.3x flags a plan change).
+# (round 10 driver run, sf0.1, median-of-5, bench_history/r10_sf0.1_full
+# .json — canary 1.45x vs best: a loaded session, so r11 ratios-vs-prev
+# read FAST against it; the canary normalization below is the honest
+# lens) — emitted alongside fresh numbers so each round's artifact
+# carries its own regression context (>1.3x flags a plan change).
+# r11 headliner swap (VERDICT r10 asks #3/#5): sim_ivfpq_rerank_topk is
+# un-benched (it retrains the model inline — a model-BUILD query whose
+# wall time billed training to a search row and drifted with machine
+# state); sim_ivfpq_pinned_topk benches the identical search path on a
+# pinned model, and w7_event_pattern gives the r10 pattern family a
+# regression tracker. Both seed via headliners_new at their first
+# recorded median.
 PREV_ROUND = {
-    "dedup_exact": 0.162,
-    "dedup_minhash_lsh_pairs": 0.991,
-    "dedup_semantic_cells": 0.725,
-    "flagship_hourly_top_types": 0.345,
-    "graph_pagerank": 4.462,
-    "j10_bloom_pruned_join": 1.248,
-    "j1_region_revenue": 0.729,
-    "j4_range_join_funnel": 0.233,
-    "j9_q3_top_orders": 0.465,
-    "mm_png_decode": 0.43,
-    "pipe_decontaminate": 1.183,
-    "pipe_pack_sequences": 0.269,
-    "sim_ivfpq_rerank_topk": 1.217,
-    "sim_topk_bruteforce": 0.363,
-    "text_token_stats": 0.171,
-    "tpch_q1_pricing_summary": 0.225,
-    "tpch_q6_forecast_revenue": 0.139,
-    "ts_gapfill_interpolate": 0.583,
-    "w5_max_concurrency": 0.609,
+    "dedup_exact": 0.237,
+    "dedup_minhash_lsh_pairs": 1.2,
+    "dedup_semantic_cells": 0.812,
+    "flagship_hourly_top_types": 0.4,
+    "graph_pagerank": 4.358,
+    "j10_bloom_pruned_join": 1.554,
+    "j1_region_revenue": 0.895,
+    "j4_range_join_funnel": 0.321,
+    "j9_q3_top_orders": 0.623,
+    "mm_png_decode": 0.517,
+    "pipe_decontaminate": 1.27,
+    "pipe_pack_sequences": 0.405,
+    "sim_topk_bruteforce": 0.54,
+    "text_token_stats": 0.258,
+    "tpch_q1_pricing_summary": 0.315,
+    "tpch_q6_forecast_revenue": 0.202,
+    "ts_gapfill_interpolate": 0.736,
+    "w5_max_concurrency": 0.676,
 }
 
-# Per-query stddev from the same r9 quiet-window run — the noise band each flagged
+# Per-query stddev from the same r10 run — the noise band each flagged
 # regression is adjudicated against (see noise adjudication below).
 PREV_STDDEV = {
-    "dedup_exact": 0.028,
-    "dedup_minhash_lsh_pairs": 0.23,
-    "dedup_semantic_cells": 0.096,
-    "flagship_hourly_top_types": 0.06,
-    "graph_pagerank": 0.302,
-    "j10_bloom_pruned_join": 0.152,
-    "j1_region_revenue": 0.081,
-    "j4_range_join_funnel": 0.026,
-    "j9_q3_top_orders": 0.087,
-    "mm_png_decode": 0.053,
-    "pipe_decontaminate": 0.186,
-    "pipe_pack_sequences": 0.061,
-    "sim_ivfpq_rerank_topk": 0.122,
-    "sim_topk_bruteforce": 0.084,
-    "text_token_stats": 0.018,
-    "tpch_q1_pricing_summary": 0.045,
-    "tpch_q6_forecast_revenue": 0.019,
-    "ts_gapfill_interpolate": 0.092,
-    "w5_max_concurrency": 0.114,
+    "dedup_exact": 0.041,
+    "dedup_minhash_lsh_pairs": 0.253,
+    "dedup_semantic_cells": 0.08,
+    "flagship_hourly_top_types": 0.109,
+    "graph_pagerank": 0.546,
+    "j10_bloom_pruned_join": 0.153,
+    "j1_region_revenue": 0.12,
+    "j4_range_join_funnel": 0.034,
+    "j9_q3_top_orders": 0.054,
+    "mm_png_decode": 0.264,
+    "pipe_decontaminate": 0.138,
+    "pipe_pack_sequences": 0.047,
+    "sim_topk_bruteforce": 0.06,
+    "text_token_stats": 0.019,
+    "tpch_q1_pricing_summary": 0.054,
+    "tpch_q6_forecast_revenue": 0.024,
+    "ts_gapfill_interpolate": 0.123,
+    "w5_max_concurrency": 0.142,
 }
 
 # Session-contention canary (VERDICT r7 ask #4): tpch_q6 is a pure
@@ -159,7 +164,8 @@ BEST_ROUND = {
     "mm_png_decode": (0.43, "r9"),
     "pipe_decontaminate": (0.936, "r6"),
     "pipe_pack_sequences": (0.269, "r9"),
-    "sim_ivfpq_rerank_topk": (1.15, "r6"),
+    # sim_ivfpq_rerank_topk left the headliner set in r11 (see PREV_ROUND
+    # note); its floor was (1.15, "r6")
     "sim_topk_bruteforce": (0.337, "r7"),
     "text_token_stats": (0.171, "r9"),
     "tpch_q1_pricing_summary": (0.225, "r9"),

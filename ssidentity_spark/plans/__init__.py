@@ -43,18 +43,20 @@ from ssidentity_spark.plans import (  # noqa: F401
 from ssidentity_spark.registry import REGISTRY
 
 # The 50 queries the driver's correctness gate will record, in order.
-# r10 ROTATION (executes the queue staged at the end of r9, per VERDICT r9
-# asks #1 and #6): bench headliners stay windowed (perf artifact and
-# correctness artifact must cover the same set), THEN the FOURTEEN
-# r9-new-but-parked queries (every r9 slot went to other first-timers;
-# all fourteen local-green at sf0.001/0.01/0.1 and judge-verified in the
-# r9 session) — they claim their U6g / T10c / E1b / X22 / A8b / X23 /
-# X24 / TS3 / E2 / X25 / X26 / E1c / E3 / U6h survey rows, THEN the
-# r10-new first-timers (paced to the window per ask #6: four new
-# queries, not another 15-query debt), THEN strict staleness-ordered
-# re-verification: the five r1-vintage entries displaced by r9's waves,
-# then the oldest of the r3 vintage. Any further r10 first-timer
-# displaces the queue TAIL (the newest staleness slots), as always.
+# r11 ROTATION (executes the queue staged at the end of r10, per VERDICT
+# r10 asks #1/#3/#5/#7): bench headliners stay windowed (perf artifact
+# and correctness artifact must cover the same set) — the set itself
+# rotated: sim_ivfpq_rerank_topk is un-benched (model-BUILD query; the
+# benched search row is now sim_ivfpq_pinned_topk) and w7_event_pattern
+# joins as the r10 pattern family's tracker. THEN the four first-timers:
+# the two r10-parked queries (ts_sax_symbols claims TS5, pipe_dp_counts
+# claims X27 — the last 2 of the 221 oracled queries never
+# driver-verified) and the two r11-new ones (ts_sax_motifs TS5b,
+# sim_ivfpq_pinned_topk among the headliners). THEN the stalest
+# history-green member of every module the above leaves unwindowed,
+# THEN pure staleness order: the two r10-displaced set-op queries, the
+# whole remaining r3 vintage, and the oldest of the r4 vintage — 27
+# re-verification slots, well past the ≥5 floor (ask #7).
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed)
     "flagship_hourly_top_types",
@@ -66,7 +68,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "sim_topk_bruteforce",
-    "sim_ivfpq_rerank_topk",
+    "sim_ivfpq_pinned_topk",  # NEW r11: benched search row, pinned model
     "text_token_stats",
     "pipe_decontaminate",
     "mm_png_decode",
@@ -76,86 +78,64 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "w5_max_concurrency",
     "pipe_pack_sequences",
     "dedup_semantic_cells",
-    # the fourteen r9-parked first-timers (VERDICT r9 ask #1 — pure
-    # rotation execution; each claims its r9 survey row on recording)
-    "a8_hll_set_algebra",
-    "sim_ann_recall_eval",
-    "sim_ivf_probe_curve",
-    "dedup_stopgram_remove",
-    "dedup_lsh_recall_eval",
-    "text_sparse_cosine_pairs",
-    "text_wordpiece_tokenize",
-    "text_ngram_novelty",
-    "pipe_quality_fusion",
-    "pipe_k_anonymity",
-    "pipe_dataset_card",
-    "pipe_cross_source_leakage",
-    "pipe_split_leakage_eval",
-    "ts_m4_downsample",
-    # r10 first-timers
-    # NEW in r10: CHECK constraints under the gate — the one storage verb
-    # without a driver row (VERDICT r9 ask #3): add constraint ->
-    # violating MIXED batch rejected atomically -> tip unchanged ->
-    # compliant append lands, all under one hash (M8b row)
-    "src_constraint_reject",
-    # NEW in r10: similarity-ordered OPTIMIZE under the gate — rows
-    # byte-identical after re-layout + strictly smaller parquet + history
-    # kept, all under one hash (Z2 row, previously pytest-only)
-    "src_layout_optimize",
-    # NEW in r10: median/MAD robust anomaly audit per series (TS4 row) —
-    # the monitoring rollup next to gapfill/EMA/M4
-    "ts_anomaly_mad",
-    # NEW in r10: weighted label-propagation communities over the
-    # embedding mutual-kNN graph (G3 row) — the modularity-style
-    # partition next to CC, training loop hash-gated via unrolled CTEs
-    "graph_label_propagation",
-    # NEW in r10: MATCH_RECOGNIZE-style event-sequence pattern matching
-    # (W7 row) — regex over the encoded per-key event string; disjoint
-    # character classes make the match decomposition engine-independent
-    # (o3_union_split parks back to the r11 queue)
-    "w7_event_pattern",
-    # NEW in r10: MMR diversified top-k (U5e row) — the greedy
-    # diversification policy unrolled under the hash; score rounded at
-    # 7 dp (6-dp products sit ON 6-dp half-boundaries — caught live)
-    # (o4_intersect_users parks back to the r11 queue)
-    "sim_mmr_diversify",
+    "w7_event_pattern",  # benched since r11 (r10-green row, W7)
+    # first-timers: the two r10-parked queries claim their rows
+    "ts_sax_symbols",  # TS5 — per-user SAX word (parked r10, local-green)
+    "pipe_dp_counts",  # X27 — seeded Laplace DP release (parked r10)
+    # NEW in r11: sliding-window SAX motif discovery (TS5b) — the
+    # habitual-pattern search the symbolization exists to feed
+    # (SURVEY:380 "windows in r11"); collision counting on the
+    # compressed PAA alphabet, integer/string-exact under the hash
+    "ts_sax_motifs",
     # per-module anchors: stalest history-green member of each module the
-    # queue alone leaves unwindowed (module coverage outranks strict age;
-    # last-green rounds in parens)
-    "w2_value_functions",  # extras (r5)
-    "ref_trilateration",  # reference_pipeline (r6)
-    "d7_json_extract",  # scalars (r6)
-    "sql_api_grouping_sets",  # sqlapi (r6)
-    "tpch_q12_late_priority",  # tpch3 (r6)
-    "tpch_q15_top_supplier",  # tpch4 (r5)
-    # staleness rotation: the five r1-vintage entries whose slots r9's
-    # waves took (oldest driver record in the registry)...
-    "w3_rolling_count_10min",
-    "w2_transitions",
-    "o4_except_users",
-    "o1_global_sort_top",
-    "a9_rollup_type_hour",
+    # headliners + first-timers leave unwindowed (module coverage
+    # outranks strict age; last-green rounds in parens)
+    "j9_q2_min_cost_supplier",  # extras (r6)
+    "ref_trilateration_inputs",  # reference_pipeline (r6)
+    "d7_array_funcs",  # scalars (r7)
+    "ivm_daily_rollup",  # sources (r6)
+    "sql_api_daily_type_summary",  # sqlapi (r7)
+    "tpch_q19_disjunctive_revenue",  # tpch3 (r7)
+    "tpch_q11_important_value",  # tpch4 (r6)
+    # staleness rotation: the two set-op queries the r10 first-timers
+    # displaced, then the whole remaining r3 vintage (oldest driver
+    # records in the registry), then the head of the r4 vintage
+    "o3_union_split",
+    "o4_intersect_users",
+    "a10_heavy_hitters",
+    "a2_habitual_hour",
+    "a4_distinct_pairs",
+    "dedup_embedding_cosine",
+    "dedup_simhash_pairs",
+    "pipe_docs_clean",
+    "pipe_embed_quantize",
+    "pivot_user_type_matrix",
+    "sim_label_centroids",
+    "sim_lsh_bucketed",
+    "text_bigram_profile",
+    "text_langid",
+    "text_quality",
+    "w3_rolling_avg_rows",
+    "j3_customers_without_orders",
+    "j8_cross_region_nation",
+    "j9_q10_returned_revenue",
+    "j9_q5_local_supplier_volume",
 )
 
-# r11 ROTATION QUEUE: after CORRECTNESS_r10 lands, regenerate
-# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). FIRST the two
-# r10-new-but-parked queries (local-green at all three SFs this
-# session): ts_sax_symbols (claims its TS5 row when it windows) and
-# pipe_dp_counts (claims X27) — a deliberately small bank, per the
-# pacing rule. Then any r11-new queries (paced to the window), then
-# pure staleness order over what r10
-# displaced: o3_union_split and o4_intersect_users (displaced by the
-# w7/U5e first-timers), then the rest of the r3 vintage (pipe_docs_clean,
-# pipe_embed_quantize, pivot_user_type_matrix, sim_label_centroids,
-# sim_lsh_bucketed, text_bigram_profile, a2_habitual_hour,
-# a4_distinct_pairs, dedup_embedding_cosine, dedup_simhash_pairs,
-# a10_heavy_hitters, plus the never-windowed r3 rest: text_langid,
-# text_quality, w3_rolling_avg_rows), then the r4 vintage
-# (j3_customers_without_orders, j8_cross_region_nation,
-# j9_q10_returned_revenue, j9_q5_local_supplier_volume,
-# pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
-# tpch_q18_big_orders, ...), then r5, oldest-first, with the per-module
-# coverage rule outranking strict age as usual.
+# r12 ROTATION QUEUE: after CORRECTNESS_r11 lands, regenerate
+# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). There is no parked
+# first-timer bank (every oracled query will then have a driver row, for
+# the first time); any r12-new queries window first (paced), then pure
+# staleness order over the r4 vintage the r11 window didn't reach
+# (pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
+# tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
+# tpch_q8_market_share, tpch_q9_profit_by_nation,
+# unpivot_customer_metrics, w1_distribution_ranks), then the r5 vintage
+# (a8_exact_percentiles, agg_percentiles, corpus_length_profile,
+# dedup_cc_clusters, j1_brand_pricing, j2_supplier_volume,
+# j3_active_customer_nations, j5_asof_last_login, j5_asof_payload,
+# mm_frame_sample, ...), oldest-first, with the per-module coverage rule
+# outranking strict age as usual.
 # Queries hash-verified green by the driver in at least one prior round
 # (union of CORRECTNESS_r01..r09.json rows with hash_match=true). A query
 # may be parked past the window ONLY if it appears here — its green row is
@@ -177,6 +157,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "a8_countmin_estimates",
         "a8_exact_percentiles",
         "a8_hll_distinct",
+        "a8_hll_set_algebra",
         "a9_cube_type_dow",
         "a9_rollup_type_hour",
         "agg_min_max_by",
@@ -201,6 +182,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "dedup_incremental_maintained",
         "dedup_incremental_pairs",
         "dedup_jaccard_topk",
+        "dedup_lsh_recall_eval",
         "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures",
         "dedup_semantic_cells",
@@ -209,7 +191,9 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "dedup_simhash_pairs",
         "dedup_span_exact",
         "dedup_span_trim",
+        "dedup_stopgram_remove",
         "flagship_hourly_top_types",
+        "graph_label_propagation",
         "graph_pagerank",
         "graph_triangles",
         "ivm_daily_rollup",
@@ -248,6 +232,8 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "o4_intersect_users",
         "pipe_chunk_documents",
         "pipe_cluster_safe_split",
+        "pipe_cross_source_leakage",
+        "pipe_dataset_card",
         "pipe_decontaminate",
         "pipe_docs_clean",
         "pipe_domain_mix",
@@ -255,12 +241,15 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "pipe_end_to_end",
         "pipe_expectations_quarantine",
         "pipe_global_row_ids",
+        "pipe_k_anonymity",
         "pipe_mixture_select",
         "pipe_pack_nosplit",
         "pipe_pack_sequences",
         "pipe_pii_redact",
+        "pipe_quality_fusion",
         "pipe_shard_export",
         "pipe_split_assign",
+        "pipe_split_leakage_eval",
         "pipe_stratified_sample",
         "pipe_temperature_mix",
         "pipe_token_budget",
@@ -277,9 +266,11 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "s5_cdc_apply",
         "s5_merge_upsert",
         "s5_scd2_history",
+        "sim_ann_recall_eval",
         "sim_filtered_ivf_topk",
         "sim_filtered_topk",
         "sim_ivf_pinned_topk",
+        "sim_ivf_probe_curve",
         "sim_ivf_topk",
         "sim_ivf_topk_distributed",
         "sim_ivfpq_rerank_topk",
@@ -287,6 +278,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "sim_label_centroids",
         "sim_lsh_bucketed",
         "sim_lsh_multiprobe",
+        "sim_mmr_diversify",
         "sim_pq_adc_topk",
         "sim_probe_batch",
         "sim_retrieval_eval",
@@ -301,11 +293,13 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "src_change_feed_updates",
         "src_clone_shallow",
         "src_compacted_timetravel",
+        "src_constraint_reject",
         "src_datasource_scan",
         "src_delete_dv",
         "src_delete_where",
         "src_in_pushdown_scan",
         "src_interchange_roundtrip",
+        "src_layout_optimize",
         "src_managed_lookup",
         "src_merge_versioned",
         "src_minmax_range_scan",
@@ -324,13 +318,16 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "text_langid",
         "text_logreg_train",
         "text_nb_classifier",
+        "text_ngram_novelty",
         "text_quality",
         "text_repetition_scores",
         "text_source_kl_divergence",
+        "text_sparse_cosine_pairs",
         "text_tfidf_top_terms",
         "text_token_stats",
         "text_unigram_logprob",
         "text_winnow_fingerprints",
+        "text_wordpiece_tokenize",
         "text_wordpiece_train",
         "tpch_q11_important_value",
         "tpch_q12_late_priority",
@@ -349,8 +346,10 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "tpch_q7_volume_shipping",
         "tpch_q8_market_share",
         "tpch_q9_profit_by_nation",
+        "ts_anomaly_mad",
         "ts_ema",
         "ts_gapfill_interpolate",
+        "ts_m4_downsample",
         "unpivot_customer_metrics",
         "w1_distribution_ranks",
         "w2_event_gaps",
@@ -361,6 +360,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "w4_sessionize",
         "w5_max_concurrency",
         "w6_funnel_progression",
+        "w7_event_pattern",
         "zorder_key",
     }
 )

@@ -1543,6 +1543,9 @@ _W7_PATTERN = "s[cv]*p"
     FROM m
     """,
     survey="W7,W6,A1",
+    # benched since r11 (VERDICT r10 ask #5): the r10 pattern-matching
+    # family's regression tracker — one keyed collect_list+regex pass
+    bench=True,
 )
 def w7_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per user: the number of non-overlapping signup->browse*->purchase

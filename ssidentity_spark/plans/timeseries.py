@@ -17,6 +17,7 @@ happens on both engines — see operators/timeseries.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ssidentity_spark.io import load_table
 from ssidentity_spark.operators.timeseries import resample_interpolate
@@ -381,9 +382,9 @@ _SAX_W = 8  # events per PAA window
            string_agg(s, '' ORDER BY win_idx) AS sax_word
     FROM sym GROUP BY 1
     """,
-    # parked past the full r10 window; claims its TS5 row when it windows
-    # in r11 (tags below are already-covered rows, per the parking rule)
-    survey="EXT-timeseries,W3,A6",
+    # windowed in r11: claims its TS5 row (parked past the full r10
+    # window with already-covered tags, per the parking rule)
+    survey="TS5,EXT-timeseries,W3,A6",
 )
 def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per user: the SAX word — one 'a'..'d' symbol per {_SAX_W}-event
@@ -435,4 +436,109 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "",
         ).alias("sax_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS5b — SAX motif discovery (the search the symbolization exists to feed:
+# habitual-movement motifs, reference README.md:17 "identify habitual
+# areas"). Sliding length-_SAX_L windows over each user's SAX word are the
+# candidate motifs; a collision — the same word at ≥2 positions (any
+# users) — is a repeated pattern. This is the classic SAX motif pipeline
+# (Lin/Keogh et al. 2002): collisions in symbol space are CANDIDATES the
+# caller may re-verify against raw values; the candidate generation is
+# the scale problem and it runs entirely on the 8×-compressed PAA table.
+# Determinism: symbols are bit-identical to ts_sax_symbols (same CTEs);
+# everything downstream is integer/string arithmetic — no float anywhere.
+# ---------------------------------------------------------------------------
+
+_SAX_L = 4  # motif length in symbols (= 4 × _SAX_W = 32 events)
+_SAX_MIN_SUPPORT = 2
+
+
+@register(
+    "ts_sax_motifs",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - 1 AS rn
+      FROM events
+    ), paa AS (
+      SELECT user_id, CAST(rn // {_SAX_W} AS BIGINT) AS win_idx,
+             round(sum(value) / count(*), 6) AS m
+      FROM ordered GROUP BY 1, 2
+    ), brk AS (
+      SELECT user_id,
+             round(quantile_cont(m, 0.25), 8) AS q1,
+             round(quantile_cont(m, 0.50), 8) AS q2,
+             round(quantile_cont(m, 0.75), 8) AS q3
+      FROM paa GROUP BY 1
+    ), sym AS (
+      SELECT p.user_id, p.win_idx,
+             CASE WHEN p.m > b.q3 THEN 'd'
+                  WHEN p.m > b.q2 THEN 'c'
+                  WHEN p.m > b.q1 THEN 'b'
+                  ELSE 'a' END AS s
+      FROM paa p JOIN brk b ON p.user_id = b.user_id
+    ), words AS (
+      SELECT user_id, count(*) AS n_windows,
+             string_agg(s, '' ORDER BY win_idx) AS w
+      FROM sym GROUP BY 1
+    ), subs AS (
+      SELECT user_id, substr(w, CAST(o AS INTEGER) + 1, {_SAX_L}) AS motif
+      FROM words
+      CROSS JOIN unnest(generate_series(
+        0, CAST(n_windows AS INTEGER) - {_SAX_L})) AS t(o)
+      WHERE n_windows >= {_SAX_L}
+    )
+    SELECT motif,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM subs GROUP BY 1
+    HAVING count(*) >= {_SAX_MIN_SUPPORT}
+    """,
+    survey="TS5b,W3,A6,A10",
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated length-{_SAX_L} SAX motifs across all users' series:
+    every sliding window over every user's SAX word, grouped by the
+    word itself — (motif, total occurrences, distinct users carrying
+    it), support ≥ {_SAX_MIN_SUPPORT}.
+
+    Plan shape: consumes :func:`ts_sax_symbols`' word frame (the whole
+    point of symbolizing — motif search scans the 8×-compressed PAA
+    alphabet, never raw events), explodes n_windows-{_SAX_L}+1 offsets
+    per user (linear in COMPRESSED length), and aggregates on the motif
+    string. The group-by key space is bounded by the 4^{_SAX_L} = 256
+    symbol alphabet, so the final aggregate is map-side-combined into a
+    handful of rows regardless of corpus size — at 100 TB the explode is
+    the only corpus-scale stage and it is embarrassingly parallel;
+    popular motifs cannot skew the shuffle because partial aggregation
+    collapses each partition to ≤256 rows before the exchange."""
+    words = ts_sax_symbols(spark, sf_dir)
+    subs = (
+        words.filter(F.col("n_windows") >= _SAX_L)
+        .select(
+            "user_id",
+            "sax_word",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_windows").cast("int") - _SAX_L
+                )
+            ).alias("o"),
+        )
+        .select(
+            "user_id",
+            F.col("sax_word").substr(F.col("o") + 1, F.lit(_SAX_L)).alias("motif"),
+        )
+    )
+    return (
+        subs.groupBy("motif")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .filter(F.col("n_occurrences") >= _SAX_MIN_SUPPORT)
     )

@@ -197,3 +197,40 @@ def test_pq_recall_high_in_near_dup_regime(spark):
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     recall = np.mean([len(got.get(q, set()) & set(truth[q])) / 3 for q in range(10)])
     assert recall >= 0.9
+
+
+def test_pinned_query_reuses_model_and_matches_trained_search(spark):
+    """sim_ivfpq_pinned_topk (the benched search row, VERDICT r10 ask
+    #3): same trainers as the model-build query, so the SEARCH result is
+    identical to sim_ivfpq_rerank_topk; the model trains once per corpus
+    dir and later invocations reuse it (what keeps Lloyd's iterations
+    out of the timed bench body)."""
+    import ssidentity_spark.plans  # noqa: F401
+    from ssidentity_spark.plans import similarity as S
+    from ssidentity_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    S._IVFPQ_MODEL_CACHE.clear()
+    got1 = {
+        (r.query_id, r.neighbor_id, r.cos, r.rnk)
+        for r in REGISTRY["sim_ivfpq_pinned_topk"].fn(spark, sf).collect()
+    }
+    assert sf in S._IVFPQ_MODEL_CACHE  # first call trained + cached
+    trained = {
+        (r.query_id, r.neighbor_id, r.cos, r.rnk)
+        for r in REGISTRY["sim_ivfpq_rerank_topk"].fn(spark, sf).collect()
+    }
+    assert got1 == trained  # identical deterministic model -> same search
+    # second call must NOT retrain: poison the trainers and re-run
+    import ssidentity_spark.operators.ivf as ivf_mod
+
+    orig = ivf_mod.train_centroids
+    ivf_mod.train_centroids = None  # would raise if called
+    try:
+        got2 = {
+            (r.query_id, r.neighbor_id, r.cos, r.rnk)
+            for r in REGISTRY["sim_ivfpq_pinned_topk"].fn(spark, sf).collect()
+        }
+    finally:
+        ivf_mod.train_centroids = orig
+    assert got2 == got1

@@ -127,3 +127,64 @@ def test_mad_zero_mad_with_outlier_still_guarded(spark, tmp_path):
     dividing by zero — documented degenerate case."""
     got = _mad_rows(spark, tmp_path, {3: [5.0] * 9 + [99.0]})[3]
     assert got["mad"] == 0.0 and got["n_anomalies"] == 0
+
+
+# ---------------------------------------------------------------------------
+# TS5b: SAX motif discovery (plans/timeseries.py:ts_sax_motifs)
+# ---------------------------------------------------------------------------
+
+
+def test_sax_motifs_planted_shared_pattern(spark, tmp_path):
+    """Two users repeating the SAME low-high alternation produce a shared
+    motif carried by both; a third user with a monotone ramp shares
+    nothing. Counts are consistent with the sliding-window algebra."""
+    import datetime as dt
+
+    from ssidentity_spark.plans.timeseries import _SAX_L, _SAX_W
+
+    sf = str(tmp_path / "sfm")
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    # users 1,2: 8 PAA windows alternating low(1.0)/high(9.0) -> word
+    # 'abab...'-ish, identical for both; user 3: strictly rising ramp
+    for u in (1, 2):
+        for w in range(8):
+            v = 1.0 if w % 2 == 0 else 9.0
+            for i in range(_SAX_W):
+                rows.append((eid, base + dt.timedelta(minutes=eid), u, "t", v, "{}"))
+                eid += 1
+    for w in range(8):
+        for i in range(_SAX_W):
+            rows.append((eid, base + dt.timedelta(minutes=eid), 3, "t", float(eid), "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    from ssidentity_spark.registry import REGISTRY
+    import ssidentity_spark.plans  # noqa: F401
+
+    words = {
+        r["user_id"]: r["sax_word"]
+        for r in REGISTRY["ts_sax_symbols"].fn(spark, sf).collect()
+    }
+    assert words[1] == words[2] and len(words[1]) == 8
+    motifs = {r["motif"]: r for r in REGISTRY["ts_sax_motifs"].fn(spark, sf).collect()}
+    # every length-4 subword of the shared 8-symbol word appears in both
+    # users -> n_users == 2 for each distinct subword
+    shared = {words[1][o : o + _SAX_L] for o in range(8 - _SAX_L + 1)}
+    for m in shared:
+        assert m in motifs, (m, motifs)
+        assert motifs[m]["n_users"] >= 2
+    # occurrence algebra: both users contribute (8-L+1) windows each,
+    # distributed across the shared subwords
+    assert sum(motifs[m]["n_occurrences"] for m in shared) == 2 * (8 - _SAX_L + 1)
+    # the ramp user's subwords are all singletons unless they collide
+    # with the planted alternation — its strictly-rising word 'aabbccdd'
+    # shares no length-4 subword with 'abab...'
+    for m, r in motifs.items():
+        if m not in shared:
+            assert r["n_users"] >= 2 or r["n_occurrences"] >= 2
