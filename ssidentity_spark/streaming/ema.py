@@ -1,19 +1,23 @@
 """Streaming per-key EMA — the O(1)-state form of ``ts_ema``.
 
 The batch operator folds each key's full history; on an unbounded stream
-the same recursion carries as two numbers of state per key (the running
-EMA and the last-applied sequence), which is the whole point: the
+the same recursion carries as a few numbers of state per key (the
+committed EMA and the fold frontier), which is the whole point: the
 order-recursive aggregation that can't map-side combine in batch becomes
 a trivially bounded stateful operator when the stream delivers in order.
 
-Ordering contract: rows are folded in (ts, event_id) order WITHIN each
-micro-batch (sorted before the fold), and rows at-or-below the
-last-applied sequence are dropped — a recursive statistic cannot absorb
-a late row retroactively without replaying history, so cross-batch
-disorder is resolved by the watermark upstream (late rows die there) and
-by the sequence guard here (exactly-once replay safety: re-delivered
-micro-batches re-fold nothing). Stream ≡ batch parity therefore holds
-for in-order delivery and is pinned by test.
+Ordering contract (upgraded in r11 alongside streaming/pattern.py): a
+recursive statistic cannot absorb a late row retroactively, so the state
+carries a small PENDING buffer — rows append on arrival, and only the
+prefix whose event time has passed the current watermark folds into the
+committed EMA (in (us, event_id) order; by then no admissible row can
+sort before it). Each emitted snapshot folds the still-pending suffix on
+a COPY of the committed state, so snapshots stay complete — the final
+snapshot per key (largest n_events; the counter is monotone) equals the
+batch fold even when micro-batches interleave out of event-time order
+within the watermark. The buffer is bounded by the watermark horizon per
+key; rows at or before the committed frontier are replays or
+watermark-expired and fold nothing (exactly-once replay safety).
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -46,8 +51,11 @@ EMA_STATE_SCHEMA = StructType(
     [
         StructField("ema", DoubleType()),
         StructField("n", LongType()),
-        StructField("last_us", LongType()),
-        StructField("last_id", LongType()),
+        # committed fold frontier: events with us < folded_wm_us are in
+        StructField("folded_wm_us", LongType()),
+        StructField("pend_us", ArrayType(LongType())),
+        StructField("pend_id", ArrayType(LongType())),
+        StructField("pend_val", ArrayType(DoubleType())),
     ]
 )
 
@@ -60,31 +68,57 @@ def _ema_fn(
     rows = pd.concat(list(pdfs), ignore_index=True)
     if rows.empty:
         return
-    # full microsecond precision: the guard key must equal the sort key,
-    # or distinct events inside a coarser bucket get dropped/reordered
-    rows = rows.assign(_us=rows["ts"].astype("int64") // 1_000).sort_values(
-        ["_us", "event_id"], kind="mergesort"
-    )
+    rows = rows.assign(_us=rows["ts"].astype("int64") // 1_000)
     if state.exists:
-        ema, n, last_us, last_id = state.get
+        ema, n, folded_wm_us, pend_us, pend_id, pend_val = state.get
+        pending = {
+            (int(u), int(i)): float(v)
+            for u, i, v in zip(pend_us or [], pend_id or [], pend_val or [])
+        }
     else:
-        ema, n, last_us, last_id = 0.0, 0, -1, -1
+        ema, n, folded_wm_us = 0.0, 0, 0
+        pending = {}
     for us, eid, val in zip(rows["_us"], rows["event_id"], rows["value"]):
-        us, eid, val = int(us), int(eid), float(val)
-        if (us, eid) <= (last_us, last_id):
-            continue  # replay / stale — recursive state can't rewind
-        ema = val if n == 0 else ema * EMA_ALPHA + val * (1.0 - EMA_ALPHA)
-        n += 1
-        last_us, last_id = us, eid
-    state.update((ema, n, last_us, last_id))
+        us, eid = int(us), int(eid)
+        if us < folded_wm_us:
+            continue  # already folded (replay) or watermark-expired
+        pending[(us, eid)] = float(val)
+    wm_us = state.getCurrentWatermarkMs() * 1_000
+    keep: dict[tuple[int, int], float] = {}
+    for (us, eid), val in sorted(pending.items()):
+        if us < wm_us:
+            ema = val if n == 0 else ema * EMA_ALPHA + val * (1.0 - EMA_ALPHA)
+            n += 1
+        else:
+            keep[(us, eid)] = val
+    folded_wm_us = max(folded_wm_us, wm_us)
+    ks = sorted(keep)
+    state.update(
+        (
+            ema,
+            n,
+            folded_wm_us,
+            [k[0] for k in ks],
+            [k[1] for k in ks],
+            [keep[k] for k in ks],
+        )
+    )
+    # speculative snapshot: committed fold + the pending suffix
+    s_ema, s_n = ema, n
+    for k in ks:
+        v = keep[k]
+        s_ema = v if s_n == 0 else s_ema * EMA_ALPHA + v * (1.0 - EMA_ALPHA)
+        s_n += 1
     yield pd.DataFrame(
-        {"user_id": [int(key[0])], "ema": [ema], "n_events": [n]}
+        {"user_id": [int(key[0])], "ema": [s_ema], "n_events": [s_n]}
     )
 
 
 def ema_stream(changes: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """(user_id, ts, event_id, value) stream → append-only per-batch
-    snapshots of each touched key's running EMA."""
+    snapshots of each touched key's running EMA. Final snapshot per key
+    (max n_events — monotone) equals the batch fold, including under
+    cross-batch disorder within the watermark (module docstring)."""
     return (
         changes.withWatermark("ts", watermark)
         .groupBy("user_id")

@@ -2,12 +2,20 @@
 ``w6_funnel_progression`` (greedy-first-chain windowFunnel).
 
 Like the streaming EMA (streaming/ema.py), the order-recursive fold
-carries as O(1) state per key: (level, anchor time, last-applied
-sequence). Rows fold in (ts, event_id) order within each micro-batch;
-rows at-or-below the last-applied sequence fold nothing (replay safety);
-cross-batch disorder is the upstream watermark's job. Emits a snapshot
-of each touched key's progression per batch — the live "who is about to
-convert" feed the batch query answers retrospectively.
+carries O(1) DFA state per key: (level, anchor time). Ordering contract
+(upgraded in r11 alongside streaming/pattern.py): the greedy chain is
+ORDER-SENSITIVE — an earlier signup arriving late re-anchors the window
+— so rows wait in a small per-key PENDING buffer and only the prefix the
+watermark has sealed folds into the committed state (in (us, event_id)
+order; by then no admissible row can sort before it). Each emitted
+snapshot folds the still-pending suffix on a COPY of the committed
+state, so snapshots stay complete: the final snapshot per key (largest
+n_events — the counter is monotone) equals the batch query even when
+micro-batches interleave out of event-time order within the watermark.
+Rows at or before the committed frontier are replays or
+watermark-expired and fold nothing (exactly-once replay safety). Emits a
+snapshot of each touched key's progression per batch — the live "who is
+about to convert" feed the batch query answers retrospectively.
 """
 
 from __future__ import annotations
@@ -20,8 +28,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -34,6 +44,11 @@ FUNNEL_OUTPUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("funnel_level", IntegerType()),
         StructField("funnel_start_us", LongType()),
+        # monotone fold counter: consumers pick the final (complete)
+        # snapshot by max n_events — funnel_level itself may legitimately
+        # DECREASE between snapshots when a late signup re-anchors the
+        # 60-min window earlier
+        StructField("n_events", LongType()),
     ]
 )
 
@@ -41,10 +56,21 @@ FUNNEL_STATE_SCHEMA = StructType(
     [
         StructField("level", IntegerType()),
         StructField("t0", LongType()),
-        StructField("last_us", LongType()),
-        StructField("last_id", LongType()),
+        StructField("n", LongType()),
+        StructField("folded_wm_us", LongType()),
+        StructField("pend_us", ArrayType(LongType())),
+        StructField("pend_id", ArrayType(LongType())),
+        StructField("pend_s", StringType()),  # one step digit per event
     ]
 )
+
+
+def _step(level: int, t0: int, us: int, s: int) -> tuple[int, int]:
+    if level == 0 and s == 1:
+        return 1, us
+    if s == level + 1 and us <= t0 + FUNNEL_W_US:
+        return level + 1, t0
+    return level, t0
 
 
 def _funnel_fn(
@@ -55,32 +81,53 @@ def _funnel_fn(
     rows = pd.concat(list(pdfs), ignore_index=True)
     if rows.empty:
         return
-    rows = rows.assign(_us=rows["ts"].astype("int64") // 1_000).sort_values(
-        ["_us", "event_id"], kind="mergesort"
-    )
+    rows = rows.assign(_us=rows["ts"].astype("int64") // 1_000)
     if state.exists:
-        level, t0, last_us, last_id = state.get
+        level, t0, n, folded_wm_us, pend_us, pend_id, pend_s = state.get
+        pending = {
+            (int(u), int(i)): int(c)
+            for u, i, c in zip(pend_us or [], pend_id or [], pend_s or "")
+        }
     else:
-        level, t0, last_us, last_id = 0, 0, -1, -1
+        level, t0, n, folded_wm_us = 0, 0, 0, 0
+        pending = {}
     for us, eid, etype in zip(rows["_us"], rows["event_id"], rows["event_type"]):
         us, eid = int(us), int(eid)
-        # replay guard at FULL microsecond precision — the same (us, eid)
-        # order the fold sorts by; a coarser key would drop or reorder
-        # distinct events sharing a coarser timestamp bucket
-        if (us, eid) <= (last_us, last_id):
-            continue  # replayed micro-batch — already folded
-        s = _STEPS.get(str(etype), 0)
-        if level == 0 and s == 1:
-            level, t0 = 1, us
-        elif s == level + 1 and us <= t0 + FUNNEL_W_US:
-            level += 1
-        last_us, last_id = us, eid
-    state.update((level, t0, last_us, last_id))
+        if us < folded_wm_us:
+            continue  # already folded (replay) or watermark-expired
+        pending[(us, eid)] = _STEPS.get(str(etype), 0)
+    wm_us = state.getCurrentWatermarkMs() * 1_000
+    keep: dict[tuple[int, int], int] = {}
+    for (us, eid), s in sorted(pending.items()):
+        if us < wm_us:
+            level, t0 = _step(level, t0, us, s)
+            n += 1
+        else:
+            keep[(us, eid)] = s
+    folded_wm_us = max(folded_wm_us, wm_us)
+    ks = sorted(keep)
+    state.update(
+        (
+            level,
+            t0,
+            n,
+            folded_wm_us,
+            [k[0] for k in ks],
+            [k[1] for k in ks],
+            "".join(str(keep[k]) for k in ks),
+        )
+    )
+    # speculative snapshot: committed fold + the pending suffix
+    s_level, s_t0, s_n = level, t0, n
+    for (us, _eid) in ks:
+        s_level, s_t0 = _step(s_level, s_t0, us, keep[(us, _eid)])
+        s_n += 1
     yield pd.DataFrame(
         {
             "user_id": [int(key[0])],
-            "funnel_level": [level],
-            "funnel_start_us": [t0],
+            "funnel_level": [s_level],
+            "funnel_start_us": [s_t0],
+            "n_events": [s_n],
         }
     )
 

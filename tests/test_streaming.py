@@ -1209,7 +1209,9 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy(F.col("funnel_level").desc())
+    # final snapshot per key = max n_events (the monotone fold counter;
+    # funnel_level itself may decrease under disorder re-anchoring)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     got = {
         r["user_id"]: (r["funnel_level"], r["funnel_start_us"])
         for r in spark.read.parquet(out)
@@ -1294,3 +1296,102 @@ def test_presence_alerts_auto_selects_engine_by_protobuf(spark, monkeypatch):
         expect = False
     monkeypatch.undo()
     assert A.state_v2_available() is expect
+
+
+def test_streaming_ema_folds_cross_batch_disorder_within_watermark(
+    spark, tmp_path
+):
+    """r11 ordering upgrade (the pattern.py ADVICE applied to every
+    order-recursive twin): a late row the watermark admits folds in
+    event-time order — the final EMA equals the batch fold of the
+    reordered union, NOT the arrival-order fold."""
+    import datetime as dt
+
+    from ssidentity_spark.streaming.ema import ema_stream
+
+    base = dt.datetime(2026, 4, 2, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    # batch 1: t=0 (3.0), t=15 (5.0); batch 2: t=12 (100.0) — late but
+    # watermark after batch 1 is 15-10=5 < 12, so it must be admitted
+    # and fold BETWEEN the two
+    src = str(tmp_path / "emad_src")
+    out = str(tmp_path / "emad_out")
+    ck = str(tmp_path / "emad_ck")
+
+    def _run(chunk):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            ema_stream(spark.readStream.schema(schema).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _run([(1, base, 1, 3.0), (1, base + dt.timedelta(minutes=15), 2, 5.0)])
+    _run([(1, base + dt.timedelta(minutes=12), 3, 100.0)])
+    from pyspark.sql import functions as F
+
+    snaps = spark.read.parquet(out).orderBy(F.desc("n_events")).collect()
+    final = snaps[0]
+    assert final["n_events"] == 3
+    # event-time order fold: 3.0 -> 100.0 -> 5.0
+    expect = (3.0 * 0.9 + 100.0 * 0.1) * 0.9 + 5.0 * 0.1
+    assert abs(final["ema"] - expect) < 1e-12
+
+
+def test_streaming_funnel_late_signup_reanchors_within_watermark(
+    spark, tmp_path
+):
+    """A signup arriving late (but watermark-admissible) re-anchors the
+    60-min window exactly as the batch greedy chain would: view@70min
+    after signup@65min completes level 2, even though the view arrived
+    first."""
+    import datetime as dt
+
+    from ssidentity_spark.streaming.funnel import funnel_stream
+
+    base = dt.datetime(2026, 5, 2, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "fd_src")
+    out = str(tmp_path / "fd_out")
+    ck = str(tmp_path / "fd_ck")
+
+    def _run(chunk):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            funnel_stream(spark.readStream.schema(schema).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def ev(minute, eid, etype):
+        return (eid, base + dt.timedelta(minutes=minute), 5, etype, 1.0, "{}")
+
+    # batch 1: view@70 only (no signup yet -> level 0)
+    _run([ev(70, 2, "view")])
+    # batch 2: signup@65 — late vs the view, admitted (wm = 70-10 = 60)
+    _run([ev(65, 1, "signup")])
+    from pyspark.sql import functions as F
+
+    snaps = spark.read.parquet(out).orderBy(F.desc("n_events")).collect()
+    final = snaps[0]
+    assert final["n_events"] == 2
+    assert final["funnel_level"] == 2  # signup@65 then view@70
+    us65 = int((base + dt.timedelta(minutes=65)).timestamp() * 1_000_000)
+    assert final["funnel_start_us"] == us65
