@@ -87,6 +87,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (SURVEY:380 "windows in r11"); collision counting on the
     # compressed PAA alphabet, integer/string-exact under the hash
     "ts_sax_motifs",
+    # NEW in r11: SAX discord candidates (TS5c) — HOT SAX rarity
+    # ordering per user off the same subword explode; completes the
+    # symbolize -> motif -> discord family
+    # (j9_q5_local_supplier_volume parks back to the r12 queue)
+    "ts_sax_discords",
     # per-module anchors: stalest history-green member of each module the
     # headliners + first-timers leave unwindowed (module coverage
     # outranks strict age; last-green rounds in parens)
@@ -119,7 +124,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j3_customers_without_orders",
     "j8_cross_region_nation",
     "j9_q10_returned_revenue",
-    "j9_q5_local_supplier_volume",
 )
 
 # r12 ROTATION QUEUE: after CORRECTNESS_r11 lands, regenerate

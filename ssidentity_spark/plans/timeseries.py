@@ -542,3 +542,117 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= _SAX_MIN_SUPPORT)
     )
+
+
+# ---------------------------------------------------------------------------
+# TS5c — SAX discord candidates (HOT SAX outer loop, Keogh et al. 2005):
+# the RAREST word is the most-promising anomalous subsequence. Rarity
+# ordering is exactly the HOT SAX heuristic that prunes the quadratic
+# discord confirmation; the distance-based confirmation itself is the
+# caller's refinement step on the tiny candidate set this query emits
+# (stated here so the claim stays honest — this is candidate GENERATION,
+# the scale problem, not the final discord proof).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_sax_discords",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - 1 AS rn
+      FROM events
+    ), paa AS (
+      SELECT user_id, CAST(rn // {_SAX_W} AS BIGINT) AS win_idx,
+             round(sum(value) / count(*), 6) AS m
+      FROM ordered GROUP BY 1, 2
+    ), brk AS (
+      SELECT user_id,
+             round(quantile_cont(m, 0.25), 8) AS q1,
+             round(quantile_cont(m, 0.50), 8) AS q2,
+             round(quantile_cont(m, 0.75), 8) AS q3
+      FROM paa GROUP BY 1
+    ), sym AS (
+      SELECT p.user_id, p.win_idx,
+             CASE WHEN p.m > b.q3 THEN 'd'
+                  WHEN p.m > b.q2 THEN 'c'
+                  WHEN p.m > b.q1 THEN 'b'
+                  ELSE 'a' END AS s
+      FROM paa p JOIN brk b ON p.user_id = b.user_id
+    ), words AS (
+      SELECT user_id, count(*) AS n_windows,
+             string_agg(s, '' ORDER BY win_idx) AS w
+      FROM sym GROUP BY 1
+    ), subs AS (
+      SELECT user_id, CAST(o AS BIGINT) AS o,
+             substr(w, CAST(o AS INTEGER) + 1, {_SAX_L}) AS motif
+      FROM words
+      CROSS JOIN unnest(generate_series(
+        0, CAST(n_windows AS INTEGER) - {_SAX_L})) AS t(o)
+      WHERE n_windows >= {_SAX_L}
+    ), g AS (
+      SELECT motif, CAST(count(*) AS BIGINT) AS n_occ FROM subs GROUP BY 1
+    ), r AS (
+      SELECT s.user_id, s.o, s.motif, g.n_occ,
+             row_number() OVER (PARTITION BY s.user_id
+                                ORDER BY g.n_occ, s.motif, s.o) AS rk
+      FROM subs s JOIN g USING (motif)
+    )
+    SELECT user_id, motif AS discord_word, n_occ AS global_count,
+           o AS win_offset
+    FROM r WHERE rk = 1
+    """,
+    survey="TS5c,TS4,W1,A10",
+)
+def ts_sax_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the discord CANDIDATE — the sliding SAX word rarest in
+    the whole corpus (ties: smaller word, then earlier offset), with its
+    global occurrence count and window offset.
+
+    Plan shape: shares the subword explode with :func:`ts_sax_motifs`;
+    the global rarity table is the SAME ≤4^{_SAX_L}-row aggregate the
+    motif query produces (broadcast back to the subword frame — a
+    model-sized join, no second corpus shuffle), then one per-user rank.
+    At 100 TB: explode is linear in compressed length, rarity lookup is
+    a broadcast, and the rank exchange is keyed on the series key —
+    nothing quadratic anywhere; the quadratic distance confirmation HOT
+    SAX prunes runs only on this output's few rows."""
+    words = ts_sax_symbols(spark, sf_dir)
+    subs = (
+        words.filter(F.col("n_windows") >= _SAX_L)
+        .select(
+            "user_id",
+            "sax_word",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_windows").cast("int") - _SAX_L
+                )
+            ).alias("o"),
+        )
+        .select(
+            "user_id",
+            F.col("o").cast("long").alias("o"),
+            F.col("sax_word").substr(F.col("o") + 1, F.lit(_SAX_L)).alias("motif"),
+        )
+    )
+    g = subs.groupBy("motif").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy("n_occ", "motif", "o")
+    )
+    return (
+        subs.join(F.broadcast(g), "motif")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("motif").alias("discord_word"),
+            F.col("n_occ").alias("global_count"),
+            F.col("o").alias("win_offset"),
+        )
+    )

@@ -188,3 +188,52 @@ def test_sax_motifs_planted_shared_pattern(spark, tmp_path):
     for m, r in motifs.items():
         if m not in shared:
             assert r["n_users"] >= 2 or r["n_occurrences"] >= 2
+
+
+def test_sax_discord_planted_unique_pattern(spark, tmp_path):
+    """A user breaking the corpus-wide alternation with a unique spike
+    pattern owns a subword nobody else has — the discord candidate
+    lands on it with global_count == 1, while conformists' discords tie
+    at the shared words' higher counts."""
+    import datetime as dt
+
+    from ssidentity_spark.plans.timeseries import _SAX_L, _SAX_W
+    from ssidentity_spark.registry import REGISTRY
+    import ssidentity_spark.plans  # noqa: F401
+
+    sf = str(tmp_path / "sfd")
+    rows, eid = [], 0
+    base = dt.datetime(2024, 2, 1)
+
+    def emit(u, pattern):
+        nonlocal eid
+        for v in pattern:
+            for _ in range(_SAX_W):
+                rows.append(
+                    (eid, base + dt.timedelta(minutes=eid), u, "t", float(v), "{}")
+                )
+                eid += 1
+
+    # users 1-3: the same low/high alternation (8 windows)
+    for u in (1, 2, 3):
+        emit(u, [1, 9, 1, 9, 1, 9, 1, 9])
+    # user 4: alternation with a mid-series double-high anomaly
+    emit(4, [1, 9, 9, 9, 1, 9, 1, 9])
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        r["user_id"]: r.asDict()
+        for r in REGISTRY["ts_sax_discords"].fn(spark, sf).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # the anomalous user's rarest word is unique corpus-wide
+    assert got[4]["global_count"] == 1
+    # conformists' rarest words are the shared ones (count >= 3: one per
+    # conformist at the same offset, at least)
+    for u in (1, 2, 3):
+        assert got[u]["global_count"] >= 3
+        assert got[u]["discord_word"] != got[4]["discord_word"]
