@@ -269,7 +269,10 @@ def main() -> None:
         "per_query": per_query,
         "sf": sf,
         "prev_round": PREV_ROUND,
-        "prev_round_stat": "median-of-5 (r09 quiet-window, eae8190)",
+        "prev_round_stat": (
+            "median-of-5 (r10 driver run, bench_history/r10_sf0.1_full.json,"
+            " canary 1.45x — a loaded session; normalize via canary)"
+        ),
         # headliners with no prior entry seed next round's gates
         "headliners_new": sorted(n for n in timings if n not in PREV_ROUND),
         "ratio_vs_prev": ratios,

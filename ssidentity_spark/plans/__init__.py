@@ -55,8 +55,9 @@ from ssidentity_spark.registry import REGISTRY
 # sim_ivfpq_pinned_topk among the headliners). THEN the stalest
 # history-green member of every module the above leaves unwindowed,
 # THEN pure staleness order: the two r10-displaced set-op queries, the
-# whole remaining r3 vintage, and the oldest of the r4 vintage — 27
-# re-verification slots, well past the ≥5 floor (ask #7).
+# whole remaining r3 vintage, and the oldest of the r4 vintage — 26
+# re-verification slots (7 anchors + 19 staleness; ts_sax_discords
+# displaced the 20th), well past the ≥5 floor (ask #7).
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed)
     "flagship_hourly_top_types",

@@ -437,7 +437,14 @@ def ivf_knn_edges(
     from ssidentity_spark.plans.similarity import _dot, _norm_vec
 
     spark = corpus.sparkSession
-    base = _norm_vec(corpus) if "v" not in corpus.columns else corpus
+    # pass-through only when BOTH derived columns are present (a frame
+    # with a stray 'v' but no 'nrm' must not skip normalization — it
+    # would fail late in the plan, or worse, rank on a mismatched norm)
+    base = (
+        corpus
+        if {"v", "nrm"} <= set(corpus.columns)
+        else _norm_vec(corpus)
+    )
     cent = spark.createDataFrame(
         pd.DataFrame(
             {

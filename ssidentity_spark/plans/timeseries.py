@@ -636,6 +636,12 @@ def ts_sax_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o").cast("long").alias("o"),
             F.col("sax_word").substr(F.col("o") + 1, F.lit(_SAX_L)).alias("motif"),
         )
+        # two consumers below (rarity aggregate + join-back): persist so
+        # the symbolization pipeline — events scan, position window, two
+        # keyed aggregates, quartile join — plans once, not per branch
+        # (repo convention for double-consumed frames; exchange reuse is
+        # not guaranteed across AQE re-optimization)
+        .persist()
     )
     g = subs.groupBy("motif").agg(
         F.count(F.lit(1)).cast("long").alias("n_occ")

@@ -259,19 +259,44 @@ def presence_alerts_tws(
     )
 
 
-def state_v2_available() -> bool:
+def state_v2_available(spark=None) -> bool:
     """True when the state-v2 Python runner can actually start here.
 
     ``transformWithStateInPandas`` ships its state protocol over
     protobuf; a worker without ``google.protobuf`` fails at first batch,
-    after the query has already started. Probing up front lets callers
-    pick an engine BEFORE committing a checkpoint to one state format.
+    after the query has already started AND committed its checkpoint to
+    the v2 state format — which the v1 degrade path can then never
+    reuse. Probing up front lets callers pick an engine BEFORE that
+    commitment. The failure lives WORKER-side, so when a ``spark``
+    session is passed the probe runs the import on an executor (one
+    1-row UDF task — driver and executor Python envs can differ, e.g. a
+    fat driver venv over minimal executor containers); with no session
+    it falls back to the driver interpreter, correct for local[*] where
+    both are the same env.
     """
-    try:
-        import google.protobuf  # noqa: F401
 
-        return True
-    except ImportError:
+    def _probe() -> bool:
+        # import a CONCRETE runtime module, not the bare package: on a
+        # worker path `import google.protobuf` can succeed as an EMPTY
+        # namespace package (__file__ is None) with no runtime behind it
+        # — observed live in this container's Spark workers
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    if spark is None:
+        return _probe()
+    from pyspark.sql import functions as F
+
+    probe_udf = F.udf(lambda _: _probe(), "boolean")
+    try:
+        row = spark.range(1).select(probe_udf("id").alias("ok")).collect()
+        return bool(row[0]["ok"])
+    except Exception:
+        # a worker that cannot even run the probe cannot run state-v2
         return False
 
 
@@ -291,9 +316,12 @@ def presence_alerts_auto(
     the public surface must stay usable where state-v2 cannot start).
     Both paths produce ALERT_OUTPUT_SCHEMA in append mode; the two state
     formats are NOT checkpoint-compatible, so a given checkpoint dir must
-    stay on the engine that created it.
+    stay on the engine that created it — which is exactly why the probe
+    runs on an EXECUTOR (via the stream's session) rather than only the
+    driver: choosing v2 off a driver-only import and dying worker-side at
+    batch 1 would have already pinned the checkpoint to the v2 format.
     """
-    if state_v2_available():
+    if state_v2_available(obs_stream.sparkSession):
         return presence_alerts_tws(obs_stream, gap=gap, watermark=watermark)
     import logging
 

@@ -136,12 +136,20 @@ def _pattern_fn(
         pending = {}
     # admit new rows: anything before the committed frontier is either a
     # replayed already-folded row or watermark-expired; duplicates of a
-    # pending row (crash replay before its fold committed) dedupe by key
+    # pending row (crash replay before its fold committed) dedupe by key.
+    # An EMPTY event_type is skipped outright — the batch twin encodes it
+    # as a zero-width character (substring('',1,1) adds nothing to the
+    # per-key string, so it neither counts in n_events nor touches an
+    # episode), and storing '' here would also desynchronize the
+    # pend_ch string from the pend_us/pend_id arrays on restore
     for us, eid, etype in zip(rows["_us"], rows["event_id"], rows["event_type"]):
         us, eid = int(us), int(eid)
         if us < folded_wm_us:
             continue
-        pending[(us, eid)] = str(etype)[:1]
+        ch = str(etype)[:1]
+        if not ch:
+            continue
+        pending[(us, eid)] = ch
     # fold the prefix the watermark has sealed — its (us, event_id) order
     # is final because no admissible future row can sort before it
     wm_us = state.getCurrentWatermarkMs() * 1_000
@@ -155,6 +163,7 @@ def _pattern_fn(
         else:
             keep[(us, eid)] = ch
     folded_wm_us = max(folded_wm_us, wm_us)
+    ks = sorted(keep)
     state.update(
         (
             armed,
@@ -164,9 +173,9 @@ def _pattern_fn(
             longest,
             browse,
             folded_wm_us,
-            [k[0] for k in sorted(keep)],
-            [k[1] for k in sorted(keep)],
-            "".join(keep[k] for k in sorted(keep)),
+            [k[0] for k in ks],
+            [k[1] for k in ks],
+            "".join(keep[k] for k in ks),
         )
     )
     # speculative snapshot: committed state + the pending suffix, so the
@@ -179,7 +188,7 @@ def _pattern_fn(
         browse,
     )
     s_events = n_events
-    for k in sorted(keep):
+    for k in ks:
         s_events += 1
         s_armed, s_cur, s_matches, s_longest, s_browse = _step(
             s_armed, s_cur, s_matches, s_longest, s_browse, keep[k]

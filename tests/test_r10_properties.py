@@ -486,3 +486,37 @@ def test_w7_stream_folds_cross_batch_disorder_within_watermark(spark, tmp_path):
     assert got[9]["n_matches"] == 1
     assert got[9]["longest_match"] == 3  # s c p — the late c folded in order
     assert got[9]["n_browse_steps"] == 1
+
+
+def test_w7_stream_skips_empty_event_type_like_batch(spark, tmp_path):
+    """An empty event_type is a ZERO-WIDTH character in the batch twin's
+    per-key string (substring('',1,1) contributes nothing): the stream
+    must skip it — not count it, not kill an episode with it, and not
+    desynchronize the pending-buffer encoding across a batch boundary
+    (the r11 review catch: '' stored in pend_ch shifted every later
+    pending char on restore)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = dt.datetime(2024, 3, 2, 12, 0, 0)
+
+    def _row(eid, minute, etype):
+        return (eid, base + dt.timedelta(minutes=minute), 11, etype, 1.0, "{}")
+
+    src = str(tmp_path / "em_src")
+    # batch 1: s, '' , p — all pending (watermark 0); state crosses the
+    # boundary with the empty-type row in the middle
+    spark.createDataFrame(
+        [_row(1, 0, "signup"), _row(2, 1, ""), _row(3, 2, "purchase")], schema
+    ).coalesce(1).write.parquet(src)
+    _run_pattern_stream(spark, tmp_path, src, "em")
+    spark.createDataFrame([_row(4, 30, "signup")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = _run_pattern_stream(spark, tmp_path, src, "em")  # same checkpoint
+    # batch twin on the union: 's' + '' + 'p' + 's' encodes to 'sps' —
+    # one match of length 2, three counted events
+    assert got[11]["n_events"] == 3  # the empty-type row never counts
+    assert got[11]["n_matches"] == 1
+    assert got[11]["longest_match"] == 2  # s then p, nothing between

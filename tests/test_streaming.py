@@ -1282,12 +1282,17 @@ def test_presence_alerts_auto_selects_engine_by_protobuf(spark, monkeypatch):
     monkeypatch.setattr(
         A, "presence_alerts", lambda s, **kw: calls.append("v1") or "V1"
     )
-    monkeypatch.setattr(A, "state_v2_available", lambda: False)
-    assert A.presence_alerts_auto(None) == "V1"
-    monkeypatch.setattr(A, "state_v2_available", lambda: True)
-    assert A.presence_alerts_auto(None) == "V2"
+
+    class _FakeStream:  # presence_alerts_auto reads .sparkSession only
+        sparkSession = None
+
+    monkeypatch.setattr(A, "state_v2_available", lambda *_: False)
+    assert A.presence_alerts_auto(_FakeStream()) == "V1"
+    monkeypatch.setattr(A, "state_v2_available", lambda *_: True)
+    assert A.presence_alerts_auto(_FakeStream()) == "V2"
     assert calls == ["v1", "v2"]
-    # and the probe itself reflects this container's reality
+    # the real probe, both sides: driver-interpreter form and the
+    # executor form (local[*]: same env, so they must agree)
     try:
         import google.protobuf  # noqa: F401
 
@@ -1296,6 +1301,7 @@ def test_presence_alerts_auto_selects_engine_by_protobuf(spark, monkeypatch):
         expect = False
     monkeypatch.undo()
     assert A.state_v2_available() is expect
+    assert A.state_v2_available(spark) is expect
 
 
 def test_streaming_ema_folds_cross_batch_disorder_within_watermark(

@@ -86,6 +86,9 @@ def _mad_rows(spark, tmp_path, series):
     """series: {user_id: [values]} -> gated query output by user."""
     import datetime as dt
 
+    import ssidentity_spark.plans  # noqa: F401  (populates REGISTRY —
+    # without it this file only passed when another test file imported
+    # plans first; caught by a standalone run in r11)
     from ssidentity_spark.registry import REGISTRY
 
     rows = [
@@ -182,12 +185,14 @@ def test_sax_motifs_planted_shared_pattern(spark, tmp_path):
     # occurrence algebra: both users contribute (8-L+1) windows each,
     # distributed across the shared subwords
     assert sum(motifs[m]["n_occurrences"] for m in shared) == 2 * (8 - _SAX_L + 1)
-    # the ramp user's subwords are all singletons unless they collide
-    # with the planted alternation — its strictly-rising word 'aabbccdd'
-    # shares no length-4 subword with 'abab...'
-    for m, r in motifs.items():
-        if m not in shared:
-            assert r["n_users"] >= 2 or r["n_occurrences"] >= 2
+    # the ramp user's word shares NO length-4 subword with the planted
+    # alternation, and each of its subwords occurs exactly once — so
+    # none may survive the support>=2 filter (a dropped filter or a
+    # collision would put one in the motif table; assert the absence)
+    ramp = words[3]
+    ramp_subs = {ramp[o : o + _SAX_L] for o in range(len(ramp) - _SAX_L + 1)}
+    assert ramp_subs.isdisjoint(shared)
+    assert ramp_subs.isdisjoint(motifs)
 
 
 def test_sax_discord_planted_unique_pattern(spark, tmp_path):
