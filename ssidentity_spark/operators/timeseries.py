@@ -58,13 +58,28 @@ def resample_interpolate(
     val: str,
     bucket_secs: int,
     round_dp: int = 6,
+    method: str = "linear",
 ) -> DataFrame:
     """Downsample ``val`` to ``bucket_secs`` means per ``key``, densify to
-    the key's full [min, max] bucket range, and linearly interpolate the
-    gaps. Returns (key, bucket, value_interp, gap_filled) — ``bucket`` is
-    the epoch-second grid point, ``gap_filled`` marks rows that had no
+    the key's full [min, max] bucket range, and fill the gaps. Returns
+    (key, bucket, value_interp, gap_filled) — ``bucket`` is the
+    epoch-second grid point, ``gap_filled`` marks rows that had no
     observation.
+
+    ``method``:
+    - ``"linear"`` (default): interpolate between the bracketing
+      observed points; one-sided gaps (before the first / after the
+      last observation) carry the nearest observed value.
+    - ``"locf"``: last observation carried forward — the step-function
+      fill sensor pipelines want when a reading is VALID-UNTIL-CHANGED
+      rather than smoothly varying (a device's last seen RSSI holds
+      until the next probe). Grid points before the key's first
+      observation have no carry source and stay NULL (never
+      back-filled: that would fabricate a reading from the future).
+      Same plan shape minus the forward-looking window.
     """
+    if method not in ("linear", "locf"):
+        raise ValueError(f"method must be linear|locf, got {method!r}")
     # 1. downsample — exact decimal sum / count, then ONE double division:
     # bit-deterministic across partition orders and engines
     obs = (
@@ -133,26 +148,36 @@ def resample_interpolate(
     observed_bucket = F.when(
         F.col("obs_val").isNotNull(), F.col("bucket")
     )
-    bracketed = dense.select(
-        key,
-        "bucket",
-        "obs_val",
-        F.last("obs_val", ignorenulls=True).over(w_prev).alias("pv"),
-        F.last(observed_bucket, ignorenulls=True).over(w_prev).alias("pb"),
-        F.first("obs_val", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(observed_bucket, ignorenulls=True).over(w_next).alias("nb"),
-    )
+    if method == "locf":
+        # only the backward-looking carry is needed — no forward window
+        bracketed = dense.select(
+            key,
+            "bucket",
+            "obs_val",
+            F.last("obs_val", ignorenulls=True).over(w_prev).alias("pv"),
+        )
+        value = F.coalesce(F.col("obs_val"), F.col("pv"))
+    else:
+        bracketed = dense.select(
+            key,
+            "bucket",
+            "obs_val",
+            F.last("obs_val", ignorenulls=True).over(w_prev).alias("pv"),
+            F.last(observed_bucket, ignorenulls=True).over(w_prev).alias("pb"),
+            F.first("obs_val", ignorenulls=True).over(w_next).alias("nv"),
+            F.first(observed_bucket, ignorenulls=True).over(w_next).alias("nb"),
+        )
 
-    frac = (F.col("bucket") - F.col("pb")).cast("double") / (
-        F.col("nb") - F.col("pb")
-    ).cast("double")
-    blend = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
-    value = (
-        F.when(F.col("obs_val").isNotNull(), F.col("obs_val"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(blend)
-    )
+        frac = (F.col("bucket") - F.col("pb")).cast("double") / (
+            F.col("nb") - F.col("pb")
+        ).cast("double")
+        blend = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+        value = (
+            F.when(F.col("obs_val").isNotNull(), F.col("obs_val"))
+            .when(F.col("pv").isNull(), F.col("nv"))
+            .when(F.col("nv").isNull(), F.col("pv"))
+            .otherwise(blend)
+        )
     # engine-independent round: floor(x*10^dp + 0.5)/10^dp — i.e. round
     # half toward +INFINITY (for the non-negative measurements here that
     # coincides with HALF_UP; for negative inputs it differs from both

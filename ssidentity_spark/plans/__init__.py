@@ -93,6 +93,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # symbolize -> motif -> discord family
     # (j9_q5_local_supplier_volume parks back to the r12 queue)
     "ts_sax_discords",
+    # NEW in r11: LOCF gap-fill (TS1 variant) — valid-until-changed
+    # step fill on a cohort disjoint from the linear query's
+    # (j9_q10_returned_revenue parks back to the r12 queue)
+    "ts_gapfill_locf",
     # per-module anchors: stalest history-green member of each module the
     # headliners + first-timers leave unwindowed (module coverage
     # outranks strict age; last-green rounds in parens)
@@ -124,7 +128,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "w3_rolling_avg_rows",
     "j3_customers_without_orders",
     "j8_cross_region_nation",
-    "j9_q10_returned_revenue",
 )
 
 # r12 ROTATION QUEUE: after CORRECTNESS_r11 lands, regenerate

@@ -662,3 +662,58 @@ def ts_sax_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o").alias("win_offset"),
         )
     )
+
+
+@register(
+    "ts_gapfill_locf",
+    # The step-function sibling of ts_gapfill_interpolate: same bucket
+    # means, same dense grid, but gaps carry the LAST observation
+    # forward (valid-until-changed semantics); grid points before a
+    # key's first observation stay NULL — never back-filled from the
+    # future. Oracle replays the identical backward IGNORE NULLS window.
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / {_BUCKET}) * {_BUCKET} AS BIGINT) AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
+               AS obs_val
+      FROM events
+      WHERE user_id % 5 = 1
+      GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, CAST(unnest(generate_series(b0, b1, {_BUCKET})) AS BIGINT)
+               AS bucket
+      FROM span
+    ), dense AS (
+      SELECT g.user_id, g.bucket, o.obs_val
+      FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    ), br AS (
+      SELECT user_id, bucket, obs_val,
+             last_value(obs_val IGNORE NULLS) OVER wp AS pv
+      FROM dense
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, bucket,
+           floor(coalesce(obs_val, pv) * 1e6 + 0.5) / 1e6 AS value_interp,
+           obs_val IS NULL AS gap_filled
+    FROM br
+    """,
+    survey="TS1,W2,A6",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 4-hour grid with last-observation-carried-forward fill for
+    a deterministic 1-in-5 user cohort (disjoint from the interpolation
+    query's cohort, so the two gates exercise different keys). LOCF is
+    the fill a presence/telemetry pipeline wants when a reading holds
+    until replaced — the reference's RSSI/visit world, where
+    interpolating between two visits invents presence that never
+    happened. Same plan as the linear form minus the forward window:
+    one grouped mean, one per-key grid explode, ONE backward
+    ignore-nulls window — every exchange keyed on the series key."""
+    e = load_table(spark, sf_dir, "events").where("user_id % 5 = 1")
+    return resample_interpolate(
+        e, "user_id", "ts", "value", _BUCKET, method="locf"
+    )

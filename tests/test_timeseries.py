@@ -242,3 +242,52 @@ def test_sax_discord_planted_unique_pattern(spark, tmp_path):
     for u in (1, 2, 3):
         assert got[u]["global_count"] >= 3
         assert got[u]["discord_word"] != got[4]["discord_word"]
+
+
+def test_locf_carries_forward_and_never_backfills(spark, tmp_path):
+    """LOCF semantics on a planted grid: gaps inherit the LAST observed
+    bucket mean (a step function, not a blend), and grid points before
+    the first observation stay NULL — a reading is never fabricated
+    from the future."""
+    import datetime as dt
+
+    import ssidentity_spark.plans  # noqa: F401
+    from ssidentity_spark.operators.timeseries import resample_interpolate
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        # user 6: obs in buckets 1 and 4 of a 0..4 span -> bucket 0 has
+        # no past (stays NULL under locf), 2 and 3 carry bucket 1's mean
+        (1, base + dt.timedelta(hours=4), 6, "t", 10.0, "{}"),
+        (2, base + dt.timedelta(hours=5), 6, "t", 20.0, "{}"),
+        (3, base + dt.timedelta(hours=16), 6, "t", 99.0, "{}"),
+        # and one earlier lonely point to force bucket 0 into the span
+        (4, base + dt.timedelta(hours=1), 6, "t", None, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r["bucket"]: r.asDict()
+        for r in resample_interpolate(
+            df, "user_id", "ts", "value", 4 * 3600, method="locf"
+        ).collect()
+    }
+    b0 = int(base.timestamp())
+    H4 = 4 * 3600
+    assert out[b0]["value_interp"] is None  # no past -> never back-filled
+    assert out[b0 + H4]["value_interp"] == 15.0  # mean(10, 20)
+    assert out[b0 + 2 * H4]["value_interp"] == 15.0  # carried forward
+    assert out[b0 + 3 * H4]["value_interp"] == 15.0  # still carried
+    assert out[b0 + 4 * H4]["value_interp"] == 99.0
+    assert out[b0 + 2 * H4]["gap_filled"] is True
+    # the linear form on the same data BLENDS instead (sanity contrast)
+    lin = {
+        r["bucket"]: r["value_interp"]
+        for r in resample_interpolate(
+            df, "user_id", "ts", "value", 4 * 3600, method="linear"
+        ).collect()
+    }
+    assert lin[b0 + 2 * H4] == 43.0  # 15 + (99-15) * 1/3
