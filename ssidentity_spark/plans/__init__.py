@@ -97,6 +97,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # step fill on a cohort disjoint from the linear query's
     # (j9_q10_returned_revenue parks back to the r12 queue)
     "ts_gapfill_locf",
+    # NEW in r11: k-core decomposition (G4) — recursive peeling on the
+    # mutual-kNN graph, pure integer rounds under the hash
+    # (j8_cross_region_nation parks back to the r12 queue)
+    "graph_kcore",
     # per-module anchors: stalest history-green member of each module the
     # headliners + first-timers leave unwindowed (module coverage
     # outranks strict age; last-green rounds in parens)
@@ -127,7 +131,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality",
     "w3_rolling_avg_rows",
     "j3_customers_without_orders",
-    "j8_cross_region_nation",
 )
 
 # r12 ROTATION QUEUE: after CORRECTNESS_r11 lands, regenerate
@@ -135,9 +138,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # first-timer bank (every oracled query will then have a driver row, for
 # the first time); any r12-new queries window first (paced), then pure
 # staleness order over the r4 vintage the r11 window didn't reach —
-# FIRST the two its late first-timers displaced
+# FIRST the three its late first-timers displaced
 # (j9_q5_local_supplier_volume by ts_sax_discords,
-# j9_q10_returned_revenue by ts_gapfill_locf) —
+# j9_q10_returned_revenue by ts_gapfill_locf,
+# j8_cross_region_nation by graph_kcore) —
 # then pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
 # tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q9_profit_by_nation,

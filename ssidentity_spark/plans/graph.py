@@ -498,3 +498,139 @@ def ivf_knn_edges(
         .filter(F.col("rnk") <= k)
         .select("vec_id", "nbr")
     )
+
+
+# ---------------------------------------------------------------------------
+# G4 (r11) — K-CORE decomposition (Seidman 1983) over the MUTUAL embedding
+# kNN graph: the density partition next to CC's reachability (G1-era) and
+# LPA's communities (G3). A vertex is in the k-core iff it keeps >= k
+# neighbors after everyone below k is recursively peeled — the standard
+# "dense cohesive subgroup" analytic (ssidentity impetus: the devices that
+# persistently co-cluster, README.md:15-17). Graph choice is measured, not
+# assumed: the daily transition graph is too dense (everyone survives any
+# small k at every SF) and the UNION-symmetrized kNN graph has a sharp
+# k=8/9 cliff (out-degree >= 8 by construction); the MUTUAL graph's degree
+# spread (p10 4, median 7, p90 8) peels non-vacuously at K=4 on all three
+# SFs — 27/39/95 vertices peeled, fixpoint in <= 5 rounds (probed in-
+# session). Fixed _KCORE_ROUNDS rounds keep the loop a static dataflow
+# both engines replay exactly (the LPA/pagerank pattern); convergence at
+# gate scale is pinned by pytest (one extra peel changes nothing).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 6
+_KCORE_KNN = 8
+
+
+def _kcore_oracle(k: int, rounds: int, knn: int) -> str:
+    from ssidentity_spark.plans.similarity import _DUCK_VEC
+
+    # every aN is referenced twice by a(N+1) (u-side and v-side) and
+    # sym twice per round: DuckDB inlines CTEs by reference, so without
+    # MATERIALIZED the kNN build would re-expand ~2^rounds times (the
+    # BPE-oracle lesson, tools-proven in r9)
+    steps = []
+    for r in range(1, rounds + 1):
+        prev = f"a{r - 1}"
+        steps.append(
+            f"""a{r} AS MATERIALIZED (
+      SELECT s.u FROM sym s
+      WHERE s.u IN (SELECT u FROM {prev}) AND s.v IN (SELECT u FROM {prev})
+      GROUP BY s.u HAVING count(*) >= {k}
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_DUCK_VEC}, s AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_sum(list_transform(generate_series(1, len(a.v)),
+                            i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rk
+      FROM s
+    ), knn AS (
+      SELECT qid AS u, nid AS v FROM r WHERE rk <= {knn}
+    ), sym AS MATERIALIZED (
+      SELECT a.u, a.v FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u
+    ), a0 AS MATERIALIZED (
+      SELECT DISTINCT u FROM sym
+    ),
+    {chain}
+    SELECT s.u AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM sym s
+    WHERE s.u IN (SELECT u FROM a{rounds})
+      AND s.v IN (SELECT u FROM a{rounds})
+    GROUP BY s.u
+    """
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS, _KCORE_KNN),
+    survey="G4,G3,A3,U5",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_KCORE_K}-core of the mutual-kNN cosine graph: vertices
+    keeping >= {_KCORE_K} mutual neighbors after {_KCORE_ROUNDS} rounds
+    of recursive peeling, with each survivor's within-core degree.
+
+    Plan shape: the mutual-kNN build is the exact brute tier (gate
+    scale; at 100 TB candidates come from :func:`ivf_knn_edges`, same
+    trade as G3). Each peel round is two keyed SEMI-joins of the edge
+    list against the shrinking alive set plus one count aggregate —
+    alive only ever SHRINKS, so round cost is monotonically
+    non-increasing, and lineage is checkpoint-truncated per round (the
+    LPA/pagerank pattern). Peeling is pure integer degree counting: no
+    float anywhere after the 6-dp kNN ranks, so every round sits under
+    the driver hash exactly."""
+    from ssidentity_spark.plans.similarity import _dot, _norm_vec
+
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus = _norm_vec(em)
+    nbrs = corpus.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    knn = (
+        corpus.join(F.broadcast(nbrs), F.col("vec_id") != F.col("nbr"))
+        .select(
+            "vec_id",
+            "nbr",
+            F.round(
+                _dot(F.col("v"), F.col("cv"))
+                / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KCORE_KNN)
+        .select(F.col("vec_id").alias("u"), F.col("nbr").alias("v"))
+    )
+    sym = knn.alias("a").join(
+        knn.alias("b"),
+        (F.col("a.u") == F.col("b.v")) & (F.col("a.v") == F.col("b.u")),
+    ).select(F.col("a.u").alias("u"), F.col("a.v").alias("v")).cache()
+    alive = sym.select("u").distinct()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            sym.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = deg.filter(F.col("c") >= _KCORE_K).select("u")
+        alive = alive.localCheckpoint(eager=True)
+    out = (
+        sym.join(alive, "u", "left_semi")
+        .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("u").alias("vec_id"), "core_degree")
+    )
+    sym.unpersist()
+    return out
