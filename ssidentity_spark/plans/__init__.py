@@ -130,7 +130,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_langid",
     "text_quality",
     "w3_rolling_avg_rows",
-    "j3_customers_without_orders",
+    # NEW late-r11: seasonal (hour-of-day) ANOVA strength (TS6) — the
+    # active-hours question quantified; decimal-exact statistics +
+    # pinned-order fold, deliberately unrounded outputs
+    # (j3_customers_without_orders parks back to the r12 queue)
+    "ts_seasonal_strength",
 )
 
 # r12 ROTATION QUEUE: after CORRECTNESS_r11 lands, regenerate
@@ -141,7 +145,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # FIRST the three its late first-timers displaced
 # (j9_q5_local_supplier_volume by ts_sax_discords,
 # j9_q10_returned_revenue by ts_gapfill_locf,
-# j8_cross_region_nation by graph_kcore) —
+# j8_cross_region_nation by graph_kcore,
+# j3_customers_without_orders by ts_seasonal_strength) —
 # then pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
 # tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q9_profit_by_nation,

@@ -717,3 +717,176 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate(
         e, "user_id", "ts", "value", _BUCKET, method="locf"
     )
+
+
+# ---------------------------------------------------------------------------
+# TS6 (late r11, windowed — displaces j3_customers_without_orders to the
+# r12 queue) — seasonal (hour-of-day) decomposition with an ANOVA
+# strength measure: how much of a series' variance the hour-of-day profile
+# explains. eta² = SS_between / SS_total over the 24 hour-of-day groups is
+# the classical one-way ANOVA effect size and the standard "seasonal
+# strength" statistic of STL-style decompositions reduced to a categorical
+# period; the reference impetus is the active-hours/habitual analysis
+# (README.md:16 "most active hours") asked as a QUANTIFIED question — not
+# just WHICH hour peaks (A2 answers that) but HOW MUCH of the behavior the
+# daily cycle explains.
+#
+# Determinism contract (why no rounding is needed anywhere): every sum
+# that has partition-order freedom is an exact DECIMAL/BIGINT sum (Σx and
+# Σx² as DECIMAL(18,2)/(,4); counts as BIGINT); the only double summation
+# — Σ_h s_h²/n_h over a user's ≤24 hour groups — runs as an ordered fold
+# over the hour-sorted list (the ts_ema pattern), and every remaining op
+# is ONE pinned-order double expression of those exact inputs. Identical
+# IEEE inputs + identical op order = bit-identical doubles on both
+# engines, so the hash holds on RAW values. Deliberately NOT rounded:
+# per-hour means s/n with data-dependent n land on dyadic rationals
+# (odd/2^k) whose exact k-digit decimal expansion always ends in 5 — a
+# representable half-boundary at (k-1) dp where Spark (HALF_UP) and
+# DuckDB (half-even) disagree — so rounding at ANY fixed scale is the
+# only way to make this family diverge (the U5e lesson, inverted).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ), h AS (
+      SELECT user_id, hod,
+             CAST(count(*) AS BIGINT) AS n_h,
+             sum(v) AS s_dec,
+             sum(v * v) AS q_dec
+      FROM base GROUP BY 1, 2
+    ), hh AS (
+      SELECT user_id, hod, n_h, s_dec,
+             CAST(s_dec AS DOUBLE) AS s_dbl,
+             q_dec,
+             CAST(s_dec AS DOUBLE) / n_h AS mean_h
+      FROM h
+    ), u AS (
+      SELECT user_id,
+             CAST(sum(n_h) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(s_dec) AS DOUBLE) AS s_all,
+             CAST(sum(q_dec) AS DOUBLE) AS q_all,
+             list_reduce(
+               list_transform(
+                 list_sort(list(struct_pack(
+                   hod := hod, s := s_dbl, nd := CAST(n_h AS DOUBLE)))),
+                 x -> (x.s * x.s) / x.nd),
+               (acc, t) -> acc + t) AS ssb_raw,
+             max(struct_pack(m := mean_h, nh := -hod)) AS pk
+      FROM hh GROUP BY 1
+    )
+    SELECT user_id, n_events, n_hours,
+           s_all / n_events AS grand_mean,
+           CASE WHEN q_all - CAST(n_events AS DOUBLE)
+                              * (s_all / n_events) * (s_all / n_events) > 0
+                THEN least(1.0, greatest(0.0,
+                     (ssb_raw - CAST(n_events AS DOUBLE)
+                                  * (s_all / n_events) * (s_all / n_events))
+                     / (q_all - CAST(n_events AS DOUBLE)
+                                  * (s_all / n_events) * (s_all / n_events))))
+           END AS seasonal_strength,
+           CAST(-(pk.nh) AS BIGINT) AS peak_hour,
+           pk.m AS peak_mean
+    FROM u
+    """,
+    survey="TS6,TS4,A2,A6,W3",
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: how much of the value series the daily cycle explains —
+    one-way ANOVA effect size eta² = SS_between/SS_total over the 24
+    hour-of-day groups (clamped to [0,1]; NULL for a constant series),
+    plus the grand mean and the peak hour (largest hour-of-day mean,
+    ties to the smallest hour).
+
+    Plan shape: one (user, hour-of-day) aggregate — partial aggregation
+    collapses each partition to ≤ 24·users rows before the exchange —
+    then one user-keyed aggregate whose per-key state is the ≤24-row
+    hour list; every exchange is keyed on the series key and the group
+    count is hard-bounded by the period, so skew cannot concentrate
+    (the heaviest user still folds 24 elements). At 100 TB both stages
+    map-side combine; nothing is quadratic, nothing buffers raw events.
+
+    Determinism: exact DECIMAL/BIGINT partial sums; the one double sum
+    (Σ s_h²/n_h) folds in pinned hour order; outputs stay UNROUNDED —
+    bit-identical by construction, and per-hour means are dyadic-valued
+    where fixed-scale rounding is exactly what diverges (see module
+    comment)."""
+    from ssidentity_spark.functions.timeutil import epoch_s
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(epoch_s("ts") / F.lit(3600)) % 24).cast("long").alias("hod"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    h = e.groupBy("user_id", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("v").alias("s_dec"),
+        F.sum(F.col("v") * F.col("v")).alias("q_dec"),
+    )
+    hh = h.select(
+        "user_id",
+        "hod",
+        "n_h",
+        "s_dec",
+        F.col("s_dec").cast("double").alias("s_dbl"),
+        "q_dec",
+        (F.col("s_dec").cast("double") / F.col("n_h")).alias("mean_h"),
+    )
+    # ordered fold for the ONE order-sensitive double sum (ts_ema
+    # pattern: seed = first term, fold the rest in hour order — the
+    # same association DuckDB's list_reduce uses)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("hod"),
+                F.col("s_dbl").alias("s"),
+                F.col("n_h").cast("double").alias("nd"),
+            )
+        )
+    )
+    terms = F.transform(arr, lambda x: (x["s"] * x["s"]) / x["nd"])
+    ssb_raw = F.aggregate(
+        F.slice(terms, 2, F.greatest(F.size(terms) - 1, F.lit(0))),
+        F.element_at(terms, 1),
+        lambda acc, t: acc + t,
+    )
+    u = hh.groupBy("user_id").agg(
+        F.sum("n_h").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        # user-level total re-sums the exact DECIMAL partials — order-
+        # free-exact, cast to double once at the end (oracle identical)
+        F.sum("s_dec").cast("double").alias("s_all"),
+        F.sum("q_dec").cast("double").alias("q_all"),
+        ssb_raw.alias("ssb_raw"),
+        F.max(
+            F.struct(
+                F.col("mean_h").alias("m"),
+                (-F.col("hod")).alias("nh"),
+            )
+        ).alias("pk"),
+    )
+    gm = F.col("s_all") / F.col("n_events")
+    nssq = F.col("n_events").cast("double") * gm * gm
+    ss_total = F.col("q_all") - nssq
+    ss_between = F.col("ssb_raw") - nssq
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_hours",
+        gm.alias("grand_mean"),
+        F.when(
+            ss_total > 0,
+            F.least(
+                F.lit(1.0), F.greatest(F.lit(0.0), ss_between / ss_total)
+            ),
+        ).alias("seasonal_strength"),
+        (-F.col("pk.nh")).cast("long").alias("peak_hour"),
+        F.col("pk.m").alias("peak_mean"),
+    )

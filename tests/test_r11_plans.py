@@ -77,3 +77,15 @@ def test_pinned_ivfpq_search_has_no_shuffle_on_the_corpus_side(spark):
         )
     )
     assert n_shuffles <= 4, n_shuffles
+
+
+def test_seasonal_strength_plan_is_two_keyed_exchanges_jvm_only(spark):
+    """TS6's 100 TB story: exactly two exchanges — (user, hour-of-day)
+    then (user) — BOTH preceded by partial aggregation (the hour-of-day
+    key space is period-bounded, so map-side combine collapses each
+    partition before any shuffle), and no Python eval node anywhere
+    (the ordered fold is an expression-level F.aggregate)."""
+    plan = _plan(REGISTRY["ts_seasonal_strength"].fn(spark, SF))
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 2
+    assert "partial_sum" in plan or "partial_" in plan

@@ -291,3 +291,63 @@ def test_locf_carries_forward_and_never_backfills(spark, tmp_path):
         ).collect()
     }
     assert lin[b0 + 2 * H4] == 43.0  # 15 + (99-15) * 1/3
+
+
+# ---------------------------------------------------------------------------
+# TS6-to-be: seasonal (hour-of-day) strength (plans/timeseries.py:
+# ts_seasonal_strength) — planted-seasonality semantics. The driver-gate
+# hash proves engine equivalence; these pin that eta² actually measures
+# what it claims on series where the answer is computable by eye.
+# ---------------------------------------------------------------------------
+
+
+def _seasonal(spark, tmp_path, rows):
+    import ssidentity_spark.plans  # noqa: F401
+    from ssidentity_spark.registry import REGISTRY
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = REGISTRY["ts_seasonal_strength"].fn(spark, sf)
+    return {r["user_id"]: r.asDict() for r in out.collect()}
+
+
+def test_seasonal_strength_separates_cyclic_from_acyclic(spark, tmp_path):
+    """User 1's value is a pure function of hour-of-day (100 at noon,
+    1 elsewhere; zero within-hour variance) → eta² = 1 exactly and the
+    peak is noon. User 2 varies only BY DAY (the same 60/70 mix lands in
+    every hour) → between-hour SS is exactly zero → eta² = 0, and the
+    all-24-way peak tie resolves to the smallest hour."""
+    rows = []
+    eid = 0
+    for d in range(5):
+        for h in range(24):
+            ts = dt.datetime(2024, 1, 1 + d, h, 30)
+            rows.append((eid, ts, 1, "t", 100.0 if h == 12 else 1.0, "{}"))
+            rows.append((eid + 1, ts, 2, "t", 60.0 if d % 2 == 0 else 70.0, "{}"))
+            eid += 2
+    got = _seasonal(spark, tmp_path, rows)
+    assert got[1]["n_events"] == 120 and got[1]["n_hours"] == 24
+    assert got[1]["seasonal_strength"] == 1.0
+    assert got[1]["peak_hour"] == 12 and got[1]["peak_mean"] == 100.0
+    # d%2 over 5 days → every hour sums 3*60 + 2*70 = 320.0: exact zero
+    # between-hour variance, and every float op lands on exact integers
+    assert got[2]["seasonal_strength"] == 0.0
+    assert got[2]["peak_hour"] == 0  # 24-way tie → smallest hour
+    assert got[2]["grand_mean"] == 64.0
+
+
+def test_seasonal_strength_constant_series_is_null(spark, tmp_path):
+    """A constant series has SS_total = 0 (exact: decimal sums make the
+    sufficient statistics integer-exact) — strength must be NULL, not a
+    0/0 NaN and not a clamped 0."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i // 24, i % 24, 15), 9, "t", 7.25, "{}")
+        for i in range(48)
+    ]
+    got = _seasonal(spark, tmp_path, rows)
+    assert got[9]["seasonal_strength"] is None
+    assert got[9]["grand_mean"] == 7.25
