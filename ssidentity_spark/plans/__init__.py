@@ -129,7 +129,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bigram_profile",
     "text_langid",
     "text_quality",
-    "w3_rolling_avg_rows",
+    # NEW late-r11: AMOC changepoint detection (TS7) — regime-shift scan
+    # via exact decimal prefix sums, one user-keyed exchange end to end
+    # (w3_rolling_avg_rows parks back to the r12 queue)
+    "ts_changepoint_amoc",
     # NEW late-r11: seasonal (hour-of-day) ANOVA strength (TS6) — the
     # active-hours question quantified; decimal-exact statistics +
     # pinned-order fold, deliberately unrounded outputs
@@ -146,7 +149,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # (j9_q5_local_supplier_volume by ts_sax_discords,
 # j9_q10_returned_revenue by ts_gapfill_locf,
 # j8_cross_region_nation by graph_kcore,
-# j3_customers_without_orders by ts_seasonal_strength) —
+# j3_customers_without_orders by ts_seasonal_strength,
+# w3_rolling_avg_rows by ts_changepoint_amoc) —
 # then pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
 # tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q9_profit_by_nation,

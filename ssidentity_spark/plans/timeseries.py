@@ -890,3 +890,137 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("pk.nh")).cast("long").alias("peak_hour"),
         F.col("pk.m").alias("peak_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS7 (late r11, windowed — displaces w3_rolling_avg_rows to the r12
+# queue) — at-most-one-changepoint (AMOC) detection: for each user's
+# ordered value series, the split index maximizing the standardized
+# mean-shift statistic score(k) = sqrt(k·(n-k)/n) · |mean_L − mean_R| —
+# the classical CUSUM-type two-sample scan (Hinkley 1970) and the first
+# split of binary segmentation, i.e. the primitive every multi-changepoint
+# method iterates. Reference impetus: habitual-behavior CHANGE is the
+# alert the sniffer's analytics imply (README.md:16-18 — a device whose
+# active pattern shifts is exactly what "habitual areas" monitoring
+# surfaces); TS4 flags single outlier points, TS7 flags regime shifts.
+#
+# Determinism (the TS6 story again): prefix sums of DECIMAL(18,2) values
+# under a fully-tiebroken per-key order are EXACT, every per-row double
+# (two means, the weight, the score) is one pinned-order expression of
+# those exact inputs (sqrt is IEEE-correctly-rounded on both engines),
+# and the argmax is a row_number over (score DESC, k ASC) on
+# bit-identical doubles — no rounding anywhere, nothing order-sensitive
+# ever summed as doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_changepoint_amoc",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             row_number() OVER w AS k,
+             sum(CAST(value AS DECIMAL(18,2))) OVER w AS s_k,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id) AS s_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), scored AS (
+      SELECT user_id, k, n, ts_us,
+             CAST(s_k AS DOUBLE) / k AS mean_left,
+             CAST(s_n - s_k AS DOUBLE) / (n - k) AS mean_right,
+             sqrt(CAST(k * (n - k) AS DOUBLE) / n)
+               * abs(CAST(s_k AS DOUBLE) / k
+                     - CAST(s_n - s_k AS DOUBLE) / (n - k)) AS score
+      FROM ordered
+      WHERE k < n
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY score DESC, k ASC) AS rk
+      FROM scored
+    )
+    SELECT user_id, n AS n_events, k AS cp_index, ts_us AS cp_ts_us,
+           mean_left, mean_right, score AS cp_score
+    FROM best WHERE rk = 1
+    """,
+    survey="TS7,TS4,W2,W3,A6",
+)
+def ts_changepoint_amoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the most likely single changepoint of the value series —
+    the split k (1 ≤ k < n, ties to the earliest) maximizing
+    sqrt(k(n-k)/n)·|mean(x₁..x_k) − mean(x_{k+1}..x_n)|, with both
+    segment means, the split's event timestamp, and the score. TS4
+    catches outlier POINTS; this catches regime SHIFTS (the habitual-
+    pattern change the reference's monitoring implies).
+
+    Plan shape: ONE user-keyed exchange carries everything — the
+    running decimal prefix sum, the per-key total (same partition key →
+    Spark re-sorts within partitions, no second shuffle), the per-row
+    score, and the argmax rank. Per-key state is one sort buffer (the
+    ts_ema bound); nothing quadratic — the naive per-split re-scan is
+    O(n²) per key, the prefix-sum form is O(n log n) in the sort.
+
+    Determinism: exact DECIMAL prefix sums under a total order, then
+    pinned-order double expressions (IEEE sqrt/div/abs are correctly
+    rounded on both engines) — outputs deliberately UNROUNDED (the TS6
+    dyadic-mean argument, module comment)."""
+    from pyspark.sql import Window as W
+    from ssidentity_spark.functions.timeutil import epoch_us
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        epoch_us("ts").cast("long").alias("ts_us"),
+        "ts",
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wk = W.partitionBy("user_id")
+    ordered = e.select(
+        "user_id",
+        "ts_us",
+        F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")).alias("k"),
+        F.sum("v").over(w).alias("s_k"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("n"),
+        F.sum("v").over(wk).alias("s_n"),
+    )
+    mean_left = F.col("s_k").cast("double") / F.col("k")
+    mean_right = (F.col("s_n") - F.col("s_k")).cast("double") / (
+        F.col("n") - F.col("k")
+    )
+    score = F.sqrt(
+        (F.col("k") * (F.col("n") - F.col("k"))).cast("double") / F.col("n")
+    ) * F.abs(mean_left - mean_right)
+    scored = ordered.where(F.col("k") < F.col("n")).select(
+        "user_id",
+        F.col("k").cast("long").alias("k"),
+        "n",
+        "ts_us",
+        mean_left.alias("mean_left"),
+        mean_right.alias("mean_right"),
+        score.alias("score"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("score"), F.asc("k"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("k").alias("cp_index"),
+            F.col("ts_us").alias("cp_ts_us"),
+            "mean_left",
+            "mean_right",
+            F.col("score").alias("cp_score"),
+        )
+    )

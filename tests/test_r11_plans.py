@@ -89,3 +89,13 @@ def test_seasonal_strength_plan_is_two_keyed_exchanges_jvm_only(spark):
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange") == 2
     assert "partial_sum" in plan or "partial_" in plan
+
+
+def test_changepoint_plan_is_one_keyed_exchange(spark):
+    """TS7's 100 TB story: the prefix sum, the per-key total, the score,
+    and the argmax rank all ride ONE user-keyed exchange (same partition
+    key → Spark re-sorts within partitions for the three window specs,
+    never re-shuffles), and no Python eval node anywhere."""
+    plan = _plan(REGISTRY["ts_changepoint_amoc"].fn(spark, SF))
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1

@@ -351,3 +351,65 @@ def test_seasonal_strength_constant_series_is_null(spark, tmp_path):
     got = _seasonal(spark, tmp_path, rows)
     assert got[9]["seasonal_strength"] is None
     assert got[9]["grand_mean"] == 7.25
+
+
+# ---------------------------------------------------------------------------
+# TS7: AMOC changepoint (plans/timeseries.py:ts_changepoint_amoc)
+# ---------------------------------------------------------------------------
+
+
+def _changepoint(spark, tmp_path, rows):
+    import ssidentity_spark.plans  # noqa: F401
+    from ssidentity_spark.registry import REGISTRY
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = REGISTRY["ts_changepoint_amoc"].fn(spark, sf)
+    return {r["user_id"]: r.asDict() for r in out.collect()}
+
+
+def test_changepoint_finds_the_planted_step(spark, tmp_path):
+    """A clean level shift (30×10.0 then 30×50.0) must split exactly at
+    the step with the true segment means; the score equals the closed
+    form sqrt(k(n-k)/n)·|Δ| bit-for-bit (all ops are pinned IEEE)."""
+    import math
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1, "t",
+         10.0 if i < 30 else 50.0, "{}")
+        for i in range(60)
+    ]
+    got = _changepoint(spark, tmp_path, rows)[1]
+    assert got["cp_index"] == 30
+    assert got["mean_left"] == 10.0 and got["mean_right"] == 50.0
+    assert got["cp_score"] == math.sqrt(30 * 30 / 60) * 40.0
+    assert got["n_events"] == 60
+
+
+def test_changepoint_constant_series_ties_to_earliest_split(spark, tmp_path):
+    """Constant series: every split scores exactly 0 (decimal-exact
+    means), so the (score DESC, k ASC) tie-break must land on k=1 —
+    a deterministic answer, not an engine-dependent one."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 2, "t", 3.5, "{}")
+        for i in range(20)
+    ]
+    got = _changepoint(spark, tmp_path, rows)[2]
+    assert got["cp_score"] == 0.0
+    assert got["cp_index"] == 1
+
+
+def test_changepoint_single_event_series_is_excluded(spark, tmp_path):
+    """n=1 has no valid split (k ranges 1..n-1): the user must be absent
+    rather than present with a NULL/garbage row."""
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 3, "t", 9.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 1), 4, "t", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 2), 4, "t", 2.0, "{}"),
+    ]
+    got = _changepoint(spark, tmp_path, rows)
+    assert 3 not in got and 4 in got
