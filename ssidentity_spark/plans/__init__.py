@@ -128,7 +128,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_lsh_bucketed",
     "text_bigram_profile",
     "text_langid",
-    "text_quality",
+    # NEW late-r11: lag-1..4 autocorrelation (TS8) — serial-dependence
+    # descriptor over the same ordered-fold machinery as ts_ema
+    # (text_quality parks back to the r12 queue)
+    "ts_acf",
     # NEW late-r11: AMOC changepoint detection (TS7) — regime-shift scan
     # via exact decimal prefix sums, one user-keyed exchange end to end
     # (w3_rolling_avg_rows parks back to the r12 queue)
@@ -150,7 +153,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # j9_q10_returned_revenue by ts_gapfill_locf,
 # j8_cross_region_nation by graph_kcore,
 # j3_customers_without_orders by ts_seasonal_strength,
-# w3_rolling_avg_rows by ts_changepoint_amoc) —
+# w3_rolling_avg_rows by ts_changepoint_amoc,
+# text_quality by ts_acf) —
 # then pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
 # tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q9_profit_by_nation,

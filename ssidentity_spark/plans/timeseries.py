@@ -1024,3 +1024,130 @@ def ts_changepoint_amoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").alias("cp_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TS8 (late r11, windowed — displaces text_quality to the r12 queue) —
+# the sample autocorrelation function at lags 1..4: r_l =
+# sum_t (x_t - m)(x_{t+l} - m) / sum_t (x_t - m)^2 with the grand mean m.
+# The classical serial-dependence descriptor (Box/Jenkins): TS6 asks "is
+# the series periodic BY the clock", ACF asks "does it remember ITSELF" —
+# together the standard first look at any sensor series, and the literal
+# reading of the reference README's "things that can be correlated"
+# (README.md:15) applied to a series' own past.
+#
+# Determinism: m comes from the exact DECIMAL sum; both quadratic sums
+# fold over the SAME (ts, event_id)-sorted value list in pinned order
+# (seed-first, the ts_ema association); every per-term product is one
+# pinned-order double expression of bit-identically-read parquet values.
+# Unrounded outputs, same argument as TS6/TS7.
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 4)
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n           ".join(
+        f"""CASE WHEN n > {l} AND den > 0 THEN
+             list_reduce(
+               list_transform(generate_series(1, CAST(n AS INTEGER) - {l}),
+                              i -> (l[i] - m) * (l[i + {l}] - m)),
+               (acc, t) -> acc + t) / den
+           END AS acf_lag{l}"""
+        for l in _ACF_LAGS
+    )
+    return f"""
+    WITH s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS m,
+             list_transform(
+               list_sort(list(struct_pack(
+                 ts_us := CAST(epoch_us(ts) AS BIGINT),
+                 eid := event_id, v := value))),
+               x -> x.v) AS l
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT user_id, n, m, l,
+             list_reduce(list_transform(l, x -> (x - m) * (x - m)),
+                         (acc, t) -> acc + t) AS den
+      FROM s
+    )
+    SELECT user_id, n AS n_events, m AS mean_value,
+           {lag_cols}
+    FROM d
+    """
+
+
+@register(
+    "ts_acf",
+    oracle=_acf_oracle(),
+    survey="TS8,A6,W2,A1",
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the sample autocorrelation of the value series at lags
+    1..{max(_ACF_LAGS)} (classical estimator, grand-mean centered,
+    lag-0 variance denominator), NULL where the lag exceeds the series
+    or the series is constant.
+
+    Plan shape: ONE user-keyed aggregate — the per-key state is the
+    sorted value list (the ts_ema bound: per-key series must fit an
+    executor, the honest requirement of any order-recursive statistic),
+    then pure array expressions per row, no joins, no second exchange.
+    At 100 TB the escape hatch is the same as EMA's: truncate to a
+    bounded recent window per key, or stream the sufficient statistics
+    (m, lagged cross-products) incrementally.
+
+    Determinism: exact DECIMAL sum for the mean; both quadratic sums
+    fold the (ts, event_id)-sorted list seed-first in pinned order —
+    bit-identical on both engines, outputs unrounded (TS6 argument)."""
+    from ssidentity_spark.functions.timeutil import epoch_us
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_us("ts").cast("long").alias("ts_us"),
+        "event_id",
+        "value",
+        F.col("value").cast("decimal(18,2)").alias("vd"),
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts_us", "event_id", F.col("value").alias("v")))),
+        lambda x: x["v"],
+    )
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("vd").cast("double") / F.count(F.lit(1))).alias("m"),
+        vals.alias("l"),
+    )
+
+    def _fold(terms):
+        # seed-first left fold (the ts_ema association; caller guards
+        # non-emptiness so element_at(…, 1) never sees an empty array)
+        return F.aggregate(
+            F.slice(terms, 2, F.greatest(F.size(terms) - 1, F.lit(0))),
+            F.element_at(terms, 1),
+            lambda acc, t: acc + t,
+        )
+
+    m = F.col("m")
+    lv = F.col("l")
+    den_terms = F.transform(lv, lambda x: (x - m) * (x - m))
+    d = s.withColumn("den", _fold(den_terms))
+
+    def _acf(l: int):
+        terms = F.transform(
+            F.sequence(F.lit(1), (F.col("n") - l).cast("int")),
+            lambda i: (F.element_at(lv, i) - m)
+            * (F.element_at(lv, i + F.lit(l)) - m),
+        )
+        return F.when(
+            (F.col("n") > l) & (F.col("den") > 0), _fold(terms) / F.col("den")
+        ).alias(f"acf_lag{l}")
+
+    return d.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("m").alias("mean_value"),
+        *[_acf(l) for l in _ACF_LAGS],
+    )

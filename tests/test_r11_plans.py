@@ -99,3 +99,12 @@ def test_changepoint_plan_is_one_keyed_exchange(spark):
     plan = _plan(REGISTRY["ts_changepoint_amoc"].fn(spark, SF))
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_acf_plan_is_one_keyed_aggregate_jvm_only(spark):
+    """TS8: one user-keyed exchange (collect + fold are a single
+    aggregate; the lag expressions are per-row array math), no Python
+    eval node — the whole ACF computes inside codegen'd expressions."""
+    plan = _plan(REGISTRY["ts_acf"].fn(spark, SF))
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1

@@ -413,3 +413,59 @@ def test_changepoint_single_event_series_is_excluded(spark, tmp_path):
     ]
     got = _changepoint(spark, tmp_path, rows)
     assert 3 not in got and 4 in got
+
+
+# ---------------------------------------------------------------------------
+# TS8: autocorrelation function (plans/timeseries.py:ts_acf)
+# ---------------------------------------------------------------------------
+
+
+def _acf(spark, tmp_path, rows):
+    import ssidentity_spark.plans  # noqa: F401
+    from ssidentity_spark.registry import REGISTRY
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = REGISTRY["ts_acf"].fn(spark, sf)
+    return {r["user_id"]: r.asDict() for r in out.collect()}
+
+
+def test_acf_alternating_series_is_negative_at_odd_lags(spark, tmp_path):
+    """The period-2 series a,b,a,b,…: every odd lag anti-correlates,
+    every even lag correlates — and the lag-2 estimator equals the
+    closed form (n-2)/n exactly (deviations are ±d, products ±d², and
+    the pinned fold sums n-l identical terms over the n-term
+    denominator — integer-exact ratios for d=1)."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1, "t",
+         4.0 if i % 2 == 0 else 6.0, "{}")
+        for i in range(40)
+    ]
+    got = _acf(spark, tmp_path, rows)[1]
+    assert got["mean_value"] == 5.0
+    assert got["acf_lag1"] == -(39 / 40)
+    assert got["acf_lag2"] == 38 / 40
+    assert got["acf_lag3"] == -(37 / 40)
+    assert got["acf_lag4"] == 36 / 40
+
+
+def test_acf_constant_series_is_null_and_short_series_truncates(spark, tmp_path):
+    """Constant series: zero variance denominator → every lag NULL (not
+    NaN). A 3-point series has lags 3,4 out of range → NULL there while
+    lags 1,2 still compute."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 2, "t", 9.0, "{}")
+        for i in range(10)
+    ] + [
+        (100 + i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 3, "t",
+         float(v), "{}")
+        for i, v in enumerate([1.0, 5.0, 3.0])
+    ]
+    got = _acf(spark, tmp_path, rows)
+    assert all(got[2][f"acf_lag{l}"] is None for l in (1, 2, 3, 4))
+    assert got[3]["acf_lag1"] is not None and got[3]["acf_lag2"] is not None
+    assert got[3]["acf_lag3"] is None and got[3]["acf_lag4"] is None
