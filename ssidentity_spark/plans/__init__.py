@@ -127,7 +127,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_label_centroids",
     "sim_lsh_bucketed",
     "text_bigram_profile",
-    "text_langid",
+    # NEW late-r11: order-statistic winsorization (X28) — outlier
+    # clamping for signal columns, zero float arithmetic end to end
+    # (text_langid parks back to the r12 queue)
+    "pipe_winsorize",
     # NEW late-r11: lag-1..4 autocorrelation (TS8) — serial-dependence
     # descriptor over the same ordered-fold machinery as ts_ema
     # (text_quality parks back to the r12 queue)
@@ -154,7 +157,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # j8_cross_region_nation by graph_kcore,
 # j3_customers_without_orders by ts_seasonal_strength,
 # w3_rolling_avg_rows by ts_changepoint_amoc,
-# text_quality by ts_acf) —
+# text_quality by ts_acf,
+# text_langid by pipe_winsorize) —
 # then pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
 # tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q9_profit_by_nation,

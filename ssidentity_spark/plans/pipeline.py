@@ -2268,3 +2268,128 @@ def pipe_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("n_released"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X28 (late r11) — winsorization at exact order-statistic fences: clamp a
+# signal column to its per-group [k_lo-th smallest, k_lo-th largest]
+# values (k_lo = ceil(n/100), i.e. 1st/99th percentile rank) before any
+# mean/mixture consumes it. THE standard robust preprocessing for
+# training-data quality signals (a handful of pathological documents
+# otherwise own the mean any mixture weighting reads); sibling of X24's
+# k-anonymity audit on the "make the statistic safe to use" shelf.
+#
+# Determinism — the strongest contract in the family: NO float
+# arithmetic exists anywhere. Fences are ORDER STATISTICS (the ranked
+# raw parquet doubles themselves, selected by integer rank — never
+# interpolated), ranks come from integer ceil-division ((n+99) DIV 100),
+# clamping compares bit-identically-read doubles, and the before/after
+# means are exact DECIMAL(18,2) sums (clamped values stay ON the 2-dp
+# grid — a clamp substitutes one grid value for another) divided once.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_winsorize",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value, event_id,
+             CAST(value AS DECIMAL(18,2)) AS vd,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events
+    ), fences AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n + 99) // 100 THEN value END) AS lo,
+             max(CASE WHEN rn = n - (n + 99) // 100 + 1 THEN value END) AS hi
+      FROM base GROUP BY 1
+    ), clamped AS (
+      SELECT b.event_type, b.n, b.vd, f.lo, f.hi,
+             CASE WHEN b.value < f.lo THEN CAST(f.lo AS DECIMAL(18,2))
+                  WHEN b.value > f.hi THEN CAST(f.hi AS DECIMAL(18,2))
+                  ELSE b.vd END AS vw,
+             CASE WHEN b.value < f.lo THEN 1 ELSE 0 END AS is_lo,
+             CASE WHEN b.value > f.hi THEN 1 ELSE 0 END AS is_hi
+      FROM base b JOIN fences f USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           max(lo) AS fence_lo,
+           max(hi) AS fence_hi,
+           CAST(sum(is_lo) AS BIGINT) AS n_clamped_low,
+           CAST(sum(is_hi) AS BIGINT) AS n_clamped_high,
+           CAST(sum(vd) AS DOUBLE) / max(n) AS mean_before,
+           CAST(sum(vw) AS DOUBLE) / max(n) AS mean_after
+    FROM clamped GROUP BY 1
+    """,
+    # late r11, windowed — displaces text_langid to the r12 queue
+    survey="X28,X3,A6,W1,X24",
+)
+def pipe_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: winsorize the value signal at the 1st/99th
+    percentile ORDER STATISTICS (rank ceil(n/100) from each end) — the
+    fences, how many rows each side clamped, and the mean before vs
+    after (the number a mixture weighting would actually consume).
+
+    Plan shape: one type-keyed exchange carries the rank window and the
+    per-type count; the two fence rows per type reduce to a ≤types-row
+    table BROADCAST back over the same frame; final stats are one keyed
+    aggregate. At 100 TB the rank window is the only corpus-scale sort
+    and it shares the one exchange; the 100 TB escape hatch for the
+    sort itself is approx_percentile fences at a documented accuracy
+    trade (the TS4 hatch).
+
+    Determinism: no float arithmetic anywhere — fences are selected raw
+    values (never interpolated), ranks are integer ceil-division,
+    clamped values stay on the 2-dp grid so both means are exact
+    DECIMAL sums divided once (unrounded outputs, the TS6 argument)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("vd"),
+    )
+    base = e.select(
+        "event_type",
+        "value",
+        "vd",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    k = F.expr("(n + 99) DIV 100")
+    fences = base.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == k, F.col("value"))).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - k + 1, F.col("value"))
+        ).alias("hi"),
+    )
+    c = base.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "n",
+        "vd",
+        "lo",
+        "hi",
+        F.when(F.col("value") < F.col("lo"), F.col("lo").cast("decimal(18,2)"))
+        .when(F.col("value") > F.col("hi"), F.col("hi").cast("decimal(18,2)"))
+        .otherwise(F.col("vd"))
+        .alias("vw"),
+        F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("is_lo"),
+        F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("is_hi"),
+    )
+    return c.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.max("lo").alias("fence_lo"),
+        F.max("hi").alias("fence_hi"),
+        F.sum("is_lo").cast("long").alias("n_clamped_low"),
+        F.sum("is_hi").cast("long").alias("n_clamped_high"),
+        (F.sum("vd").cast("double") / F.max("n")).alias("mean_before"),
+        (F.sum("vw").cast("double") / F.max("n")).alias("mean_after"),
+    )

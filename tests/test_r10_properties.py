@@ -520,3 +520,53 @@ def test_w7_stream_skips_empty_event_type_like_batch(spark, tmp_path):
     assert got[11]["n_events"] == 3  # the empty-type row never counts
     assert got[11]["n_matches"] == 1
     assert got[11]["longest_match"] == 2  # s then p, nothing between
+
+
+# ---------------------------------------------------------------------------
+# X28: order-statistic winsorization (plans/pipeline.py:pipe_winsorize)
+# ---------------------------------------------------------------------------
+
+
+def _winsorize(spark, tmp_path, values_by_type):
+    import ssidentity_spark.plans  # noqa: F401
+    from ssidentity_spark.registry import REGISTRY
+
+    rows = [
+        (t_i * 1000000 + i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         1, t, float(v), "{}")
+        for t_i, (t, vals) in enumerate(values_by_type.items())
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = REGISTRY["pipe_winsorize"].fn(spark, sf)
+    return {r["event_type"]: r.asDict() for r in out.collect()}
+
+
+def test_winsorize_clamps_planted_outliers_at_rank_fences(spark, tmp_path):
+    """n=200 → rank ceil(200/100)=2 from each end: fences are the 2nd
+    smallest/largest values, the two planted ±1000 outliers clamp to
+    them, and both means equal their closed forms exactly (all sums are
+    decimal-exact, one division)."""
+    vals = [-1000.0] + [float(i) for i in range(1, 199)] + [1000.0]
+    got = _winsorize(spark, tmp_path, {"a": vals})["a"]
+    assert got["n_events"] == 200
+    assert got["fence_lo"] == 1.0 and got["fence_hi"] == 198.0
+    assert got["n_clamped_low"] == 1 and got["n_clamped_high"] == 1
+    assert got["mean_before"] == 19701 / 200  # -1000 + sum(1..198) + 1000
+    assert got["mean_after"] == 19900 / 200  # outliers -> 1.0 / 198.0
+
+
+def test_winsorize_small_group_degenerates_to_identity(spark, tmp_path):
+    """n<100 → rank 1: fences ARE min/max, nothing clamps (strict
+    inequality), mean_after == mean_before even with wild outliers —
+    the guard against tiny groups inventing a clamp."""
+    vals = [-500.0, 500.0] + [10.0] * 48
+    got = _winsorize(spark, tmp_path, {"b": vals})["b"]
+    assert got["fence_lo"] == -500.0 and got["fence_hi"] == 500.0
+    assert got["n_clamped_low"] == 0 and got["n_clamped_high"] == 0
+    assert got["mean_after"] == got["mean_before"]

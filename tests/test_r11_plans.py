@@ -108,3 +108,13 @@ def test_acf_plan_is_one_keyed_aggregate_jvm_only(spark):
     plan = _plan(REGISTRY["ts_acf"].fn(spark, SF))
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_winsorize_fence_join_is_broadcast(spark):
+    """X28: the per-type fence table (≤ types rows) must reach the
+    corpus frame as a broadcast — a shuffled join here would move the
+    corpus for a model-sized right side — and no Python eval node."""
+    plan = _plan(REGISTRY["pipe_winsorize"].fn(spark, SF))
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
