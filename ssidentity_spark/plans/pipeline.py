@@ -2299,6 +2299,7 @@ def pipe_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY value, event_id) AS rn,
              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
       FROM events
+      WHERE value IS NOT NULL
     ), fences AS (
       SELECT event_type,
              max(CASE WHEN rn = (n + 99) // 100 THEN value END) AS lo,
@@ -2346,11 +2347,19 @@ def pipe_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL sums divided once (unrounded outputs, the TS6 argument)."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "value",
-        "event_id",
-        F.col("value").cast("decimal(18,2)").alias("vd"),
+    # NULL values are excluded up front on BOTH engines: a NULL can't
+    # be clamped, and the engines default NULLs to OPPOSITE ends of an
+    # ORDER BY value (Spark: NULLS FIRST; DuckDB: NULLS LAST), which
+    # would shift every rank and the fence selection
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            "event_id",
+            F.col("value").cast("decimal(18,2)").alias("vd"),
+        )
     )
     base = e.select(
         "event_type",

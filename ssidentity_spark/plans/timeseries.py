@@ -27,6 +27,22 @@ _BUCKET = 4 * 3600  # 4-hour grid: ~37% bucket occupancy at sf0.01 — the
 # interpolation path (not just the pass-through) carries most rows
 
 
+def _seed_first_fold(terms, merge):
+    """Seed-first left fold over an array column in its element order:
+    acc starts as terms[1] and merges terms[2..] left to right — the
+    exact association DuckDB's ``list_reduce`` uses, so both engines
+    combine in the same pinned order (the cross-engine determinism
+    contract every order-sensitive double aggregation in this module
+    rides: ts_ema, ts_seasonal_strength, ts_acf). Callers guarantee
+    non-emptiness or shield the call behind a lazily-evaluated guard —
+    ``element_at(terms, 1)`` errors on an empty array under ANSI."""
+    return F.aggregate(
+        F.slice(terms, 2, F.greatest(F.size(terms) - 1, F.lit(0))),
+        F.element_at(terms, 1),
+        merge,
+    )
+
+
 @register(
     "ts_gapfill_interpolate",
     # DuckDB recomputes the full pipeline: bucket means (decimal-exact),
@@ -121,10 +137,8 @@ def ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
     vals = F.transform(arr, lambda s: s["value"])
-    ema = F.aggregate(
-        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.element_at(vals, 1),
-        lambda acc, x: acc * F.lit(0.9) + x * F.lit(0.1),
+    ema = _seed_first_fold(
+        vals, lambda acc, x: acc * F.lit(0.9) + x * F.lit(0.1)
     )
     return ev.groupBy("user_id").agg(
         F.round(ema, 6).alias("ema"),
@@ -755,6 +769,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
              CAST(value AS DECIMAL(18,2)) AS v
       FROM events
+      WHERE value IS NOT NULL
     ), h AS (
       SELECT user_id, hod,
              CAST(count(*) AS BIGINT) AS n_h,
@@ -820,10 +835,21 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment)."""
     from ssidentity_spark.functions.timeutil import epoch_s
 
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        (F.floor(epoch_s("ts") / F.lit(3600)) % 24).cast("long").alias("hod"),
-        F.col("value").cast("decimal(18,2)").alias("v"),
+    # NULL values are excluded up front on BOTH engines: an all-NULL
+    # hour group would otherwise make mean_h NULL, and the two engines
+    # place a NULL struct field at OPPOSITE ends of max(struct(...))
+    # (Spark: smallest; DuckDB: largest) — the one NULL path that could
+    # diverge under the hash
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            (F.floor(epoch_s("ts") / F.lit(3600)) % 24)
+            .cast("long")
+            .alias("hod"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
     )
     h = e.groupBy("user_id", "hod").agg(
         F.count(F.lit(1)).cast("long").alias("n_h"),
@@ -852,11 +878,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     terms = F.transform(arr, lambda x: (x["s"] * x["s"]) / x["nd"])
-    ssb_raw = F.aggregate(
-        F.slice(terms, 2, F.greatest(F.size(terms) - 1, F.lit(0))),
-        F.element_at(terms, 1),
-        lambda acc, t: acc + t,
-    )
+    ssb_raw = _seed_first_fold(terms, lambda acc, t: acc + t)
     u = hh.groupBy("user_id").agg(
         F.sum("n_h").cast("long").alias("n_events"),
         F.count(F.lit(1)).cast("long").alias("n_hours"),
@@ -1087,7 +1109,7 @@ def _acf_oracle() -> str:
 )
 def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per user: the sample autocorrelation of the value series at lags
-    1..{max(_ACF_LAGS)} (classical estimator, grand-mean centered,
+    1..4 (``_ACF_LAGS``; classical estimator, grand-mean centered,
     lag-0 variance denominator), NULL where the lag exceeds the series
     or the series is constant.
 
@@ -1122,13 +1144,9 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _fold(terms):
-        # seed-first left fold (the ts_ema association; caller guards
-        # non-emptiness so element_at(…, 1) never sees an empty array)
-        return F.aggregate(
-            F.slice(terms, 2, F.greatest(F.size(terms) - 1, F.lit(0))),
-            F.element_at(terms, 1),
-            lambda acc, t: acc + t,
-        )
+        # the shared seed-first fold; the when() guards below keep the
+        # empty-terms case from ever evaluating element_at(…, 1)
+        return _seed_first_fold(terms, lambda acc, t: acc + t)
 
     m = F.col("m")
     lv = F.col("l")

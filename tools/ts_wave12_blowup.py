@@ -14,6 +14,10 @@ Claims under test (SCALE.md):
   series at sf0.1 is ~860 rows).
 - TS8: per-key state is the full sorted series; the fold does
   LAGS+1 passes over it → linear in series length per key.
+- X28 (pipe_winsorize): the rank window is the one corpus-scale sort,
+  shared with the per-type count on a single exchange; the fence join
+  is a broadcast → wall time should scale like the sort, output rows
+  = types (constant).
 
 Usage: python tools/ts_wave12_blowup.py
 """
@@ -29,7 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ssidentity_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from ssidentity_spark.session import get_spark  # noqa: E402
 
-QUERIES = ("ts_seasonal_strength", "ts_changepoint_amoc", "ts_acf")
+QUERIES = (
+    "ts_seasonal_strength",
+    "ts_changepoint_amoc",
+    "ts_acf",
+    "pipe_winsorize",
+)
 
 
 def main() -> None:
@@ -47,7 +56,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()
             cells.append(
-                f"{name.removeprefix('ts_')}="
+                f"{name.removeprefix('ts_').removeprefix('pipe_')}="
                 f"({round(dt, 2)}s, {REGISTRY[name].fn(spark, sf_dir).count()} rows)"
             )
         print(f"sf{sf}: events={n_events} " + " ".join(cells))
