@@ -123,7 +123,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "pipe_docs_clean",
     "pipe_embed_quantize",
-    "pivot_user_type_matrix",
+    # NEW late-r11: behavioral identity linkage (ID1) — the namesake
+    # analytic: per-user top-1 cosine match over integer hour×type
+    # profiles (pivot_user_type_matrix parks back to the r12 queue)
+    "id_behavior_linkage",
     "sim_label_centroids",
     "sim_lsh_bucketed",
     "text_bigram_profile",
@@ -158,7 +161,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # j3_customers_without_orders by ts_seasonal_strength,
 # w3_rolling_avg_rows by ts_changepoint_amoc,
 # text_quality by ts_acf,
-# text_langid by pipe_winsorize) —
+# text_langid by pipe_winsorize,
+# pivot_user_type_matrix by id_behavior_linkage) —
 # then pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
 # tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q9_profit_by_nation,

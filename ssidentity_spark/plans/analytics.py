@@ -1590,3 +1590,148 @@ def w7_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_browse_steps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ID1 (late r11) — behavioral identity linkage: for every user, the OTHER
+# user whose (hour-of-day × event-type) activity profile is most cosine-
+# similar. This is the reference's NAMESAKE question — "SSIDentity" exists
+# to identify devices from passive behavior (README.md:11-18), and under
+# MAC randomization the operational form is exactly this: which two
+# observed identifiers behave like the same device? The profile is the
+# habitual fingerprint A2 summarizes, promoted to a vector and matched.
+#
+# Determinism — the TS6 lineage, integer edition: profiles are INTEGER
+# counts, dots and squared norms are exact BIGINT sums (order-free), the
+# cosine is one pinned expression (IEEE sqrt correctly rounded on both
+# engines), and the per-user argmax ranks bit-identical doubles with a
+# (cosine DESC, match ASC) tie-break. No float sum, no rounding anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "id_behavior_linkage",
+    oracle="""
+    WITH prof AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+             event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), norms AS (
+      SELECT user_id,
+             CAST(sum(c * c) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM prof GROUP BY 1
+    ), dots AS (
+      SELECT a.user_id AS user_id, b.user_id AS match_id,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+             CAST(count(*) AS BIGINT) AS shared_cells
+      FROM prof a JOIN prof b
+        ON a.hod = b.hod AND a.event_type = b.event_type
+       AND a.user_id <> b.user_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT d.user_id, d.match_id, d.shared_cells, d.dot,
+             d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine,
+             na.n_cells,
+             row_number() OVER (PARTITION BY d.user_id
+                                ORDER BY d.dot / (sqrt(na.n2) * sqrt(nb.n2))
+                                  DESC, d.match_id ASC) AS rk
+      FROM dots d
+      JOIN norms na ON d.user_id = na.user_id
+      JOIN norms nb ON d.match_id = nb.user_id
+    )
+    SELECT user_id, match_id, n_cells, shared_cells, dot, cosine
+    FROM scored WHERE rk = 1
+    """,
+    # late r11, windowed — displaces pivot_user_type_matrix to the r12
+    # queue
+    survey="ID1,A2,A1,U5,J9",
+)
+def id_behavior_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the most behaviorally similar OTHER user — cosine over
+    integer (hour-of-day × event-type) count profiles, ties to the
+    smallest candidate id — with the shared-cell count and the exact
+    integer dot product. The MAC-randomization linkage question asked
+    as a query: two identifiers that behave identically are one device
+    candidate.
+
+    Plan shape: candidates come from the SPARSE cell join — only pairs
+    sharing at least one profile cell ever materialize, grouped
+    map-side by the (user, match) key; norms are a broadcast-sized
+    dimension joined back; one user-keyed rank. The profile space here
+    (24×types) is deliberately dense at gate scale — every cell is hot
+    (occupancy ≈ 43% of users at sf0.01) — so the honest 100 TB path is
+    stated, not hidden: cap candidate-generation cells by occupancy
+    (the text_sparse_cosine_pairs df-cap, recall trade measured there)
+    or band the profile vectors through the existing sign-LSH
+    machinery (dedup_simhash/sim_lsh_bucketed) and verify exactly
+    within buckets, exactly as this query verifies.
+
+    Determinism: integer counts, BIGINT dots/norms (order-free exact),
+    one pinned cosine expression (IEEE sqrt), argmax on bit-identical
+    doubles with deterministic ties — no rounding anywhere."""
+    from pyspark.sql import Window as W
+    from ssidentity_spark.functions.timeutil import epoch_s
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(epoch_s("ts") / F.lit(3600)) % 24).cast("long").alias("hod"),
+        "event_type",
+    )
+    prof = e.groupBy("user_id", "hod", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    norms = prof.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    a = prof.alias("a")
+    b = prof.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.hod") == F.col("b.hod"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_id"),
+            F.col("b.user_id").alias("match_id"),
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("shared_cells"),
+        )
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    d = dots.alias("d")
+    scored = (
+        d.join(
+            F.broadcast(na), F.col("d.user_id") == F.col("na.user_id")
+        )
+        .join(F.broadcast(nb), F.col("d.match_id") == F.col("nb.user_id"))
+        .select(
+            F.col("d.user_id").alias("user_id"),
+            F.col("d.match_id").alias("match_id"),
+            F.col("na.n_cells").alias("n_cells"),
+            F.col("d.shared_cells").alias("shared_cells"),
+            F.col("d.dot").alias("dot"),
+            (
+                F.col("d.dot")
+                / (F.sqrt(F.col("na.n2")) * F.sqrt(F.col("nb.n2")))
+            ).alias("cosine"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id", "match_id", "n_cells", "shared_cells", "dot", "cosine"
+        )
+    )

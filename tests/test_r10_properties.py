@@ -570,3 +570,67 @@ def test_winsorize_small_group_degenerates_to_identity(spark, tmp_path):
     assert got["fence_lo"] == -500.0 and got["fence_hi"] == 500.0
     assert got["n_clamped_low"] == 0 and got["n_clamped_high"] == 0
     assert got["mean_after"] == got["mean_before"]
+
+
+# ---------------------------------------------------------------------------
+# ID1: behavioral identity linkage (plans/analytics.py:id_behavior_linkage)
+# ---------------------------------------------------------------------------
+
+
+def _linkage(spark, tmp_path, events):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = REGISTRY["id_behavior_linkage"].fn(spark, sf)
+    return {r["user_id"]: r.asDict() for r in out.collect()}
+
+
+def test_linkage_clones_pick_each_other_with_exact_cosine_one(spark, tmp_path):
+    """Two users with IDENTICAL 16-cell unit profiles: mutual top-1 with
+    cosine exactly 1.0 (16 cells of count 1 → dot 16, norms sqrt(16)
+    each — a perfect square, so even the float path is exact). A third
+    user overlapping only half the cells scores lower and must not win;
+    a fourth user active only in cells nobody shares has no candidate
+    row at all (the sparse cell join generates nothing for it)."""
+    rows = []
+    eid = 0
+    for u in (10, 11):  # clones: hours 0..15, one event each
+        for h in range(16):
+            rows.append((eid, dt.datetime(2024, 1, 1, h), u, "t", 1.0, "{}"))
+            eid += 1
+    for h in range(8):  # half-overlap user
+        rows.append((eid, dt.datetime(2024, 1, 1, h), 12, "t", 1.0, "{}"))
+        eid += 1
+    for h in (20, 21, 22, 23):  # disjoint user
+        rows.append((eid, dt.datetime(2024, 1, 1, h), 13, "t", 1.0, "{}"))
+        eid += 1
+    got = _linkage(spark, tmp_path, rows)
+    assert got[10]["match_id"] == 11 and got[11]["match_id"] == 10
+    assert got[10]["cosine"] == 1.0 and got[11]["cosine"] == 1.0
+    assert got[10]["dot"] == 16 and got[10]["shared_cells"] == 16
+    # the half-overlap user links to a clone (smaller id on the tie)
+    assert got[12]["match_id"] == 10 and got[12]["shared_cells"] == 8
+    assert got[12]["cosine"] < 1.0
+    # no shared cell anywhere -> no row (never a zero-cosine fabrication)
+    assert 13 not in got
+
+
+def test_linkage_weights_beat_membership(spark, tmp_path):
+    """Cosine must rank by count SHAPE, not cell membership: user 20's
+    profile (9,1) should link to 21 (8,2) over 22 (1,9) even though all
+    three share both cells — the integer dot products decide."""
+    rows = []
+    eid = 0
+    for u, (c0, c1) in {20: (9, 1), 21: (8, 2), 22: (1, 9)}.items():
+        for i in range(c0):
+            rows.append((eid, dt.datetime(2024, 1, 1, 3, i), u, "t", 1.0, "{}"))
+            eid += 1
+        for i in range(c1):
+            rows.append((eid, dt.datetime(2024, 1, 1, 9, i), u, "t", 1.0, "{}"))
+            eid += 1
+    got = _linkage(spark, tmp_path, rows)
+    assert got[20]["match_id"] == 21
+    assert got[21]["match_id"] == 20

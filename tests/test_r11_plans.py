@@ -118,3 +118,13 @@ def test_winsorize_fence_join_is_broadcast(spark):
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_linkage_norms_join_is_broadcast_and_no_cartesian(spark):
+    """ID1: the norms dimension reaches the pair frame as broadcasts,
+    candidate pairs come from the equi cell join (never a cartesian),
+    and nothing drops to Python."""
+    plan = _plan(REGISTRY["id_behavior_linkage"].fn(spark, SF))
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
