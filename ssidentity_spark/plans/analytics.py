@@ -1683,6 +1683,10 @@ def id_behavior_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = e.groupBy("user_id", "hod", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    # three consumers below (both join sides + norms): persist so the
+    # events scan + profile aggregate plan ONCE, not per branch (repo
+    # convention for multi-consumed frames, cf. ts_sax_discords)
+    prof = prof.persist()
     norms = prof.groupBy("user_id").agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("n2"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
