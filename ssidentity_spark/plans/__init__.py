@@ -119,7 +119,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a10_heavy_hitters",
     "a2_habitual_hour",
     "a4_distinct_pairs",
-    "dedup_embedding_cosine",
+    # NEW late-r11: linkage LSH recall eval (E4) — measures ID1's
+    # claimed 100 TB candidate generator: centered sign-LSH banding vs
+    # the exact top-1, recall and candidate ratio under the hash
+    # (dedup_embedding_cosine parks back to the r12 queue)
+    "id_linkage_lsh_recall_eval",
     "dedup_simhash_pairs",
     "pipe_docs_clean",
     "pipe_embed_quantize",
@@ -162,7 +166,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # w3_rolling_avg_rows by ts_changepoint_amoc,
 # text_quality by ts_acf,
 # text_langid by pipe_winsorize,
-# pivot_user_type_matrix by id_behavior_linkage) —
+# pivot_user_type_matrix by id_behavior_linkage,
+# dedup_embedding_cosine by id_linkage_lsh_recall_eval) —
 # then pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
 # tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q9_profit_by_nation,

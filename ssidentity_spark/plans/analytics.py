@@ -1739,3 +1739,218 @@ def id_behavior_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "match_id", "n_cells", "shared_cells", "dot", "cosine"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E4 (late r11) — linkage LSH recall eval: MEASURE the 100 TB candidate
+# generator id_behavior_linkage's docstring promises. Profile vectors are
+# mean-centered (sign-LSH on raw positive counts is useless — everything
+# lives in one orthant and every hyperplane agrees), banded through
+# seeded random-hyperplane signatures (_LNK_BITS bits, _LNK_BANDS bands,
+# OR-amplified), and the eval reports how often the EXACT top-1 match
+# appears among a user's LSH candidates, plus the candidate-pair ratio —
+# the recall/cost point of this geometry (prototyped: 12 bits / 4 bands
+# ≈ 0.82 recall at ≈ 0.67 of all-pairs at sf0.01). The E1b/E2 pattern
+# applied to ID1.
+#
+# Determinism — everything stays INTEGER: centering is multiplied
+# through by the user count U (sign(Σ(c−S/U)·s) = sign(Σ(c·U−S)·s) for
+# U>0), so projections are exact BIGINT sums of md5-seeded ±1 terms —
+# order-free; bits compare integers to zero; recall/ratio are single
+# pinned divisions of exact counts. No rounding anywhere.
+# ---------------------------------------------------------------------------
+
+_LNK_BITS = 12
+_LNK_BANDS = 4  # 3 bits per band
+
+
+@register(
+    "id_linkage_lsh_recall_eval",
+    oracle=f"""
+    WITH prof AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+             event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), uc AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM prof
+    ), cellsum AS (
+      SELECT hod, event_type, CAST(sum(c) AS BIGINT) AS s
+      FROM prof GROUP BY 1, 2
+    ), proj AS (
+      SELECT p.user_id, pl.pn,
+             sum((p.c * uc.u - cs.s)
+                 * (CASE WHEN substr(md5(pl.pn || ':' || p.hod || ':'
+                                        || p.event_type), 1, 1) <= '7'
+                    THEN 1 ELSE -1 END)) AS pr
+      FROM prof p
+      JOIN cellsum cs USING (hod, event_type)
+      CROSS JOIN uc
+      CROSS JOIN (SELECT unnest(generate_series(1, {_LNK_BITS})) AS pn) pl
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT user_id,
+             CAST((pn - 1) // {_LNK_BITS // _LNK_BANDS} AS BIGINT) AS band,
+             string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY pn) AS key
+      FROM proj GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.key = b.key AND a.user_id <> b.user_id
+    ), norms AS (
+      SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM prof GROUP BY 1
+    ), dots AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      FROM prof a JOIN prof b
+        ON a.hod = b.hod AND a.event_type = b.event_type
+       AND a.user_id <> b.user_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT u1, u2 FROM (
+        SELECT u1, u2, row_number() OVER (PARTITION BY u1
+          ORDER BY dot / (sqrt(na.n2) * sqrt(nb.n2)) DESC, u2) AS rk
+        FROM dots
+        JOIN norms na ON u1 = na.user_id
+        JOIN norms nb ON u2 = nb.user_id
+      ) WHERE rk = 1
+    )
+    , m AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_users,
+             (SELECT CAST(count(*) AS BIGINT) FROM exact e
+               JOIN cand c ON e.u1 = c.u1 AND e.u2 = c.u2) AS n_recalled,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates
+    )
+    SELECT n_users, n_recalled,
+           n_recalled / CAST(n_users AS DOUBLE) AS recall_at_1,
+           n_candidates,
+           n_candidates / (CAST(n_users AS DOUBLE) * (n_users - 1))
+             AS candidate_ratio
+    FROM m
+    """,
+    # late r11, windowed — displaces dedup_embedding_cosine to the r12
+    # queue
+    survey="E4,ID1,E2,U5",
+)
+def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row eval: does the sign-LSH candidate generator (the 100 TB
+    path id_behavior_linkage names) recall the exact top-1 behavioral
+    match? Reports users evaluated, top-1 recall, and the candidate-
+    pair ratio vs all-pairs — the recall/cost point of the
+    {_LNK_BITS}-bit / {_LNK_BANDS}-band geometry.
+
+    Plan shape: profiles aggregate once (persisted); projections are
+    one (user, plane)-keyed aggregate over the cell frame joined to the
+    broadcast-sized cell-sum table; signatures band-join on (band, key)
+    — candidates only ever materialize per shared bucket, THE property
+    being evaluated; the exact tier is the registered linkage query
+    itself. Determinism: integer-scaled centering keeps projections
+    exact BIGINT sums (order-free); recall/ratio are pinned divisions
+    of exact counts — no rounding anywhere."""
+    from ssidentity_spark.functions.timeutil import epoch_s
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(epoch_s("ts") / F.lit(3600)) % 24).cast("long").alias("hod"),
+        "event_type",
+    )
+    prof = (
+        e.groupBy("user_id", "hod", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # two consumers (projections + the exact tier recomputes its
+        # own — candidates and signatures both read this frame)
+        .persist()
+    )
+    u = prof.select(F.countDistinct("user_id").cast("long").alias("u"))
+    cellsum = prof.groupBy("hod", "event_type").agg(
+        F.sum("c").cast("long").alias("s")
+    )
+    planes = spark.range(1, _LNK_BITS + 1).select(
+        F.col("id").cast("long").alias("pn")
+    )
+    # hex digits 0-7 → +1, 8-f → -1 (lexicographic <= '7' is exact on
+    # the md5 hex alphabet and identical on both engines)
+    sgn = F.when(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("pn"), F.col("hod"), F.col("event_type")
+                )
+            ),
+            1,
+            1,
+        )
+        <= "7",
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    proj = (
+        prof.join(F.broadcast(cellsum), ["hod", "event_type"])
+        .crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(planes))
+        .groupBy("user_id", "pn")
+        .agg(
+            F.sum(
+                (F.col("c") * F.col("u") - F.col("s")) * sgn
+            ).alias("pr")
+        )
+    )
+    bits_per = _LNK_BITS // _LNK_BANDS
+    sig = (
+        proj.withColumn(
+            "band", ((F.col("pn") - 1) / bits_per).cast("long")
+        )
+        .withColumn("bit", F.when(F.col("pr") > 0, "1").otherwise("0"))
+        .groupBy("user_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pn", "bit"))),
+                    lambda x: x["bit"],
+                ),
+                "",
+            ).alias("key")
+        )
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .distinct()
+    )
+    exact = id_behavior_linkage(spark, sf_dir).select(
+        F.col("user_id").alias("u1"), F.col("match_id").alias("u2")
+    )
+    recalled = exact.join(cand, ["u1", "u2"])
+    n_users = exact.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    n_rec = recalled.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    row = (
+        n_users.select(F.col("v").alias("n_users"))
+        .crossJoin(n_rec.select(F.col("v").alias("n_recalled")))
+        .crossJoin(n_cand.select(F.col("v").alias("n_candidates")))
+    )
+    return row.select(
+        "n_users",
+        "n_recalled",
+        (F.col("n_recalled") / F.col("n_users").cast("double")).alias(
+            "recall_at_1"
+        ),
+        "n_candidates",
+        (
+            F.col("n_candidates")
+            / (
+                F.col("n_users").cast("double")
+                * (F.col("n_users") - F.lit(1))
+            )
+        ).alias("candidate_ratio"),
+    )

@@ -634,3 +634,29 @@ def test_linkage_weights_beat_membership(spark, tmp_path):
     got = _linkage(spark, tmp_path, rows)
     assert got[20]["match_id"] == 21
     assert got[21]["match_id"] == 20
+
+
+def test_linkage_lsh_recall_catches_identical_profiles_always(spark, tmp_path):
+    """E4's floor invariant: identical profiles produce identical
+    signatures, so clone pairs are ALWAYS candidates — with only clones
+    (plus a disjoint user who has no exact match at all) recall@1 must
+    be exactly 1.0."""
+    rows = []
+    eid = 0
+    for u in (30, 31):  # clones
+        for h in range(16):
+            rows.append((eid, dt.datetime(2024, 1, 1, h), u, "t", 1.0, "{}"))
+            eid += 1
+    for h in (20, 21):  # disjoint: excluded from the exact tier
+        rows.append((eid, dt.datetime(2024, 1, 1, h), 32, "t", 1.0, "{}"))
+        eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = REGISTRY["id_linkage_lsh_recall_eval"].fn(spark, sf).collect()[0]
+    assert got["n_users"] == 2  # only the clones have an exact match
+    assert got["n_recalled"] == 2
+    assert got["recall_at_1"] == 1.0
