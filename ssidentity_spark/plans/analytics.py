@@ -1609,6 +1609,31 @@ def w7_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def behavior_profiles(events: DataFrame) -> DataFrame:
+    """(user_id, hod, event_type, c): the behavioral fingerprint table —
+    integer event counts per user and (hour-of-day × type) cell.
+
+    Pure expressions + one mergeable counting aggregation, so the SAME
+    function is legal on a streaming DataFrame: at 100 TB this table is
+    the MAINTAINED artifact (streaming/profiles.py folds arriving events
+    into it incrementally; map-side partial aggregation collapses each
+    micro-batch before the state store), and linkage/eval queries read
+    it rather than rebuilding from raw events."""
+    from ssidentity_spark.functions.timeutil import epoch_s
+
+    return (
+        events.select(
+            "user_id",
+            (F.floor(epoch_s("ts") / F.lit(3600)) % 24)
+            .cast("long")
+            .alias("hod"),
+            "event_type",
+        )
+        .groupBy("user_id", "hod", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
 @register(
     "id_behavior_linkage",
     oracle="""
@@ -1673,20 +1698,11 @@ def id_behavior_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pinned cosine expression (IEEE sqrt), argmax on bit-identical
     doubles with deterministic ties — no rounding anywhere."""
     from pyspark.sql import Window as W
-    from ssidentity_spark.functions.timeutil import epoch_s
 
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        (F.floor(epoch_s("ts") / F.lit(3600)) % 24).cast("long").alias("hod"),
-        "event_type",
-    )
-    prof = e.groupBy("user_id", "hod", "event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
     # three consumers below (both join sides + norms): persist so the
     # events scan + profile aggregate plan ONCE, not per branch (repo
     # convention for multi-consumed frames, cf. ts_sax_discords)
-    prof = prof.persist()
+    prof = behavior_profiles(load_table(spark, sf_dir, "events")).persist()
     norms = prof.groupBy("user_id").agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("n2"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
@@ -1849,20 +1865,9 @@ def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself. Determinism: integer-scaled centering keeps projections
     exact BIGINT sums (order-free); recall/ratio are pinned divisions
     of exact counts — no rounding anywhere."""
-    from ssidentity_spark.functions.timeutil import epoch_s
-
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        (F.floor(epoch_s("ts") / F.lit(3600)) % 24).cast("long").alias("hod"),
-        "event_type",
-    )
-    prof = (
-        e.groupBy("user_id", "hod", "event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        # two consumers (projections + the exact tier recomputes its
-        # own — candidates and signatures both read this frame)
-        .persist()
-    )
+    # multiple consumers (projections, cell sums, norms; the exact tier
+    # recomputes its own persisted copy): cache the shared frame
+    prof = behavior_profiles(load_table(spark, sf_dir, "events")).persist()
     u = prof.select(F.countDistinct("user_id").cast("long").alias("u"))
     cellsum = prof.groupBy("hod", "event_type").agg(
         F.sum("c").cast("long").alias("s")

@@ -1401,3 +1401,47 @@ def test_streaming_funnel_late_signup_reanchors_within_watermark(
     assert final["funnel_level"] == 2  # signup@65 then view@70
     us65 = int((base + dt.timedelta(minutes=65)).timestamp() * 1_000_000)
     assert final["funnel_start_us"] == us65
+
+
+def test_streaming_behavior_profiles_match_batch(spark, tmp_path):
+    """The linkage fingerprint table maintained over a stream == the
+    batch profile of the union of its micro-batches — counts add
+    exactly, state is one row per live (user, hod, type) cell with NO
+    watermark (the sketches bounded-state argument, per-device). Since
+    id_behavior_linkage is a pure function of this table, stream-parity
+    here extends the driver's batch linkage gate to the streaming
+    admission path."""
+    from ssidentity_spark.plans.analytics import behavior_profiles
+    from ssidentity_spark.streaming.profiles import behavior_profiles_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "ts", "user_id", "event_type"
+    )
+    src = str(tmp_path / "prof_src")
+    for i in range(3):  # three micro-batch files
+        ev.where(f"user_id % 3 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        behavior_profiles_stream(stream)
+        .writeStream.format("memory")
+        .queryName("profiles_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.table("profiles_stream").collect()))
+    want = sorted(map(tuple, behavior_profiles(ev).collect()))
+    assert got == want and len(got) > 0
+    # structural state ceiling: one row per live cell, <= 24*types/user
+    n_users = ev.select("user_id").distinct().count()
+    n_types = ev.select("event_type").distinct().count()
+    assert len(got) <= n_users * 24 * n_types
