@@ -124,7 +124,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the exact top-1, recall and candidate ratio under the hash
     # (dedup_embedding_cosine parks back to the r12 queue)
     "id_linkage_lsh_recall_eval",
-    "dedup_simhash_pairs",
+    # NEW late-r11: lead-lag cross-correlation (TS9) — a11's matrix
+    # given a time axis: which type rises FIRST
+    # (dedup_simhash_pairs parks back to the r12 queue)
+    "ts_leadlag_correlation",
     "pipe_docs_clean",
     "pipe_embed_quantize",
     # NEW late-r11: behavioral identity linkage (ID1) — the namesake
@@ -167,7 +170,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # text_quality by ts_acf,
 # text_langid by pipe_winsorize,
 # pivot_user_type_matrix by id_behavior_linkage,
-# dedup_embedding_cosine by id_linkage_lsh_recall_eval) —
+# dedup_embedding_cosine by id_linkage_lsh_recall_eval,
+# dedup_simhash_pairs by ts_leadlag_correlation) —
 # then pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
 # tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q9_profit_by_nation,

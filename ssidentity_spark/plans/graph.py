@@ -193,6 +193,174 @@ def a11_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TS9 (late r11, windowed — displaces dedup_simhash_pairs to the r12
+# queue) — lead-lag cross-correlation: A11's correlation matrix given a
+# TIME AXIS. For every type pair, Pearson r of the hourly count series at
+# lags -2..+2 hours; the reported row is the lag maximizing r (ties to
+# the smallest lag) — positive best_lag means type_a LEADS type_b. The
+# classical cross-correlation function (Box/Jenkins, the two-series
+# sibling of TS8's ACF) and the temporal sharpening of the README's
+# "things that can be correlated" (README.md:15): not just which
+# activities rise together, but which one rises FIRST.
+#
+# Determinism — the a11 contract verbatim: all six sufficient statistics
+# per (pair, lag) are sums of INTEGER counts (bit-exact any partition
+# order), r is ONE pinned-order double expression of them (IEEE sqrt),
+# and the argmax ranks bit-identical doubles with a (r DESC, lag ASC)
+# tie-break. Unrounded outputs (the TS6 argument) — unlike a11 there is
+# a selection downstream of r, so rounding is exactly what could
+# diverge.
+# ---------------------------------------------------------------------------
+
+_LL_LAGS = (-2, -1, 0, 1, 2)
+
+
+@register(
+    "ts_leadlag_correlation",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), hours AS (SELECT DISTINCT hr FROM hc),
+    types AS (SELECT DISTINCT event_type FROM hc),
+    dense AS (
+      SELECT t.event_type, h.hr, coalesce(hc.c, 0) AS c
+      FROM types t CROSS JOIN hours h
+      LEFT JOIN hc ON hc.event_type = t.event_type AND hc.hr = h.hr
+    ), lags AS (SELECT unnest(ARRAY{list(_LL_LAGS)}) AS lag),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(l.lag AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(a.c) AS sx, sum(b.c) AS sy, sum(a.c * b.c) AS sxy,
+             sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy
+      FROM lags l
+      JOIN dense a ON true
+      JOIN dense b ON a.event_type < b.event_type
+                  AND b.hr = a.hr + l.lag
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT type_a, type_b, lag, n,
+             CASE WHEN CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx > 0
+                   AND CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy > 0
+                  THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (sqrt(CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(n AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy))
+             END AS r
+      FROM pairs
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                   ORDER BY r DESC, lag ASC) AS rk
+      FROM scored WHERE r IS NOT NULL
+    )
+    SELECT type_a, type_b, lag AS best_lag, r AS r_best,
+           n AS n_hours_overlap
+    FROM best WHERE rk = 1
+    """,
+    survey="TS9,A1,TS8,J9,W2",
+)
+def ts_leadlag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type pair: the hour lag in {_LL_LAGS} at which the two
+    hourly count series correlate most (Pearson r at that lag, ties to
+    the smallest lag, overlap length alongside) — positive best_lag
+    means type_a leads type_b. A11 answers "which activities rise
+    together"; this answers "which rises FIRST".
+
+    Plan shape: the hourly rollup is one shuffle (a11's); the lag
+    explode multiplies the TYPES×HOURS dense frame by {len(_LL_LAGS)}
+    literal lags and joins on the hour key only across the bounded type
+    dimension — never on raw events; one (pair)-keyed rank at the end.
+    At 100 TB the dense frame is types × hours (dimension-sized), so
+    every stage after the rollup is model-sized.
+
+    Determinism: integer sufficient statistics (order-free exact), ONE
+    pinned-order r expression, zero-variance lags dropped (r NULL →
+    filtered) — and r stays UNROUNDED because the argmax SELECTS on it
+    (the TS6 dyadic argument: rounding before a comparison is the only
+    way to make bit-identical engines disagree)."""
+    from ssidentity_spark.functions.timeutil import epoch_s
+
+    hc = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(epoch_s("ts") / F.lit(3600)).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    hours = hc.select("hr").distinct()
+    types = hc.select("event_type").distinct()
+    dense = (
+        types.crossJoin(hours)
+        .join(hc, ["event_type", "hr"], "left")
+        .select("event_type", "hr", F.coalesce("c", F.lit(0)).alias("c"))
+        # two join sides read this dimension-sized frame
+        .persist()
+    )
+    lags = spark.createDataFrame(
+        [(int(l),) for l in _LL_LAGS], "lag long"
+    )
+    a = dense.alias("a")
+    b = dense.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("a.event_type") < F.col("b.event_type"))
+            & (F.col("b.hr") == F.col("a.hr") + F.col("lag")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("lag"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("a.c").alias("sx"),
+            F.sum("b.c").alias("sy"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("sxy"),
+            F.sum(F.col("a.c") * F.col("a.c")).alias("sxx"),
+            F.sum(F.col("b.c") * F.col("b.c")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(vx) * F.sqrt(vy)
+    )
+    scored = pairs.select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n",
+        F.when((vx > 0) & (vy > 0), r).alias("r"),
+    ).where(F.col("r").isNotNull())
+    rk = F.row_number().over(
+        Window.partitionBy("type_a", "type_b").orderBy(
+            F.desc("r"), F.asc("lag")
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").alias("best_lag"),
+            F.col("r").alias("r_best"),
+            F.col("n").alias("n_hours_overlap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # G3 (r10) — weighted label-propagation COMMUNITIES (Raghavan et al. 2007)
 # over the embedding kNN graph: the modularity-style partition next to
 # A3/CC's reachability partition, run where the corpus actually HAS

@@ -469,3 +469,47 @@ def test_acf_constant_series_is_null_and_short_series_truncates(spark, tmp_path)
     assert all(got[2][f"acf_lag{l}"] is None for l in (1, 2, 3, 4))
     assert got[3]["acf_lag1"] is not None and got[3]["acf_lag2"] is not None
     assert got[3]["acf_lag3"] is None and got[3]["acf_lag4"] is None
+
+
+# ---------------------------------------------------------------------------
+# TS9: lead-lag cross-correlation (plans/graph.py:ts_leadlag_correlation)
+# ---------------------------------------------------------------------------
+
+
+def test_leadlag_finds_the_planted_shift_in_both_directions(spark, tmp_path):
+    """Type bb's hourly series is exactly type aa's shifted one hour
+    LATER (aa leads bb) → best_lag = +1; type cc is dd shifted later
+    (dd leads, and dd sorts second in the pair) → best_lag = -1. Both
+    at near-perfect r."""
+    import ssidentity_spark.plans  # noqa: F401
+    from ssidentity_spark.registry import REGISTRY
+
+    rows = []
+    eid = 0
+    for h in range(48):
+        k = (h * 7) % 5 + 1  # varied hourly intensity pattern
+        for _ in range(k):
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+                         1, "aa", 1.0, "{}"))
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h + 1),
+                         2, "bb", 1.0, "{}"))
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h + 1),
+                         3, "cc", 1.0, "{}"))
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+                         4, "dd", 1.0, "{}"))
+            eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = REGISTRY["ts_leadlag_correlation"].fn(spark, sf)
+    got = {(r["type_a"], r["type_b"]): r.asDict() for r in out.collect()}
+    assert got[("aa", "bb")]["best_lag"] == 1
+    assert got[("aa", "bb")]["r_best"] > 0.99
+    assert got[("cc", "dd")]["best_lag"] == -1
+    assert got[("cc", "dd")]["r_best"] > 0.99
