@@ -43,21 +43,18 @@ from ssidentity_spark.plans import (  # noqa: F401
 from ssidentity_spark.registry import REGISTRY
 
 # The 50 queries the driver's correctness gate will record, in order.
-# r11 ROTATION (executes the queue staged at the end of r10, per VERDICT
-# r10 asks #1/#3/#5/#7): bench headliners stay windowed (perf artifact
-# and correctness artifact must cover the same set) — the set itself
-# rotated: sim_ivfpq_rerank_topk is un-benched (model-BUILD query; the
-# benched search row is now sim_ivfpq_pinned_topk) and w7_event_pattern
-# joins as the r10 pattern family's tracker. THEN the four first-timers:
-# the two r10-parked queries (ts_sax_symbols claims TS5, pipe_dp_counts
-# claims X27 — the last 2 of the 221 oracled queries never
-# driver-verified) and the two r11-new ones (ts_sax_motifs TS5b,
-# sim_ivfpq_pinned_topk among the headliners). THEN the stalest
-# history-green member of every module the above leaves unwindowed,
-# THEN pure staleness order: the two r10-displaced set-op queries, the
-# whole remaining r3 vintage, and the oldest of the r4 vintage — 26
-# re-verification slots (7 anchors + 19 staleness; ts_sax_discords
-# displaced the 20th), well past the ≥5 floor (ask #7).
+# r12 ROTATION (executes the queue staged at the end of r11 + VERDICT r11
+# asks #1/#6/#8): bench headliners stay windowed and the set GROWS by one
+# — graph_kcore is benched from r12 (ask #6: give the r11 graph family
+# regression tracking; floor seeds this round). THEN the r12 first-timers
+# (id_linkage_banded claims ID2 — the linkage index tier, ask #1;
+# ts_acf_windowed claims TS8b — the streamed-sufficient-statistics hatch,
+# ask #3). THEN the ten r11-displaced queries the r12 queue comment
+# listed, in queue order. THEN the stalest history-green member of every
+# module the above leaves unwindowed. THEN pure staleness: the whole
+# remaining r4 vintage (tpch2 + pipeline, oldest driver records in the
+# registry) — 27 re-verification slots (10 displaced + 7 anchors + 10
+# r4-vintage), well past the >=8 floor (ask #8).
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed)
     "flagship_hourly_top_types",
@@ -69,7 +66,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "sim_topk_bruteforce",
-    "sim_ivfpq_pinned_topk",  # NEW r11: benched search row, pinned model
+    "sim_ivfpq_pinned_topk",
     "text_token_stats",
     "pipe_decontaminate",
     "mm_png_decode",
@@ -79,81 +76,49 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "w5_max_concurrency",
     "pipe_pack_sequences",
     "dedup_semantic_cells",
-    "w7_event_pattern",  # benched since r11 (r10-green row, W7)
-    # first-timers: the two r10-parked queries claim their rows
-    "ts_sax_symbols",  # TS5 — per-user SAX word (parked r10, local-green)
-    "pipe_dp_counts",  # X27 — seeded Laplace DP release (parked r10)
-    # NEW in r11: sliding-window SAX motif discovery (TS5b) — the
-    # habitual-pattern search the symbolization exists to feed
-    # (SURVEY:380 "windows in r11"); collision counting on the
-    # compressed PAA alphabet, integer/string-exact under the hash
-    "ts_sax_motifs",
-    # NEW in r11: SAX discord candidates (TS5c) — HOT SAX rarity
-    # ordering per user off the same subword explode; completes the
-    # symbolize -> motif -> discord family
-    # (j9_q5_local_supplier_volume parks back to the r12 queue)
-    "ts_sax_discords",
-    # NEW in r11: LOCF gap-fill (TS1 variant) — valid-until-changed
-    # step fill on a cohort disjoint from the linear query's
-    # (j9_q10_returned_revenue parks back to the r12 queue)
-    "ts_gapfill_locf",
-    # NEW in r11: k-core decomposition (G4) — recursive peeling on the
-    # mutual-kNN graph, pure integer rounds under the hash
-    # (j8_cross_region_nation parks back to the r12 queue)
-    "graph_kcore",
+    "w7_event_pattern",
+    "graph_kcore",  # benched from r12 (VERDICT r11 ask #6)
+    # r12 first-timers
+    # NEW in r12: the linkage INDEX tier (ID2) — ID1 answered through
+    # the 512-bit signature top-K candidate generator with exact
+    # in-bucket verify; geometry measured past the >=0.9 @ <=0.3 corner
+    # (SCALE.md r12, tools/linkage_sweep.py) — VERDICT r11 ask #1
+    "id_linkage_banded",
+    # NEW in r12: windowed ACF (TS8b) — the bounded-tail
+    # sufficient-statistics hatch TS8's docstring promised, never
+    # materializing a key's full series — VERDICT r11 ask #3
+    "ts_acf_windowed",
+    # the ten queries the r11 late first-timers displaced, queue order
+    "j9_q5_local_supplier_volume",
+    "j9_q10_returned_revenue",
+    "j8_cross_region_nation",
+    "j3_customers_without_orders",
+    "w3_rolling_avg_rows",
+    "text_quality",
+    "text_langid",
+    "pivot_user_type_matrix",
+    "dedup_embedding_cosine",
+    "dedup_simhash_pairs",
     # per-module anchors: stalest history-green member of each module the
-    # headliners + first-timers leave unwindowed (module coverage
-    # outranks strict age; last-green rounds in parens)
-    "j9_q2_min_cost_supplier",  # extras (r6)
-    "ref_trilateration_inputs",  # reference_pipeline (r6)
-    "d7_array_funcs",  # scalars (r7)
-    "ivm_daily_rollup",  # sources (r6)
-    "sql_api_daily_type_summary",  # sqlapi (r7)
-    "tpch_q19_disjunctive_revenue",  # tpch3 (r7)
-    "tpch_q11_important_value",  # tpch4 (r6)
-    # staleness rotation: the two set-op queries the r10 first-timers
-    # displaced, then the whole remaining r3 vintage (oldest driver
-    # records in the registry), then the head of the r4 vintage
-    "o3_union_split",
-    "o4_intersect_users",
-    "a10_heavy_hitters",
-    "a2_habitual_hour",
-    "a4_distinct_pairs",
-    # NEW late-r11: linkage LSH recall eval (E4) — measures ID1's
-    # claimed 100 TB candidate generator: centered sign-LSH banding vs
-    # the exact top-1, recall and candidate ratio under the hash
-    # (dedup_embedding_cosine parks back to the r12 queue)
-    "id_linkage_lsh_recall_eval",
-    # NEW late-r11: lead-lag cross-correlation (TS9) — a11's matrix
-    # given a time axis: which type rises FIRST
-    # (dedup_simhash_pairs parks back to the r12 queue)
-    "ts_leadlag_correlation",
-    "pipe_docs_clean",
-    "pipe_embed_quantize",
-    # NEW late-r11: behavioral identity linkage (ID1) — the namesake
-    # analytic: per-user top-1 cosine match over integer hour×type
-    # profiles (pivot_user_type_matrix parks back to the r12 queue)
-    "id_behavior_linkage",
-    "sim_label_centroids",
-    "sim_lsh_bucketed",
-    "text_bigram_profile",
-    # NEW late-r11: order-statistic winsorization (X28) — outlier
-    # clamping for signal columns, zero float arithmetic end to end
-    # (text_langid parks back to the r12 queue)
-    "pipe_winsorize",
-    # NEW late-r11: lag-1..4 autocorrelation (TS8) — serial-dependence
-    # descriptor over the same ordered-fold machinery as ts_ema
-    # (text_quality parks back to the r12 queue)
-    "ts_acf",
-    # NEW late-r11: AMOC changepoint detection (TS7) — regime-shift scan
-    # via exact decimal prefix sums, one user-keyed exchange end to end
-    # (w3_rolling_avg_rows parks back to the r12 queue)
-    "ts_changepoint_amoc",
-    # NEW late-r11: seasonal (hour-of-day) ANOVA strength (TS6) — the
-    # active-hours question quantified; decimal-exact statistics +
-    # pinned-order fold, deliberately unrounded outputs
-    # (j3_customers_without_orders parks back to the r12 queue)
-    "ts_seasonal_strength",
+    # above leaves unwindowed (last-green rounds in parens)
+    "d7_array_manipulation",  # extras (r7)
+    "ref_watchlist_alerts",  # reference_pipeline (r6)
+    "d7_math_funcs",  # scalars (r7)
+    "s5_cdc_apply",  # sources (r6)
+    "sql_api_nation_order_stats",  # sqlapi (r8)
+    "tpch_q22_global_sales_opportunity",  # tpch3 (r8)
+    "tpch_q17_small_quantity_revenue",  # tpch4 (r7)
+    # staleness rotation: the whole remaining r4 vintage, oldest first
+    "pipe_split_assign",
+    "pipe_stratified_sample",
+    "tpch_q14_promo_share",
+    "tpch_q18_big_orders",
+    "tpch_q4_priority_count",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "unpivot_customer_metrics",
+    "w1_distribution_ranks",
 )
 
 # r12 ROTATION QUEUE: after CORRECTNESS_r11 lands, regenerate
@@ -238,9 +203,12 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "dedup_span_trim",
         "dedup_stopgram_remove",
         "flagship_hourly_top_types",
+        "graph_kcore",
         "graph_label_propagation",
         "graph_pagerank",
         "graph_triangles",
+        "id_behavior_linkage",
+        "id_linkage_lsh_recall_eval",
         "ivm_daily_rollup",
         "j10_bloom_pruned_join",
         "j11_fuzzy_part_match",
@@ -282,6 +250,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "pipe_decontaminate",
         "pipe_docs_clean",
         "pipe_domain_mix",
+        "pipe_dp_counts",
         "pipe_embed_quantize",
         "pipe_end_to_end",
         "pipe_expectations_quarantine",
@@ -300,6 +269,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "pipe_token_budget",
         "pipe_tokenize_pack",
         "pipe_weighted_sample",
+        "pipe_winsorize",
         "pivot_status_by_priority",
         "pivot_user_type_matrix",
         "ref_companion_clusters",
@@ -318,6 +288,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "sim_ivf_probe_curve",
         "sim_ivf_topk",
         "sim_ivf_topk_distributed",
+        "sim_ivfpq_pinned_topk",
         "sim_ivfpq_rerank_topk",
         "sim_ivfpq_topk",
         "sim_label_centroids",
@@ -391,10 +362,18 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "tpch_q7_volume_shipping",
         "tpch_q8_market_share",
         "tpch_q9_profit_by_nation",
+        "ts_acf",
         "ts_anomaly_mad",
+        "ts_changepoint_amoc",
         "ts_ema",
         "ts_gapfill_interpolate",
+        "ts_gapfill_locf",
+        "ts_leadlag_correlation",
         "ts_m4_downsample",
+        "ts_sax_discords",
+        "ts_sax_motifs",
+        "ts_sax_symbols",
+        "ts_seasonal_strength",
         "unpivot_customer_metrics",
         "w1_distribution_ranks",
         "w2_event_gaps",

@@ -1697,12 +1697,24 @@ def id_behavior_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer counts, BIGINT dots/norms (order-free exact),
     one pinned cosine expression (IEEE sqrt), argmax on bit-identical
     doubles with deterministic ties — no rounding anywhere."""
-    from pyspark.sql import Window as W
-
     # three consumers below (both join sides + norms): persist so the
     # events scan + profile aggregate plan ONCE, not per branch (repo
-    # convention for multi-consumed frames, cf. ts_sax_discords)
+    # convention for multi-consumed frames, cf. ts_sax_discords). The
+    # frame stays cached for the process (narrow; the accretion across a
+    # full gate run is intended — LRU evicts under pressure).
     prof = behavior_profiles(load_table(spark, sf_dir, "events")).persist()
+    return _exact_linkage(prof)
+
+
+def _exact_linkage(prof: DataFrame) -> DataFrame:
+    """Per-user exact top-1 cosine linkage over a (shared, ideally
+    persisted) ``behavior_profiles`` frame — the body of
+    ``id_behavior_linkage``, extracted so the eval/index queries
+    (``id_linkage_lsh_recall_eval``, ``id_linkage_banded``) reuse ONE
+    persisted profile frame for both their candidate tier and this
+    exact tier instead of re-deriving it from raw events."""
+    from pyspark.sql import Window as W
+
     norms = prof.groupBy("user_id").agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("n2"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
@@ -1778,6 +1790,33 @@ def id_behavior_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LNK_BITS = 12
 _LNK_BANDS = 4  # 3 bits per band
+
+
+def _lnk_sign() -> F.Column:
+    """±1 Rademacher sign for a (plane ``pn``, profile-cell ``hod`` ×
+    ``event_type``) pair: +1 iff the first hex digit of
+    md5('pn:hod:event_type') is <= '7' (exact and identical on both
+    engines over the md5 hex alphabet). Uses NULL-PROPAGATING
+    ``F.concat`` to mirror the oracle's ``||`` exactly: a NULL cell key
+    yields a NULL condition, which falls to -1 on BOTH engines
+    (Spark ``otherwise``, DuckDB ``CASE ... ELSE``)."""
+    return F.when(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("pn"),
+                    F.lit(":"),
+                    F.col("hod"),
+                    F.lit(":"),
+                    F.col("event_type"),
+                )
+            ),
+            1,
+            1,
+        )
+        <= "7",
+        F.lit(1),
+    ).otherwise(F.lit(-1))
 
 
 @register(
@@ -1875,21 +1914,7 @@ def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = spark.range(1, _LNK_BITS + 1).select(
         F.col("id").cast("long").alias("pn")
     )
-    # hex digits 0-7 → +1, 8-f → -1 (lexicographic <= '7' is exact on
-    # the md5 hex alphabet and identical on both engines)
-    sgn = F.when(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.col("pn"), F.col("hod"), F.col("event_type")
-                )
-            ),
-            1,
-            1,
-        )
-        <= "7",
-        F.lit(1),
-    ).otherwise(F.lit(-1))
+    sgn = _lnk_sign()
     proj = (
         prof.join(F.broadcast(cellsum), ["hod", "event_type"])
         .crossJoin(F.broadcast(u))
@@ -1932,7 +1957,10 @@ def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    exact = id_behavior_linkage(spark, sf_dir).select(
+    # exact tier: SHARE the persisted prof above (was: a second
+    # persisted copy via id_behavior_linkage(spark, sf_dir) — re-derived
+    # the profile aggregate from raw events; r11-advice plan dedup)
+    exact = _exact_linkage(prof).select(
         F.col("user_id").alias("u1"), F.col("match_id").alias("u2")
     )
     recalled = exact.join(cand, ["u1", "u2"])
@@ -1958,4 +1986,277 @@ def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("n_users") - F.lit(1))
             )
         ).alias("candidate_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ID2 (r12) — id_linkage_banded: the linkage INDEX tier as a gated query,
+# completing ID1's 100 TB story (VERDICT r11 ask #1). Candidate generation
+# is a 512-bit signed-random-projection signature (the same md5-seeded
+# integer-centered planes E4 evaluates, widened), bit-packed into 16
+# 32-bit words; a user's candidates are their top-K other users by
+# signature AGREEMENT (XOR-popcount, exact integers), K =
+# max(20, ceil((U-1)/5)) — a pinned ≤~20% candidate ratio. The exact
+# cosine tier then verifies ONLY those pairs: profile dots never
+# materialize outside the candidate set.
+#
+# Why top-K over threshold banding: measured at sf0.01 (SCALE.md r12
+# sweep, tools/linkage_sweep.py), OR-amplified threshold banding on these
+# profiles CANNOT reach a useful corner — per-bit match/random agreement
+# is 0.575 vs ~0.60 raw (dense 24×type cells ⇒ correlated bits; centered
+# 0.575 vs 0.50) and the best measured banding point is 0.91 recall at
+# 0.78 of all-pairs (df-capping and idf reweighting make it WORSE:
+# ≤0.83 @ 0.63). Ranking by the full 512-bit agreement instead separates
+# cleanly: measured top-1 recall vs the exact tier 0.973 @ 0.201 ratio
+# (sf0.01) and 0.998 @ 0.200 (sf0.1) — past the ≥0.9 @ ≤0.3 target. At
+# 10⁹-user scale the signature table is ~80 B/user (broadcastable
+# shards), each comparison one 64-byte XOR-popcount (~500× cheaper than
+# a sparse profile dot), and K decouples from U when real duplicate
+# devices exist (fixed K=60 already holds 0.92 recall at sf0.1's
+# 1500-user density, ratio 0.04 — the true large-corpus operating
+# point; the (U+3) DIV 5 rule is the gate-scale contract).
+#
+# Determinism — integer end to end until the one pinned cosine:
+# projections are exact BIGINT sums of md5-seeded ±1 terms (order-free);
+# bits compare to zero; packed words are sums of distinct powers of two
+# (< 2^32, no shift overflow on either engine); agreement is
+# 512 − Σ bit_count(xor) over the 16 words; the top-K cut ranks
+# (agreement DESC, candidate ASC) — all integers; the verify tier is
+# ID1's pinned cosine expression on bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+_LNK_SKETCH_BITS = 512
+_LNK_WORD_BITS = 32
+_LNK_WORDS = _LNK_SKETCH_BITS // _LNK_WORD_BITS  # 16
+
+
+@register(
+    "id_linkage_banded",
+    oracle=f"""
+    WITH prof AS MATERIALIZED (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+             event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), uc AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM prof
+    ), cellsum AS (
+      SELECT hod, event_type, CAST(sum(c) AS BIGINT) AS s
+      FROM prof GROUP BY 1, 2
+    ), proj AS MATERIALIZED (
+      SELECT p.user_id, pl.pn,
+             sum((p.c * uc.u - cs.s)
+                 * (CASE WHEN substr(md5(pl.pn || ':' || p.hod || ':'
+                                        || p.event_type), 1, 1) <= '7'
+                    THEN 1 ELSE -1 END)) AS pr
+      FROM prof p
+      JOIN cellsum cs USING (hod, event_type)
+      CROSS JOIN uc
+      CROSS JOIN (SELECT unnest(generate_series(1, {_LNK_SKETCH_BITS}))
+                    AS pn) pl
+      GROUP BY 1, 2
+    ), words AS (
+      SELECT user_id, (pn - 1) // {_LNK_WORD_BITS} AS w,
+             CAST(sum(CASE WHEN pr > 0
+                  THEN CAST(1 AS BIGINT)
+                         << CAST((pn - 1) % {_LNK_WORD_BITS} AS INTEGER)
+                  ELSE 0 END) AS BIGINT) AS wv
+      FROM proj GROUP BY 1, 2
+    ), sig AS MATERIALIZED (
+      SELECT user_id, list(wv ORDER BY w) AS wds FROM words GROUP BY 1
+    ), pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             CAST({_LNK_SKETCH_BITS} - list_sum(list_transform(
+                 list_zip(a.wds, b.wds),
+                 x -> bit_count(xor(CAST(x[1] AS BIGINT),
+                                    CAST(x[2] AS BIGINT)))))
+               AS BIGINT) AS agreement
+      FROM sig a JOIN sig b ON a.user_id <> b.user_id
+    ), cand AS (
+      SELECT u1, u2, agreement FROM (
+        SELECT u1, u2, agreement,
+               row_number() OVER (PARTITION BY u1
+                                  ORDER BY agreement DESC, u2) AS rk
+        FROM pairs
+      ) r CROSS JOIN uc
+      WHERE rk <= GREATEST(20, (uc.u + 3) // 5)
+    ), norms AS MATERIALIZED (
+      SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM prof GROUP BY 1
+    ), dots AS (
+      SELECT cd.u1, cd.u2, cd.agreement,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+             CAST(count(*) AS BIGINT) AS shared_cells
+      FROM cand cd
+      JOIN prof a ON a.user_id = cd.u1
+      JOIN prof b ON b.user_id = cd.u2
+       AND b.hod = a.hod AND b.event_type = a.event_type
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT d.u1, d.u2, d.agreement, d.shared_cells, d.dot,
+             d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine,
+             row_number() OVER (PARTITION BY d.u1
+               ORDER BY d.dot / (sqrt(na.n2) * sqrt(nb.n2)) DESC, d.u2)
+               AS rk
+      FROM dots d
+      JOIN norms na ON d.u1 = na.user_id
+      JOIN norms nb ON d.u2 = nb.user_id
+    )
+    SELECT u1 AS user_id, u2 AS match_id, agreement, shared_cells, dot,
+           cosine
+    FROM scored WHERE rk = 1
+    """,
+    survey="ID2,ID1,E4,U5,J10",
+)
+def id_linkage_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the most behaviorally similar other user, found THROUGH
+    the signature index — 512-bit signed-projection sketch, top-K
+    candidates by exact XOR-popcount agreement, exact integer-cosine
+    verify within candidates only. ID1's answer at ID1's claimed scale:
+    the profile dot join never sees a non-candidate pair.
+
+    Plan shape: profiles aggregate once (persisted, shared with norms
+    and the verify tier); projections are one (user, plane)-keyed
+    aggregate; signatures pack to 16 words per user and the pair stage
+    joins sig × broadcast(sig) — 2.25 M pairs × 128 B at sf0.1, the
+    cheap compressed-domain pass; one user-keyed rank bounds candidates
+    at K = max(20, ceil((U−1)/5)); the exact tier joins candidates to
+    the broadcast profile frame. Measured vs the exact all-pairs tier:
+    recall 0.973 @ 0.201 candidate ratio (sf0.01), 0.998 @ 0.200
+    (sf0.1) — threshold banding tops out at 0.91 @ 0.78 on this corpus
+    (curve in SCALE.md r12).
+
+    Determinism: integer projections/packing/agreement end to end; the
+    only doubles are ID1's pinned cosine expression, ranked
+    bit-identically on both engines."""
+    from pyspark.sql import Window as W
+
+    # consumers: proj, cellsum, uc, dots (a+b), norms — persist once;
+    # intended to stay cached for the process (narrow frame)
+    prof = behavior_profiles(load_table(spark, sf_dir, "events")).persist()
+    u = prof.select(F.countDistinct("user_id").cast("long").alias("u"))
+    cellsum = prof.groupBy("hod", "event_type").agg(
+        F.sum("c").cast("long").alias("s")
+    )
+    planes = spark.range(1, _LNK_SKETCH_BITS + 1).select(
+        F.col("id").cast("long").alias("pn")
+    )
+    proj = (
+        prof.join(F.broadcast(cellsum), ["hod", "event_type"])
+        .crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(planes))
+        .groupBy("user_id", "pn")
+        .agg(
+            F.sum((F.col("c") * F.col("u") - F.col("s")) * _lnk_sign())
+            .alias("pr")
+        )
+    )
+    words = (
+        proj.withColumn(
+            "w", F.expr(f"CAST((pn - 1) DIV {_LNK_WORD_BITS} AS BIGINT)")
+        )
+        .withColumn(
+            "bitv",
+            F.when(
+                F.col("pr") > 0,
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST((pn - 1) % {_LNK_WORD_BITS} AS INT))"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("user_id", "w")
+        .agg(F.sum("bitv").cast("long").alias("wv"))
+    )
+    sig = words.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "wv"))),
+            lambda x: x["wv"],
+        ).alias("wds")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    agreement = (
+        F.lit(_LNK_SKETCH_BITS).cast("long")
+        - F.aggregate(
+            F.zip_with(
+                F.col("a.wds"),
+                F.col("b.wds"),
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v.cast("long"),
+        )
+    ).alias("agreement")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.user_id") != F.col("b.user_id")
+    ).select(
+        F.col("a.user_id").alias("u1"),
+        F.col("b.user_id").alias("u2"),
+        agreement,
+    )
+    rk = F.row_number().over(
+        W.partitionBy("u1").orderBy(F.desc("agreement"), F.asc("u2"))
+    )
+    cand = (
+        pairs.withColumn("rk", rk)
+        .crossJoin(F.broadcast(u))
+        .where(
+            F.col("rk")
+            <= F.greatest(F.lit(20), F.expr("CAST((u + 3) DIV 5 AS BIGINT)"))
+        )
+        .select("u1", "u2", "agreement")
+    )
+    pa = prof.alias("pa")
+    pb = prof.alias("pb")
+    dots = (
+        cand.alias("cd")
+        .join(F.broadcast(pa), F.col("cd.u1") == F.col("pa.user_id"))
+        .join(
+            F.broadcast(pb),
+            (F.col("cd.u2") == F.col("pb.user_id"))
+            & (F.col("pb.hod") == F.col("pa.hod"))
+            & (F.col("pb.event_type") == F.col("pa.event_type")),
+        )
+        .groupBy("cd.u1", "cd.u2", "cd.agreement")
+        .agg(
+            F.sum(F.col("pa.c") * F.col("pb.c")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("shared_cells"),
+        )
+        .select(
+            F.col("u1"), F.col("u2"), F.col("agreement"),
+            F.col("dot"), F.col("shared_cells"),
+        )
+    )
+    norms = prof.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    scored = (
+        dots.alias("d")
+        .join(F.broadcast(na), F.col("d.u1") == F.col("na.user_id"))
+        .join(F.broadcast(nb), F.col("d.u2") == F.col("nb.user_id"))
+        .select(
+            F.col("d.u1").alias("user_id"),
+            F.col("d.u2").alias("match_id"),
+            F.col("d.agreement").alias("agreement"),
+            F.col("d.shared_cells").alias("shared_cells"),
+            F.col("d.dot").alias("dot"),
+            (
+                F.col("d.dot")
+                / (F.sqrt(F.col("na.n2")) * F.sqrt(F.col("nb.n2")))
+            ).alias("cosine"),
+        )
+    )
+    rk2 = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    )
+    return (
+        scored.withColumn("rk", rk2)
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id", "match_id", "agreement", "shared_cells", "dot",
+            "cosine",
+        )
     )

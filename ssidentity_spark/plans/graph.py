@@ -739,6 +739,8 @@ def _kcore_oracle(k: int, rounds: int, knn: int) -> str:
     "graph_kcore",
     oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS, _KCORE_KNN),
     survey="G4,G3,A3,U5",
+    bench=True,  # benched from r12 (VERDICT r11 ask #6): the iterative
+    # peeling family's regression tracker; floor seeds this round
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The {_KCORE_K}-core of the mutual-kNN cosine graph: vertices
@@ -793,12 +795,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         alive = deg.filter(F.col("c") >= _KCORE_K).select("u")
         alive = alive.localCheckpoint(eager=True)
-    out = (
+    # materialize the surviving edge set BEFORE unpersisting sym (r11
+    # advice: an eager unpersist here made the returned lazy frame
+    # recompute the full O(n²) kNN build at action time — the cache only
+    # ever benefited the peel rounds). The eager checkpoint is small
+    # (core edges only) and truncates the sym lineage for good.
+    core_edges = (
         sym.join(alive, "u", "left_semi")
         .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
-        .groupBy("u")
+        .localCheckpoint(eager=True)
+    )
+    sym.unpersist()
+    return (
+        core_edges.groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("u").alias("vec_id"), "core_degree")
     )
-    sym.unpersist()
-    return out

@@ -1124,15 +1124,27 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: exact DECIMAL sum for the mean; both quadratic sums
     fold the (ts, event_id)-sorted list seed-first in pinned order —
     bit-identical on both engines, outputs unrounded (TS6 argument)."""
+    e = _acf_events(spark, sf_dir)
+    return _acf_body(e)
+
+
+def _acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssidentity_spark.functions.timeutil import epoch_us
 
-    e = load_table(spark, sf_dir, "events").select(
+    return load_table(spark, sf_dir, "events").select(
         "user_id",
         epoch_us("ts").cast("long").alias("ts_us"),
         "event_id",
         "value",
         F.col("value").cast("decimal(18,2)").alias("vd"),
     )
+
+
+def _acf_body(e: DataFrame) -> DataFrame:
+    """The TS8 aggregation over a pre-projected (user_id, ts_us,
+    event_id, value, vd) frame — shared verbatim by ``ts_acf`` (full
+    series) and ``ts_acf_windowed`` (bounded recent window), so the two
+    queries differ ONLY in what rows reach the aggregate."""
     vals = F.transform(
         F.array_sort(F.collect_list(F.struct("ts_us", "event_id", F.col("value").alias("v")))),
         lambda x: x["v"],
@@ -1169,3 +1181,82 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("mean_value"),
         *[_acf(l) for l in _ACF_LAGS],
     )
+
+
+# ---------------------------------------------------------------------------
+# TS8b (r12) — windowed ACF: the bounded-tail hatch TS8's docstring
+# promised (VERDICT r11 ask #3), shipped as code. The full-series ts_acf
+# carries the ts_ema bound — its per-key state is the whole sorted value
+# list, so one 10⁵-row hot key would OOM an executor's aggregation
+# buffer. This variant computes the SAME estimator over only the most
+# recent _ACF_WINDOW events per key: recency is assigned by a
+# row_number window (Spark's sort-based, SPILLABLE machinery — the
+# key's full series streams through disk-backed sort, never an
+# in-memory array), and only the kept ≤48-element tail ever reaches the
+# collect_list aggregate. Per-key memory is O(_ACF_WINDOW) by
+# construction — the hot-key pytest runs a 10⁵-row key through it.
+# _ACF_WINDOW=48 sits below every SF's minimum series length minus a
+# hair (min 45, median 66, max 99 rows/key at sf0.001..0.1), so
+# truncation BITES at every SF (non-vacuity house bar) while short keys
+# degrade gracefully to the full-series statistic (pinned by the
+# equals-ts_acf-when-W-covers pytest).
+#
+# Determinism: identical to ts_acf — the window cut ranks on the unique
+# (ts DESC, event_id DESC) key (integer-exact), and the aggregate body
+# is shared code (_acf_body): exact DECIMAL mean, seed-first pinned
+# folds, unrounded outputs.
+# ---------------------------------------------------------------------------
+
+_ACF_WINDOW = 48
+
+
+def _acf_windowed_oracle() -> str:
+    base = _acf_oracle()
+    kept = f"""
+    WITH kept AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+      ) WHERE rk <= {_ACF_WINDOW}
+    ),"""
+    return base.replace("\n    WITH ", kept, 1).replace(
+        "FROM events GROUP BY 1", "FROM kept GROUP BY 1", 1
+    )
+
+
+@register(
+    "ts_acf_windowed",
+    oracle=_acf_windowed_oracle(),
+    survey="TS8b,TS8,W1,A6",
+)
+def ts_acf_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: sample autocorrelation at lags 1..4 over only the most
+    recent ``_ACF_WINDOW`` (48) events — the bounded-state form of
+    ts_acf whose per-key memory is O(window) regardless of series
+    length. The 100 TB hatch as a gated query: a hot key's rows stream
+    through Spark's spillable sort to be ranked, and only the kept tail
+    is ever collected.
+
+    Plan shape: one user-keyed window (rank on the unique recency key)
+    feeding one user-keyed aggregate — the groupBy reuses the window's
+    hash partitioning, so ONE exchange end to end, same as ts_acf.
+
+    Determinism: the cut is integer-exact on (ts DESC, event_id DESC);
+    the aggregate is ts_acf's shared body — exact DECIMAL mean,
+    seed-first pinned folds, unrounded doubles (TS6 argument)."""
+    from pyspark.sql import Window as W
+
+    e = _acf_events(spark, sf_dir)
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+    )
+    kept = (
+        e.withColumn("rk", rk)
+        .where(F.col("rk") <= _ACF_WINDOW)
+        .drop("rk")
+    )
+    return _acf_body(kept)

@@ -1,0 +1,222 @@
+"""r12 semantics tests: id_linkage_banded (ID2 — the linkage index tier).
+
+The oracle gate (tests/test_queries_oracle.py + tools/check_correctness.py)
+pins engine parity; these pin the SEMANTICS the oracle can't see — that
+the index tier is a faithful restriction of the exact tier, that clones
+can never be missed, and that the K rule bounds candidates.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from ssidentity_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, _EVENT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def _clone_corpus():
+    """Two identical 16-cell profiles + a half-overlap user + a disjoint
+    user (the ID1 test corpus)."""
+    rows, eid = [], 0
+    for u in (10, 11):
+        for h in range(16):
+            rows.append((eid, dt.datetime(2024, 1, 1, h), u, "t", 1.0, "{}"))
+            eid += 1
+    for h in range(8):
+        rows.append((eid, dt.datetime(2024, 1, 1, h), 12, "t", 1.0, "{}"))
+        eid += 1
+    for h in (20, 21, 22, 23):
+        rows.append((eid, dt.datetime(2024, 1, 1, h), 13, "t", 1.0, "{}"))
+        eid += 1
+    return rows
+
+
+def test_banded_linkage_clones_always_found(spark, tmp_path):
+    """Identical profiles ⇒ identical 512-bit signatures ⇒ agreement is
+    the 512 maximum ⇒ the clone is ALWAYS a candidate, and the exact
+    verify then scores it cosine 1.0: the index tier can never miss a
+    true duplicate device. The half-overlap user also links (K=20 ≥
+    U−1 here, so its candidate set is everyone)."""
+    sf = _write_events(spark, tmp_path, _clone_corpus())
+    got = {
+        r["user_id"]: r.asDict()
+        for r in REGISTRY["id_linkage_banded"].fn(spark, sf).collect()
+    }
+    assert got[10]["match_id"] == 11 and got[11]["match_id"] == 10
+    assert got[10]["agreement"] == 512 and got[11]["agreement"] == 512
+    assert got[10]["cosine"] == 1.0 and got[10]["dot"] == 16
+    assert got[12]["match_id"] == 10 and got[12]["cosine"] < 1.0
+    # a user sharing no profile cell with any candidate has no verify
+    # row at all — never a zero-cosine fabrication
+    assert 13 not in got
+
+
+def test_banded_linkage_equals_exact_when_k_covers_all(spark, tmp_path):
+    """At U ≤ 21 the K = max(20, ceil((U−1)/5)) rule makes every other
+    user a candidate, so the index tier must return EXACTLY the exact
+    tier's (user → match) map with identical dot/cosine — the 'probe
+    loses nothing relative to its claim' degenerate case, and the
+    bit-for-bit check that the verify stage is ID1's scoring."""
+    sf = _write_events(spark, tmp_path, _clone_corpus())
+    banded = {
+        r["user_id"]: r.asDict()
+        for r in REGISTRY["id_linkage_banded"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["user_id"]: r.asDict()
+        for r in REGISTRY["id_behavior_linkage"].fn(spark, sf).collect()
+    }
+    assert set(banded) == set(exact)
+    for u, e in exact.items():
+        b = banded[u]
+        assert b["match_id"] == e["match_id"]
+        assert b["dot"] == e["dot"]
+        assert b["shared_cells"] == e["shared_cells"]
+        assert b["cosine"] == e["cosine"]  # bit-identical doubles
+
+
+def test_banded_linkage_k_rule_bounds_candidates(spark, tmp_path):
+    """With 30 users in two 15-clone families, K = max(20, ceil(29/5)) =
+    20 candidates per user — every output row must still pick a
+    same-family clone (agreement 512) over any cross-family user, and
+    agreement must stay within [0, 512]. Profiles are 16 cells
+    (8 hours × 2 types) so norms are perfect squares and the clone
+    cosine is exactly 1.0 even in floats."""
+    rows, eid = [], 0
+    for fam, hours in ((0, range(0, 8)), (1, range(8, 16))):
+        for i in range(15):
+            u = 100 + fam * 100 + i
+            for h in hours:
+                for et in ("t0", "t1"):
+                    rows.append(
+                        (eid, dt.datetime(2024, 1, 1, h), u, et, 1.0, "{}")
+                    )
+                    eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = REGISTRY["id_linkage_banded"].fn(spark, sf).collect()
+    assert len(got) == 30
+    for r in got:
+        assert 0 <= r["agreement"] <= 512
+        assert r["agreement"] == 512  # a same-family clone always wins
+        assert (r["user_id"] < 200) == (r["match_id"] < 200)
+        assert r["cosine"] == 1.0
+
+
+def test_banded_recall_at_gate_scale_meets_the_corner(spark):
+    """The r12 acceptance bar (VERDICT r11 ask #1) as a regression test:
+    at sf0.001 the index tier must agree with the exact tier for ≥ 90%
+    of users (measured: 100% — K ≥ U−1 there), i.e. the shipped
+    geometry's recall corner holds on driver data, not just in the
+    tools/linkage_sweep.py prototype."""
+    sf = "/root/testdata/sf0.001"
+    banded = {
+        r["user_id"]: r["match_id"]
+        for r in REGISTRY["id_linkage_banded"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["user_id"]: r["match_id"]
+        for r in REGISTRY["id_behavior_linkage"].fn(spark, sf).collect()
+    }
+    hits = sum(1 for u, m in exact.items() if banded.get(u) == m)
+    assert hits / len(exact) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# TS8b: windowed ACF (plans/timeseries.py:ts_acf_windowed) — the
+# bounded-state hatch as code (VERDICT r11 ask #3)
+# ---------------------------------------------------------------------------
+
+
+def _write_series(spark, tmp_path, rows):
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, _EVENT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def test_acf_windowed_equals_full_when_window_covers(spark, tmp_path):
+    """Series shorter than _ACF_WINDOW ⇒ the cut keeps everything and
+    the windowed query must return ts_acf's rows BIT-IDENTICALLY (the
+    aggregate body is shared code; this pins that the rank filter is
+    the only difference)."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=7 * i), uid,
+         "t", float((i * 13 + uid) % 50) / 4.0, "{}")
+        for uid in (1, 2, 3)
+        for i in range(30)  # 30 < 48
+    ]
+    rows = [(uid * 1000 + r[0],) + r[1:] for uid in (0,) for r in rows]
+    sf = _write_series(spark, tmp_path, rows)
+    full = {
+        r["user_id"]: r.asDict()
+        for r in REGISTRY["ts_acf"].fn(spark, sf).collect()
+    }
+    win = {
+        r["user_id"]: r.asDict()
+        for r in REGISTRY["ts_acf_windowed"].fn(spark, sf).collect()
+    }
+    assert set(win) == set(full)
+    for u in full:
+        assert win[u] == full[u]  # bit-identical doubles included
+
+
+def test_acf_windowed_truncates_to_recent_tail(spark, tmp_path):
+    """A 100-event series whose FIRST 52 values are constant 0 and last
+    48 alternate ±1: the full-series ACF sees a mixed signal, but the
+    windowed query sees exactly the alternating tail — lag-1 ACF must
+    be strongly negative and n_events exactly 48 (the cut keeps the
+    most RECENT events, not the first)."""
+    rows = []
+    for i in range(100):
+        v = 0.0 if i < 52 else (1.0 if i % 2 == 0 else -1.0)
+        rows.append(
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 7, "t",
+             v, "{}")
+        )
+    sf = _write_series(spark, tmp_path, rows)
+    got = REGISTRY["ts_acf_windowed"].fn(spark, sf).collect()[0]
+    assert got["n_events"] == 48
+    # pure alternating series: acf_lag1 ≈ -1, acf_lag2 ≈ +1
+    assert got["acf_lag1"] < -0.9
+    assert got["acf_lag2"] > 0.9
+
+
+def test_acf_windowed_hot_key_bounded_state(spark, tmp_path):
+    """The 100 TB claim: a single 10⁵-row key streams through the
+    spillable rank sort, and only 48 rows reach the aggregate — the
+    full-series collect_list never materializes. Must complete and
+    report n_events == 48 with the ACF of the recent tail only."""
+    n = 100_000
+    base = dt.datetime(2024, 1, 1)
+    df = spark.range(n).selectExpr(
+        "id AS event_id",
+        f"timestamp'{base}' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "CAST(42 AS LONG) AS user_id",
+        "'t' AS event_type",
+        # deterministic pseudo-noise; the tail is what the query sees
+        "CAST((id * 13 % 97) AS DOUBLE) / 4.0 AS value",
+        "'{}' AS props",
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = REGISTRY["ts_acf_windowed"].fn(spark, sf).collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 48
+    # cross-check the mean against the directly-computed tail
+    tail = [((n - 48 + i) * 13 % 97) / 4.0 for i in range(48)]
+    assert abs(got[0]["mean_value"] - sum(tail) / 48) < 1e-9
