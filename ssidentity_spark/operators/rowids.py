@@ -59,15 +59,57 @@ def assign_global_ids(
     id_col: str = "row_id",
     n_parts: int | None = None,
     bucket: Column | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``id_col``: 0-based contiguous ids in the total order of
     ``order_cols`` (which must be a UNIQUE key — see module docstring).
-    """
+
+    ``group_cols``: ids restart at 0 WITHIN each group — N independent
+    rankings assigned in ONE two-phase pass (one intra-bucket window +
+    one bucket-count aggregate for ALL groups together, instead of one
+    assigner invocation per ranking). Requires the ``bucket=`` path, and
+    the bucket expression must DETERMINE the group (lead it with the
+    group key, e.g. ``group_id * K + quantized_key`` — no bucket may
+    straddle two groups; the per-group cumulative offsets are keyed by
+    bucket alone). ``order_cols`` then order rows within a group, and
+    (group_cols + order_cols) must be UNIQUE."""
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
     order = [F.col(c) for c in order_cols]
     if n_parts is not None and n_parts < 1:
         raise ValueError(f"n_parts must be >= 1, got {n_parts}")
+    if group_cols:
+        if bucket is None:
+            raise ValueError(
+                "group_cols requires an explicit bucket= expression that "
+                "embeds the group key (range partitioning cannot promise "
+                "group-pure buckets)"
+            )
+        keyed = df.withColumn("_b", _null_safe_bucket(bucket))
+        w = Window.partitionBy("_b").orderBy(*order)
+        local = keyed.withColumn("_local", F.row_number().over(w) - 1)
+        # per-group offsets: still #buckets rows total; the cumulative
+        # sum partitions by group and orders by bucket (buckets are
+        # group-pure by contract, so each group's buckets cumulate
+        # independently) — bounded by the bucket count, not the data
+        counts = keyed.groupBy("_b", *group_cols).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        w_off = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+        )
+        return (
+            local.join(F.broadcast(offsets), "_b")
+            .withColumn(
+                id_col, (F.col("_off") + F.col("_local")).cast("bigint")
+            )
+            .drop("_b", "_local", "_off")
+        )
     if bucket is not None:
         keyed = df.withColumn("_b", _null_safe_bucket(bucket))
     else:

@@ -1593,22 +1593,53 @@ def pipe_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuse three quality rankings (length, lexical diversity, unigram
     fluency) into one RRF score and a fused rank per document.
 
-    Plan shape (r11 shuffle audit, VERDICT r10 ask #4): signals are one
-    corpus scan + one term-keyed exchange (the fluency model), persisted
-    ONCE as the narrow (doc_id, 3 signals) frame that feeds everything
-    downstream — the r10 form instead CHAINED the three rank assignments,
-    so each assigner's two subplans re-embedded the whole upstream
-    pipeline and the plan grew 2^4 copies deep (printed exchanges 77 →
-    57 at sf0.001, the residual being cached-subtree reprint; what
-    matters: EXECUTED shuffle-read halved, 7.7 → 4.0 MB at sf0.1, wall
-    9.0 → 7.2 s on the same box). Every GLOBAL rank uses the two-phase
-    BUCKETED id assigner (operators/rowids.assign_global_ids with a
-    monotone quantized-signal bucket) — no single-partition window
-    anywhere, no sampling — and now ranks a SLIM (doc_id, signal)
-    projection independently, re-joined on doc_id (three co-partitioned
-    joins AQE plans off one cached frame); the fused rank reuses the
-    same machinery on the RRF score. The oracle mirrors with plain
-    windows (DuckDB is single-node by definition)."""
+    Plan shape (r12, VERDICT r11 ask #2 — was 57 printed exchanges, now
+    the three signal ranks are assigned in ONE two-phase pass): the
+    signals are one corpus scan + one term-keyed exchange (the fluency
+    model), persisted ONCE as the narrow (doc_id, 3 signals) frame; the
+    three slim (signal, doc_id) projections are then STACKED via an
+    in-row explode (3 rows/doc, zero shuffle) into one frame tagged by
+    signal id, and a single grouped run of the two-phase BUCKETED id
+    assigner (operators/rowids.assign_global_ids with group_cols — the
+    bucket key is sid·2⁴⁰ + the per-signal monotone quantization, so
+    one intra-bucket window + one bucket-count aggregate carry ALL
+    THREE rankings; no single-partition window, no sampling). One
+    doc_id-keyed pivot aggregate replaces the r11 form's two rank-frame
+    joins, and the fused rank reuses the ungrouped assigner on the RRF
+    score. r11's form ran the assigner 3× over separate branches: 3
+    intra-bucket windows + 3 count aggregates + 2 joins ≈ 8 extra
+    data-sized exchanges, now 2 + 1 pivot. The oracle mirrors with
+    plain windows (DuckDB is single-node by definition)."""
+    from ssidentity_spark.operators.rowids import assign_global_ids
+
+    fused = _fusion_scored(spark, sf_dir)
+    fused = assign_global_ids(
+        fused.withColumn("_neg", -F.col("_rrf")),
+        ["_neg", "doc_id"],
+        "fused_rank",
+        bucket=F.floor(F.col("_neg") * 1000),
+    ).drop("_neg")
+    return fused.select(
+        "doc_id",
+        "r_len",
+        "r_lex",
+        "r_flu",
+        F.round("_rrf", 6).alias("rrf"),
+        (F.col("fused_rank") + 1).alias("fused_rank"),
+    )
+
+
+def _fusion_scored(
+    spark: SparkSession, sf_dir: str, truncate: bool = True
+) -> DataFrame:
+    """The pre-fused-rank stage of ``pipe_quality_fusion``: the three
+    signals, ONE grouped assigner pass over the stacked slim frame, the
+    pivot back to columns, and the RRF score — checkpointed (narrow:
+    doc_id, three ranks, score — one row per doc) so the final rank
+    assigner's two reads hit a materialized leaf instead of re-running
+    this whole stage. ``truncate=False`` skips the checkpoint so
+    tools/explain_audit.py records the full upstream plan (the
+    ROUND_PLANS convention for checkpoint-blinded explains)."""
     from ssidentity_spark.operators.rowids import assign_global_ids
 
     d = load_table(spark, sf_dir, "documents")
@@ -1653,33 +1684,58 @@ def pipe_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    # each rank passes a deterministic MONOTONE bucket (a coarse
-    # quantization of its own order key — the rowids module's preferred
-    # path, as X16's 17 quality buckets already do): bucket(a) < bucket(b)
-    # implies key(a) < key(b), so the two-phase assigner needs NO
-    # range-exchange and NO corpus-sized persist per rank; bucket counts
-    # stay bounded by the signal's range (doc length / [0,1] ratio /
-    # log-prob band / RRF band), never the data. Ranks are assigned on
-    # SLIM (doc_id, signal) projections — independent branches off the
-    # cached sig, not a chain — and re-joined on doc_id.
-    rank_frames = []
-    for col, rank_name, bucket in (
-        ("n_chars", "r_len", F.floor(F.col("_neg") / 512)),
-        ("lex_ratio", "r_lex", F.floor(F.col("_neg") * 16)),
-        ("fluency", "r_flu", F.floor(F.col("_neg"))),
-    ):
-        r = assign_global_ids(
-            sig.select("doc_id", (-F.col(col)).alias("_neg")),
-            ["_neg", "doc_id"],
-            rank_name,
-            bucket=bucket,
-        )
-        rank_frames.append(
-            r.select("doc_id", (F.col(rank_name) + 1).alias(rank_name))
-        )
-
-    ranked = rank_frames[0].join(rank_frames[1], "doc_id").join(
-        rank_frames[2], "doc_id"
+    # stack the three slim (signal, doc_id) rankings into ONE frame
+    # tagged by signal id — an in-row explode off the cached sig (3
+    # rows/doc, no shuffle) — and rank all three in a single grouped
+    # assigner pass. The bucket is sid·2⁴⁰ + the per-signal MONOTONE
+    # quantization (the rowids contract: within a sid, bucket(a) <
+    # bucket(b) implies key(a) < key(b); across sids the 2⁴⁰ stride
+    # dominates every per-signal floor — doc length would need 512·2⁴⁰
+    # chars to straddle — so buckets are group-pure). Bucket counts stay
+    # bounded by the signals' ranges (length/512 bands, 16 ratio bands,
+    # unit log-prob bands), never the data. -n_chars rides as double:
+    # exact below 2⁵³, so its order equals the long order.
+    stacked = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("sid"),
+                    (-F.col("n_chars")).cast("double").alias("_neg"),
+                ),
+                F.struct(
+                    F.lit(1).alias("sid"),
+                    (-F.col("lex_ratio")).alias("_neg"),
+                ),
+                F.struct(
+                    F.lit(2).alias("sid"),
+                    (-F.col("fluency")).alias("_neg"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.sid", "s._neg")
+    per_sid_floor = (
+        F.when(F.col("sid") == 0, F.floor(F.col("_neg") / 512))
+        .when(F.col("sid") == 1, F.floor(F.col("_neg") * 16))
+        .otherwise(F.floor(F.col("_neg")))
+    )
+    r = assign_global_ids(
+        stacked,
+        ["_neg", "doc_id"],
+        "_r",
+        bucket=F.col("sid").cast("long") * F.lit(1 << 40) + per_sid_floor,
+        group_cols=["sid"],
+    )
+    # one doc-keyed pivot aggregate un-stacks the three ranks (replaces
+    # the r11 form's two rank-frame joins); each doc has exactly one
+    # row per sid, so max(when) is just column selection
+    ranked = r.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("sid") == sid, F.col("_r") + 1)
+            ).alias(rank_name)
+            for sid, rank_name in ((0, "r_len"), (1, "r_lex"), (2, "r_flu"))
+        ]
     )
     rrf = (
         1.0 / (_RRF_K + F.col("r_len"))
@@ -1689,20 +1745,17 @@ def pipe_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = ranked.select(
         "doc_id", "r_len", "r_lex", "r_flu", rrf.alias("_rrf")
     )
-    fused = assign_global_ids(
-        fused.withColumn("_neg", -F.col("_rrf")),
-        ["_neg", "doc_id"],
-        "fused_rank",
-        bucket=F.floor(F.col("_neg") * 1000),
-    ).drop("_neg")
-    return fused.select(
-        "doc_id",
-        "r_len",
-        "r_lex",
-        "r_flu",
-        F.round("_rrf", 6).alias("rrf"),
-        (F.col("fused_rank") + 1).alias("fused_rank"),
-    )
+    if truncate:
+        # the fused-rank assigner reads its input TWICE (intra-bucket
+        # numbering + bucket counts) — without a cut here each read
+        # would re-execute this whole stage (assigner + pivot + signal
+        # build). Checkpoint the one-row-per-doc frame so the final
+        # pass reads a materialized leaf instead (graph_kcore
+        # precedent; lineage truncation is the documented trade). sig
+        # is then released: nothing lazy references it anymore.
+        fused = fused.localCheckpoint(eager=True)
+        sig.unpersist()
+    return fused
 
 
 # ---------------------------------------------------------------------------

@@ -51,15 +51,37 @@ def test_locf_plan_drops_the_forward_window(spark):
     assert "first(" in lin  # the linear form DOES bracket forward
 
 
-def test_quality_fusion_rank_branches_share_one_cached_signal_frame(spark):
-    """The r11 shuffle audit's invariant: the three rank branches (and
-    the join-back) read the persisted signal frame — the plan shows
-    InMemoryTableScan consumers, and the expensive term-keyed fluency
-    aggregate appears only under the cached subtree, not re-planned per
-    branch."""
+def test_quality_fusion_single_grouped_assigner_pass(spark):
+    """The r12 shape (VERDICT r11 ask #2): ONE grouped two-phase
+    assigner pass ranks all three signals over the stacked slim frame
+    — the untruncated stage plan shows exactly TWO Window operators
+    (the single intra-bucket row_number + the per-sid offset cumsum),
+    both signal-frame readers hit the one cache, and the whole stage
+    stays ≤12 printed shuffles (executed fewer: the cached signal
+    subtree reprints once per reader). The registered query's own plan
+    is the post-checkpoint fused-rank assigner: ≤4 shuffles, JVM-only."""
+    import re as _re
+
+    from ssidentity_spark.plans.pipeline import _fusion_scored
+
+    def _shuffles(p):
+        return len(
+            _re.findall(
+                r"(?<!Reused)Exchange (?:hashpartitioning|"
+                r"rangepartitioning|SinglePartition)",
+                p,
+            )
+        )
+
+    stage = _plan(_fusion_scored(spark, SF, truncate=False))
+    assert len(_re.findall(r"\bWindow\b", stage)) == 2, stage.count("Window")
+    assert stage.count("InMemoryTableScan") == 2
+    assert _shuffles(stage) <= 12, _shuffles(stage)
+    assert "CartesianProduct" not in stage
+
     plan = _plan(REGISTRY["pipe_quality_fusion"].fn(spark, SF))
-    assert plan.count("InMemoryTableScan") >= 6  # 2 per rank branch
-    assert "CartesianProduct" not in plan
+    assert _shuffles(plan) <= 4, _shuffles(plan)
+    assert "Python" not in plan and "CartesianProduct" not in plan
 
 
 def test_pinned_ivfpq_search_has_no_shuffle_on_the_corpus_side(spark):

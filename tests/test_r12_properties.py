@@ -220,3 +220,50 @@ def test_acf_windowed_hot_key_bounded_state(spark, tmp_path):
     # cross-check the mean against the directly-computed tail
     tail = [((n - 48 + i) * 13 % 97) / 4.0 for i in range(48)]
     assert abs(got[0]["mean_value"] - sum(tail) / 48) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# grouped two-phase id assigner (rowids.assign_global_ids group_cols=) —
+# the machinery behind pipe_quality_fusion's single-pass triple ranking
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_assigner_per_group_contiguous_ranks(spark):
+    """N independent rankings in one pass: within each group ids are
+    0-based, contiguous, and ordered by the order key — identical to
+    running the ungrouped assigner once per group."""
+    import pyspark.sql.functions as F
+
+    from ssidentity_spark.operators.rowids import assign_global_ids
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("int").alias("g"),
+        # a value whose order differs per group, with duplicates across
+        # groups but unique (g, v, id)
+        ((F.col("id") * 37) % 101).cast("double").alias("v"),
+        F.col("id").alias("tb"),
+    )
+    out = assign_global_ids(
+        df,
+        ["v", "tb"],
+        "r",
+        bucket=F.col("g").cast("long") * 1000 + F.floor(F.col("v") / 10),
+        group_cols=["g"],
+    ).collect()
+    by_g = {}
+    for row in out:
+        by_g.setdefault(row["g"], []).append(row)
+    assert set(by_g) == {0, 1, 2}
+    for g, rows in by_g.items():
+        rows.sort(key=lambda x: (x["v"], x["tb"]))
+        assert [x["r"] for x in rows] == list(range(len(rows))), g
+
+
+def test_grouped_assigner_requires_explicit_bucket(spark):
+    import pytest
+
+    from ssidentity_spark.operators.rowids import assign_global_ids
+
+    df = spark.range(10).selectExpr("id % 2 AS g", "id AS v")
+    with pytest.raises(ValueError, match="bucket"):
+        assign_global_ids(df, ["v"], group_cols=["g"])

@@ -146,12 +146,22 @@ def _bpe_round(spark, sf_dir):
 # (pagerank: lineage='persist'; CC: truncate=False; BPE: the distributed
 # pair-count that is the round's whole cost — the merge apply is a narrow
 # map) so PLANS.md records the real join/agg/shuffle shape per iteration.
+def _fusion_scored_stage(spark, sf_dir):
+    # pipe_quality_fusion's summary row shows only the post-checkpoint
+    # fused-rank assigner; this records the full upstream stage (signal
+    # build + the ONE grouped rank-assigner pass + pivot) untruncated
+    from ssidentity_spark.plans.pipeline import _fusion_scored
+
+    return _fusion_scored(spark, sf_dir, truncate=False)
+
+
 ROUND_PLANS = {
     "graph_pagerank": _pagerank_round,
     "dedup_cc_clusters": _cc_round,
     "text_bpe_train": _bpe_round,
     "graph_label_propagation": _lpa_round,
     "sim_mmr_diversify": _mmr_round,
+    "pipe_quality_fusion": _fusion_scored_stage,
 }
 
 
