@@ -321,6 +321,7 @@ def pagerank(
     round_dp: int = 6,
     lineage: str = "local",
     partitions: int | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Weighted PageRank by plain joins + aggregations, fixed ``iters``
     power-iteration rounds (the relational formulation — no graph engine).
@@ -378,7 +379,22 @@ def pagerank(
     thousands of partitions, so the plan scales up unchanged. Every
     per-round exchange is pinned to this width and key, so the cached
     edge side and the state side are never re-shuffled inside the loop.
+
+    ``checkpoint_every`` sets the truncation CADENCE for the local /
+    reliable modes: truncate after every Nth round (the final round
+    always truncates), letting N rounds compose lazily between cuts —
+    fewer materialization writes at the price of an N-round-deep plan
+    per cut. Measured at sf0.1 / 6 rounds / local[32] (SCALE.md r12):
+    cadence 2 is within noise of cadence 1 — the per-round state is one
+    slim row per vertex, so the checkpoint write is not the cost;
+    cadence stays 1 by default (shallowest plans, cheapest recovery
+    unit, and at 10⁹ vertices the write is still rank-vector sized,
+    far below one round's edge-join shuffle).
     """
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     if lineage not in ("local", "reliable", "persist"):
         raise ValueError(f"lineage must be local|reliable|persist, got {lineage!r}")
     spark = edges.sparkSession
@@ -433,7 +449,7 @@ def pagerank(
         return state.select("node", F.lit(0.0).alias("rank"))
 
     ranks = state.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(iters):
+    for it in range(iters):
         dangling = ranks.filter("dangling").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
@@ -462,11 +478,15 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # truncate (or persist) the lineage per the chosen durability mode
+        # truncate (or persist) the lineage per the chosen durability
+        # mode; local/reliable honor the cadence (final round always cuts)
+        due = (it + 1) % checkpoint_every == 0 or it == iters - 1
         if lineage == "local":
-            ranks = ranks.localCheckpoint(eager=True)
+            if due:
+                ranks = ranks.localCheckpoint(eager=True)
         elif lineage == "reliable":
-            ranks = ranks.checkpoint(eager=True)
+            if due:
+                ranks = ranks.checkpoint(eager=True)
         else:
             ranks = ranks.persist()
     if lineage != "persist":
