@@ -171,3 +171,38 @@ def test_windowed_queries_prefer_oracles():
     rows-only in the registry, parked with history evidence."""
     rows_only = {n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None}
     assert rows_only == set()
+
+
+def test_parked_history_entries_are_content_fresh():
+    """The r12 freshness guard (VERDICT r11 ask #7): a history entry
+    parks a query outside the window on the strength of a PAST green
+    row — if the plan function or oracle changed since it was stamped,
+    that evidence is void and the query must be re-queued (windowed)
+    or re-stamped only by a new driver green. Every history name
+    parked outside DRIVER_WINDOW must hash-match its stamp."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import driver_history as dh
+
+    stamps = dh.load_stamps()
+    parked = (DRIVER_VERIFIED_HISTORY - set(DRIVER_WINDOW)) & set(REGISTRY)
+    current = {n: dh.plan_hash(n) for n in parked}
+    stale = dh.compute_stale(parked, stamps, current)
+    assert not stale, (
+        f"history entries edited since their stamp — re-queue into "
+        f"DRIVER_WINDOW (or refresh via a new driver-green round): "
+        f"{sorted(stale)}"
+    )
+
+
+def test_freshness_guard_requeues_an_edited_entry():
+    """Toy end-to-end of the guard's core: an edit to a stamped entry's
+    content flips it stale; an unedited sibling stays fresh; an entry
+    with no stamp at all is stale by definition."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from driver_history import compute_stale
+
+    history = {"q_edited", "q_same", "q_unstamped", "q_unregistered"}
+    stamps = {"q_edited": "aaa", "q_same": "bbb"}
+    current = {"q_edited": "EDITED", "q_same": "bbb", "q_unstamped": "ccc"}
+    stale = compute_stale(history, stamps, current)
+    assert stale == {"q_edited", "q_unstamped"}

@@ -3,19 +3,69 @@ artifacts: the union of query names the driver has hash-verified green in
 any prior round. Run after each round's artifact lands; paste the output
 into ssidentity_spark/plans/__init__.py (tests/test_registry_window.py
 asserts the committed set matches the artifacts exactly).
+
+FRESHNESS GUARD (r12, VERDICT r11 ask #7): history keys by NAME, so a
+query edited after its last driver-green round would otherwise keep a
+stale pass forever. tools/history_hashes.json stamps each history entry
+with a content hash of its plan function source (inspect.getsource) +
+its oracle SQL, taken at the round the evidence landed:
+
+- ``--stamp``: refresh the stamp file. Names green in the NEWEST
+  artifact are (re)stamped from current source — the tree the driver
+  just verified; every other history name keeps its existing stamp
+  (re-stamping those would erase the edit signal). Run at round start,
+  right after regenerating DRIVER_VERIFIED_HISTORY, before editing.
+- ``--stale``: list history entries whose CURRENT hash differs from the
+  stamp (or that have no stamp). A stale parked entry must be re-queued
+  into the driver window — its standing evidence no longer matches the
+  code. tests/test_registry_window.py enforces this: every history name
+  parked outside DRIVER_WINDOW must be fresh.
+
+Known limits (documented, not hidden): the hash covers the registered
+function's own source and oracle string — edits to a shared helper or a
+module constant it calls do not flip it (the local 3-SF gate ritual
+covers those); and the r12 bootstrap stamped pre-r12 entries from the
+r12 tree, so edits made BEFORE r12 are vacuously fresh (all were locally
+3-SF re-gated in r12).
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
+import re
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+_STAMPS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "history_hashes.json")
+
+
+def _root(repo_root: str | None = None) -> str:
+    return repo_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+
+
+def _artifacts(root: str) -> list[str]:
+    def rnum(p: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=rnum
+    )
 
 
 def driver_green_history(repo_root: str | None = None) -> set[str]:
-    root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path in _artifacts(_root(repo_root)):
         with open(path) as f:
             rows = json.load(f)
         for name, rec in rows.items():
@@ -24,8 +74,96 @@ def driver_green_history(repo_root: str | None = None) -> set[str]:
     return green
 
 
+def newest_green(repo_root: str | None = None) -> set[str]:
+    """Names hash-green in the most recent artifact only."""
+    paths = _artifacts(_root(repo_root))
+    if not paths:
+        return set()
+    with open(paths[-1]) as f:
+        rows = json.load(f)
+    return {n for n, rec in rows.items() if rec.get("hash_match")}
+
+
+def plan_hash(name: str) -> str:
+    """Content hash of a registered query's plan-function source + oracle
+    SQL — the freshness fingerprint for its driver-green evidence."""
+    from ssidentity_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    spec = REGISTRY[name]
+    src = inspect.getsource(spec.fn)
+    return hashlib.sha256(
+        (src + "\n--oracle--\n" + (spec.oracle or "")).encode()
+    ).hexdigest()
+
+
+def load_stamps() -> dict[str, str]:
+    if not os.path.exists(_STAMPS_PATH):
+        return {}
+    with open(_STAMPS_PATH) as f:
+        return json.load(f)
+
+
+def compute_stale(
+    history: set[str], stamps: dict[str, str], current: dict[str, str]
+) -> set[str]:
+    """Pure core of the guard: history entries whose current content hash
+    is missing from or different to the stamped one. ``current`` maps
+    name -> hash for every name still registered; a history name no
+    longer in the registry is ignored (it cannot be windowed anyway)."""
+    return {
+        n
+        for n in history
+        if n in current and stamps.get(n) != current[n]
+    }
+
+
+def stale_history(repo_root: str | None = None) -> set[str]:
+    from ssidentity_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    history = driver_green_history(repo_root)
+    current = {n: plan_hash(n) for n in history if n in REGISTRY}
+    return compute_stale(history, load_stamps(), current)
+
+
+def refresh_stamps(repo_root: str | None = None) -> dict[str, str]:
+    """(Re)stamp names green in the newest artifact from CURRENT source;
+    carry existing stamps for older history names; drop names that left
+    the history or the registry. Writes tools/history_hashes.json."""
+    from ssidentity_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    history = driver_green_history(repo_root)
+    old = load_stamps()
+    fresh = newest_green(repo_root)
+    stamps: dict[str, str] = {}
+    for n in sorted(history):
+        if n not in REGISTRY:
+            continue
+        if n in fresh or n not in old:
+            stamps[n] = plan_hash(n)
+        else:
+            stamps[n] = old[n]
+    with open(_STAMPS_PATH, "w") as f:
+        json.dump(stamps, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return stamps
+
+
 if __name__ == "__main__":
-    names = sorted(driver_green_history())
-    print(f"# {len(names)} driver-green queries across CORRECTNESS_r*.json")
-    for n in names:
-        print(f'        "{n}",')
+    if "--stamp" in sys.argv:
+        stamps = refresh_stamps()
+        print(f"stamped {len(stamps)} history entries -> {_STAMPS_PATH}")
+    elif "--stale" in sys.argv:
+        stale = sorted(stale_history())
+        print(f"# {len(stale)} stale history entries (re-queue these)")
+        for n in stale:
+            print(n)
+    else:
+        names = sorted(driver_green_history())
+        print(
+            f"# {len(names)} driver-green queries across CORRECTNESS_r*.json"
+        )
+        for n in names:
+            print(f'        "{n}",')
