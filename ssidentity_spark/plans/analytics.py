@@ -1904,8 +1904,10 @@ def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself. Determinism: integer-scaled centering keeps projections
     exact BIGINT sums (order-free); recall/ratio are pinned divisions
     of exact counts — no rounding anywhere."""
-    # multiple consumers (projections, cell sums, norms; the exact tier
-    # recomputes its own persisted copy): cache the shared frame
+    # multiple consumers (projections, cell sums, norms, AND the exact
+    # tier via _exact_linkage — one shared frame, r11-advice dedup):
+    # persist once; intended to stay cached for the process (narrow
+    # frame; accretion across a gate run is deliberate, LRU evicts)
     prof = behavior_profiles(load_table(spark, sf_dir, "events")).persist()
     u = prof.select(F.countDistinct("user_id").cast("long").alias("u"))
     cellsum = prof.groupBy("hod", "event_type").agg(

@@ -654,7 +654,9 @@ def ts_sax_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the symbolization pipeline — events scan, position window, two
         # keyed aggregates, quartile join — plans once, not per branch
         # (repo convention for double-consumed frames; exchange reuse is
-        # not guaranteed across AQE re-optimization)
+        # not guaranteed across AQE re-optimization). Stays cached for
+        # the process by intent — narrow frame, LRU evicts under
+        # pressure (r11 advice: accretion documented, not leaked)
         .persist()
     )
     g = subs.groupBy("motif").agg(

@@ -18,6 +18,15 @@ batch fold even when micro-batches interleave out of event-time order
 within the watermark. The buffer is bounded by the watermark horizon per
 key; rows at or before the committed frontier are replays or
 watermark-expired and fold nothing (exactly-once replay safety).
+
+CHECKPOINT COMPATIBILITY: the r11 pending-buffer upgrade CHANGED the
+state schema (r10's ``last_us``/``last_id`` frontier pair became
+``folded_wm_us`` + the three pending arrays). applyInPandasWithState
+pins the state StructType into the checkpoint, so a checkpoint written
+by the r10 operator cannot be restored by this one — restarting an
+upgraded query REQUIRES a fresh checkpoint directory (and a source
+replay/backfill if continuity matters). Same break, same round, same
+remedy in streaming/funnel.py and streaming/pattern.py.
 """
 
 from __future__ import annotations

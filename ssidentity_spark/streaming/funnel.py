@@ -16,6 +16,14 @@ Rows at or before the committed frontier are replays or
 watermark-expired and fold nothing (exactly-once replay safety). Emits a
 snapshot of each touched key's progression per batch — the live "who is
 about to convert" feed the batch query answers retrospectively.
+
+CHECKPOINT COMPATIBILITY: the r11 pending-buffer upgrade CHANGED the
+state schema (the r10 frontier pair became ``folded_wm_us`` + pending
+arrays). applyInPandasWithState pins the state StructType into the
+checkpoint, so a checkpoint written by the r10 operator cannot be
+restored by this one — restart with a FRESH checkpoint directory (and
+a source replay/backfill if continuity matters). Same break and remedy
+in streaming/ema.py and streaming/pattern.py.
 """
 
 from __future__ import annotations

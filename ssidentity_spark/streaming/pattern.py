@@ -34,6 +34,15 @@ watermark horizon per key, replays dedupe exactly against it, and events
 at or before the committed fold frontier are either already folded or
 watermark-expired — skipping them is the correct at-least-once behavior,
 not data loss.
+
+CHECKPOINT COMPATIBILITY: that r11 pending-buffer upgrade CHANGED the
+state schema (the r10 ``last_us``/``last_id`` frontier became
+``folded_wm_us`` + pending arrays). applyInPandasWithState pins the
+state StructType into the checkpoint, so a checkpoint written by the
+r10 operator cannot be restored by this one — restart with a FRESH
+checkpoint directory (and a source replay/backfill if continuity
+matters). Same break and remedy in streaming/ema.py and
+streaming/funnel.py.
 """
 
 from __future__ import annotations
