@@ -53,8 +53,15 @@ from ssidentity_spark.registry import REGISTRY
 # listed, in queue order. THEN the stalest history-green member of every
 # module the above leaves unwindowed. THEN pure staleness: the whole
 # remaining r4 vintage (tpch2 + pipeline, oldest driver records in the
-# registry) — 27 re-verification slots (10 displaced + 7 anchors + 10
-# r4-vintage), well past the >=8 floor (ask #8).
+# registry) — 27 re-verification slots at rotation time. MID-ROUND:
+# the three r12 additions (id_linkage_clusters ID3,
+# graph_degree_assortativity G5, ts_holt_linear TS10) each displaced
+# one r4-vintage tail slot per the house one-for-one rule, and the new
+# freshness guard (ask #7) re-queued the round's two source-edited
+# parked entries (id_linkage_lsh_recall_eval, ts_sax_discords),
+# displacing two more — final shape: 21 bench + 5 first-timers + 24
+# re-verifications (10 displaced + 7 anchors + 5 r4-vintage + 2 guard
+# re-queues), still well past the >=8 floor (ask #8).
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed)
     "flagship_hourly_top_types",
@@ -114,38 +121,40 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q14_promo_share",
     "tpch_q18_big_orders",
     "tpch_q4_priority_count",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "unpivot_customer_metrics",
-    "w1_distribution_ranks",
+    # re-queued by the r12 freshness guard (tools/driver_history.py
+    # --stale): both were source-edited this round after their stamps
+    # (shared-prof refactor + persist-accretion notes), so their parked
+    # history evidence is void until the driver re-greens them — each
+    # displaced one more r4-vintage slot (tpch_q7_volume_shipping,
+    # tpch_q8_market_share move to the r13 queue head):
+    "id_linkage_lsh_recall_eval",
+    "ts_sax_discords",
+    # r12 mid-round first-timers (each displaced one r4-vintage
+    # staleness slot — tpch_q9_profit_by_nation, unpivot_customer_metrics,
+    # w1_distribution_ranks move to the r13 queue head):
+    "id_linkage_clusters",  # ID3 — mutual-kNN identity resolution
+    "graph_degree_assortativity",  # G5 — wiring-pattern descriptor
+    "ts_holt_linear",  # TS10 — trend-aware EMA sibling
 )
 
-# r12 ROTATION QUEUE: after CORRECTNESS_r11 lands, regenerate
-# DRIVER_VERIFIED_HISTORY (tools/driver_history.py). There is no parked
-# first-timer bank (every oracled query will then have a driver row, for
-# the first time); any r12-new queries window first (paced), then pure
-# staleness order over the r4 vintage the r11 window didn't reach —
-# FIRST the three its late first-timers displaced
-# (j9_q5_local_supplier_volume by ts_sax_discords,
-# j9_q10_returned_revenue by ts_gapfill_locf,
-# j8_cross_region_nation by graph_kcore,
-# j3_customers_without_orders by ts_seasonal_strength,
-# w3_rolling_avg_rows by ts_changepoint_amoc,
-# text_quality by ts_acf,
-# text_langid by pipe_winsorize,
-# pivot_user_type_matrix by id_behavior_linkage,
-# dedup_embedding_cosine by id_linkage_lsh_recall_eval,
-# dedup_simhash_pairs by ts_leadlag_correlation) —
-# then pipe_split_assign, pipe_stratified_sample, tpch_q14_promo_share,
-# tpch_q18_big_orders, tpch_q4_priority_count, tpch_q7_volume_shipping,
-# tpch_q8_market_share, tpch_q9_profit_by_nation,
-# unpivot_customer_metrics, w1_distribution_ranks, then the r5 vintage
-# (a8_exact_percentiles, agg_percentiles, corpus_length_profile,
-# dedup_cc_clusters, j1_brand_pricing, j2_supplier_volume,
-# j3_active_customer_nations, j5_asof_last_login, j5_asof_payload,
-# mm_frame_sample, ...), oldest-first, with the per-module coverage rule
-# outranking strict age as usual.
+# r13 ROTATION QUEUE: after CORRECTNESS_r12 lands, regenerate
+# DRIVER_VERIFIED_HISTORY and the freshness stamps
+# (tools/driver_history.py, then --stamp). Any r13-new queries window
+# first (one displaced staleness slot each), then staleness order —
+# FIRST the five the r12 mid-round additions displaced
+# (tpch_q7_volume_shipping by id_linkage_lsh_recall_eval,
+# tpch_q8_market_share by ts_sax_discords — both re-queues forced by
+# the freshness guard —
+# tpch_q9_profit_by_nation by id_linkage_clusters,
+# unpivot_customer_metrics by graph_degree_assortativity,
+# w1_distribution_ranks by ts_holt_linear) —
+# then the r5 vintage (a8_exact_percentiles, agg_percentiles,
+# corpus_length_profile, dedup_cc_clusters, j1_brand_pricing,
+# j2_supplier_volume, j3_active_customer_nations, j5_asof_last_login,
+# j5_asof_payload, mm_frame_sample, ...), oldest-first, with the
+# per-module coverage rule outranking strict age as usual, and any
+# entry tools/driver_history.py --stale flags jumping the queue
+# (its standing evidence is void).
 # Queries hash-verified green by the driver in at least one prior round
 # (union of CORRECTNESS_r01..r09.json rows with hash_match=true). A query
 # may be parked past the window ONLY if it appears here — its green row is

@@ -2262,3 +2262,165 @@ def id_linkage_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ID3 (r12) — identity RESOLUTION: linkage pairs promoted to device
+# clusters. ID1 answers "who is each identifier's best behavioral match";
+# the operational output of an identity system is the PARTITION — the
+# transitive closure of "these two behave like one device" (reference
+# README.md:11-18: identify devices across randomized identifiers).
+# Edges are MUTUAL top-K (K=2) cosine pairs — the scale-free graph the
+# kcore/LPA families already use. Both alternatives were MEASURED
+# degenerate on this corpus: a fixed cosine floor has no
+# density-independent operating point (τ=0.5 gives ~2 edges at sf0.001
+# but one 1500-user giant component at sf0.1), and K=3 percolates (one
+# 15/107/893-member component per SF). K=2 bounds degree everywhere
+# AND keeps the closure meaningful at every SF — 3/27/306 multi-member
+# clusters of max size 7/10/13 at sf0.001/0.01/0.1, multi-hop chains
+# (max > 2) at all three, giant component at none; K=1 would reduce
+# the closure to a perfect matching (max size 2, nothing transitive). Components come from the same HashMin machinery
+# as A3's network tree, and the DuckDB oracle replays the fixpoint as a
+# recursive transitive-closure CTE, so the iterative algorithm is
+# hash-verified, not rows-only (dedup_cc_clusters pattern).
+# ---------------------------------------------------------------------------
+
+_LNK_MUTUAL_K = 2
+
+
+@register(
+    "id_linkage_clusters",
+    oracle=f"""
+    WITH RECURSIVE prof AS MATERIALIZED (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+             event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), norms AS MATERIALIZED (
+      SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM prof GROUP BY 1
+    ), knn AS MATERIALIZED (
+      SELECT u1, u2 FROM (
+        SELECT d.u1, d.u2,
+               row_number() OVER (PARTITION BY d.u1
+                 ORDER BY d.dot / (sqrt(na.n2) * sqrt(nb.n2)) DESC, d.u2)
+                 AS rk
+        FROM (
+          SELECT a.user_id AS u1, b.user_id AS u2,
+                 CAST(sum(a.c * b.c) AS BIGINT) AS dot
+          FROM prof a JOIN prof b
+            ON a.hod = b.hod AND a.event_type = b.event_type
+           AND a.user_id <> b.user_id
+          GROUP BY 1, 2
+        ) d
+        JOIN norms na ON d.u1 = na.user_id
+        JOIN norms nb ON d.u2 = nb.user_id
+      ) WHERE rk <= {_LNK_MUTUAL_K}
+    ), pairs AS MATERIALIZED (
+      SELECT f.u1, f.u2
+      FROM knn f JOIN knn r ON f.u1 = r.u2 AND f.u2 = r.u1
+      WHERE f.u1 < f.u2
+    ), edges AS MATERIALIZED (
+      SELECT u1 AS u, u2 AS v FROM pairs
+      UNION
+      SELECT u2, u1 FROM pairs
+    ), reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ), comp AS (
+      SELECT u AS user_id, min(label) AS cluster_id FROM reach GROUP BY u
+    ), assigned AS (
+      SELECT p.user_id,
+             coalesce(c.cluster_id, p.user_id) AS cluster_id
+      FROM (SELECT DISTINCT user_id FROM prof) p
+      LEFT JOIN comp c USING (user_id)
+    )
+    SELECT user_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM assigned
+    """,
+    survey="ID3,ID1,A3,G1",
+)
+def id_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device clusters: connected components over the MUTUAL top-K
+    (K=2) behavioral-linkage graph, every profiled user keyed to its
+    cluster's minimum member id with the cluster size — singletons are
+    their own canonical. The keep-one-per-device stage of the namesake
+    identity pipeline, downstream of ID1's per-user best match and
+    ID2's index tier.
+
+    Plan shape: the pair stage is ID1's sparse cell join (only pairs
+    sharing ≥1 profile cell materialize, map-side combined on the pair
+    key; norms broadcast back); one user-keyed rank cuts top-K, and
+    the mutual filter is a self-join of the K·U-row kNN frame —
+    edge-bounded from there on (degree ≤ K by construction, so the
+    closure never sees corpus-sized data; the K=2 operating point and
+    the measured degeneracy of both the τ-floor and K=3 alternatives
+    are in the banner comment above). The
+    components use the shared HashMin operator (operators/graph.py —
+    O(diameter) rounds, checkpoint-truncated; star variant for
+    adversarial diameters per SCALE.md r6). The 100 TB candidate path
+    is ID2's signature index feeding this same rank.
+
+    Determinism: integer BIGINT dots/norms (order-free exact), ONE
+    pinned cosine expression ranked with (cosine DESC, id ASC) on
+    bit-identical doubles (the ID1 contract — no rounding), mutuality
+    and HashMin are integer-exact, cluster sizes are counts."""
+    from ssidentity_spark.operators.graph import connected_components
+
+    prof = behavior_profiles(load_table(spark, sf_dir, "events")).persist()
+    norms = prof.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.hod") == F.col("b.hod"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("user_id").alias("u1"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("user_id").alias("u2"), F.col("n2").alias("nb2"))
+    w = Window.partitionBy("u1").orderBy(
+        F.desc(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))), F.asc("u2")
+    )
+    knn = (
+        dots.join(F.broadcast(na), "u1")
+        .join(F.broadcast(nb), "u2")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _LNK_MUTUAL_K)
+        .select("u1", "u2")
+    )
+    rev = knn.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"))
+    pairs = (
+        knn.join(rev, ["u1", "u2"], "left_semi")
+        .where(F.col("u1") < F.col("u2"))
+    )
+    labels = connected_components(pairs, src="u1", dst="u2")
+    users = prof.select("user_id").distinct()
+    assigned = (
+        users.join(
+            labels.select(
+                F.col("vertex").alias("user_id"),
+                F.col("component").alias("cid"),
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            F.coalesce("cid", F.col("user_id")).alias("cluster_id"),
+        )
+    )
+    return assigned.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+    )

@@ -811,3 +811,116 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("u").alias("vec_id"), "core_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# G5 (r12) — degree assortativity: do the transition graph's hubs link to
+# hubs or to leaves? (Newman 2002, "Assortative mixing in networks": the
+# Pearson correlation of endpoint degrees over the edge list.) Completes
+# the graph descriptor set: G1 ranks influence, GT counts closure, G4
+# finds the dense core — assortativity is the one-number summary of the
+# WIRING PATTERN (positive = social-network-like hub clustering,
+# negative = infrastructure-like hub-and-spoke), and on a device
+# co-observation graph it distinguishes "a few gateways relay everyone"
+# from "peers talk to peers" before any per-vertex analysis runs.
+#
+# Determinism — the a11 contract verbatim: degrees are integer neighbor
+# counts over the symmetrized distinct edge set, the five sufficient
+# statistics are BIGINT sums of those integers (bit-exact any partition
+# order), r is ONE pinned-order double expression (IEEE sqrt), rounded 6
+# dp with nothing selecting on it downstream; a zero-variance degree
+# sequence yields NULL via a lazy nullif guard on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH tr AS ({_EDGES_SQL}),
+    sym AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM tr
+        UNION ALL
+        SELECT dst, src FROM tr
+      )
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+    ), ed AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM sym
+      JOIN deg du ON sym.u = du.u
+      JOIN deg dv ON sym.v = dv.u
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy,
+             CAST(count(DISTINCT dx) AS BIGINT) AS ndeg
+      FROM ed
+    )
+    SELECT n AS n_directed_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(sqrt(CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(n AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy), 0.0), 6)
+             AS assortativity
+    FROM s
+    """,
+    survey="G5,G1,GT,A11",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the daily transition graph:
+    Pearson r of (deg(u), deg(v)) over every directed edge of the
+    symmetrized distinct graph — one number saying whether high-degree
+    users transition among themselves (r > 0) or fan out to low-degree
+    users (r < 0).
+
+    Plan shape: the edge derivation is the shared _EDGES_SQL (one
+    date-partitioned window + one keyed aggregate); symmetrize +
+    distinct is one exchange on the edge key; degrees are one keyed
+    count whose frame is edge-bounded, joined back to the edge list
+    twice (broadcast — the degree table is vertex-sized); the final
+    reduction is a single scalar aggregate with map-side partials.
+    Nothing in the pipeline holds more than the edge list, and every
+    aggregate combines exactly (integers) — the 100 TB shape is the
+    same plan with the degree join left as a shuffle join if the vertex
+    table outgrows broadcast."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    tr = spark.sql(_EDGES_SQL).select("src", "dst")
+    sym = (
+        tr.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            tr.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    du = deg.select(F.col("u").alias("_u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("_v"), F.col("d").alias("dy"))
+    ed = (
+        sym.join(F.broadcast(du), sym.u == du._u)
+        .join(F.broadcast(dv), sym.v == dv._v)
+        .select("dx", "dy")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return s.crossJoin(F.broadcast(nv)).select(
+        F.col("n").alias("n_directed_edges"),
+        "n_vertices",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
+    )

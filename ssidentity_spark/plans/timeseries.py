@@ -1262,3 +1262,106 @@ def ts_acf_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
     )
     return _acf_body(kept)
+
+
+# ---------------------------------------------------------------------------
+# TS10 (r12) — Holt's linear (double-exponential) smoothing: the
+# trend-aware sibling of ts_ema. EMA tracks a level; Holt carries
+# (level, trend) so the one-step-ahead forecast extrapolates the local
+# slope instead of lagging it (Holt 1957 / Winters 1960 — the classical
+# non-seasonal forecast every monitoring stack ships). State recursion
+# over the (ts, event_id)-sorted value series:
+#   l' = α·x + (1−α)·(l + b)
+#   b' = β·(l' − l) + (1−β)·b
+# seeded l=x₁, b=0 (the zero-initial-trend convention; the first few
+# folds learn the slope). Like EMA this is order-RECURSIVE — no map-side
+# combine — so the honest batch shape is the per-key ordered fold with
+# the same two documented 100 TB hatches as ts_ema: the O(1)-state
+# streaming form (streaming/ema.py generalizes directly: the pending
+# buffer is state-shape agnostic) and the truncated recent window
+# (ts_acf_windowed's row_number cut composes verbatim).
+#
+# Determinism: the ts_ema contract with a 2-component state — both
+# engines fold the SAME sorted struct list seed-first (_seed_first_fold
+# ≡ DuckDB list_reduce association), every step is the SAME IEEE double
+# expression text (l' written out twice inside b' — neither engine gets
+# a temporary), so level/trend are bit-identical before the cosmetic
+# 6 dp round; nothing downstream selects on them.
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.2
+
+
+@register(
+    "ts_holt_linear",
+    # The accumulator is a DOUBLE[2] list, NOT a struct: DuckDB 1.0's
+    # list_reduce mutates a STRUCT accumulator field-sequentially across
+    # steps (the b expression of step k sees step k's freshly assigned
+    # l — verified with a 3-element probe; a list accumulator folds
+    # purely and matches the Python/Spark reference bit-for-bit).
+    oracle=f"""
+    SELECT user_id,
+           round(h[1], 6) AS level,
+           round(h[2], 6) AS trend,
+           round(h[1] + h[2], 6) AS forecast_next,
+           CAST(len(l) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id,
+             list_sort(list(struct_pack(ts := ts, eid := event_id,
+                                        v := value))) AS l
+      FROM events GROUP BY user_id
+    ), LATERAL (
+      SELECT list_reduce(
+               list_transform(l, s -> [s.v, CAST(0.0 AS DOUBLE)]),
+               (acc, x) -> [
+                 {_HOLT_ALPHA} * x[1]
+                   + {1 - _HOLT_ALPHA} * (acc[1] + acc[2]),
+                 {_HOLT_BETA} * ({_HOLT_ALPHA} * x[1]
+                     + {1 - _HOLT_ALPHA} * (acc[1] + acc[2]) - acc[1])
+                   + {1 - _HOLT_BETA} * acc[2]]) AS h
+    )
+    """,
+    survey="TS10,TS2,W2,A6",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear smoothing of the value series: the final
+    (level, trend) state and the one-step-ahead forecast level+trend —
+    ts_ema with a slope, so a steadily rising series forecasts ABOVE
+    its last level instead of trailing it.
+
+    Plan shape: ONE user-keyed aggregate (a single exchange end to
+    end, the ts_ema shape); per-key state during the fold is two
+    doubles, but the collect_list input carries the key's history —
+    the ts_ema bound, with the same two escape hatches stated there
+    and shipped as code elsewhere in this module (streaming O(1)
+    state; ts_acf_windowed's bounded recent-window cut).
+
+    Determinism: both engines fold the identical sorted list
+    seed-first with the identical IEEE expression per step (the l'
+    expression textually repeated inside b'); outputs rounded 6 dp
+    cosmetically, nothing ranks or filters on them."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    states = F.transform(
+        arr,
+        lambda s: F.struct(s["value"].alias("l"), F.lit(0.0).alias("b")),
+    )
+    a, ac = F.lit(_HOLT_ALPHA), F.lit(1 - _HOLT_ALPHA)
+    be, bc = F.lit(_HOLT_BETA), F.lit(1 - _HOLT_BETA)
+    h = _seed_first_fold(
+        states,
+        lambda acc, x: F.struct(
+            (a * x["l"] + ac * (acc["l"] + acc["b"])).alias("l"),
+            (
+                be * (a * x["l"] + ac * (acc["l"] + acc["b"]) - acc["l"])
+                + bc * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(h["l"], 6).alias("level"),
+        F.round(h["b"], 6).alias("trend"),
+        F.round(h["l"] + h["b"], 6).alias("forecast_next"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -294,3 +294,95 @@ def test_pagerank_checkpoint_cadence_invariant(spark):
         assert got == base, ck
     with pytest.raises(ValueError, match="checkpoint_every"):
         pagerank(edges, checkpoint_every=0)
+
+
+# ---------------------------------------------------------------------------
+# r12 mid-round additions: ID3 clusters, G5 assortativity, TS10 Holt
+# ---------------------------------------------------------------------------
+
+
+def test_linkage_clusters_transitive_chain(spark, tmp_path):
+    """A≈B and B≈C must land in ONE cluster even though A and C are less
+    similar to each other than to B (the closure is the point); the
+    disjoint user stays a singleton; cluster_id is the min member and
+    sizes are consistent."""
+    rows, eid = [], 0
+    # A(20) and C(22) share nothing with each other; B(21) overlaps both
+    for h in range(8):
+        rows.append((eid, dt.datetime(2024, 1, 1, h), 20, "t", 1.0, "{}")); eid += 1
+    for h in range(16):
+        rows.append((eid, dt.datetime(2024, 1, 1, h), 21, "t", 1.0, "{}")); eid += 1
+    for h in range(8, 16):
+        rows.append((eid, dt.datetime(2024, 1, 1, h), 22, "t", 1.0, "{}")); eid += 1
+    # disjoint singleton on its own event type
+    for h in (20, 21):
+        rows.append((eid, dt.datetime(2024, 1, 1, h), 23, "x", 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["user_id"]: r for r in REGISTRY["id_linkage_clusters"].fn(spark, sf).collect()}
+    assert out[20]["cluster_id"] == out[21]["cluster_id"] == out[22]["cluster_id"] == 20
+    assert out[20]["cluster_size"] == 3
+    assert out[23]["cluster_id"] == 23 and out[23]["cluster_size"] == 1
+
+
+def test_linkage_clusters_clones_cluster_together(spark, tmp_path):
+    """Identical profiles are mutual top-1 by construction — clones can
+    never end up in different clusters."""
+    sf = _write_events(spark, tmp_path, _clone_corpus())
+    out = {r["user_id"]: r for r in REGISTRY["id_linkage_clusters"].fn(spark, sf).collect()}
+    assert out[10]["cluster_id"] == out[11]["cluster_id"]
+
+
+def test_assortativity_is_minus_one_on_a_star(spark, tmp_path):
+    """A pure hub-and-spoke transition graph has degree assortativity
+    exactly -1 (every edge joins the max-degree hub to a degree-1 leaf
+    — the Newman-coefficient boundary case)."""
+    rows, eid = [], 0
+    hub, leaves = 1, (2, 3, 4)
+    t = dt.datetime(2024, 1, 1, 0, 0, 0)
+    seq = []
+    for leaf in leaves:
+        seq += [hub, leaf]
+    for u in seq:
+        rows.append((eid, t, u, "t", 1.0, "{}"))
+        t += dt.timedelta(minutes=1)
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = REGISTRY["graph_degree_assortativity"].fn(spark, sf).collect()
+    assert len(got) == 1
+    assert got[0]["n_vertices"] == 4
+    assert abs(got[0]["assortativity"] - (-1.0)) < 1e-9
+
+
+def test_holt_constant_series_is_a_fixpoint(spark, tmp_path):
+    """On a constant series the recursion is exactly stationary: level
+    = the constant, trend = 0, forecast = the constant (bit-exact — no
+    tolerance needed; every step is l'=c, b'=0 in exact arithmetic)."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), 7, "t", 42.5, "{}")
+        for i in range(20)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = REGISTRY["ts_holt_linear"].fn(spark, sf).collect()
+    assert len(got) == 1
+    assert got[0]["level"] == 42.5
+    assert got[0]["trend"] == 0.0
+    assert got[0]["forecast_next"] == 42.5
+
+
+def test_holt_learns_a_linear_trend(spark, tmp_path):
+    """On an exactly linear series x_t = 10 + 0.25·t the state converges
+    geometrically to (x_t, slope): after 200 points trend ≈ 0.25 and the
+    forecast extrapolates ABOVE the last observation — the property that
+    distinguishes Holt from the lagging EMA."""
+    n = 200
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), 9, "t",
+         10.0 + 0.25 * i, "{}")
+        for i in range(n)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = REGISTRY["ts_holt_linear"].fn(spark, sf).collect()[0]
+    last = 10.0 + 0.25 * (n - 1)
+    assert abs(got["trend"] - 0.25) < 1e-6
+    assert abs(got["level"] - last) < 1e-3
+    assert got["forecast_next"] > last
