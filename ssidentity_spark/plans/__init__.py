@@ -57,10 +57,11 @@ from ssidentity_spark.registry import REGISTRY
 # the three r12 additions (id_linkage_clusters ID3,
 # graph_degree_assortativity G5, ts_holt_linear TS10) each displaced
 # one r4-vintage tail slot per the house one-for-one rule, and the new
-# freshness guard (ask #7) re-queued the round's two source-edited
-# parked entries (id_linkage_lsh_recall_eval, ts_sax_discords),
-# displacing two more — final shape: 21 bench + 5 first-timers + 24
-# re-verifications (10 displaced + 7 anchors + 5 r4-vintage + 2 guard
+# freshness guard (ask #7) re-queued the round's five source-edited
+# parked entries (two flagged by --stale; three more edited before the
+# stamp bootstrap, caught by the same policy applied manually),
+# displacing five more — final shape: 21 bench + 5 first-timers + 24
+# re-verifications (10 displaced + 7 anchors + 2 r4-vintage + 5 guard
 # re-queues), still well past the >=8 floor (ask #8).
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed)
@@ -118,9 +119,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # staleness rotation: the whole remaining r4 vintage, oldest first
     "pipe_split_assign",
     "pipe_stratified_sample",
-    "tpch_q14_promo_share",
-    "tpch_q18_big_orders",
-    "tpch_q4_priority_count",
+    # re-queued by the r12 freshness-guard POLICY (stamp-bootstrap gap:
+    # these three were source-edited this round BEFORE tools/
+    # driver_history.py --stamp first ran, so their stamps reflect the
+    # edited source and --stale cannot flag them; same rule applies —
+    # edited parked evidence is void until the driver re-greens it.
+    # Each displaced one r4-vintage slot: tpch_q14_promo_share,
+    # tpch_q18_big_orders, tpch_q4_priority_count -> the r13 queue):
+    "pipe_quality_fusion",  # single grouped-assigner rewrite (r12)
+    "id_behavior_linkage",  # _exact_linkage extraction (r12)
+    "ts_acf",  # _acf_events/_acf_body split (r12)
     # re-queued by the r12 freshness guard (tools/driver_history.py
     # --stale): both were source-edited this round after their stamps
     # (shared-prof refactor + persist-accretion notes), so their parked
@@ -141,10 +149,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # DRIVER_VERIFIED_HISTORY and the freshness stamps
 # (tools/driver_history.py, then --stamp). Any r13-new queries window
 # first (one displaced staleness slot each), then staleness order —
-# FIRST the five the r12 mid-round additions displaced
-# (tpch_q7_volume_shipping by id_linkage_lsh_recall_eval,
-# tpch_q8_market_share by ts_sax_discords — both re-queues forced by
-# the freshness guard —
+# FIRST the eight the r12 mid-round additions displaced
+# (tpch_q14_promo_share by pipe_quality_fusion,
+# tpch_q18_big_orders by id_behavior_linkage,
+# tpch_q4_priority_count by ts_acf,
+# tpch_q7_volume_shipping by id_linkage_lsh_recall_eval,
+# tpch_q8_market_share by ts_sax_discords — all five re-queues forced
+# by the freshness guard / its bootstrap-gap policy —
 # tpch_q9_profit_by_nation by id_linkage_clusters,
 # unpivot_customer_metrics by graph_degree_assortativity,
 # w1_distribution_ranks by ts_holt_linear) —
