@@ -1333,9 +1333,10 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ONE user-keyed aggregate (a single exchange end to
     end, the ts_ema shape); per-key state during the fold is two
     doubles, but the collect_list input carries the key's history —
-    the ts_ema bound, with the same two escape hatches stated there
-    and shipped as code elsewhere in this module (streaming O(1)
-    state; ts_acf_windowed's bounded recent-window cut).
+    the ts_ema bound, with both escape hatches shipped as code for
+    THIS operator: streaming/ema.py:holt_stream folds (level, trend)
+    as O(1) state across micro-batches (stream ≡ batch pinned), and
+    ts_acf_windowed's bounded recent-window cut composes verbatim.
 
     Determinism: both engines fold the identical sorted list
     seed-first with the identical IEEE expression per step (the l'

@@ -195,3 +195,132 @@ def m4_downsample_stream(
         F.col("p.ts_us").alias("ts_us"),
         F.col("p.value").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS10 streaming twin (r12) — Holt linear smoothing with O(1) state per
+# key: the (level, trend) recursion folds across micro-batches exactly
+# like the EMA above, under the same watermark-sealed pending-buffer
+# ordering contract (module docstring; the buffer bookkeeping is
+# identical — only the fold step and the state payload differ). Each
+# fold step is the SAME IEEE expression sequence as the batch
+# ts_holt_linear (the l' expression recomputed inside b', no temporary
+# reordering), so the final snapshot per key is bit-identical to the
+# batch fold — pinned by the hypothesis property test and the
+# micro-batch parity test.
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5  # matches plans/timeseries._HOLT_ALPHA (test-pinned)
+HOLT_BETA = 0.2
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("n", LongType()),
+        StructField("folded_wm_us", LongType()),
+        StructField("pend_us", ArrayType(LongType())),
+        StructField("pend_id", ArrayType(LongType())),
+        StructField("pend_val", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _holt_step(l: float, b: float, n: int, val: float):
+    """One committed fold step — the batch query's expression verbatim:
+    seed (x, 0) on the first element, then l' and b' with l'
+    recomputed inside b' (same IEEE op order as the Spark/DuckDB
+    folds)."""
+    if n == 0:
+        return val, 0.0, 1
+    l2 = HOLT_ALPHA * val + (1.0 - HOLT_ALPHA) * (l + b)
+    b2 = (
+        HOLT_BETA
+        * (HOLT_ALPHA * val + (1.0 - HOLT_ALPHA) * (l + b) - l)
+        + (1.0 - HOLT_BETA) * b
+    )
+    return l2, b2, n + 1
+
+
+def _holt_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.assign(_us=rows["ts"].astype("int64") // 1_000)
+    if state.exists:
+        l, b, n, folded_wm_us, pend_us, pend_id, pend_val = state.get
+        pending = {
+            (int(u), int(i)): float(v)
+            for u, i, v in zip(pend_us or [], pend_id or [], pend_val or [])
+        }
+    else:
+        l, b, n, folded_wm_us = 0.0, 0.0, 0, 0
+        pending = {}
+    for us, eid, val in zip(rows["_us"], rows["event_id"], rows["value"]):
+        us, eid = int(us), int(eid)
+        if us < folded_wm_us:
+            continue  # already folded (replay) or watermark-expired
+        pending[(us, eid)] = float(val)
+    wm_us = state.getCurrentWatermarkMs() * 1_000
+    keep: dict[tuple[int, int], float] = {}
+    for (us, eid), val in sorted(pending.items()):
+        if us < wm_us:
+            l, b, n = _holt_step(l, b, n, val)
+        else:
+            keep[(us, eid)] = val
+    folded_wm_us = max(folded_wm_us, wm_us)
+    ks = sorted(keep)
+    state.update(
+        (
+            l,
+            b,
+            n,
+            folded_wm_us,
+            [k[0] for k in ks],
+            [k[1] for k in ks],
+            [keep[k] for k in ks],
+        )
+    )
+    s_l, s_b, s_n = l, b, n
+    for k in ks:
+        s_l, s_b, s_n = _holt_step(s_l, s_b, s_n, keep[k])
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "level": [s_l],
+            "trend": [s_b],
+            "n_events": [s_n],
+        }
+    )
+
+
+def holt_stream(changes: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """(user_id, ts, event_id, value) stream → append-only per-batch
+    snapshots of each touched key's running Holt (level, trend). Final
+    snapshot per key (max n_events — monotone) is bit-identical to the
+    batch ts_holt_linear fold, including under cross-batch disorder
+    within the watermark."""
+    return (
+        changes.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _holt_fn,
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -196,3 +196,61 @@ def test_funnel_fold_matches_greedy_chain_under_disorder(events, splits, replay)
     assert final["n_events"] == len(admitted)
     assert final["funnel_level"] == level
     assert final["funnel_start_us"] == t0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=120_000_000),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    splits=splits_strategy,
+    replay=st.integers(0, 3),
+)
+def test_holt_fold_matches_ordered_recursion_under_disorder(vals, splits, replay):
+    """The r12 Holt twin under the same contract as the EMA fold: the
+    final snapshot equals the ordered (level, trend) recursion over the
+    admitted rows — BIT-equal, since the committed/speculative folds run
+    the identical IEEE step as the ground truth here."""
+    from ssidentity_spark.streaming.ema import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        _holt_fn,
+    )
+
+    rows = [(us, 1000 + i, v) for i, (us, v) in enumerate(vals)]
+    batches = [[] for _ in range(4)]
+    for r, b in zip(rows, splits):
+        batches[b].append(r)
+    admitted, final = _drive(_holt_fn, batches, "value", replay_batch=replay)
+    if final is None:
+        assert not admitted
+        return
+    l, b, n = 0.0, 0.0, 0
+    for _, _, v in sorted(admitted):
+        if n == 0:
+            l, b, n = v, 0.0, 1
+        else:
+            l2 = HOLT_ALPHA * v + (1.0 - HOLT_ALPHA) * (l + b)
+            b = (
+                HOLT_BETA
+                * (HOLT_ALPHA * v + (1.0 - HOLT_ALPHA) * (l + b) - l)
+                + (1.0 - HOLT_BETA) * b
+            )
+            l = l2
+            n += 1
+    assert final["n_events"] == n
+    assert final["level"] == l
+    assert final["trend"] == b
+
+
+def test_holt_stream_constants_match_the_batch_query():
+    from ssidentity_spark.plans.timeseries import _HOLT_ALPHA, _HOLT_BETA
+    from ssidentity_spark.streaming.ema import HOLT_ALPHA, HOLT_BETA
+
+    assert HOLT_ALPHA == _HOLT_ALPHA
+    assert HOLT_BETA == _HOLT_BETA

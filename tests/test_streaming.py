@@ -1445,3 +1445,73 @@ def test_streaming_behavior_profiles_match_batch(spark, tmp_path):
     n_users = ev.select("user_id").distinct().count()
     n_types = ev.select("event_type").distinct().count()
     assert len(got) <= n_users * 24 * n_types
+
+
+def test_holt_stream_final_snapshot_equals_batch_query(spark, tmp_path):
+    """r12 TS10 twin: chunked replay (with one replayed chunk as the
+    at-least-once guard) ends with per-key (level, trend) that match
+    the gated batch ts_holt_linear on the same rows at the batch
+    query's 6 dp round."""
+    import datetime as dt
+
+    from ssidentity_spark.registry import REGISTRY, _ensure_loaded
+    from ssidentity_spark.streaming.ema import holt_stream
+
+    _ensure_loaded()
+    base = dt.datetime(2026, 4, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+
+    series = {1: [3.0, 1.0, 4.0, 1.0, 5.0], 2: [9.0, 2.0, 6.0, 7.5]}
+    rows = []
+    for uid, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((uid, base + dt.timedelta(minutes=i), 100 * uid + i, v))
+    rows.sort(key=lambda r: r[1])
+    chunks = [rows[:3], rows[:3] + rows[3:6], rows[6:]]
+
+    src = str(tmp_path / "holt_src")
+    out = str(tmp_path / "holt_out")
+    ck = str(tmp_path / "holt_ck")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            holt_stream(spark.readStream.schema(schema).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    snaps = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        r["user_id"]: (round(r["level"], 6), round(r["trend"], 6), r["n_events"])
+        for r in snaps.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+
+    # same rows as an events table -> the gated batch query
+    ev = [
+        (eid, ts, uid, "t", v, "{}")
+        for uid, ts, eid, v in rows
+    ]
+    sf = str(tmp_path / "batch")
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    batch = {
+        r["user_id"]: (r["level"], r["trend"], r["n_events"])
+        for r in REGISTRY["ts_holt_linear"].fn(spark, sf).collect()
+    }
+    assert final == batch
