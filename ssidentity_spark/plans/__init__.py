@@ -57,12 +57,13 @@ from ssidentity_spark.registry import REGISTRY
 # the three r12 additions (id_linkage_clusters ID3,
 # graph_degree_assortativity G5, ts_holt_linear TS10) each displaced
 # one r4-vintage tail slot per the house one-for-one rule, and the new
-# freshness guard (ask #7) re-queued the round's five source-edited
-# parked entries (two flagged by --stale; three more edited before the
-# stamp bootstrap, caught by the same policy applied manually),
-# displacing five more — final shape: 21 bench + 5 first-timers + 24
-# re-verifications (10 displaced + 7 anchors + 2 r4-vintage + 5 guard
-# re-queues), still well past the >=8 floor (ask #8).
+# freshness guard (ask #7) re-queued the round's six source-edited
+# parked entries (three flagged by --stale, incl. the NB shared-CTE
+# oracle refactor; three more edited before the stamp bootstrap,
+# caught by the same policy applied manually) and the E5 eval joined
+# as a sixth first-timer — final shape: 21 bench + 6 first-timers + 23
+# re-verifications (10 displaced + 7 anchors + 6 guard re-queues),
+# still well past the >=8 floor (ask #8).
 DRIVER_WINDOW: tuple[str, ...] = (
     # bench headliners (window rule: every bench=True query stays windowed)
     "flagship_hourly_top_types",
@@ -117,8 +118,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q22_global_sales_opportunity",  # tpch3 (r8)
     "tpch_q17_small_quantity_revenue",  # tpch4 (r7)
     # staleness rotation: the whole remaining r4 vintage, oldest first
-    "pipe_split_assign",
-    "pipe_stratified_sample",
+    # (pipe_split_assign, pipe_stratified_sample were displaced late in
+    # r12 by the E5 first-timer + the NB re-queue below -> r13 queue)
+    # late-r12: text_classifier_eval (E5, first-timer) + its shared-CTE
+    # refactor flipped text_nb_classifier stale (--stale flagged it) —
+    # both window per the guard policy:
+    "text_classifier_eval",  # E5 — NB confusion matrix + margins
+    "text_nb_classifier",  # re-queued: oracle now built from shared CTEs
     # re-queued by the r12 freshness-guard POLICY (stamp-bootstrap gap:
     # these three were source-edited this round BEFORE tools/
     # driver_history.py --stamp first ran, so their stamps reflect the
@@ -149,8 +155,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # DRIVER_VERIFIED_HISTORY and the freshness stamps
 # (tools/driver_history.py, then --stamp). Any r13-new queries window
 # first (one displaced staleness slot each), then staleness order —
-# FIRST the eight the r12 mid-round additions displaced
-# (tpch_q14_promo_share by pipe_quality_fusion,
+# FIRST the ten the r12 mid-round additions displaced
+# (pipe_split_assign by text_classifier_eval,
+# pipe_stratified_sample by text_nb_classifier,
+# tpch_q14_promo_share by pipe_quality_fusion,
 # tpch_q18_big_orders by id_behavior_linkage,
 # tpch_q4_priority_count by ts_acf,
 # tpch_q7_volume_shipping by id_linkage_lsh_recall_eval,

@@ -1089,17 +1089,11 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "text_nb_classifier",
-    # Multinomial NB over whitespace tokens, labels = lang, add-one
-    # smoothing, resubstitution scoring. Every model parameter is an
-    # exact integer count (class-term counts, class totals, vocab,
-    # priors); identical doubles enter ln() on both engines and the
-    # per-token average keeps magnitudes O(-10), so the 6-dp round sits
-    # orders above summation skew — the unigram/bigram logprob contract.
-    # Argmax = (rounded score DESC, lang ASC), deterministic cross-engine.
-    oracle="""
-    WITH tok AS (
+# Shared by the text_nb_classifier and text_classifier_eval oracles:
+# train + score + rank, ending in a `ranked` CTE of one row per
+# (doc, class) with the 6-dp-rounded score and the per-doc rank.
+_NB_RANKED_CTES = """
+    tok AS (
       SELECT doc_id, lang AS true_lang,
              unnest(string_split_regex(lower(text), '\\s+')) AS term
       FROM documents
@@ -1133,7 +1127,20 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY doc_id
                ORDER BY round(s, 6) DESC, lang ASC) AS rn
       FROM scored
-    )
+    )"""
+
+
+@register(
+    "text_nb_classifier",
+    # Multinomial NB over whitespace tokens, labels = lang, add-one
+    # smoothing, resubstitution scoring. Every model parameter is an
+    # exact integer count (class-term counts, class totals, vocab,
+    # priors); identical doubles enter ln() on both engines and the
+    # per-token average keeps magnitudes O(-10), so the 6-dp round sits
+    # orders above summation skew — the unigram/bigram logprob contract.
+    # Argmax = (rounded score DESC, lang ASC), deterministic cross-engine.
+    oracle=f"""
+    WITH {_NB_RANKED_CTES}
     SELECT doc_id, lang AS pred_lang, nb_score,
            (lang = true_lang) AS is_correct
     FROM ranked WHERE rn = 1
@@ -1164,6 +1171,27 @@ def nb_classify(d: DataFrame) -> DataFrame:
     """The NB train+score pipeline over a (doc_id, lang, text) frame —
     split out so the scale probes (tools/wave3_blowup.py) run it on
     blown-up corpora without going through a table path."""
+    scored = _nb_scored(d)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("s", 6).desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            F.round("s", 6).alias("nb_score"),
+            (F.col("lang") == F.col("true_lang")).alias("is_correct"),
+        )
+    )
+
+
+def _nb_scored(d: DataFrame) -> DataFrame:
+    """The train+score stage shared by ``nb_classify`` (argmax → one
+    prediction per doc) and ``text_classifier_eval`` (top-2 → margin):
+    returns the full (doc_id, true_lang, lang, s) score frame, one row
+    per document × class."""
     tf = (
         d.select(
             "doc_id",
@@ -1217,19 +1245,7 @@ def nb_classify(d: DataFrame) -> DataFrame:
             ).alias("s")
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.round("s", 6).desc(), F.col("lang").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select(
-            "doc_id",
-            F.col("lang").alias("pred_lang"),
-            F.round("s", 6).alias("nb_score"),
-            (F.col("lang") == F.col("true_lang")).alias("is_correct"),
-        )
-    )
+    return scored
 
 
 # ---------------------------------------------------------------------------
@@ -1987,4 +2003,114 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 novel / F.count(F.lit(1)).cast("double"), 6
             ).alias("novelty"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E5 (r12) — classifier quality eval: the confusion matrix + decision
+# margins for the corpus-trained NB (U6d), completing the eval family
+# (E1 retrieval, E2 LSH recall, E3 split leakage, E4 linkage recall):
+# train-and-score is only half an ML pipeline — the release gate reads
+# per-class confusion and HOW CONFIDENT the wrong calls were. One row
+# per observed (true_lang, pred_lang) cell with the doc count, the
+# cell's share of its true class, and the mean top1−top2 score margin
+# (high-margin errors are the systematically-confusable pairs; low
+# margin = boundary noise).
+#
+# Determinism: counts are integers; the margin is a difference of two
+# 6-dp-rounded scores recovered onto the exact DECIMAL(18,6) grid (both
+# engines cast the same double to the same nearest-6-dp decimal), so
+# per-cell margin SUMS are exact decimal arithmetic — order-free — and
+# each output is ONE double division of exact quantities, rounded 6 dp
+# with nothing selecting on it (the ts_gapfill "exact sum divided once"
+# contract).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_classifier_eval",
+    oracle=f"""
+    WITH {_NB_RANKED_CTES},
+    top2 AS (
+      SELECT a.doc_id, a.true_lang, a.lang AS pred_lang,
+             CAST(a.nb_score AS DECIMAL(18,6))
+               - CAST(b.nb_score AS DECIMAL(18,6)) AS margin
+      FROM ranked a JOIN ranked b
+        ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+    ), cells AS (
+      SELECT true_lang, pred_lang,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(margin) AS sm
+      FROM top2 GROUP BY 1, 2
+    ), truths AS (
+      SELECT true_lang, CAST(count(*) AS BIGINT) AS n_true
+      FROM top2 GROUP BY 1
+    )
+    SELECT c.true_lang, c.pred_lang, c.n, t.n_true,
+           round(CAST(c.n AS DOUBLE) / t.n_true, 6) AS cell_rate,
+           round(CAST(c.sm AS DOUBLE) / c.n, 6) AS avg_margin
+    FROM cells c JOIN truths t USING (true_lang)
+    """,
+    survey="E5,U6d,A9,W1",
+)
+def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix with decision margins for the corpus-trained NB
+    language classifier: per observed (true, predicted) class cell, the
+    document count, its share of the true class, and the mean top1−top2
+    rounded-score margin — the table a model-release review reads to
+    find systematically confusable class pairs (high-margin confident
+    errors) vs boundary noise (low margin).
+
+    Plan shape: the shared train+score stage (_nb_scored — the model is
+    one (lang, term) shuffle, scoring fans out by the K-row broadcast
+    class list), ONE per-doc rank window cut at 2, a self-join on the
+    doc key at 2-rows-per-doc grain, then a K²-bounded aggregate — the
+    eval output is class-pair-sized no matter the corpus.
+
+    Determinism: integer counts; margins recovered onto the exact
+    DECIMAL(18,6) grid before summing (order-free exact), one double
+    division per output, 6 dp cosmetic round (banner comment). Requires
+    ≥2 classes (the margin needs a runner-up — K=5 in the corpus)."""
+    scored = _nb_scored(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("s", 6).desc(), F.col("lang").asc()
+    )
+    r = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 2")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            "rn",
+            F.round("s", 6).cast("decimal(18,6)").alias("sd"),
+        )
+    )
+    top = r.where("rn = 1").select(
+        "doc_id", "true_lang", F.col("lang").alias("pred_lang"),
+        F.col("sd").alias("s1"),
+    )
+    run = r.where("rn = 2").select("doc_id", F.col("sd").alias("s2"))
+    top2 = top.join(run, "doc_id").select(
+        "doc_id", "true_lang", "pred_lang",
+        (F.col("s1") - F.col("s2")).alias("margin"),
+    )
+    cells = top2.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("margin").alias("sm"),
+    )
+    truths = top2.groupBy("true_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    return cells.join(F.broadcast(truths), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        "n_true",
+        F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias(
+            "cell_rate"
+        ),
+        F.round(F.col("sm").cast("double") / F.col("n"), 6).alias(
+            "avg_margin"
+        ),
     )

@@ -386,3 +386,37 @@ def test_holt_learns_a_linear_trend(spark, tmp_path):
     assert abs(got["trend"] - 0.25) < 1e-6
     assert abs(got["level"] - last) < 1e-3
     assert got["forecast_next"] > last
+
+
+def test_classifier_eval_perfect_separation(spark, tmp_path):
+    """Two perfectly separable languages: the confusion matrix is purely
+    diagonal (cell_rate 1.0), counts conserve the corpus, and every
+    margin is positive (the winner beats the runner-up)."""
+    rows = []
+    for i in range(6):
+        rows.append((i, "alpha beta alpha beta alpha", "aa", "s", 27))
+    for i in range(6, 10):
+        rows.append((i, "gamma delta gamma delta gamma", "bb", "s", 29))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = REGISTRY["text_classifier_eval"].fn(spark, sf).collect()
+    cells = {(r["true_lang"], r["pred_lang"]): r for r in out}
+    assert set(cells) == {("aa", "aa"), ("bb", "bb")}
+    assert cells[("aa", "aa")]["n"] == 6 and cells[("aa", "aa")]["cell_rate"] == 1.0
+    assert cells[("bb", "bb")]["n"] == 4
+    assert all(r["avg_margin"] > 0 for r in out)
+
+
+def test_classifier_eval_counts_conserve_and_match_classifier(spark):
+    """On the real sf0.001 corpus: cell counts sum to the document
+    count, and the diagonal mass equals text_nb_classifier's is_correct
+    count — the eval is an exact rollup of the classifier's verdicts."""
+    sf = "/root/testdata/sf0.001"
+    ev = REGISTRY["text_classifier_eval"].fn(spark, sf).collect()
+    nb = REGISTRY["text_nb_classifier"].fn(spark, sf).collect()
+    assert sum(r["n"] for r in ev) == len(nb)
+    diag = sum(r["n"] for r in ev if r["true_lang"] == r["pred_lang"])
+    assert diag == sum(1 for r in nb if r["is_correct"])
