@@ -1904,11 +1904,17 @@ def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself. Determinism: integer-scaled centering keeps projections
     exact BIGINT sums (order-free); recall/ratio are pinned divisions
     of exact counts — no rounding anywhere."""
-    # multiple consumers (projections, cell sums, norms, AND the exact
-    # tier via _exact_linkage — one shared frame, r11-advice dedup):
-    # persist once; intended to stay cached for the process (narrow
-    # frame; accretion across a gate run is deliberate, LRU evicts)
-    prof = behavior_profiles(load_table(spark, sf_dir, "events")).persist()
+    # ~12 consumers across the banded tier, the exact tier
+    # (_exact_linkage — one shared frame, r11-advice dedup) and the
+    # recall join: eagerly CHECKPOINT the narrow profile frame so every
+    # branch reads a materialized leaf — with persist the r12 PLANS
+    # audit printed the profile build once per InMemoryTableScan (78
+    # flagged exchanges for ~15 executed); the checkpoint makes the
+    # printed plan match what actually runs (eval-only query, lineage
+    # truncation is the documented trade)
+    prof = behavior_profiles(
+        load_table(spark, sf_dir, "events")
+    ).localCheckpoint(eager=True)
     u = prof.select(F.countDistinct("user_id").cast("long").alias("u"))
     cellsum = prof.groupBy("hod", "event_type").agg(
         F.sum("c").cast("long").alias("s")

@@ -890,14 +890,21 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     table outgrows broadcast."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     tr = spark.sql(_EDGES_SQL).select("src", "dst")
+    # sym is read three times (degrees + both endpoint joins) and each
+    # lazy read would re-run the date-window edge derivation; checkpoint
+    # the edge-bounded distinct frame once (kcore precedent), and cache
+    # the vertex-sized degree table for its three consumers
     sym = (
         tr.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionByName(
             tr.select(F.col("dst").alias("u"), F.col("src").alias("v"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = sym.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).persist()
     du = deg.select(F.col("u").alias("_u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("u").alias("_v"), F.col("d").alias("dy"))
     ed = (

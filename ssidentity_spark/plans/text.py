@@ -2075,6 +2075,12 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.round("s", 6).desc(), F.col("lang").asc()
     )
+    # four consumers downstream (top, runner-up, and top2's two
+    # aggregates): eagerly checkpoint the narrow 2-rows-per-doc frame so
+    # the score window over the tf pipeline runs ONCE and every branch
+    # reads a materialized leaf (a persist here still re-printed the
+    # whole scored subtree per scan — 58 flagged exchanges for ~10
+    # executed; the checkpoint makes the audit match reality)
     r = (
         scored.withColumn("rn", F.row_number().over(w))
         .where("rn <= 2")
@@ -2085,6 +2091,7 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
             F.round("s", 6).cast("decimal(18,6)").alias("sd"),
         )
+        .localCheckpoint(eager=True)
     )
     top = r.where("rn = 1").select(
         "doc_id", "true_lang", F.col("lang").alias("pred_lang"),
