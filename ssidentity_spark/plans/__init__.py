@@ -107,7 +107,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_langid",
     "pivot_user_type_matrix",
     "dedup_embedding_cosine",
-    "dedup_simhash_pairs",
+    # late-r12 first-timer: BFS hop distance (G6) — displaced
+    # dedup_simhash_pairs (r10-green, least stale of this block) to
+    # the r13 queue head
+    "graph_bfs_hops",
     # per-module anchors: stalest history-green member of each module the
     # above leaves unwindowed (last-green rounds in parens)
     "d7_array_manipulation",  # extras (r7)
@@ -155,8 +158,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # DRIVER_VERIFIED_HISTORY and the freshness stamps
 # (tools/driver_history.py, then --stamp). Any r13-new queries window
 # first (one displaced staleness slot each), then staleness order —
-# FIRST the ten the r12 mid-round additions displaced
-# (pipe_split_assign by text_classifier_eval,
+# FIRST the eleven the r12 mid-round additions displaced
+# (dedup_simhash_pairs by graph_bfs_hops,
+# pipe_split_assign by text_classifier_eval,
 # pipe_stratified_sample by text_nb_classifier,
 # tpch_q14_promo_share by pipe_quality_fusion,
 # tpch_q18_big_orders by id_behavior_linkage,

@@ -690,9 +690,30 @@ _KCORE_ROUNDS = 6
 _KCORE_KNN = 8
 
 
-def _kcore_oracle(k: int, rounds: int, knn: int) -> str:
+def _mutual_sym_ctes(knn: int) -> str:
+    """Shared oracle prefix for the mutual-kNN graph family (G4 k-core,
+    G6 BFS hops): embeddings → 6-dp cosine kNN → the MATERIALIZED
+    mutual (symmetric) edge list ``sym``."""
     from ssidentity_spark.plans.similarity import _DUCK_VEC
 
+    return f"""{_DUCK_VEC}, s AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_sum(list_transform(generate_series(1, len(a.v)),
+                            i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rk
+      FROM s
+    ), knn AS (
+      SELECT qid AS u, nid AS v FROM r WHERE rk <= {knn}
+    ), sym AS MATERIALIZED (
+      SELECT a.u, a.v FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u
+    )"""
+
+
+def _kcore_oracle(k: int, rounds: int, knn: int) -> str:
     # every aN is referenced twice by a(N+1) (u-side and v-side) and
     # sym twice per round: DuckDB inlines CTEs by reference, so without
     # MATERIALIZED the kNN build would re-expand ~2^rounds times (the
@@ -709,21 +730,7 @@ def _kcore_oracle(k: int, rounds: int, knn: int) -> str:
         )
     chain = ",\n    ".join(steps)
     return f"""
-    WITH {_DUCK_VEC}, s AS (
-      SELECT a.vec_id AS qid, b.vec_id AS nid,
-             round(list_sum(list_transform(generate_series(1, len(a.v)),
-                            i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
-      FROM n a JOIN n b ON a.vec_id <> b.vec_id
-    ), r AS (
-      SELECT qid, nid,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY cos DESC, nid) AS rk
-      FROM s
-    ), knn AS (
-      SELECT qid AS u, nid AS v FROM r WHERE rk <= {knn}
-    ), sym AS MATERIALIZED (
-      SELECT a.u, a.v FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u
-    ), a0 AS MATERIALIZED (
+    WITH {_mutual_sym_ctes(knn)}, a0 AS MATERIALIZED (
       SELECT DISTINCT u FROM sym
     ),
     {chain}
@@ -756,35 +763,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     LPA/pagerank pattern). Peeling is pure integer degree counting: no
     float anywhere after the 6-dp kNN ranks, so every round sits under
     the driver hash exactly."""
-    from ssidentity_spark.plans.similarity import _dot, _norm_vec
-
+    # shared mutual-kNN edge builder (G4/G6 — _mutual_knn_edges)
     em = load_table(spark, sf_dir, "embeddings")
-    corpus = _norm_vec(em)
-    nbrs = corpus.select(
-        F.col("vec_id").alias("nbr"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr"))
-    knn = (
-        corpus.join(F.broadcast(nbrs), F.col("vec_id") != F.col("nbr"))
-        .select(
-            "vec_id",
-            "nbr",
-            F.round(
-                _dot(F.col("v"), F.col("cv"))
-                / (F.col("nrm") * F.col("cnrm")),
-                6,
-            ).alias("cos"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _KCORE_KNN)
-        .select(F.col("vec_id").alias("u"), F.col("nbr").alias("v"))
-    )
-    sym = knn.alias("a").join(
-        knn.alias("b"),
-        (F.col("a.u") == F.col("b.v")) & (F.col("a.v") == F.col("b.u")),
-    ).select(F.col("a.u").alias("u"), F.col("a.v").alias("v")).cache()
+    sym = _mutual_knn_edges(em).cache()
     alive = sym.select("u").distinct()
     for _ in range(_KCORE_ROUNDS):
         deg = (
@@ -930,4 +911,135 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_directed_edges"),
         "n_vertices",
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G6 (r12) — BFS hop distance from the hub: single-source shortest paths
+# (unweighted) on the mutual-kNN embedding graph, the one classical
+# graph primitive the family still lacked (G1 importance, A3/CC
+# reachability, G3 modularity, G4 density, G5 wiring, GT closure — but
+# nothing measured DISTANCE). Seed = the maximum-degree vertex (ties to
+# the smallest id — deterministic integers); every vertex reached
+# within the round budget reports its minimum hop count. On a corpus
+# embedding graph this is the "how far from the densest neighborhood"
+# audit — measured radius 5/6/7 at sf0.001/0.01/0.1 with non-trivial
+# mass at every level (1/8/43/177/244/27 at sf0.001), and a handful of
+# vertices unreachable at the larger SFs, so the reached-only contract
+# is exercised too.
+#
+# Determinism: the graph is the k-core family's 6-dp-rounded mutual-kNN
+# edge list; seeding, frontier expansion and the min-hop label are pure
+# integer operations; fixed round budget (cycle guard ≥ the measured
+# radius) with a deterministic converged-early exit. The oracle replays
+# the BFS as a recursive CTE with UNION dedup (bounded at vertices ×
+# rounds rows) over the shared MATERIALIZED sym prefix.
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 8
+
+
+def _bfs_oracle(rounds: int, knn: int) -> str:
+    return f"""
+    WITH RECURSIVE {_mutual_sym_ctes(knn)}, seed AS MATERIALIZED (
+      SELECT u FROM (SELECT u, count(*) AS c FROM sym GROUP BY u
+                     ORDER BY c DESC, u LIMIT 1)
+    ), reach(u, hops) AS (
+      SELECT u, 0 AS hops FROM seed
+      UNION
+      SELECT s2.v, r2.hops + 1 FROM reach r2 JOIN sym s2 ON s2.u = r2.u
+      WHERE r2.hops < {rounds}
+    )
+    SELECT u AS vec_id, CAST(min(hops) AS BIGINT) AS hops
+    FROM reach GROUP BY u
+    """
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_bfs_oracle(_BFS_ROUNDS, _KCORE_KNN),
+    survey="G6,G4,A3,U5",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop count from the hub (max-degree vertex, ties to the
+    smallest id) to every reachable vertex of the mutual-kNN cosine
+    graph, within a fixed round budget — unweighted single-source
+    shortest paths as frontier BFS.
+
+    Plan shape: the mutual edge build is graph_kcore's (exact brute
+    tier at gate scale; ivf_knn_edges is the 100 TB candidate path,
+    same trade as G3/G4), checkpointed once and read by every round.
+    Each round is ONE keyed join of the edge list against the current
+    FRONTIER (which only ever holds newly-reached vertices — frontier
+    size is bounded by the reached set, and at 100 TB by the degree
+    budget × previous frontier) plus one anti-join against the
+    assigned set; lineage is checkpoint-truncated per round and the
+    loop exits early once a frontier comes back empty (a deterministic
+    integer fixpoint — the CC convention). Hop labels, seeding and
+    frontier algebra are all integer-exact; the only floats anywhere
+    are the 6-dp kNN ranks inside the shared edge derivation."""
+    em = load_table(spark, sf_dir, "embeddings")
+    sym = _mutual_knn_edges(em).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+    seed = (
+        deg.orderBy(F.desc("c"), F.asc("u"))
+        .limit(1)
+        .select(F.col("u").alias("node"))
+    )
+    assigned = seed.withColumn("hops", F.lit(0))
+    frontier = seed
+    for r in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            sym.join(frontier, sym.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(assigned.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        assigned = assigned.unionByName(
+            nxt.withColumn("hops", F.lit(r))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return assigned.select(
+        F.col("node").alias("vec_id"), F.col("hops").cast("long")
+    )
+
+
+def _mutual_knn_edges(em: DataFrame) -> DataFrame:
+    """The mutual-kNN symmetric edge list shared by graph_kcore and
+    graph_bfs_hops (exact brute cosine tier, 6-dp ranks, K =
+    _KCORE_KNN)."""
+    from ssidentity_spark.plans.similarity import _dot, _norm_vec
+
+    corpus = _norm_vec(em)
+    nbrs = corpus.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    knn = (
+        corpus.join(F.broadcast(nbrs), F.col("vec_id") != F.col("nbr"))
+        .select(
+            "vec_id",
+            "nbr",
+            F.round(
+                _dot(F.col("v"), F.col("cv"))
+                / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KCORE_KNN)
+        .select(F.col("vec_id").alias("u"), F.col("nbr").alias("v"))
+    )
+    return (
+        knn.alias("a")
+        .join(
+            knn.alias("b"),
+            (F.col("a.u") == F.col("b.v")) & (F.col("a.v") == F.col("b.u")),
+        )
+        .select(F.col("a.u").alias("u"), F.col("a.v").alias("v"))
     )

@@ -420,3 +420,36 @@ def test_classifier_eval_counts_conserve_and_match_classifier(spark):
     assert sum(r["n"] for r in ev) == len(nb)
     diag = sum(r["n"] for r in ev if r["true_lang"] == r["pred_lang"])
     assert diag == sum(1 for r in nb if r["is_correct"])
+
+
+def test_bfs_hops_on_a_path_graph(spark, tmp_path):
+    """A 1-D embedding chain (nearest neighbors = adjacent points) makes
+    the mutual-kNN graph a path; the max-degree tie-break seeds at the
+    smallest interior vertex and hop counts are exact graph distances."""
+    import pyspark.sql.functions as F
+
+    # 2-D points on a line: mutual 1-NN..8-NN of a chain connect nearby
+    # indices; with K=8 and 12 points the graph is dense enough to be
+    # connected but distances still vary
+    rows = [(i, [float(i * 10), 0.0, 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = {r["vec_id"]: r["hops"] for r in
+           REGISTRY["graph_bfs_hops"].fn(spark, sf).collect()}
+    assert out, "no vertices reached"
+    seeds = [v for v, h in out.items() if h == 0]
+    assert len(seeds) == 1
+    # triangle inequality on the output: hop levels are contiguous
+    levels = sorted(set(out.values()))
+    assert levels == list(range(len(levels)))
+
+
+def test_bfs_hops_gate_scale_distribution(spark):
+    """sf0.001: exactly one seed, contiguous hop levels, and real depth
+    (radius >= 3 — the measured distribution is 1/8/43/177/244/27)."""
+    out = [r["hops"] for r in
+           REGISTRY["graph_bfs_hops"].fn(spark, "/root/testdata/sf0.001").collect()]
+    assert out.count(0) == 1
+    assert max(out) >= 3
+    assert sorted(set(out)) == list(range(max(out) + 1))
