@@ -1636,6 +1636,9 @@ def behavior_profiles(events: DataFrame) -> DataFrame:
 
 @register(
     "id_behavior_linkage",
+    bench=True,  # benched from late r12: the identity-linkage family's
+    # regression tracker (the kcore pattern — r11 ask #6 habit) and the
+    # engine's namesake analytic; floor seeds this round
     oracle="""
     WITH prof AS (
       SELECT user_id,
@@ -2040,6 +2043,11 @@ _LNK_WORDS = _LNK_SKETCH_BITS // _LNK_WORD_BITS  # 16
 
 @register(
     "id_linkage_banded",
+    # NOT benched: its gate-scale K = ceil((U-1)/5) rule pins the
+    # candidate RATIO for the oracle, so its cost grows ~quadratically
+    # with the corpus (23 s at sf0.1 — the fixed-K=60 operating point
+    # in SCALE.md is the production shape); the family's bench tracker
+    # is id_behavior_linkage
     oracle=f"""
     WITH prof AS MATERIALIZED (
       SELECT user_id,

@@ -146,6 +146,30 @@ def _bpe_round(spark, sf_dir):
 # (pagerank: lineage='persist'; CC: truncate=False; BPE: the distributed
 # pair-count that is the round's whole cost — the merge apply is a narrow
 # map) so PLANS.md records the real join/agg/shuffle shape per iteration.
+def _bfs_round(spark, sf_dir):
+    # graph_bfs_hops' summary row is the post-checkpoint assigned frame
+    # ("narrow"); this records the edge build + ONE frontier-expansion
+    # round (edge join + distinct + anti-join) untruncated
+    from pyspark.sql import functions as F
+
+    from ssidentity_spark.io import load_table
+    from ssidentity_spark.plans.graph import _mutual_knn_edges
+
+    sym = _mutual_knn_edges(load_table(spark, sf_dir, "embeddings"))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+    seed = (
+        deg.orderBy(F.desc("c"), F.asc("u"))
+        .limit(1)
+        .select(F.col("u").alias("node"))
+    )
+    return (
+        sym.join(seed, sym.u == seed.node)
+        .select(F.col("v").alias("node"))
+        .distinct()
+        .join(seed, "node", "left_anti")
+    )
+
+
 def _fusion_scored_stage(spark, sf_dir):
     # pipe_quality_fusion's summary row shows only the post-checkpoint
     # fused-rank assigner; this records the full upstream stage (signal
@@ -162,6 +186,7 @@ ROUND_PLANS = {
     "graph_label_propagation": _lpa_round,
     "sim_mmr_diversify": _mmr_round,
     "pipe_quality_fusion": _fusion_scored_stage,
+    "graph_bfs_hops": _bfs_round,
 }
 
 
