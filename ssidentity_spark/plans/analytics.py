@@ -1715,18 +1715,56 @@ def _exact_linkage(prof: DataFrame) -> DataFrame:
     ``id_behavior_linkage``, extracted so the eval/index queries
     (``id_linkage_lsh_recall_eval``, ``id_linkage_banded``) reuse ONE
     persisted profile frame for both their candidate tier and this
-    exact tier instead of re-deriving it from raw events."""
-    from pyspark.sql import Window as W
+    exact tier instead of re-deriving it from raw events.
 
+    Plan shape (r12 optimization round): the probe side is pre-clustered
+    by ``user_id`` ONCE, and everything downstream rides that single
+    exchange (guide §2.4 "two operations keyed the same way share one
+    exchange"):
+
+    - the cell join broadcasts the build side, so the probe side's
+      HashPartitioning(user_id) survives the join;
+    - partitioning on user_id satisfies the clustering requirement of
+      the (user_id, match_id) dot aggregate — every pair row a task
+      produces is aggregated IN that task, so the Σ cell² pair space
+      (~50M rows at sf0.1) never crosses an exchange. The r11 shape
+      aggregated pairs keyed (user_id, match_id) across a shuffle whose
+      map-side partials barely reduced (a pair's shared cells scatter
+      over tasks ⇒ ~1 row in, ~1 row out), shuffling ~the full pair
+      space, then paid a second full exchange + sort for the window
+      rank;
+    - the norm joins are broadcasts (vertex-sized dimension), preserving
+      the partitioning again;
+    - the per-user top-1 is ONE struct-min aggregate — min over
+      (-cosine, match_id) is exactly (cosine DESC, match_id ASC), the
+      previous row_number ordering — which the same partitioning also
+      satisfies, replacing the rank window's exchange + O(n log n) sort
+      with a hash fold.
+
+    Measured at sf0.1 (median-of-5, same session): 2 exchanges + window
+    sort → 1 slim exchange; see OPTIMIZATION_r12.md. Determinism
+    unchanged: the cosine expression is bit-identical, negation is exact
+    (cosine > 0 always: integer dots ≥ 1), and struct-min tie-breaks on
+    match_id exactly as the rank's ASC tiebreaker did."""
     norms = prof.groupBy("user_id").agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("n2"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
     )
-    a = prof.alias("a")
+    # Explicit width, NOT repartition("user_id") alone: AQE sizes a
+    # keyless-width repartition by the INPUT frame (a few MB of profile
+    # rows → coalesced to 1 partition), but this exchange's downstream is
+    # the Σ cell² pair join (~650× blow-up at sf0.1) — measured 30.8 s
+    # single-task vs 1.7 s at the session width. The session's
+    # shuffle-partition conf is the scale-adaptive width (bench pins it
+    # to the core count; a cluster session sizes it for the cluster).
+    n_parts = int(
+        prof.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    a = prof.repartition(n_parts, "user_id").alias("a")
     b = prof.alias("b")
     dots = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.hod") == F.col("b.hod"))
             & (F.col("a.event_type") == F.col("b.event_type"))
             & (F.col("a.user_id") != F.col("b.user_id")),
@@ -1760,15 +1798,24 @@ def _exact_linkage(prof: DataFrame) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    rk = F.row_number().over(
-        W.partitionBy("user_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    best = scored.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cosine")).alias("nc"),
+                F.col("match_id").alias("match_id"),
+                F.col("n_cells").alias("n_cells"),
+                F.col("shared_cells").alias("shared_cells"),
+                F.col("dot").alias("dot"),
+            )
+        ).alias("s")
     )
-    return (
-        scored.withColumn("rk", rk)
-        .where(F.col("rk") == 1)
-        .select(
-            "user_id", "match_id", "n_cells", "shared_cells", "dot", "cosine"
-        )
+    return best.select(
+        "user_id",
+        F.col("s.match_id").alias("match_id"),
+        F.col("s.n_cells").alias("n_cells"),
+        F.col("s.shared_cells").alias("shared_cells"),
+        F.col("s.dot").alias("dot"),
+        (-F.col("s.nc")).alias("cosine"),
     )
 
 
@@ -1925,17 +1972,33 @@ def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = spark.range(1, _LNK_BITS + 1).select(
         F.col("id").cast("long").alias("pn")
     )
-    sgn = _lnk_sign()
-    proj = (
+    # r12 optimization: the ±1 sign is a pure function of (pn, hod,
+    # event_type) — ≤ cells × planes distinct values — but the r11 shape
+    # evaluated its md5 on every (profile row × plane) pair. Precompute
+    # the sign TABLE once (cells × planes rows, one md5 each) and
+    # broadcast-join it in; the per-pair work drops to one long multiply.
+    # The (c·U − s) centering term is likewise plane-independent, so it
+    # is projected BEFORE the plane blow-up (guide §2.3 "project before
+    # the exchange" applied to a broadcast fan-out).
+    signs = (
+        cellsum.select("hod", "event_type")
+        .crossJoin(F.broadcast(planes))
+        .withColumn("sgn", _lnk_sign())
+    )
+    centered = (
         prof.join(F.broadcast(cellsum), ["hod", "event_type"])
         .crossJoin(F.broadcast(u))
-        .crossJoin(F.broadcast(planes))
-        .groupBy("user_id", "pn")
-        .agg(
-            F.sum(
-                (F.col("c") * F.col("u") - F.col("s")) * sgn
-            ).alias("pr")
+        .select(
+            "user_id",
+            "hod",
+            "event_type",
+            (F.col("c") * F.col("u") - F.col("s")).alias("ctr"),
         )
+    )
+    proj = (
+        centered.join(F.broadcast(signs), ["hod", "event_type"])
+        .groupBy("user_id", "pn")
+        .agg(F.sum(F.col("ctr") * F.col("sgn")).alias("pr"))
     )
     bits_per = _LNK_BITS // _LNK_BANDS
     sig = (
@@ -1954,6 +2017,11 @@ def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("key")
         )
     )
+    # r12 optimization: materialize the (user, band, key) signatures once
+    # — both sides of the band self-join consume them, and the build side
+    # otherwise re-runs the whole plane-projection chain (the
+    # id_linkage_banded trade, at 12-bit cost here).
+    sig = sig.localCheckpoint(eager=True)
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (
@@ -1971,9 +2039,18 @@ def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact tier: SHARE the persisted prof above (was: a second
     # persisted copy via id_behavior_linkage(spark, sf_dir) — re-derived
     # the profile aggregate from raw events; r11-advice plan dedup)
-    exact = _exact_linkage(prof).select(
-        F.col("user_id").alias("u1"), F.col("match_id").alias("u2")
+    #
+    # r12 optimization: materialize both tiers once — `exact` feeds two
+    # branches (n_users + the recall join) and `cand` feeds two
+    # (n_candidates + the recall join); without the cut each branch
+    # re-ran its full pair pass (the exact tier's Σ cell² join twice,
+    # the band join twice). Both frames are user/candidate-sized.
+    exact = (
+        _exact_linkage(prof)
+        .select(F.col("user_id").alias("u1"), F.col("match_id").alias("u2"))
+        .localCheckpoint(eager=True)
     )
+    cand = cand.localCheckpoint(eager=True)
     recalled = exact.join(cand, ["u1", "u2"])
     n_users = exact.agg(F.count(F.lit(1)).cast("long").alias("v"))
     n_rec = recalled.agg(F.count(F.lit(1)).cast("long").alias("v"))
@@ -2157,15 +2234,30 @@ def id_linkage_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = spark.range(1, _LNK_SKETCH_BITS + 1).select(
         F.col("id").cast("long").alias("pn")
     )
-    proj = (
+    # r12 optimization (same as id_linkage_lsh_recall_eval): signs are a
+    # pure function of (pn, hod, event_type) — precompute the cells ×
+    # 512-plane sign table once (one md5 each) instead of evaluating md5
+    # on all ~40M (profile row × plane) pairs at sf0.1, and project the
+    # plane-independent (c·U − s) centering before the 512× fan-out.
+    signs = (
+        cellsum.select("hod", "event_type")
+        .crossJoin(F.broadcast(planes))
+        .withColumn("sgn", _lnk_sign())
+    )
+    centered = (
         prof.join(F.broadcast(cellsum), ["hod", "event_type"])
         .crossJoin(F.broadcast(u))
-        .crossJoin(F.broadcast(planes))
-        .groupBy("user_id", "pn")
-        .agg(
-            F.sum((F.col("c") * F.col("u") - F.col("s")) * _lnk_sign())
-            .alias("pr")
+        .select(
+            "user_id",
+            "hod",
+            "event_type",
+            (F.col("c") * F.col("u") - F.col("s")).alias("ctr"),
         )
+    )
+    proj = (
+        centered.join(F.broadcast(signs), ["hod", "event_type"])
+        .groupBy("user_id", "pn")
+        .agg(F.sum(F.col("ctr") * F.col("sgn")).alias("pr"))
     )
     words = (
         proj.withColumn(
@@ -2190,19 +2282,38 @@ def id_linkage_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x["wv"],
         ).alias("wds")
     )
+    # r12 optimization: materialize the signature table once — it is
+    # user-count-sized (16 longs per user) but its lineage is the 512×
+    # plane fan-out aggregate (~40M rows at sf0.1), and the pair stage
+    # consumes it TWICE (probe side + broadcast build side). Without the
+    # cut the broadcast build re-ran the whole projection chain
+    # (measured ~4 s per re-run at sf0.1, two extra runs).
+    sig = sig.localCheckpoint(eager=True)
     a = sig.alias("a")
     b = sig.alias("b")
+    # r12 optimization: unrolled XOR-popcount over the 16 words inside a
+    # CASE WHEN guard (the plans/similarity._dot pattern — higher-order
+    # lambdas evaluate interpreted, the guarded unrolled chain compiles
+    # through codegen); integer sums are order-free so the fold is
+    # exactly equivalent, and a non-16-word signature falls back to the
+    # general HOF form unchanged.
+    _wa, _wb = F.col("a.wds"), F.col("b.wds")
+    _unrolled = F.lit(0).cast("long")
+    for _w in range(_LNK_WORDS):
+        _unrolled = _unrolled + F.bit_count(
+            _wa[_w].bitwiseXOR(_wb[_w])
+        ).cast("long")
+    _hof = F.aggregate(
+        F.zip_with(_wa, _wb, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
+    )
     agreement = (
         F.lit(_LNK_SKETCH_BITS).cast("long")
-        - F.aggregate(
-            F.zip_with(
-                F.col("a.wds"),
-                F.col("b.wds"),
-                lambda x, y: F.bit_count(x.bitwiseXOR(y)),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v.cast("long"),
-        )
+        - F.when(
+            (F.size(_wa) == _LNK_WORDS) & (F.size(_wb) == _LNK_WORDS),
+            _unrolled,
+        ).otherwise(_hof)
     ).alias("agreement")
     pairs = a.join(
         F.broadcast(b), F.col("a.user_id") != F.col("b.user_id")
@@ -2388,10 +2499,19 @@ def id_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = prof.groupBy("user_id").agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
     )
-    a, b = prof.alias("a"), prof.alias("b")
+    # r12 optimization (the _exact_linkage shape): pre-cluster the probe
+    # side by u1 at an explicit width and broadcast the build side, so
+    # the Σ cell² pair space is aggregated where it is produced and the
+    # top-K rank window below needs no second exchange — one slim
+    # exchange instead of shuffling ~the full pair space twice.
+    n_parts = int(
+        prof.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    a = prof.repartition(n_parts, "user_id").alias("a")
+    b = prof.alias("b")
     dots = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.hod") == F.col("b.hod"))
             & (F.col("a.event_type") == F.col("b.event_type"))
             & (F.col("a.user_id") != F.col("b.user_id")),
