@@ -535,9 +535,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution. Three shuffles: edge dedup, wedge join, closure join."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     tr = spark.sql(_EDGES_SQL).select("src", "dst")
-    e = tr.select(
-        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct()
+    # r12 optimization: the canonical edge set feeds FIVE consumers (deg,
+    # the three wedge/closure join legs, n_edges) and each lazily re-ran
+    # the date-window edge derivation + distinct; materialize the
+    # edge-bounded frame once (the graph_degree_assortativity precedent).
+    e = (
+        tr.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
