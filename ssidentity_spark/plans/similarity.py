@@ -46,37 +46,21 @@ def _norm_vec(em: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-# The testdata embedding dimension. _dot unrolls the inner product at this
-# width; any other width falls back to the general higher-order-function
-# fold, so the expression stays correct for arbitrary arrays.
-_DOT_UNROLL_DIM = 64
-
-
 def _dot_hof(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _dot(a, b):
-    # Guarded unrolled inner product (optimization guide §1.2 "per-task
-    # work"): Spark's higher-order functions (aggregate/zip_with) evaluate
-    # their lambdas interpreted, one NamedLambdaVariable store per element
-    # — measured 5.7 s for 4M 64-dim pairs at sf0.1. The unrolled
-    # getItem chain inside a CASE WHEN branch compiles through whole-stage
-    # codegen: 1.7 s for the same work (3.4x). The fold order is identical
-    # (0.0 + a0*b0 + a1*b1 + ...), so results are bit-exact vs the HOF
-    # form (verified == over all 4M sf0.1 pairs, zero mismatches); any
-    # non-64-wide or NULL input takes the general HOF branch unchanged.
-    # (A bare unrolled chain WITHOUT the when() guard generates a single
-    # oversized codegen method that the JIT refuses to compile — measured
-    # 19 s, 3.4x SLOWER than HOF — the guard is what keeps the generated
-    # code in compilable sub-methods, not just a dimension check.)
-    unrolled = F.lit(0.0)
-    for i in range(_DOT_UNROLL_DIM):
-        unrolled = unrolled + a[i] * b[i]
-    return F.when(
-        (F.size(a) == _DOT_UNROLL_DIM) & (F.size(b) == _DOT_UNROLL_DIM),
-        unrolled,
-    ).otherwise(_dot_hof(a, b))
+# _dot stays the higher-order-function fold. A guarded 64-term unrolled
+# chain (CASE WHEN size==64 THEN a0*b0 + ...) won an ISOLATED microbench
+# 3.4x (4M 64-dim pairs through a bare projection), but interleaved A/B of
+# the REAL queries reversed the verdict: sim_topk_bruteforce 0.59-0.97 s
+# (HOF) vs 1.03-1.53 s (unrolled), dedup_semantic_cells 0.86-1.91 vs
+# 1.76-2.57, graph_kcore a wash — the generated-code compile/JIT cost of
+# the 64-term chain inside each consumer's whole-stage-codegen context
+# swamps the per-row win at gate-scale row counts. Both forms are
+# bit-exact (same fold order, verified == over all 4M sf0.1 pairs), so
+# this is purely a measured performance call at bench scale.
+_dot = _dot_hof
 
 
 _DUCK_VEC = """
