@@ -97,8 +97,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sufficient-statistics hatch TS8's docstring promised, never
     # materializing a key's full series — VERDICT r11 ask #3
     "ts_acf_windowed",
+    # re-queued by the r12 freshness guard (tools/driver_history.py
+    # --stale): graph_triangles was source-edited in the r12 optimization
+    # pass (edge-set materialization), voiding its parked r6 stamp; it
+    # displaces j9_q5_local_supplier_volume (r4 vintage, head of the
+    # displaced block -> r13 queue head) per the one-for-one rule:
+    "graph_triangles",
     # the ten queries the r11 late first-timers displaced, queue order
-    "j9_q5_local_supplier_volume",
     "j9_q10_returned_revenue",
     "j8_cross_region_nation",
     "j3_customers_without_orders",
@@ -158,8 +163,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # DRIVER_VERIFIED_HISTORY and the freshness stamps
 # (tools/driver_history.py, then --stamp). Any r13-new queries window
 # first (one displaced staleness slot each), then staleness order —
-# FIRST the eleven the r12 mid-round additions displaced
-# (dedup_simhash_pairs by graph_bfs_hops,
+# FIRST the twelve the r12 mid-round additions displaced
+# (j9_q5_local_supplier_volume by graph_triangles — freshness-guard
+# re-queue after its optimization-pass edit,
+# dedup_simhash_pairs by graph_bfs_hops,
 # pipe_split_assign by text_classifier_eval,
 # pipe_stratified_sample by text_nb_classifier,
 # tpch_q14_promo_share by pipe_quality_fusion,
