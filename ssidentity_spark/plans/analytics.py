@@ -2533,6 +2533,14 @@ def id_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _LNK_MUTUAL_K)
         .select("u1", "u2")
     )
+    # r12 optimization pass 2: materialize the post-rank kNN frame (K·U
+    # rows, two longs each) before the mutual filter — `rev`'s renamed
+    # columns defeat ReuseExchange, so the lazy form re-ran the full
+    # Σ cell² pair aggregation + window for the semi-join's build side.
+    # Interleaved A/B at sf0.1 (4 rounds): 19.8 s → 12.2 s median
+    # (1.6×), exceptAll-identical output. (The same cut LOST in
+    # graph_kcore, whose build sits behind sym.cache() — measured both.)
+    knn = knn.localCheckpoint(eager=True)
     rev = knn.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"))
     pairs = (
         knn.join(rev, ["u1", "u2"], "left_semi")
