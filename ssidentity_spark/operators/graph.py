@@ -121,6 +121,15 @@ def connected_components_star(
     on random graphs).
     """
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # r12 optimization pass 2: `cur` and `vertices` below BOTH eagerly
+    # checkpoint from `raw`, so an unpersisted caller's edge pipeline
+    # (e.g. dedup_cc_clusters' full shingle→minhash→band build) ran
+    # TWICE before the first star round. Materialize the two-column edge
+    # projection once; a caller that already persisted its pairs only
+    # pays one extra edge-list-sized copy. Interleaved A/B at sf0.1
+    # (dedup_cc_clusters, 4 rounds): 8.05 → 7.22 s median, faster every
+    # round, exceptAll-identical output.
+    raw = raw.localCheckpoint(eager=True)
     cur = (
         raw.filter(F.col("u") != F.col("v"))
         .select(
