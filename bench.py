@@ -44,48 +44,64 @@ N_RUNS = 5
 # pinned model, and w7_event_pattern gives the r10 pattern family a
 # regression tracker. Both seed via headliners_new at their first
 # recorded median.
+# r13 refresh: PREV_ROUND is now the r12 DRIVER run (bench_history/
+# r12_sf0.1_full.json, median-of-5) — the first prev-round table that
+# covers the full 22-headliner set (graph_kcore, id_behavior_linkage,
+# sim_ivfpq_pinned_topk, w7_event_pattern previously had no prev row).
+# CAUTION: that session was heavily loaded (canary 2.14x vs best), so
+# raw r13/r12 ratios read FAST; the canary normalization below remains
+# the honest lens, and the vs-best ratchet is unaffected.
 PREV_ROUND = {
-    "dedup_exact": 0.237,
-    "dedup_minhash_lsh_pairs": 1.2,
-    "dedup_semantic_cells": 0.812,
-    "flagship_hourly_top_types": 0.4,
-    "graph_pagerank": 4.358,
-    "j10_bloom_pruned_join": 1.554,
-    "j1_region_revenue": 0.895,
-    "j4_range_join_funnel": 0.321,
-    "j9_q3_top_orders": 0.623,
-    "mm_png_decode": 0.517,
-    "pipe_decontaminate": 1.27,
-    "pipe_pack_sequences": 0.405,
-    "sim_topk_bruteforce": 0.54,
-    "text_token_stats": 0.258,
-    "tpch_q1_pricing_summary": 0.315,
-    "tpch_q6_forecast_revenue": 0.202,
-    "ts_gapfill_interpolate": 0.736,
-    "w5_max_concurrency": 0.676,
+    "dedup_exact": 0.783,
+    "dedup_minhash_lsh_pairs": 3.307,
+    "dedup_semantic_cells": 1.412,
+    "flagship_hourly_top_types": 0.605,
+    "graph_kcore": 5.586,
+    "graph_pagerank": 5.15,
+    "id_behavior_linkage": 3.411,
+    "j10_bloom_pruned_join": 4.139,
+    "j1_region_revenue": 1.87,
+    "j4_range_join_funnel": 0.491,
+    "j9_q3_top_orders": 1.07,
+    "mm_png_decode": 1.25,
+    "pipe_decontaminate": 1.898,
+    "pipe_pack_sequences": 0.592,
+    "sim_ivfpq_pinned_topk": 4.261,
+    "sim_topk_bruteforce": 0.712,
+    "text_token_stats": 0.357,
+    "tpch_q1_pricing_summary": 0.475,
+    "tpch_q6_forecast_revenue": 0.297,
+    "ts_gapfill_interpolate": 1.398,
+    "w5_max_concurrency": 1.215,
+    "w7_event_pattern": 0.71,
 }
 
-# Per-query stddev from the same r10 run — the noise band each flagged
-# regression is adjudicated against (see noise adjudication below).
+# Per-query stddev from the same r12 driver run — the noise band each
+# flagged regression is adjudicated against (see noise adjudication
+# below).
 PREV_STDDEV = {
-    "dedup_exact": 0.041,
-    "dedup_minhash_lsh_pairs": 0.253,
-    "dedup_semantic_cells": 0.08,
-    "flagship_hourly_top_types": 0.109,
-    "graph_pagerank": 0.546,
-    "j10_bloom_pruned_join": 0.153,
-    "j1_region_revenue": 0.12,
-    "j4_range_join_funnel": 0.034,
-    "j9_q3_top_orders": 0.054,
-    "mm_png_decode": 0.264,
-    "pipe_decontaminate": 0.138,
-    "pipe_pack_sequences": 0.047,
-    "sim_topk_bruteforce": 0.06,
-    "text_token_stats": 0.019,
-    "tpch_q1_pricing_summary": 0.054,
-    "tpch_q6_forecast_revenue": 0.024,
-    "ts_gapfill_interpolate": 0.123,
-    "w5_max_concurrency": 0.142,
+    "dedup_exact": 0.356,
+    "dedup_minhash_lsh_pairs": 0.395,
+    "dedup_semantic_cells": 0.384,
+    "flagship_hourly_top_types": 0.201,
+    "graph_kcore": 0.886,
+    "graph_pagerank": 0.542,
+    "id_behavior_linkage": 0.656,
+    "j10_bloom_pruned_join": 0.657,
+    "j1_region_revenue": 0.684,
+    "j4_range_join_funnel": 0.077,
+    "j9_q3_top_orders": 0.091,
+    "mm_png_decode": 0.309,
+    "pipe_decontaminate": 1.016,
+    "pipe_pack_sequences": 0.095,
+    "sim_ivfpq_pinned_topk": 3.41,
+    "sim_topk_bruteforce": 0.071,
+    "text_token_stats": 0.016,
+    "tpch_q1_pricing_summary": 0.11,
+    "tpch_q6_forecast_revenue": 0.044,
+    "ts_gapfill_interpolate": 0.363,
+    "w5_max_concurrency": 0.246,
+    "w7_event_pattern": 0.084,
 }
 
 # Session-contention canary (VERDICT r7 ask #4): tpch_q6 is a pure
@@ -180,6 +196,12 @@ BEST_ROUND = {
     # excluding training — the drift verdict from VERDICT r10 is cleared.
     "sim_ivfpq_pinned_topk": (1.199, "r11"),
     "w7_event_pattern": (0.313, "r11"),
+    # r12 headliner seeds: graph_kcore from the builder's curated r12 run
+    # (canary 1.58x; the driver's own run was 2.14x-loaded), and
+    # id_behavior_linkage from the driver run — its post-optimization
+    # 3.411 is below the curated pre-optimization 4.145.
+    "graph_kcore": (3.426, "r12"),
+    "id_behavior_linkage": (3.411, "r12"),
     "sim_topk_bruteforce": (0.337, "r7"),
     "text_token_stats": (0.171, "r9"),
     "tpch_q1_pricing_summary": (0.225, "r9"),
@@ -187,6 +209,32 @@ BEST_ROUND = {
     "ts_gapfill_interpolate": (0.583, "r9"),
     "w5_max_concurrency": (0.609, "r9"),
 }
+
+
+def compact_line(compact: dict, budget: int = 1900) -> str:
+    """One-line JSON for the driver's stdout tail.
+
+    r13 contract fix (VERDICT r12 item 1): ``queries`` is the one field
+    the driver's PERF/scaling comparison parses — it must NEVER be shed
+    (r12's overflow fallback dropped exactly it and silently cost the
+    round's entire per-query and scaling analysis). When the line
+    exceeds the driver's tail budget, shed the adjudication bloat first
+    — verdicts, then the two flag lists, each replaced by its count —
+    the full artifact keeps every shed field.
+    """
+    line = json.dumps(compact)
+    for shed in (
+        "regression_verdicts",
+        "regressions_over_1.3x_vs_best",
+        "regressions_over_1.3x",
+    ):
+        if len(line) <= budget:
+            break
+        val = compact.pop(shed, None)
+        if val is not None:
+            compact[f"n_{shed}"] = len(val)
+        line = json.dumps(compact)
+    return line
 
 
 def main() -> None:
@@ -270,8 +318,8 @@ def main() -> None:
         "sf": sf,
         "prev_round": PREV_ROUND,
         "prev_round_stat": (
-            "median-of-5 (r10 driver run, bench_history/r10_sf0.1_full.json,"
-            " canary 1.45x — a loaded session; normalize via canary)"
+            "median-of-5 (r12 driver run, bench_history/r12_sf0.1_full.json,"
+            " canary 2.14x — a loaded session; normalize via canary)"
         ),
         # headliners with no prior entry seed next round's gates
         "headliners_new": sorted(n for n in timings if n not in PREV_ROUND),
@@ -322,7 +370,17 @@ def main() -> None:
     # artifact lands (inference would then mislabel the history file as
     # next round's), set SPARK_GRAFT_ROUND explicitly.
     this_round = int(os.environ.get("SPARK_GRAFT_ROUND", max(rounds, default=0) + 1))
-    full_path = os.path.join(hist_dir, f"r{this_round:02d}_sf{sf}_full.json")
+    # r13 contract fix (VERDICT r12 item 2): the driver runs the bench
+    # more than once per round (c32 main + c8 scaling), so the filename
+    # now carries the core count AND never overwrites — the r12 c8 run
+    # previously inferred round 13 and squatted next round's slot while
+    # the main run clobbered the curated quiet-window record.
+    base = f"r{this_round:02d}_sf{sf}_c{cpu_count()}_full"
+    full_path = os.path.join(hist_dir, f"{base}.json")
+    seq = 1
+    while os.path.exists(full_path):
+        seq += 1
+        full_path = os.path.join(hist_dir, f"{base}_{seq}.json")
     # SPARK_GRAFT_RECORD=0: ad-hoc health-check runs (possibly under
     # background contention) must not clobber the round's curated
     # quiet-window record; the driver's real run records by default
@@ -335,7 +393,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "queries": timings,
+        # 2-dp in the compact line: 22 entries stay well under the char
+        # budget (the full artifact keeps 3-dp + stddev/min)
+        "queries": {n: round(t, 2) for n, t in timings.items()},
         "regressions_over_1.3x": full["regressions_over_1.3x"],
         "regressions_over_1.3x_vs_best": full["regressions_over_1.3x_vs_best"],
         # per-entry noise-vs-drift verdicts (compact: verdict string
@@ -357,15 +417,7 @@ def main() -> None:
             else None
         ),
     }
-    line = json.dumps(compact)
-    # belt-and-braces: if headliner growth ever pushes the compact line
-    # past the driver's tail, shed the per-query dict before the totals —
-    # but only when the full artifact exists to point at (an unrecorded
-    # health-check run's stdout is the only copy of its timings)
-    if len(line) > 1900 and recorded:
-        compact["queries"] = {"see": compact["full_artifact"]}
-        line = json.dumps(compact)
-    print(line)
+    print(compact_line(compact))
     spark.stop()
 
 

@@ -103,10 +103,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # displaces j9_q5_local_supplier_volume (r4 vintage, head of the
     # displaced block -> r13 queue head) per the one-for-one rule:
     "graph_triangles",
-    # the ten queries the r11 late first-timers displaced, queue order
-    "j9_q10_returned_revenue",
-    "j8_cross_region_nation",
-    "j3_customers_without_orders",
+    # r13 freshness-guard re-queues (VERDICT r12 item 5): the star-CC
+    # prologue (operators/graph.connected_components_star) was edited in
+    # r12 (33989ad) while these three consumers were PARKED — the
+    # name-keyed stamp could not see the shared-helper edit, so their
+    # standing evidence is void until the driver re-greens them. They
+    # displace j9_q10_returned_revenue / j8_cross_region_nation /
+    # j3_customers_without_orders (all hash-green in CORRECTNESS_r12,
+    # freshest evidence in the window -> r14 queue tail). The stamp now
+    # hashes the transitive helper closure (driver_history.plan_hash v2)
+    # so future shared-operator edits flip staleness automatically.
+    "dedup_cc_clusters",
+    "dedup_cluster_keep_best",
+    "pipe_cluster_safe_split",
     "w3_rolling_avg_rows",
     "text_quality",
     "text_langid",
@@ -242,11 +251,15 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "dedup_span_trim",
         "dedup_stopgram_remove",
         "flagship_hourly_top_types",
+        "graph_bfs_hops",
+        "graph_degree_assortativity",
         "graph_kcore",
         "graph_label_propagation",
         "graph_pagerank",
         "graph_triangles",
         "id_behavior_linkage",
+        "id_linkage_banded",
+        "id_linkage_clusters",
         "id_linkage_lsh_recall_eval",
         "ivm_daily_rollup",
         "j10_bloom_pruned_join",
@@ -368,6 +381,7 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "text_bm25_scores",
         "text_bpe_tokenize",
         "text_bpe_train",
+        "text_classifier_eval",
         "text_fingerprint",
         "text_inverted_postings",
         "text_langid",
@@ -402,11 +416,13 @@ DRIVER_VERIFIED_HISTORY: frozenset[str] = frozenset(
         "tpch_q8_market_share",
         "tpch_q9_profit_by_nation",
         "ts_acf",
+        "ts_acf_windowed",
         "ts_anomaly_mad",
         "ts_changepoint_amoc",
         "ts_ema",
         "ts_gapfill_interpolate",
         "ts_gapfill_locf",
+        "ts_holt_linear",
         "ts_leadlag_correlation",
         "ts_m4_downsample",
         "ts_sax_discords",

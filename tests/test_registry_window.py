@@ -206,3 +206,40 @@ def test_freshness_guard_requeues_an_edited_entry():
     current = {"q_edited": "EDITED", "q_same": "bbb", "q_unstamped": "ccc"}
     stale = compute_stale(history, stamps, current)
     assert stale == {"q_edited", "q_unstamped"}
+
+
+def test_closure_hash_sees_shared_helper_edits():
+    """r13 guard upgrade (VERDICT r12 ask #5): the freshness hash walks
+    the transitive helper closure, so an edit to a shared package-local
+    operator changes every consumer's hash — the r12 star-CC gap (an
+    operator edit invisible to the name-keyed stamp) cannot recur."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import hashlib
+
+    import driver_history as dh
+
+    def helper_v1(x):
+        return x + 1
+
+    def helper_v2(x):
+        return x + 2
+
+    def plan_fn(spark, sf_dir):
+        return shared_helper(1)  # noqa: F821 — resolved via __globals__
+
+    def blob_for(helper):
+        fn = type(plan_fn)(
+            plan_fn.__code__,
+            {**plan_fn.__globals__, "shared_helper": helper},
+            plan_fn.__name__,
+        )
+        fn.__module__ = "ssidentity_spark.plans.fake"
+        helper.__module__ = "ssidentity_spark.operators.fake"
+        parts: dict[str, str] = {}
+        dh._closure_parts(fn, dh._code_names(fn.__code__), parts, set())
+        assert any("helper" in k for k in parts), parts.keys()
+        blob = "\n".join(f"{k}\n{v}" for k, v in sorted(parts.items()))
+        return hashlib.sha256(blob.encode()).hexdigest()
+
+    assert blob_for(helper_v1) != blob_for(helper_v2)
+    assert blob_for(helper_v1) == blob_for(helper_v1)

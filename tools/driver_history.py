@@ -21,12 +21,24 @@ its oracle SQL, taken at the round the evidence landed:
   code. tests/test_registry_window.py enforces this: every history name
   parked outside DRIVER_WINDOW must be fresh.
 
-Known limits (documented, not hidden): the hash covers the registered
-function's own source and oracle string — edits to a shared helper or a
-module constant it calls do not flip it (the local 3-SF gate ritual
-covers those); and the r12 bootstrap stamped pre-r12 entries from the
-r12 tree, so edits made BEFORE r12 are vacuously fresh (all were locally
-3-SF re-gated in r12).
+r13 (VERDICT r12 ask #5): the hash now covers the TRANSITIVE HELPER
+CLOSURE — the plan function's own source plus the source of every
+package-local function/class it references (recursively, through nested
+code objects and package-local module attributes) and the repr of every
+package-local module constant — so a shared-operator edit (r12's
+star-CC prologue) flips every consumer stale automatically. Changing
+the hash basis voids all v1 stamps, so the transition ran
+``--stamp-rebase`` once (every history entry re-stamped from the r13
+tree); the three consumers KNOWN to be executing r12-edited shared code
+(dedup_cc_clusters, dedup_cluster_keep_best, pipe_cluster_safe_split)
+were manually windowed in the same commit — the rebase documents, not
+hides, that gap.
+
+Known limits (documented, not hidden): dynamic dispatch (getattr by
+computed name) and closures over non-literal state are invisible to the
+closure walk (none are used in plan functions); and the r12 bootstrap
+stamped pre-r12 entries from the r12 tree, so edits made BEFORE r12 are
+vacuously fresh (all were locally 3-SF re-gated in r12).
 """
 
 from __future__ import annotations
@@ -84,16 +96,101 @@ def newest_green(repo_root: str | None = None) -> set[str]:
     return {n for n, rec in rows.items() if rec.get("hash_match")}
 
 
+_PKG = "ssidentity_spark"
+
+
+def _code_names(code) -> set[str]:
+    """All global/attribute names referenced by a code object, including
+    nested code objects (lambdas, comprehensions, inner defs)."""
+    import types
+
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def _closure_parts(obj, names: set[str], parts: dict[str, str], seen: set) -> None:
+    """Collect (label -> source/repr) for every package-local function,
+    class, or module constant reachable from ``obj`` via the referenced
+    ``names``; recurse through package-local functions."""
+    import types
+
+    if isinstance(obj, types.FunctionType):
+        if getattr(obj, "__module__", "") is None or not obj.__module__.startswith(_PKG):
+            return
+        key = (obj.__module__, obj.__qualname__)
+        if key in seen:
+            return
+        seen.add(key)
+        label = f"{obj.__module__}.{obj.__qualname__}"
+        try:
+            parts[label] = inspect.getsource(obj)
+        except (OSError, TypeError):
+            return
+        sub = _code_names(obj.__code__)
+        g = obj.__globals__
+        for nm in sorted(sub):
+            if nm not in g:
+                continue
+            v = g[nm]
+            if isinstance(v, (str, bytes, int, float, bool, tuple, list,
+                              dict, set, frozenset)):
+                # module-level constant (tunables, lookup tables): repr is
+                # the content; sets are ordered for determinism. Containers
+                # holding live objects (e.g. the REGISTRY dict of function
+                # specs) repr with memory addresses — skip those, they are
+                # infrastructure, not plan content.
+                r = repr(
+                    sorted(v, key=repr)
+                    if isinstance(v, (set, frozenset))
+                    else v
+                )
+                if " at 0x" not in r:
+                    parts[f"{obj.__module__}.{nm}"] = r
+            else:
+                _closure_parts(v, sub, parts, seen)
+    elif isinstance(obj, type):
+        if not getattr(obj, "__module__", "").startswith(_PKG):
+            return
+        key = (obj.__module__, obj.__qualname__)
+        if key in seen:
+            return
+        seen.add(key)
+        try:
+            parts[f"{obj.__module__}.{obj.__qualname__}"] = inspect.getsource(obj)
+        except (OSError, TypeError):
+            pass
+    elif isinstance(obj, types.ModuleType):
+        if not getattr(obj, "__name__", "").startswith(_PKG):
+            return
+        # attribute access on a package-local module: co_names carries the
+        # attribute names too, so resolve those that exist on the module
+        for nm in sorted(names):
+            if hasattr(obj, nm):
+                attr = getattr(obj, nm)
+                if isinstance(attr, (types.FunctionType, type, types.ModuleType)):
+                    _closure_parts(attr, names, parts, seen)
+                elif isinstance(attr, (str, bytes, int, float, bool, tuple,
+                                       list, dict, set, frozenset)):
+                    parts[f"{obj.__name__}.{nm}"] = repr(attr)
 def plan_hash(name: str) -> str:
     """Content hash of a registered query's plan-function source + oracle
-    SQL — the freshness fingerprint for its driver-green evidence."""
+    SQL + the transitive source closure of every package-local helper it
+    references — the freshness fingerprint for its driver-green evidence
+    (v2, r13: shared-operator edits now flip consumers stale)."""
     from ssidentity_spark.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
     spec = REGISTRY[name]
-    src = inspect.getsource(spec.fn)
+    parts: dict[str, str] = {}
+    _closure_parts(spec.fn, _code_names(spec.fn.__code__), parts, set())
+    blob = "\n--part--\n".join(
+        f"{label}\n{src}" for label, src in sorted(parts.items())
+    )
     return hashlib.sha256(
-        (src + "\n--oracle--\n" + (spec.oracle or "")).encode()
+        (blob + "\n--oracle--\n" + (spec.oracle or "")).encode()
     ).hexdigest()
 
 
@@ -127,10 +224,18 @@ def stale_history(repo_root: str | None = None) -> set[str]:
     return compute_stale(history, load_stamps(), current)
 
 
-def refresh_stamps(repo_root: str | None = None) -> dict[str, str]:
+def refresh_stamps(repo_root: str | None = None, rebase: bool = False) -> dict[str, str]:
     """(Re)stamp names green in the newest artifact from CURRENT source;
     carry existing stamps for older history names; drop names that left
-    the history or the registry. Writes tools/history_hashes.json."""
+    the history or the registry. Writes tools/history_hashes.json.
+
+    ``rebase=True`` re-stamps EVERY history entry from current source —
+    required exactly once when the hash basis itself changes (the v1→v2
+    closure-hash transition), because v1 stamps can never match a v2
+    hash. A rebase erases the edit signal for entries whose helpers
+    changed since their last green, so any KNOWN such entries must be
+    manually windowed in the same commit (r13: the three star-CC
+    consumers)."""
     from ssidentity_spark.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
@@ -141,7 +246,7 @@ def refresh_stamps(repo_root: str | None = None) -> dict[str, str]:
     for n in sorted(history):
         if n not in REGISTRY:
             continue
-        if n in fresh or n not in old:
+        if rebase or n in fresh or n not in old:
             stamps[n] = plan_hash(n)
         else:
             stamps[n] = old[n]
@@ -152,7 +257,10 @@ def refresh_stamps(repo_root: str | None = None) -> dict[str, str]:
 
 
 if __name__ == "__main__":
-    if "--stamp" in sys.argv:
+    if "--stamp-rebase" in sys.argv:
+        stamps = refresh_stamps(rebase=True)
+        print(f"REBASED {len(stamps)} history stamps -> {_STAMPS_PATH}")
+    elif "--stamp" in sys.argv:
         stamps = refresh_stamps()
         print(f"stamped {len(stamps)} history entries -> {_STAMPS_PATH}")
     elif "--stale" in sys.argv:
