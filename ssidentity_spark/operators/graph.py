@@ -331,6 +331,7 @@ def pagerank(
     lineage: str = "local",
     partitions: int | None = None,
     checkpoint_every: int = 1,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Weighted PageRank by plain joins + aggregations, fixed ``iters``
     power-iteration rounds (the relational formulation — no graph engine).
@@ -399,6 +400,38 @@ def pagerank(
     cadence stays 1 by default (shallowest plans, cheapest recovery
     unit, and at 10⁹ vertices the write is still rank-vector sized,
     far below one round's edge-join shuffle).
+
+    r13 (VERDICT r12 ask #3): the contribution step picks its join
+    strategy from the MEASURED vertex count — the one statistic
+    checkpoint truncation hides from Catalyst (``n_nodes`` is already
+    computed for the 1/n seed, so the choice costs nothing):
+
+    - ``n_nodes <= broadcast_max_nodes`` (default 2M — a rank row is a
+      key + a double, so ~100 MB framed; far under the 8 GB broadcast
+      cap and sized so every executor holds it comfortably): the edge
+      frame is cached hash-partitioned on ``dst`` and each round
+      BROADCASTS the slim (node, rank) vector instead of shuffling it —
+      the contribution join, the per-``dst`` aggregate, AND the state
+      join all ride the one cached dst-partitioning, so a round's only
+      exchange is the vertex-sized broadcast itself (guide §3.1: the
+      small side of an iterative join is the rank vector by
+      construction; Catalyst can never pick this because the
+      checkpointed side scans back as an ExistingRDD without stats).
+    - larger graphs: the r12 shuffle shape, except the per-``dst``
+      aggregate now PARTIAL-aggregates map-side before its exchange
+      (guide §2.3 "aggregate before you shuffle") instead of
+      repartitioning the edge-grain join output — the exchange carries
+      per-(task × dst) partial sums (vertex-bounded) rather than one
+      row per edge, the difference between shuffling ~|E| and ~|V| rows
+      per round at 100 TB. The rank vector is projected to (node, rank)
+      before its exchange (§2.3 "project before the exchange").
+
+    Float note: either path changes only the ADDITION ORDER of each
+    dst's contribution sum (partial agg / broadcast-probe order vs the
+    r12 complete-mode order); the recurrence itself is unchanged and
+    the final ``round(round_dp)`` absorbs the last-ulp tail exactly as
+    it already absorbed partition-order variation (oracle-hash-verified
+    at 3 SFs, r13).
     """
     if checkpoint_every < 1:
         raise ValueError(
@@ -424,14 +457,12 @@ def pagerank(
         n_edges = e.count()
         partitions = max(1, -(-n_edges // 2_000_000))
     # normalize ONCE: p = w / wout folds the out-weight join out of the
-    # loop; cache partitioned on src AT THE LOOP WIDTH so every round's
-    # rank join reuses the layout without re-shuffling the (big) edge side
+    # loop (the cache key — src for the shuffle path, dst for the
+    # broadcast path — is chosen below once n_nodes is known; ew is lazy
+    # until the first round materializes it)
     out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
-    ew = (
-        e.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("wout")).alias("p"))
-        .repartition(partitions, "src")
-        .cache()
+    ew0 = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("wout")).alias("p")
     )
     # state = (node, dangling): rank-independent, computed once — the
     # dangling flag replaces the r6 per-round left_anti join; partitioned
@@ -448,6 +479,14 @@ def pagerank(
         .cache()
     )
     n_nodes = state.count()  # scalar cardinality — model-sized driver read
+    # join-strategy decision from the measured vertex count (docstring
+    # r13 note): small rank vectors broadcast, so the edge cache keys on
+    # dst and a round needs no shuffle at all; big graphs keep the
+    # src-keyed cache + shuffle shape with map-side partial aggregation
+    broadcast_ranks = n_nodes <= broadcast_max_nodes
+    ew = ew0.repartition(
+        partitions, "dst" if broadcast_ranks else "src"
+    ).cache()
     if n_nodes == 0:
         # empty edge frame (e.g. every transition was a self-loop): no
         # nodes, so return an empty (node, rank) frame instead of tripping
@@ -462,18 +501,32 @@ def pagerank(
         dangling = ranks.filter("dangling").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        # the checkpointed ranks frame scans back as an ExistingRDD with
-        # unknown partitioning — re-pin it to (node, width) explicitly so
-        # the join reuses ew's cached layout instead of re-shuffling BOTH
-        # sides to the session default; likewise pin the agg's width via
-        # repartition-on-dst (HashPartitioning(dst, width) satisfies the
-        # groupBy's clustering requirement — no second exchange)
-        contrib = (
-            ew.join(ranks.repartition(partitions, "node"), ew.src == ranks.node)
-            .repartition(partitions, "dst")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("m"))
-        )
+        # slim rank vector for the contribution join: the dangling flag
+        # never crosses this exchange/broadcast (guide §2.3 "project
+        # before the exchange")
+        rv = ranks.select("node", "rank")
+        if broadcast_ranks:
+            # vertex count measured small: broadcast the rank vector so
+            # the round's join + per-dst aggregate + state join all ride
+            # ew's cached hash(dst, width) — zero shuffles per round
+            contrib = (
+                ew.join(F.broadcast(rv), ew.src == rv.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("m"))
+            )
+        else:
+            # the checkpointed ranks frame scans back as an ExistingRDD
+            # with unknown partitioning — re-pin it to (node, width) so
+            # the join reuses ew's cached hash(src, width) layout; the
+            # per-dst aggregate then partial-aggregates map-side and its
+            # exchange carries vertex-bounded partial sums, re-pinned to
+            # (dst, width) so the state join below stays exchange-free
+            contrib = (
+                ew.join(rv.repartition(partitions, "node"), ew.src == rv.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("m"))
+                .repartition(partitions, "dst")
+            )
         ranks = (
             state.join(contrib, state.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dangling))

@@ -91,3 +91,23 @@ def test_lineage_modes_agree(spark, tmp_path):
 def test_unknown_lineage_mode_rejected(spark):
     with pytest.raises(ValueError, match="lineage"):
         pagerank(_edges(spark, [("a", "b", 1.0)]), lineage="bogus")
+
+
+def test_join_strategy_modes_agree(spark):
+    """r13: the contribution step picks broadcast-rank vs shuffle from
+    the measured vertex count (broadcast_max_nodes). Both paths compute
+    the identical recurrence — only the join strategy and the addition
+    order inside each dst's sum differ, and round(6) absorbs that."""
+    e = _edges(
+        spark,
+        [
+            ("a", "b", 2.0),
+            ("b", "c", 1.0),
+            ("c", "a", 1.0),
+            ("a", "c", 1.0),
+            ("c", "d", 3.0),  # d is a dangling sink
+        ],
+    )
+    broadcast_mode = _ranks(pagerank(e, iters=4))  # 4 nodes << 2M default
+    shuffle_mode = _ranks(pagerank(e, iters=4, broadcast_max_nodes=0))
+    assert shuffle_mode == broadcast_mode
