@@ -1709,6 +1709,79 @@ def id_behavior_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_linkage(prof)
 
 
+# Broadcast guard for the exact-linkage cell join (ADVICE r12): the
+# build side is the FULL profile frame, which grows linearly with user
+# count — unconditional broadcast would hit Spark's 8 GB / 512M-row
+# broadcast cap and executor memory long before 100 TB. 5M profile rows
+# (≈ 200 MB framed at ~40 B/row) is comfortably inside every executor
+# while covering ~35k users at the ≤144-cells/user profile grain; past
+# it the join degrades gracefully to the pre-r12 shuffle shape instead
+# of hard-failing. (At that scale the exact all-pairs tier is the
+# verification tier anyway — ID2's signature index is the declared
+# 100 TB candidate path; the low-cardinality cell key makes the shuffle
+# fallback skew-prone, which is exactly why the index tier exists.)
+_LNK_BCAST_MAX_CELL_ROWS = 5_000_000
+
+
+def _cell_pair_width(n_rows: int, conf_width: int) -> int:
+    """Shuffle width for the Σ cell² pair stage: ~2000 profile rows per
+    task (≈1.3M generated pair rows at the measured sf0.1 blow-up),
+    clamped to the session conf. The floor keeps tiny inputs (sf0.001
+    oracle gates, vanilla 200-partition driver sessions) from pinning a
+    conf-width wave of empty tasks that AQE cannot coalesce behind an
+    explicit-width repartition (ADVICE r12)."""
+    return max(1, min(conf_width, -(-n_rows // 2000)))
+
+
+def _cell_dots(
+    prof: DataFrame,
+    left: str,
+    right: str,
+    include_shared: bool = False,
+) -> DataFrame:
+    """Pairwise profile dot products through the shared-cell join —
+    the body of ID1's exact tier, shared by _exact_linkage and
+    id_linkage_clusters.
+
+    Small profile frames (≤ _LNK_BCAST_MAX_CELL_ROWS) take the r12
+    one-exchange shape: probe side pre-clustered on the user key at a
+    row-count-clamped width, build side broadcast, so the Σ cell² pair
+    space is aggregated where it is produced. Larger frames fall back
+    to the shuffle join on the cell key (see the guard note above).
+
+    Output: (left, right, dot [, shared_cells]) — integer sums, exact
+    under any partitioning or join order."""
+    spark = prof.sparkSession
+    conf_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # count() on the callers' persisted/checkpointed frame — cheap, and
+    # doubles as the cache warm-up the pair join wants anyway
+    n_rows = prof.count()
+    a = prof.alias("a")
+    b = prof.alias("b")
+    cond = (
+        (F.col("a.hod") == F.col("b.hod"))
+        & (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.user_id") != F.col("b.user_id"))
+    )
+    if n_rows <= _LNK_BCAST_MAX_CELL_ROWS:
+        # Explicit width, NOT repartition("user_id") alone: AQE sizes a
+        # keyless-width repartition by the INPUT frame (a few MB of
+        # profile rows → coalesced to 1 partition), but this exchange's
+        # downstream is the Σ cell² pair join (~650× blow-up at sf0.1)
+        # — measured 30.8 s single-task vs 1.7 s at the session width.
+        n_parts = _cell_pair_width(n_rows, conf_width)
+        a = prof.repartition(n_parts, "user_id").alias("a")
+        joined = a.join(F.broadcast(b), cond)
+    else:
+        joined = a.join(b, cond)
+    aggs = [F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot")]
+    if include_shared:
+        aggs.append(F.count(F.lit(1)).cast("long").alias("shared_cells"))
+    return joined.groupBy(
+        F.col("a.user_id").alias(left), F.col("b.user_id").alias(right)
+    ).agg(*aggs)
+
+
 def _exact_linkage(prof: DataFrame) -> DataFrame:
     """Per-user exact top-1 cosine linkage over a (shared, ideally
     persisted) ``behavior_profiles`` frame — the body of
@@ -1750,34 +1823,7 @@ def _exact_linkage(prof: DataFrame) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).cast("long").alias("n2"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
     )
-    # Explicit width, NOT repartition("user_id") alone: AQE sizes a
-    # keyless-width repartition by the INPUT frame (a few MB of profile
-    # rows → coalesced to 1 partition), but this exchange's downstream is
-    # the Σ cell² pair join (~650× blow-up at sf0.1) — measured 30.8 s
-    # single-task vs 1.7 s at the session width. The session's
-    # shuffle-partition conf is the scale-adaptive width (bench pins it
-    # to the core count; a cluster session sizes it for the cluster).
-    n_parts = int(
-        prof.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    a = prof.repartition(n_parts, "user_id").alias("a")
-    b = prof.alias("b")
-    dots = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.hod") == F.col("b.hod"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") != F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("user_id"),
-            F.col("b.user_id").alias("match_id"),
-        )
-        .agg(
-            F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"),
-            F.count(F.lit(1)).cast("long").alias("shared_cells"),
-        )
-    )
+    dots = _cell_dots(prof, "user_id", "match_id", include_shared=True)
     na = norms.alias("na")
     nb = norms.alias("nb")
     d = dots.alias("d")
@@ -1985,8 +2031,20 @@ def id_linkage_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(planes))
         .withColumn("sgn", _lnk_sign())
     )
+    # r13 optimization (the id_linkage_banded shape): one slim
+    # profile-row exchange on user_id ahead of the plane fan-out — the
+    # projection AND band-signature aggregates both ride it with no
+    # further exchange; integer sums are bit-exact under any
+    # partitioning.
     centered = (
-        prof.join(F.broadcast(cellsum), ["hod", "event_type"])
+        prof.repartition(
+            _cell_pair_width(
+                prof.count(),
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            ),
+            "user_id",
+        )
+        .join(F.broadcast(cellsum), ["hod", "event_type"])
         .crossJoin(F.broadcast(u))
         .select(
             "user_id",
@@ -2244,8 +2302,25 @@ def id_linkage_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(planes))
         .withColumn("sgn", _lnk_sign())
     )
+    # r13 optimization (guide §2.4 "share one exchange"): pre-cluster
+    # the PROFILE rows by user_id once, BEFORE the 512× plane fan-out —
+    # hash(user_id) satisfies the clustering requirement of all three
+    # stacked aggregates below (user×plane projections, user×word
+    # packing, per-user signature), so the ~40M fan-out rows at sf0.1
+    # are projected, multiplied and fully aggregated inside one stage
+    # with ZERO exchanges after this slim profile-row one (the r12
+    # shape partial-aggregated the fan-out, then exchanged at
+    # (user, plane) grain and twice more at word/user grain). Integer
+    # sums: bit-exact under any partitioning.
     centered = (
-        prof.join(F.broadcast(cellsum), ["hod", "event_type"])
+        prof.repartition(
+            _cell_pair_width(
+                prof.count(),
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            ),
+            "user_id",
+        )
+        .join(F.broadcast(cellsum), ["hod", "event_type"])
         .crossJoin(F.broadcast(u))
         .select(
             "user_id",
@@ -2499,28 +2574,11 @@ def id_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = prof.groupBy("user_id").agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
     )
-    # r12 optimization (the _exact_linkage shape): pre-cluster the probe
-    # side by u1 at an explicit width and broadcast the build side, so
-    # the Σ cell² pair space is aggregated where it is produced and the
-    # top-K rank window below needs no second exchange — one slim
-    # exchange instead of shuffling ~the full pair space twice.
-    n_parts = int(
-        prof.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    a = prof.repartition(n_parts, "user_id").alias("a")
-    b = prof.alias("b")
-    dots = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.hod") == F.col("b.hod"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") != F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
-        )
-        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"))
-    )
+    # r12 optimization (the _exact_linkage shape), r13: shared via
+    # _cell_dots — pre-clustered probe side + broadcast build under the
+    # size guard, shuffle-join fallback past it (ADVICE r12); the top-K
+    # rank window below still rides the single u1 exchange.
+    dots = _cell_dots(prof, "u1", "u2")
     na = norms.select(F.col("user_id").alias("u1"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("user_id").alias("u2"), F.col("n2").alias("nb2"))
     w = Window.partitionBy("u1").orderBy(

@@ -453,3 +453,36 @@ def test_bfs_hops_gate_scale_distribution(spark):
     assert out.count(0) == 1
     assert max(out) >= 3
     assert sorted(set(out)) == list(range(max(out) + 1))
+
+
+def test_cell_dots_shuffle_fallback_equals_broadcast(spark, tmp_path, monkeypatch):
+    """r13 broadcast guard (ADVICE r12): past _LNK_BCAST_MAX_CELL_ROWS
+    the exact-tier cell join falls back to a shuffle join instead of
+    broadcasting an unboundedly growing frame. Both paths are integer
+    sums over the identical pair set — results must match exactly."""
+    from ssidentity_spark.plans import analytics as A
+
+    sf = _write_events(spark, tmp_path, _clone_corpus())
+    from ssidentity_spark.io import load_table
+
+    prof = A.behavior_profiles(load_table(spark, sf, "events")).persist()
+    bcast = A._cell_dots(prof, "u1", "u2", include_shared=True)
+    monkeypatch.setattr(A, "_LNK_BCAST_MAX_CELL_ROWS", 0)
+    shuffle = A._cell_dots(prof, "u1", "u2", include_shared=True)
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, shuffle.collect())
+    )
+    assert bcast.exceptAll(shuffle).count() == 0
+    prof.unpersist()
+
+
+def test_cell_pair_width_clamps_to_input(spark):
+    """Tiny inputs no longer pin a conf-width task wave (ADVICE r12):
+    width scales with rows/2000, floors at 1, caps at the session conf."""
+    from ssidentity_spark.plans.analytics import _cell_pair_width
+
+    assert _cell_pair_width(100, 200) == 1
+    assert _cell_pair_width(2_000, 200) == 1
+    assert _cell_pair_width(20_000, 200) == 10
+    assert _cell_pair_width(200_000, 32) == 32
+    assert _cell_pair_width(10_000_000, 200) == 200
