@@ -60,6 +60,13 @@ def connected_components(
             .groupBy(F.col("u").alias("vertex"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # r13: the round's join already sees old and new label side by
+        # side, so the fixpoint signal rides the state frame as a
+        # boolean instead of a PER-ROUND labels⋈updated join job (the
+        # old check re-joined vertex-sized frames every round purely to
+        # detect change — one full extra job per round, guide §2.4).
+        # After the eager checkpoint the change test is a scan of the
+        # materialized blocks.
         updated = (
             labels.join(neighbor_min, "vertex", "left")
             .select(
@@ -67,6 +74,10 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_min", F.col("component"))
+                    < F.col("component")
+                ).alias("chg"),
             )
         )
         # fixpoint check + plan truncation via localCheckpoint.
@@ -76,14 +87,8 @@ def connected_components(
         # callers keep the default or plans grow round-over-round
         if truncate:
             updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("chg").limit(1).count()
+        labels = updated.select("vertex", "component")
         if stats is not None:
             stats["iterations"] = it + 1
             # distinguish "fixpoint at exactly max_iter" from "truncated
