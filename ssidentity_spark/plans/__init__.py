@@ -168,9 +168,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ts_holt_linear",  # TS10 — trend-aware EMA sibling
 )
 
-# r13 ROTATION QUEUE: after CORRECTNESS_r12 lands, regenerate
+# r13 NOTE (optimization round — no new queries, no staleness rotation):
+# the only r13 window changes are the three freshness-guard re-queues
+# above (star-CC consumers; they displaced the three CORRECTNESS_r12-
+# freshest entries j9_q10/j8/j3 to the r14 queue TAIL). The r12-staged
+# staleness rotation below was deliberately NOT executed — rotating 20+
+# parked queries in the same round that re-times every bench headliner
+# would confound the perf comparison — so it carries over verbatim as
+# the r14 ROTATION QUEUE, with the freshness stamps now on the v2
+# closure-hash basis (run tools/driver_history.py --stale at r14 start;
+# anything it flags jumps the queue).
+#
+# r14 ROTATION QUEUE (carried from r12 staging): regenerate
 # DRIVER_VERIFIED_HISTORY and the freshness stamps
-# (tools/driver_history.py, then --stamp). Any r13-new queries window
+# (tools/driver_history.py, then --stamp). Any r14-new queries window
 # first (one displaced staleness slot each), then staleness order —
 # FIRST the twelve the r12 mid-round additions displaced
 # (j9_q5_local_supplier_volume by graph_triangles — freshness-guard
