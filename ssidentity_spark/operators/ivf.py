@@ -124,7 +124,17 @@ def train_centroids_distributed(
 
 
 def assign_cells(em: DataFrame, centroids: np.ndarray) -> DataFrame:
-    """Vectorized cell assignment: argmin L2 distance per Arrow batch."""
+    """Vectorized cell assignment: argmin L2 distance per Arrow batch.
+
+    The UDF is marked non-deterministic (guide §4.4, r13): consumers
+    join/filter on ``cell``, and the optimizer pushes the join key's
+    isnotnull below the projection by DUPLICATING the UDF — the r12
+    plans show two ArrowEvalPython nodes with cell_of in both, i.e.
+    every corpus row paid the argmin (and a Python boundary crossing)
+    twice. The fence forces a single evaluation; the assignment is in
+    fact deterministic (pure argmin of the captured model), so results
+    are unchanged — only duplication/reordering is blocked, and cell_of
+    never returns null so the fenced filter is a no-op either way."""
     cent = centroids  # captured; shipped once per task via closure pickle
 
     @F.pandas_udf(IntegerType())
@@ -133,7 +143,7 @@ def assign_cells(em: DataFrame, centroids: np.ndarray) -> DataFrame:
         d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
-    return em.withColumn("cell", cell_of("embedding"))
+    return em.withColumn("cell", cell_of.asNondeterministic()("embedding"))
 
 
 def ivf_topk(

@@ -116,11 +116,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_cc_clusters",
     "dedup_cluster_keep_best",
     "pipe_cluster_safe_split",
-    "w3_rolling_avg_rows",
-    "text_quality",
-    "text_langid",
-    "pivot_user_type_matrix",
-    "dedup_embedding_cosine",
+    # r13 late re-queues, found by the v3 closure-hash sweep (pre-round
+    # tree vs final tree, tools/driver_history.py): these five PARKED
+    # queries' executing closures changed this round — connected_
+    # components' fixpoint flag reaches ref_companion_clusters, and the
+    # assign_cells §4.4 non-determinism fence reaches the four sim_*
+    # index tiers through their function-local operator imports (the
+    # very gap the v3 walk closes). All five re-verified vs the oracle
+    # at sf0.001+sf0.01 on the final tree before windowing; they
+    # displace w3_rolling_avg_rows / text_quality / text_langid /
+    # pivot_user_type_matrix / dedup_embedding_cosine (all hash-green
+    # in CORRECTNESS_r12 — freshest evidence in the window → r14
+    # queue tail; per-module coverage unaffected).
+    "ref_companion_clusters",
+    "sim_ivf_topk",
+    "sim_ivf_topk_distributed",
+    "sim_ivfpq_rerank_topk",
+    "sim_ivfpq_topk",
     # late-r12 first-timer: BFS hop distance (G6) — displaced
     # dedup_simhash_pairs (r10-green, least stale of this block) to
     # the r13 queue head

@@ -34,6 +34,16 @@ tree); the three consumers KNOWN to be executing r12-edited shared code
 were manually windowed in the same commit — the rebase documents, not
 hides, that gap.
 
+v3 (late r13): the walk also resolves FUNCTION-LOCAL imports (`from
+ssidentity_spark.x import y` inside a plan function leaves only the
+dotted path in co_names — v2 missed e.g. sim_ivfpq_pinned_topk's pq
+import), and constant capture skips checkout-path-derived values
+(SNAPSHOT_DIR et al.) so stamps hash code content, not where the tree
+is checked out. The v3 sweep (pre-round tree vs final tree, closure
+blobs only) found five PARKED queries whose executing closure changed
+this round; all five were oracle-re-verified and re-queued into
+DRIVER_WINDOW in the same commit as this change.
+
 Known limits (documented, not hidden): dynamic dispatch (getattr by
 computed name) and closures over non-literal state are invisible to the
 closure walk (none are used in plan functions); and the r12 bootstrap
@@ -97,6 +107,7 @@ def newest_green(repo_root: str | None = None) -> set[str]:
 
 
 _PKG = "ssidentity_spark"
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _code_names(code) -> set[str]:
@@ -133,6 +144,19 @@ def _closure_parts(obj, names: set[str], parts: dict[str, str], seen: set) -> No
         g = obj.__globals__
         for nm in sorted(sub):
             if nm not in g:
+                # function-local `from ssidentity_spark.x.y import z`
+                # leaves the dotted module path in co_names but nothing
+                # in __globals__ — resolve it through the import system
+                # so locally-imported operators are walked too (v3; the
+                # v2 walk missed e.g. sim_ivfpq_pinned_topk's pq import)
+                if nm.startswith(_PKG + "."):
+                    import importlib
+
+                    try:
+                        mod = importlib.import_module(nm)
+                    except ImportError:
+                        continue
+                    _closure_parts(mod, sub, parts, seen)
                 continue
             v = g[nm]
             if isinstance(v, (str, bytes, int, float, bool, tuple, list,
@@ -147,7 +171,11 @@ def _closure_parts(obj, names: set[str], parts: dict[str, str], seen: set) -> No
                     if isinstance(v, (set, frozenset))
                     else v
                 )
-                if " at 0x" not in r:
+                # skip live-object containers (memory addresses) AND
+                # checkout-path-derived constants (e.g. SNAPSHOT_DIR =
+                # <repo>/.fixture_snapshots): the stamp must hash CODE
+                # CONTENT, not where the tree happens to be checked out
+                if " at 0x" not in r and _REPO_ROOT not in r:
                     parts[f"{obj.__module__}.{nm}"] = r
             else:
                 _closure_parts(v, sub, parts, seen)
@@ -174,7 +202,15 @@ def _closure_parts(obj, names: set[str], parts: dict[str, str], seen: set) -> No
                     _closure_parts(attr, names, parts, seen)
                 elif isinstance(attr, (str, bytes, int, float, bool, tuple,
                                        list, dict, set, frozenset)):
-                    parts[f"{obj.__name__}.{nm}"] = repr(attr)
+                    r = repr(
+                        sorted(attr, key=repr)
+                        if isinstance(attr, (set, frozenset))
+                        else attr
+                    )
+                    # same exclusions as the function-globals branch:
+                    # no live-object reprs, no checkout-path constants
+                    if " at 0x" not in r and _REPO_ROOT not in r:
+                        parts[f"{obj.__name__}.{nm}"] = r
 def plan_hash(name: str) -> str:
     """Content hash of a registered query's plan-function source + oracle
     SQL + the transitive source closure of every package-local helper it
