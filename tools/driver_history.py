@@ -159,24 +159,26 @@ def _closure_parts(obj, names: set[str], parts: dict[str, str], seen: set) -> No
                     _closure_parts(mod, sub, parts, seen)
                 continue
             v = g[nm]
-            if isinstance(v, (str, bytes, int, float, bool, tuple, list,
-                              dict, set, frozenset)):
-                # module-level constant (tunables, lookup tables): repr is
-                # the content; sets are ordered for determinism. Containers
-                # holding live objects (e.g. the REGISTRY dict of function
-                # specs) repr with memory addresses — skip those, they are
-                # infrastructure, not plan content.
+            if isinstance(v, (str, bytes, int, float, bool, tuple,
+                              frozenset)):
+                # IMMUTABLE module-level constants only (tunables, pinned
+                # tables): repr is the content; frozensets are ordered for
+                # determinism. Mutable containers (list/dict/set) are
+                # deliberately NOT hashed — module-level caches
+                # (_IVFPQ_MODEL_CACHE) and registries get POPULATED at
+                # runtime, so their repr depends on what ran before the
+                # hash, not on the code (a parked entry went "stale"
+                # mid-suite exactly this way). Live-object reprs (memory
+                # addresses) and checkout-path-derived constants are
+                # skipped for the same reason: the stamp must hash CODE
+                # CONTENT only.
                 r = repr(
-                    sorted(v, key=repr)
-                    if isinstance(v, (set, frozenset))
-                    else v
+                    sorted(v, key=repr) if isinstance(v, frozenset) else v
                 )
-                # skip live-object containers (memory addresses) AND
-                # checkout-path-derived constants (e.g. SNAPSHOT_DIR =
-                # <repo>/.fixture_snapshots): the stamp must hash CODE
-                # CONTENT, not where the tree happens to be checked out
                 if " at 0x" not in r and _REPO_ROOT not in r:
                     parts[f"{obj.__module__}.{nm}"] = r
+            elif isinstance(v, (list, dict, set)):
+                pass  # mutable runtime state — see note above
             else:
                 _closure_parts(v, sub, parts, seen)
     elif isinstance(obj, type):
@@ -201,14 +203,14 @@ def _closure_parts(obj, names: set[str], parts: dict[str, str], seen: set) -> No
                 if isinstance(attr, (types.FunctionType, type, types.ModuleType)):
                     _closure_parts(attr, names, parts, seen)
                 elif isinstance(attr, (str, bytes, int, float, bool, tuple,
-                                       list, dict, set, frozenset)):
+                                       frozenset)):
+                    # same rules as the function-globals branch: immutable
+                    # content only, no live-object reprs, no checkout paths
                     r = repr(
                         sorted(attr, key=repr)
-                        if isinstance(attr, (set, frozenset))
+                        if isinstance(attr, frozenset)
                         else attr
                     )
-                    # same exclusions as the function-globals branch:
-                    # no live-object reprs, no checkout-path constants
                     if " at 0x" not in r and _REPO_ROOT not in r:
                         parts[f"{obj.__name__}.{nm}"] = r
 def plan_hash(name: str) -> str:
